@@ -1,0 +1,100 @@
+"""Table loaders / writers for the engine.
+
+The driver-generated star schema lives as one parquet file per table
+under ``/root/testdata/sf{0.001,0.01,0.1}/`` (see TESTDATA.md). At
+cluster scale the same API points at partitioned parquet/Delta
+directories; Catalyst pushes filters and prunes columns into the scan
+either way (reference contrast: ``data_ingestion.py:306-311`` fetches
+entire collections then filters client-side).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark's reader rejects
+    them outright (PARQUET_TYPE_ILLEGAL), so they need the nanosAsLong
+    legacy path + an explicit restore to TimestampType."""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    import pyarrow as pa
+
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Plain parquet scan → full pushdown/pruning.
+
+    Nano-precision timestamp columns (e.g. ``events.ts``) are read as
+    long via ``spark.sql.legacy.parquet.nanosAsLong`` and restored to
+    microsecond timestamps (the fixtures carry no sub-microsecond data,
+    so this is lossless and matches the DuckDB oracle exactly).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Load several tables as a dict (lazy DataFrames; nothing is read yet)."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for ``spark.sql`` use."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a serving table, partitioned for pruning at scale.
+
+    E.g. the flat snippets table partitions by (category/source) so a
+    per-category cascade delete (reference ``omit_category``,
+    data_ingestion.py:344-363) is a partition drop, not a full rewrite.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

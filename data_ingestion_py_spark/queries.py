@@ -1,0 +1,677 @@
+"""Query registry: every operator from SURVEY.md §2 as a named query.
+
+Each entry pairs a PySpark implementation ``(spark, sf_dir) -> DataFrame``
+with an ANSI-SQL oracle string DuckDB runs over the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings). The driver compares row-count + schema +
+order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded (2 dp money, 4-6 dp ratios) on both
+  sides so partial-aggregation order cannot flip the hash;
+- no query relies on implicit row order; top-k queries carry a total
+  deterministic ORDER BY (unique key tiebreaker).
+
+Reference parity notes cite ``data_ingestion.py`` file:line.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.operators.snippetize import snippetize
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    spark: SparkQuery
+    oracle: str | None  # None → non-SQL-expressible; driver does rows-only
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # included in bench.py headline set
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[SparkQuery], SparkQuery]:
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = Query(spark=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Snippetization (T1-T5, J2): the reference's core value-add as a derived view
+# ---------------------------------------------------------------------------
+
+# DuckDB oracle for snippetize(documents): identical windowing algebra.
+# tokens → 8-token pseudo-sentences → windows of 5, stride 3 (ref :39,:190).
+SNIPPET_CTE = """
+WITH _tok AS (
+    SELECT doc_id, lang, source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+), _sent AS (
+    SELECT doc_id, lang, source,
+           CAST(ceil(len(toks) / 8.0) AS INT) AS nsent,
+           list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+               i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS sentences
+    FROM _tok
+), _ex AS (
+    SELECT doc_id, lang, source, sentences,
+           unnest(generate_series(0, nsent - 1, 3)) AS s
+    FROM _sent WHERE nsent > 0
+), snippets AS (
+    SELECT doc_id, lang, source,
+           CAST(s // 3 + 1 AS INT) AS snippet_id,
+           array_to_string(sentences[s+1 : s+5], ' ') AS snippet_text
+    FROM _ex
+)
+"""
+
+
+@register(
+    "snippets_flat",
+    SNIPPET_CTE
+    + """
+SELECT doc_id, lang, source, snippet_id, snippet_text FROM snippets
+""",
+    tags=("T2", "T3", "T5", "J2"),
+    bench=True,
+)
+def q_snippets_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flat serving table: snippets = snippetize(documents).
+
+    Replaces the reference's generate_snippets + denormalization loops
+    (data_ingestion.py:170-224) with one narrow codegen stage.
+    """
+    return snippetize(
+        _t(spark, sf_dir, "documents"), carry_cols=("lang", "source")
+    )
+
+
+@register(
+    "snippet_stats_by_lang",
+    SNIPPET_CTE
+    + """
+SELECT lang,
+       count(*) AS n_snippets,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       round(avg(CAST(length(snippet_text) AS DOUBLE)), 2) AS avg_len,
+       CAST(max(snippet_id) AS INT) AS max_windows
+FROM snippets
+GROUP BY lang
+""",
+    tags=("T2", "agg"),
+    bench=True,
+)
+def q_snippet_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: snippetize → group-agg per language (scan → explode →
+    hash agg; partial aggregation map-side, single shuffle on lang)."""
+    sn = snippetize(_t(spark, sf_dir, "documents"), carry_cols=("lang",))
+    return sn.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_snippets"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.avg(F.length("snippet_text").cast("double")), 2).alias("avg_len"),
+        F.max("snippet_id").cast("int").alias("max_windows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Read surface: filters / projections / predicates (P1-P9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_eq_project",
+    """
+SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src3'
+""",
+    tags=("P1", "P6"),
+)
+def q_filter_eq_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 equality filter + P6 projection — pushed into the parquet scan
+    (reference fetches full docs then picks fields, :451-459)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src3")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "events_filter_type",
+    """
+SELECT event_id, user_id, round(value, 4) AS value
+FROM events WHERE event_type = 'error'
+""",
+    tags=("P2",),
+)
+def q_events_filter_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 category-equality filter (ref {'category_id': id}, :351-357)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.round("value", 4).alias("value"))
+    )
+
+
+@register(
+    "expiry_sweep_predicate",
+    """
+SELECT o_orderstatus, count(*) AS n_expired
+FROM orders
+WHERE o_orderdate IS NOT NULL AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY o_orderstatus
+""",
+    tags=("P3", "P4", "M5"),
+)
+def q_expiry_sweep_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 not-null + P4 date comparison as ONE pushed-down predicate.
+
+    The reference does the date compare client-side per document
+    (data_ingestion.py:486-488); here it's a single set-based scan —
+    the M5 expiry sweep's WHERE clause.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_expired"))
+    )
+
+
+@register(
+    "exists_semi_join",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    tags=("P5",),
+)
+def q_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 exists-guard as LEFT SEMI join (ref full-scan + client loop,
+    data_ingestion.py:302-315)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_guard",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+    tags=("P5", "J3"),
+)
+def q_anti_join_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 duplicate-prevention / absence guard as LEFT ANTI join
+    (ref upload dup-reject, data_ingestion.py:233-234): customers with
+    no large order (non-empty at every SF)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "doc_info_lookup",
+    """
+SELECT doc_id, lang, source, n_chars, length(text) AS text_len
+FROM documents WHERE doc_id = 42
+""",
+    tags=("P7",),
+)
+def q_doc_info_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 single-document info projection (ref retrieve_document_info,
+    data_ingestion.py:468-481) — key lookup instead of scan+first-match."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.length("text").alias("text_len"),
+        )
+    )
+
+
+@register(
+    "dim_values",
+    """
+SELECT DISTINCT source AS category_name FROM documents
+""",
+    tags=("P8",),
+)
+def q_dim_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 dimension projection (ref retrieve_categories, :461-466)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("source").alias("category_name"))
+        .distinct()
+    )
+
+
+@register(
+    "empty_text_predicate",
+    """
+SELECT CAST(count(*) FILTER (WHERE n_chars = 0 OR length(text) = 0) AS BIGINT)
+           AS n_empty,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM documents
+""",
+    tags=("P9",),
+)
+def q_empty_text_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 empty-text predicate that drives the OCR-fallback branch
+    (ref whole_text == '', data_ingestion.py:131)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count_if((F.col("n_chars") == 0) | (F.length("text") == 0)).alias(
+            "n_empty"
+        ),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "enrich_columns",
+    """
+SELECT doc_id,
+       source AS category_name,
+       'Active' AS document_status,
+       TIMESTAMP '2026-08-13 00:00:00' AS date_uploaded,
+       source || '#doc=' || CAST(doc_id AS VARCHAR) AS doc_link
+FROM documents WHERE lang = 'en'
+""",
+    tags=("T4", "T6"),
+)
+def q_enrich_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 record enrichment + T4 derived link column (ref :128,:245-255;
+    fixed literal date instead of current_date for oracle determinism)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            F.col("source").alias("category_name"),
+            F.lit("Active").alias("document_status"),
+            F.lit("2026-08-13").cast("timestamp").alias("date_uploaded"),
+            F.concat(
+                F.col("source"), F.lit("#doc="), F.col("doc_id").cast("string")
+            ).alias("doc_link"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1) + TPC-H-ish capability queries (§2.7: aggs, sorts, windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dim_broadcast_join",
+    """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       count(*) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    tags=("J1", "agg"),
+    bench=True,
+)
+def q_dim_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 dimension lookup as broadcast hash join (ref dict probe, :248).
+
+    nation/region are broadcast — zero shuffle for the joins; the only
+    exchange is the final group-by, which AQE coalesces.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg",),
+    bench=True,
+)
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide hash aggregation (partial agg
+    map-side → single shuffle on 2 low-cardinality keys)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_revenue_filter",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06
+  AND l_quantity < 24
+""",
+    tags=("agg", "filter"),
+    bench=True,
+)
+def q_q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: selective multi-predicate scan → scalar agg.
+    All four predicates push to the parquet reader."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > TIMESTAMP '1996-12-26'
+GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    tags=("join", "topk"),
+    bench=True,
+)
+def q_q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → top-k.
+
+    customer (filtered) broadcasts; lineitem⋈orders is the only big
+    shuffle; TakeOrderedAndProject keeps the top-k off the driver.
+    Deterministic: revenue DESC with o_orderkey tiebreak.
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-12-26").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_volume",
+    """
+SELECT n.n_name AS nation_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+             AND s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+    tags=("join", "agg"),
+    bench=True,
+)
+def q_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the dims broadcast; only
+    lineitem⋈orders(⋈customer) shuffles on the big keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(
+            n,
+            (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "top_customers_revenue",
+    """
+SELECT c.c_custkey, c.c_name,
+       round(sum(o.o_totalprice), 2) AS total_spent,
+       count(*) AS n_orders
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 10
+""",
+    tags=("join", "topk"),
+)
+def q_top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join → agg → deterministic top-k (TakeOrderedAndProject)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "window_rank_orders",
+    """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+    FROM orders
+) t WHERE rn <= 3
+""",
+    tags=("window",),
+)
+def q_window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window function: per-customer top-3 orders by price
+    (row_number with deterministic tiebreak; single shuffle on custkey)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rn",
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+SELECT event_type,
+       round(avg(CAST(props ->> '$.k' AS INT)), 4) AS avg_k,
+       CAST(max(CAST(props ->> '$.k' AS INT)) AS INT) AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("json", "agg"),
+)
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: JSON prop extraction + aggregation
+    (get_json_object stays JVM-side; no Python UDF)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    tags=("agg", "time"),
+    bench=True,
+)
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup — the batch shape of the streaming windowed
+    aggregation in streaming/pipeline.py."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

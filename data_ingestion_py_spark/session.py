@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The local test/bench harness runs ``local[$SPARK_GRAFT_CPUS]``; the same
+configuration (AQE, skew-join handling, broadcast threshold, UTC session
+timezone for oracle parity) is what we would ship to a real cluster —
+only memory/executor counts change there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults chosen for the 100 TB posture:
+#: - AQE on: runtime coalescing of post-shuffle partitions + skew-join
+#:   splitting replaces hand-tuned shuffle.partitions at every SF.
+#: - autoBroadcastJoinThreshold 64m: the dimension tables (region,
+#:   nation, supplier, categories) stay broadcast even at SF100k.
+#: - maxPartitionBytes 128m: parquet scan tasks sized to fit executor
+#:   memory with room for shuffle buffers.
+#: - session timezone UTC: deterministic timestamp semantics matching
+#:   the DuckDB oracle.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.shuffle.partitions": "64",
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Dio.netty.tryReflectionSetAccessible=true",
+}
+
+
+def get_spark(
+    app_name: str = "data_ingestion_py_spark",
+    master: str | None = None,
+    **overrides: str,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    so tests, bench, and the driver all agree.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in overrides.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
