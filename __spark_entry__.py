@@ -22,6 +22,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from data_ingestion_py_spark.queries import QUERIES  # noqa: E402
+import data_ingestion_py_spark.queries_ext  # noqa: E402,F401  (extends QUERIES)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -33,6 +33,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     from data_ingestion_py_spark.queries import QUERIES
+    import data_ingestion_py_spark.queries_ext  # noqa: F401  (extends QUERIES)
     from data_ingestion_py_spark.session import get_spark
 
     spark = get_spark(app_name="bench")

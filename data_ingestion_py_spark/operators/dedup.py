@@ -1,0 +1,171 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-efficient and oracle-reproducible:
+
+- exact:       md5(content) groupBy — one shuffle on the 128-bit hash.
+- minhash-LSH: shingle → md5 min-hash signature → band keys → bucket
+               self-join (candidates only) → exact Jaccard verify.
+               At 100 TB the band-key groupBy replaces the O(n²)
+               crossJoin: cost is proportional to bucket collisions.
+- simhash:     16-bit fingerprint from per-token md5 bits; near-dups
+               share fingerprints (or differ in ≤ h bits).
+- n-gram Jaccard: exact pairwise verify, for candidate sets only.
+
+No Spark ML MinHashLSH: its hash family isn't reproducible in the
+DuckDB oracle; the md5 construction is, and behaves identically.
+(Reference contrast: the only dedup in egorji/data_ingestion.py is the
+whole-collection name scan at data_ingestion.py:302-315.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_ingestion_py_spark.functions.text import (
+    band_keys,
+    minhash_signature,
+    shingles,
+    tokens,
+)
+
+SHINGLE_K = 3
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact content dedup: hash-groupBy on md5(text).
+
+    Returns one row per distinct content with the canonical (min) id and
+    copy count. At scale: single shuffle on the hash; AQE coalesces.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def with_shingles(docs: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    return docs.withColumn("shingles", shingles(tokens(F.col(text_col)), k))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """doc_id + minhash signature (array of md5-hex minima)."""
+    return with_shingles(docs, text_col, k).select(
+        "doc_id",
+        minhash_signature(F.col("shingles"), n_hashes).alias("sig"),
+        F.col("shingles"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND
+) -> DataFrame:
+    """Bucket self-join on band keys → distinct candidate (a < b) pairs.
+
+    The shuffle is on band_key — the LSH trick that keeps near-dedup
+    linear-ish at 100 TB. Identical docs share all bands; the distinct
+    collapses multi-band hits.
+    """
+    banded = sigs.select(
+        F.col("doc_id"), F.explode(band_keys(F.col("sig"), bands, rows)).alias("band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs; keep >= threshold.
+
+    Join-planned so only candidate rows rehydrate their shingle sets
+    (two broadcast-able probes at candidate cardinality, not corpus
+    cardinality).
+    """
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array_distinct("shingles").alias("sh_a"),
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array_distinct("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def near_duplicates_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    n_hashes: int = N_HASHES,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Full MinHash+LSH near-dedup: returns (doc_a, doc_b, jaccard)."""
+    sigs = minhash_signatures(docs, text_col, k, n_hashes)
+    cands = lsh_candidate_pairs(sigs.select("doc_id", "sig"), bands, rows)
+    return jaccard_verify(cands, sigs.select("doc_id", "shingles"), threshold)
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", n_bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash fingerprint (n_bits wide, default 16).
+
+    Bit b comes from hex digit b//4 of each token's md5; contribution
+    +1/-1 per token occurrence; fingerprint bit = (sum > 0). Pure
+    explode → groupBy(doc) — one shuffle keyed by doc_id, or zero once
+    the pipeline is already partitioned by doc_id.
+    """
+    from data_ingestion_py_spark.functions.text import hexval
+
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(hexval(F.substring("h", b // 4 + 1, 1)), 3 - (b % 4))
+                .bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))

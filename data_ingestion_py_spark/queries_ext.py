@@ -1,0 +1,545 @@
+"""Extension queries: dedup, similarity search, text analysis, sessions.
+
+Registered into the same QUERIES dict as queries.py (imported from
+there). Near-dup/exact-dup demonstrations build a deterministic corpus
+by unioning `documents` with perturbed/duplicated variants of itself —
+identical construction on the Spark and DuckDB sides — so the dedup
+machinery provably finds known positives at every SF (a 0-row result
+would verify nothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.functions.text import STOPWORDS, tokens
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.operators import dedup, similarity, text_analysis
+from data_ingestion_py_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Corpus builders (Spark) + matching SQL CTEs (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_with_exact_dups(d: DataFrame) -> DataFrame:
+    """documents ∪ copies of every 10th doc (ids shifted by 2M)."""
+    base = d.select("doc_id", "text")
+    copies = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return base.unionByName(copies)
+
+
+EXACT_DUP_CORPUS_CTE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _corpus_with_near_dups(d: DataFrame) -> DataFrame:
+    """documents ∪ every-5th doc with its first 3 tokens dropped (ids
+    shifted by 1M) — guaranteed near-duplicates, never exact."""
+    base = d.select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    variant = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 4, F.greatest(F.size(toks) - 3, F.lit(0))), " "
+        ).alias("text"),
+    )
+    return base.unionByName(variant)
+
+
+NEAR_DUP_CORPUS_CTE = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(
+               list_filter(string_split(text, ' '), x -> x <> '')[4:], ' ')
+               AS text
+    FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+# Shared SQL fragments mirroring functions/text.py exactly.
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _sql_shingles(k: int = dedup.SHINGLE_K) -> str:
+    return f"""
+, shingled AS (
+    SELECT doc_id,
+           list_transform(
+               generate_series(0, len(toks) - {k}),
+               i -> array_to_string(toks[i+1 : i+{k}], ' ')) AS sh
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus)
+    WHERE len(toks) >= {k}
+)
+"""
+
+
+def _sql_minhash_sig(n_hashes: int = dedup.N_HASHES) -> str:
+    mins = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS h{j}"
+        for j in range(n_hashes)
+    )
+    arr = ", ".join(f"h{j}" for j in range(n_hashes))
+    return f"""
+, sigs AS (
+    SELECT doc_id,
+           {mins}
+    FROM shingled
+), sig_arr AS (
+    SELECT doc_id, [{arr}] AS sig FROM sigs
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    EXACT_DUP_CORPUS_CTE
+    + """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY md5(text)
+""",
+    tags=("dedup",),
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup (hash groupBy); corpus seeded with known
+    duplicates so n_copies=2 rows prove detection."""
+    return dedup.exact_duplicates(_corpus_with_exact_dups(_docs(spark, sf_dir)))
+
+
+@register(
+    "dedup_minhash_signatures",
+    "WITH corpus AS (SELECT doc_id, text FROM documents)"
+    + _sql_shingles()
+    + _sql_minhash_sig()
+    + """
+SELECT doc_id, array_to_string(sig, ',') AS sig_csv FROM sig_arr
+""",
+    tags=("dedup", "minhash"),
+)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 md5-based hashes) per document — the
+    oracle-checkable primitive under the LSH join."""
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    return sigs.select(
+        "doc_id", F.array_join("sig", ",").alias("sig_csv")
+    )
+
+
+def _sql_band_keys(bands: int = dedup.BANDS, rows: int = dedup.ROWS_PER_BAND) -> str:
+    keys = ", ".join(
+        "concat_ws('|', '{b}', {parts})".format(
+            b=b,
+            parts=", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+, banded AS (
+    SELECT doc_id, unnest([{keys}]) AS band_key FROM sig_arr
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b USING (band_key)
+    WHERE a.doc_id < b.doc_id
+)
+"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    NEAR_DUP_CORPUS_CTE
+    + _sql_shingles()
+    + _sql_minhash_sig()
+    + _sql_band_keys()
+    + """
+, verified AS (
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.dsh, sb.dsh))), 6)
+               AS jaccard
+    FROM cand
+    JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM shingled) sa
+         ON cand.doc_a = sa.doc_id
+    JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM shingled) sb
+         ON cand.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+""",
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup end-to-end: shingle → signature → band
+    bucket join → exact Jaccard verify ≥ 0.5. Corpus seeded with known
+    near-dups (first-3-tokens-dropped variants)."""
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    return dedup.near_duplicates_minhash(corpus, threshold=0.5)
+
+
+def _sql_simhash(n_bits: int = 16) -> str:
+    sums = ",\n           ".join(
+        "sum(CASE WHEN (instr('0123456789abcdef', substr(h, {pos}, 1)) - 1) "
+        "// {shift} % 2 = 1 THEN 1 ELSE -1 END) AS s{b}".format(
+            pos=b // 4 + 1, shift=1 << (3 - b % 4), b=b
+        )
+        for b in range(n_bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
+    )
+    return f"""
+, tok AS (
+    SELECT doc_id, md5(unnest(toks)) AS h
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus)
+), bits AS (
+    SELECT doc_id,
+           {sums}
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+
+
+@register(
+    "dedup_simhash",
+    "WITH corpus AS (SELECT doc_id, text FROM documents)" + _sql_simhash(),
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints (md5-bit voting) per document."""
+    return dedup.simhash_fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    NEAR_DUP_CORPUS_CTE
+    + _sql_shingles()
+    + """
+SELECT o.doc_id AS doc_a, v.doc_id AS doc_b,
+       round(CAST(len(list_intersect(list_distinct(o.sh), list_distinct(v.sh))) AS DOUBLE)
+             / len(list_distinct(list_concat(o.sh, v.sh))), 6) AS jaccard
+FROM shingled o JOIN shingled v ON v.doc_id = o.doc_id + 1000000
+""",
+    tags=("dedup", "jaccard"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on a known candidate set (each doc vs its
+    perturbed variant) — the verification stage in isolation."""
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    sh = dedup.with_shingles(corpus).select("doc_id", "shingles")
+    pairs = sh.alias("o").join(
+        sh.alias("v"),
+        F.col("v.doc_id") == F.col("o.doc_id") + 1000000,
+    )
+    inter = F.size(
+        F.array_intersect(
+            F.array_distinct("o.shingles"), F.array_distinct("v.shingles")
+        )
+    )
+    union = F.size(
+        F.array_distinct(F.concat(F.col("o.shingles"), F.col("v.shingles")))
+    )
+    return pairs.select(
+        F.col("o.doc_id").alias("doc_a"),
+        F.col("v.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_cosine_topk",
+    """
+WITH q AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+    FROM embeddings WHERE vec_id = 0
+), c AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings WHERE vec_id <> 0
+)
+SELECT vec_id, label,
+       round(list_dot_product(vec, qvec)
+             / (sqrt(list_dot_product(vec, vec))
+                * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine_sim
+FROM c, q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""",
+    tags=("similarity",),
+    bench=True,
+)
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 (broadcast query vec,
+    JVM-side zip_with dot product, TakeOrderedAndProject)."""
+    return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), 0, 10)
+
+
+@register(
+    "similarity_lsh_ann",
+    None,  # hyperplane construction is column algebra but the SQL twin
+    # would be ~64×8 nested md5 exprs; recall vs brute force is
+    # property-tested in tests/test_similarity.py instead.
+    tags=("similarity", "lsh"),
+)
+def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via deterministic random-hyperplane LSH buckets —
+    the 100 TB scale path (bucket once, probe per query). 4 planes →
+    16 buckets: sized for the fixture corpus; at real scale raise
+    n_planes so buckets stay ~1k-10k vectors."""
+    return similarity.lsh_bucketed_ann(
+        load_table(spark, sf_dir, "embeddings"), 0, 10, n_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_SQL_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_scores",
+    f"""
+WITH t AS (
+    SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+), f AS (
+    SELECT doc_id, lang,
+           len(toks) AS n,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, t -> list_contains({_SQL_STOP_LIST}, t)))
+               AS stop_hits,
+           list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+               AS len_sum
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, lang,
+       n AS n_tokens,
+       round(n_uniq / n, 6) AS uniq_ratio,
+       round(len_sum / n, 6) AS avg_token_len,
+       round(stop_hits / n, 6) AS stopword_ratio,
+       round(least(n / 100.0, 1.0) * 0.4 + (n_uniq / n) * 0.4
+             + (stop_hits / n) * 0.2, 6) AS quality_score
+FROM f
+""",
+    tags=("text",),
+    bench=True,
+)
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score (codegen-only map)."""
+    return text_analysis.quality_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "text_language_id",
+    f"""
+WITH t AS (
+    SELECT doc_id, lang AS lang_label, {_SQL_TOKS} AS toks FROM documents
+), s AS (
+    SELECT doc_id, lang_label,
+           len(list_filter(toks, t -> list_contains(['the','a','of','and'], t)))
+               / len(toks) AS score_en,
+           len(list_filter(toks, t -> list_contains(['el','la','de','que'], t)))
+               / len(toks) AS score_es,
+           len(list_filter(toks, t -> list_contains(['der','die','das','und'], t)))
+               / len(toks) AS score_de
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, lang_label,
+       round(score_en, 6) AS score_en,
+       CASE WHEN greatest(score_en, score_es, score_de) < 0.02 THEN 'und'
+            WHEN score_en = greatest(score_en, score_es, score_de) THEN 'en'
+            WHEN score_es = greatest(score_en, score_es, score_de) THEN 'es'
+            ELSE 'de' END AS lang_guess
+FROM s
+""",
+    tags=("text", "langid"),
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic argmax/tiebreak."""
+    return text_analysis.language_id(_docs(spark, sf_dir))
+
+
+@register(
+    "text_token_counts",
+    f"""
+SELECT doc_id, lang,
+       len(toks) AS n_tokens,
+       COALESCE(CAST(list_sum(list_transform(
+           toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT), 0)
+           AS n_subwords,
+       n_chars
+FROM (SELECT doc_id, lang, n_chars, {_SQL_TOKS} AS toks FROM documents)
+""",
+    tags=("text", "tokens"),
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish subword token counting."""
+    return text_analysis.token_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "text_fingerprints",
+    "WITH corpus AS (SELECT doc_id, text FROM documents)"
+    + _sql_shingles(5)
+    + """
+SELECT doc_id,
+       list_min(list_transform(sh, s -> md5(s))) AS fp_min,
+       list_max(list_transform(sh, s -> md5(s))) AS fp_max,
+       len(sh) AS n_shingles
+FROM shingled
+""",
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style min/max rolling-hash fingerprint over 5-grams."""
+    return text_analysis.fingerprints(_docs(spark, sf_dir), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + scalar-subquery capability queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_sessionize",
+    """
+WITH w AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+    FROM events
+), s AS (
+    SELECT user_id,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM w
+)
+SELECT user_id,
+       CAST(sum(is_new) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+""",
+    tags=("window", "sessionize"),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window —
+    the batch shape of streaming session windows."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = e.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    is_new = F.when(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        with_prev.select("user_id", is_new.alias("is_new"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "customers_above_avg_balance",
+    """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+""",
+    tags=("subquery",),
+)
+def q_customers_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate (broadcast 1-row agg, no collect)."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .select(
+            "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+        )
+    )
+
+
+@register(
+    "parts_by_brand",
+    """
+SELECT p.p_brand, round(sum(l.l_quantity), 2) AS sum_qty,
+       round(avg(p.p_retailprice), 4) AS avg_retail, count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    tags=("join", "agg"),
+)
+def q_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim broadcast join + brand rollup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "segment_distinct_nations",
+    """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM customer GROUP BY c_mktsegment
+""",
+    tags=("agg", "distinct"),
+)
+def q_segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-agg with exact distinct (expand+two-phase agg in Spark)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pytest
 
+import data_ingestion_py_spark.queries_ext  # noqa: F401  (extends QUERIES)
 from data_ingestion_py_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 from tests.oracle_utils import assert_frames_match
