@@ -1,0 +1,139 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The design a 100 TB training-data pipeline needs: media stays an opaque
+``binary`` column with a typed metadata struct alongside; decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` stages so the heavy per-item work parallelizes with the
+scan and never touches the driver. The image/audio codecs aren't in
+this container, so the decode kernels are STUBS — a clearly marked
+``NotImplementedError`` behind ``decoder="real"`` and a deterministic
+fake (md5-derived pseudo-features) that keeps every piece of Spark
+plumbing (schema, batch shape, partitioning, UDF signatures) real and
+tested.
+
+Reference tie-in: the PDF page images the reference shovels through one
+shared temp file (data_ingestion.py:148-155, S2/S7) are exactly this
+shape — (doc_id, page_number, image_bytes) rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_hash", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), False),
+    ]
+)
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic pseudo-embedding from md5 bytes (stub decode)."""
+    h = hashlib.md5(payload).digest()
+    return [((h[i % 16] / 255.0) * 2.0 - 1.0) for i in range(dim)]
+
+
+def extract_features(
+    media: DataFrame, decoder: str = "stub", dim: int = 8
+) -> DataFrame:
+    """Per-item feature extraction over binary payloads (mapInPandas).
+
+    ``decoder="real"`` is the seam where PIL/librosa/ffmpeg plug in;
+    it raises NotImplementedError here (libs not in container).
+    """
+    if decoder == "real":  # pragma: no cover - container lacks codecs
+        raise NotImplementedError(
+            "real decoders (PIL/librosa/ffmpeg) are not available in this "
+            "container; use decoder='stub'"
+        )
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "content_hash": [
+                        hashlib.md5(p).hexdigest() for p in payloads
+                    ],
+                    "feature": [_fake_feature(p, dim) for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(_go, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 4
+) -> DataFrame:
+    """Video frame sampling, stubbed: slices the payload at fixed strides
+    (a real build decodes keyframes via ffmpeg at the same seam). One
+    input row → ≤ max_frames output rows; schema/fan-out are the real
+    contract."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video" or payload is None:
+                    continue
+                payload = bytes(payload)
+                for i in range(min(max_frames, max(len(payload) // every_n_bytes, 1))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame_payload": frames}
+            )
+
+    return media.mapInPandas(_go, FRAME_SCHEMA)
+
+
+def dedup_by_content(features: DataFrame) -> DataFrame:
+    """Exact media dedup on the content hash (same shape as text
+    dedup_exact — one shuffle on the hash)."""
+    return features.groupBy("content_hash").agg(
+        F.min("media_id").alias("canonical_media_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

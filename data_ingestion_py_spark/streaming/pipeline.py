@@ -1,0 +1,120 @@
+"""Structured Streaming pipelines (SURVEY §2.6 Q1-Q3 streaming form).
+
+Two shapes:
+
+1. ``run_command_stream`` — the reference's bounded action queue
+   (``Queue(maxsize=40)``, data_ingestion.py:37) becomes a file/Kafka
+   command stream drained by ``foreachBatch``; each micro-batch is one
+   set-based ``apply_actions`` call, so "send many documents to be
+   updated, removed, or expired" (README.md:4) is the steady state, not
+   a special case. Micro-batch = the queue drain at :46-72.
+
+2. ``windowed_event_counts`` — watermarked tumbling-window aggregation
+   over an event stream (late data dropped past the watermark); the
+   streaming twin of the batch ``events_hourly_rollup`` query.
+
+State between micro-batches lives in the caller-provided holder;
+in production each state table is Parquet/Delta and ``foreachBatch``
+overwrites/merges per batch with the same pure functions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_ingestion_py_spark.catalog.actions import apply_actions
+from data_ingestion_py_spark.catalog.state import ACTION_SCHEMA, CatalogState
+
+
+@dataclass
+class StateHolder:
+    """Mutable cell the foreachBatch closure updates per micro-batch."""
+
+    state: CatalogState
+    audits: list[DataFrame]
+
+
+def read_command_stream(
+    spark: SparkSession, commands_dir: str, max_files_per_trigger: int = 40
+) -> DataFrame:
+    """JSON-file command source.
+
+    ``maxFilesPerTrigger`` bounds each micro-batch — the streaming analog
+    of the reference's queue capacity 40 (data_ingestion.py:37).
+    """
+    return (
+        spark.readStream.schema(ACTION_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(commands_dir)
+    )
+
+
+def run_command_stream(
+    spark: SparkSession,
+    commands_dir: str,
+    holder: StateHolder,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Drain the command stream via foreachBatch; returns the query.
+
+    Each micro-batch applies all commands set-based (per action_code)
+    and appends the audit table to the holder. Batches must be applied
+    in order — foreachBatch guarantees sequential batch_ids.
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # materialize the state eagerly so each batch's lineage doesn't
+        # stack across micro-batches (bounded plan depth)
+        new_state, audit = apply_actions(holder.state, batch_df)
+        new_state = CatalogState(
+            categories=_pin(new_state.categories),
+            documents=_pin(new_state.documents),
+            pages=_pin(new_state.pages),
+        )
+        holder.state = new_state
+        holder.audits.append(_pin(audit))
+
+    stream = read_command_stream(spark, commands_dir)
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Cut lineage by localCheckpoint (in production: write to the table
+    and read back; here: keeps per-batch state bounded)."""
+    return df.localCheckpoint(eager=True)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type.
+
+    Works identically on a static DataFrame (watermark is a no-op) and a
+    stream — the test asserts stream-vs-batch equivalence.
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

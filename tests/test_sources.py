@@ -1,0 +1,84 @@
+"""Tests for ingestion sources: PDF page extraction + multimodal stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.sources import multimodal, pdf
+
+
+@pytest.fixture()
+def fake_pdf_dir(tmp_path):
+    """UTF-8 'PDFs' with form-feed page breaks (fallback extractor)."""
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes("page one text\fpage two text".encode())
+    (d / "b.pdf").write_bytes("single page".encode())
+    (d / "empty.pdf").write_bytes("\f".encode())  # all-empty → needs OCR
+    (d / "ignore.txt").write_bytes(b"not a pdf")
+    return str(d)
+
+
+def test_scan_and_extract_pages(spark, fake_pdf_dir):
+    binary = pdf.scan_pdf_directory(spark, fake_pdf_dir)
+    assert binary.count() == 3  # glob filters the .txt
+    pages = pdf.extract_pages(binary)
+    rows = {(r.document_name, r.page_number): r for r in pages.collect()}
+    assert rows[("a.pdf", 1)].page_text == "page one text"
+    assert rows[("a.pdf", 2)].page_text == "page two text"
+    assert rows[("b.pdf", 1)].page_text == "single page"
+    # P9: whole-doc-empty predicate flags OCR need per document
+    assert rows[("empty.pdf", 1)].needs_ocr is True
+    assert rows[("a.pdf", 1)].needs_ocr is False
+
+
+def test_page_links(spark, fake_pdf_dir):
+    pages = pdf.extract_pages(pdf.scan_pdf_directory(spark, fake_pdf_dir))
+    linked = pdf.pages_with_links(pages)
+    r = linked.where(
+        (F.col("document_name") == "a.pdf") & (F.col("page_number") == 2)
+    ).first()
+    assert r.page_link.endswith("a.pdf#page=2")
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake image bytes", ("image/png", 64, 64, None)),
+        (2, "image", b"\x89PNG fake image bytes", ("image/png", 64, 64, None)),
+        (3, "audio", b"RIFF fake wav", ("audio/wav", None, None, 1200)),
+        (4, "video", b"\x00" * 5000, ("video/mp4", 320, 240, 9000)),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_feature_extraction_stub(spark, media_df):
+    feats = multimodal.extract_features(media_df).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert len(feats) == 4
+    assert by_id[1].content_hash == by_id[2].content_hash  # same payload
+    assert by_id[1].feature == by_id[2].feature  # deterministic
+    assert len(by_id[1].feature) == 8
+    assert by_id[4].n_bytes == 5000
+
+
+def test_real_decoder_is_explicitly_stubbed(media_df):
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media_df, decoder="real")
+
+
+def test_frame_sampling_fanout(spark, media_df):
+    frames = multimodal.sample_frames(media_df, every_n_bytes=1024).collect()
+    # only the video row fans out; 5000 bytes → 4 frames (max_frames cap)
+    assert {r.media_id for r in frames} == {4}
+    assert sorted(r.frame_index for r in frames) == [0, 1, 2, 3]
+    assert all(len(r.frame_payload) == 1024 for r in frames)
+
+
+def test_media_dedup_by_content(spark, media_df):
+    feats = multimodal.extract_features(media_df)
+    dd = multimodal.dedup_by_content(feats).collect()
+    copies = {r.canonical_media_id: r.n_copies for r in dd}
+    assert copies[1] == 2  # ids 1+2 share payload
+    assert copies[3] == 1 and copies[4] == 1
