@@ -41,21 +41,58 @@ def shingles(toks: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_one(shingle_arr: Column, seed: int) -> Column:
-    """One min-hash: lexicographic min of md5(seed || ':' || shingle).
+import random as _random
 
-    Fixed-width hex ⇒ lexicographic min == numeric min; md5 is identical
-    in Spark and DuckDB, making signatures oracle-reproducible (unlike
-    Spark ML's MinHashLSH, whose hash family is JVM-private).
+#: Universal-hash mixing constants (a_j, b_j, c_j), fixed seed so the
+#: DuckDB oracle can inline the very same numbers. Kept small enough
+#: that a_j*h32 stays < 2^47 — no 64-bit overflow on either engine.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_rng = _random.Random(7)
+MINHASH_COEFFS: list[tuple[int, int, int]] = [
+    (
+        _rng.randrange(1, 32749),
+        _rng.randrange(1, 32749),
+        _rng.randrange(0, MINHASH_PRIME),
+    )
+    for _ in range(64)
+]
+
+
+def shingle_hash_pairs(shingle_arr: Column) -> Column:
+    """ONE md5 per shingle → two 32-bit ints (hex halves).
+
+    All ``n_hashes`` min-hashes derive from these by integer mixing —
+    16× fewer md5 evaluations than hashing per (seed, shingle), which
+    is the dominant cost at corpus scale.
     """
-    return F.array_min(
-        F.transform(shingle_arr, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    return F.transform(
+        F.transform(shingle_arr, lambda s: F.md5(s)),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
     )
 
 
 def minhash_signature(shingle_arr: Column, n_hashes: int) -> Column:
-    """Array of ``n_hashes`` min-hashes (seeds 0..n_hashes-1)."""
-    return F.array(*[minhash_one(shingle_arr, j) for j in range(n_hashes)])
+    """Array of ``n_hashes`` min-hashes: min_j over shingles of
+    (a_j*h1 + b_j*h2 + c_j) mod (2^31-1). md5 is identical in Spark and
+    DuckDB, making signatures oracle-reproducible (unlike Spark ML's
+    MinHashLSH, whose hash family is JVM-private)."""
+    pairs = shingle_hash_pairs(shingle_arr)
+
+    def mix(j: int) -> Column:
+        # closure factory, NOT a default-arg lambda: pyspark reads HOF
+        # lambda arity (incl. defaults) as (element, index).
+        a, b, c = MINHASH_COEFFS[j]
+        return F.array_min(
+            F.transform(
+                pairs,
+                lambda x: (x["h1"] * a + x["h2"] * b + c) % MINHASH_PRIME,
+            )
+        )
+
+    return F.array(*[mix(j) for j in range(n_hashes)])
 
 
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
@@ -67,7 +104,10 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
             F.concat_ws(
                 "|",
                 F.lit(str(b)),
-                *[F.element_at(sig, b * rows + r + 1) for r in range(rows)],
+                *[
+                    F.element_at(sig, b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ],
             )
             for b in range(bands)
         ]

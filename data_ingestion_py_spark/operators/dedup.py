@@ -59,7 +59,17 @@ def minhash_signatures(
     k: int = SHINGLE_K,
     n_hashes: int = N_HASHES,
 ) -> DataFrame:
-    """doc_id + minhash signature (array of md5-hex minima)."""
+    """doc_id + minhash signature (ints; one md5 per shingle + integer
+    mixing per seed — see functions.text.minhash_signature).
+
+    Input is rebalanced to the cluster's parallelism first: corpora
+    often arrive as few fat files (the fixture is ONE parquet file →
+    2 tasks), and signature hashing is the CPU-bound stage worth
+    spreading across every core.
+    """
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(target)
     return with_shingles(docs, text_col, k).select(
         "doc_id",
         minhash_signature(F.col("shingles"), n_hashes).alias("sig"),
@@ -131,8 +141,13 @@ def near_duplicates_minhash(
     bands: int = BANDS,
     rows: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """Full MinHash+LSH near-dedup: returns (doc_a, doc_b, jaccard)."""
-    sigs = minhash_signatures(docs, text_col, k, n_hashes)
+    """Full MinHash+LSH near-dedup: returns (doc_a, doc_b, jaccard).
+
+    Signatures are cached: the plan references them three times
+    (banding + both sides of the verify join); without the cache the
+    whole shingle/md5 pipeline runs 3×.
+    """
+    sigs = minhash_signatures(docs, text_col, k, n_hashes).cache()
     cands = lsh_candidate_pairs(sigs.select("doc_id", "sig"), bands, rows)
     return jaccard_verify(cands, sigs.select("doc_id", "shingles"), threshold)
 

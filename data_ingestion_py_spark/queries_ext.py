@@ -90,16 +90,35 @@ def _sql_shingles(k: int = dedup.SHINGLE_K) -> str:
 
 
 def _sql_minhash_sig(n_hashes: int = dedup.N_HASHES) -> str:
+    from data_ingestion_py_spark.functions.text import (
+        MINHASH_COEFFS,
+        MINHASH_PRIME,
+    )
+
     mins = ",\n           ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS h{j}"
+        "list_min(list_transform(hh, x -> (x.h1 * {a} + x.h2 * {b} + {c}) "
+        "% {p})) AS h{j}".format(
+            a=MINHASH_COEFFS[j][0],
+            b=MINHASH_COEFFS[j][1],
+            c=MINHASH_COEFFS[j][2],
+            p=MINHASH_PRIME,
+            j=j,
+        )
         for j in range(n_hashes)
     )
     arr = ", ".join(f"h{j}" for j in range(n_hashes))
     return f"""
-, sigs AS (
+, hashed AS (
+    SELECT doc_id,
+           list_transform(
+               list_transform(sh, s -> md5(s)),
+               h -> {{'h1': ('0x' || substr(h, 1, 8))::BIGINT,
+                      'h2': ('0x' || substr(h, 9, 8))::BIGINT}}) AS hh
+    FROM shingled
+), sigs AS (
     SELECT doc_id,
            {mins}
-    FROM shingled
+    FROM hashed
 ), sig_arr AS (
     SELECT doc_id, [{arr}] AS sig FROM sigs
 )
@@ -140,11 +159,14 @@ SELECT doc_id, array_to_string(sig, ',') AS sig_csv FROM sig_arr
     tags=("dedup", "minhash"),
 )
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (16 md5-based hashes) per document — the
-    oracle-checkable primitive under the LSH join."""
+    """MinHash signatures (16 md5-derived universal hashes) per document
+    — the oracle-checkable primitive under the LSH join."""
     sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
     return sigs.select(
-        "doc_id", F.array_join("sig", ",").alias("sig_csv")
+        "doc_id",
+        F.array_join(
+            F.transform("sig", lambda x: x.cast("string")), ","
+        ).alias("sig_csv"),
     )
 
 
@@ -152,7 +174,9 @@ def _sql_band_keys(bands: int = dedup.BANDS, rows: int = dedup.ROWS_PER_BAND) ->
     keys = ", ".join(
         "concat_ws('|', '{b}', {parts})".format(
             b=b,
-            parts=", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)),
+            parts=", ".join(
+                f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+            ),
         )
         for b in range(bands)
     )
