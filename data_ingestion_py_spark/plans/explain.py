@@ -1,0 +1,72 @@
+"""Plan introspection: make "is this the plan I'd want at 100 TB?" a
+testable assertion instead of a manual .explain() read.
+
+Used by tests/test_plans.py to pin the physical properties that matter
+at scale: filters reaching the parquet scan, column pruning, dimension
+joins broadcasting (not shuffling), hot paths staying inside
+whole-stage codegen, and shuffle counts not regressing.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """explain('formatted') output (scan details incl. PushedFilters)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings per scan (column pruning evidence)."""
+    return re.findall(r"ReadSchema: (struct<[^>]*>)", formatted_plan(df))
+
+
+def count_ops(df: DataFrame, op: str) -> int:
+    return len(re.findall(rf"\b{re.escape(op)}\b", executed_plan(df)))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return count_ops(df, "BroadcastHashJoin") > 0 or count_ops(
+        df, "BroadcastNestedLoopJoin"
+    ) > 0
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return count_ops(df, "SortMergeJoin") > 0
+
+
+def num_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (broadcast exchanges excluded)."""
+    plan = executed_plan(df)
+    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+
+
+def uses_python_eval(df: DataFrame) -> bool:
+    plan = executed_plan(df)
+    return "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages ("*(N)" or "WholeStageCodegen (N)")."""
+    plan = executed_plan(df)
+    ids = re.findall(r"WholeStageCodegen \((\d+)\)", plan)
+    ids += re.findall(r"\*\((\d+)\)", plan)
+    return len(set(ids))

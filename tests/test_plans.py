@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the properties that decide whether a
+query survives a 100× scale-up, pinned as assertions.
+
+If one of these fails after a change, the plan regressed — not just the
+runtime on the 60k-row fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import data_ingestion_py_spark.queries_ext  # noqa: F401
+from data_ingestion_py_spark.plans import explain as E
+from data_ingestion_py_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _q(spark, name):
+    return QUERIES[name].spark(spark, SF_SMOKE)
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    df = _q(spark, "q6_revenue_filter")
+    pushed = " ".join(E.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_column_pruning(spark):
+    schemas = E.read_schemas(_q(spark, "q6_revenue_filter"))
+    assert schemas, "no scan found"
+    # only the 4 referenced columns are read, not all 11
+    assert all(s.count(":") <= 4 for s in schemas), schemas
+
+
+def test_filter_eq_project_prunes_and_pushes(spark):
+    df = _q(spark, "filter_eq_project")
+    assert any("source" in f for f in E.pushed_filters(df))
+    schemas = E.read_schemas(df)
+    assert all("text" not in s for s in schemas), (
+        f"giant text column read unnecessarily: {schemas}"
+    )
+
+
+def test_dim_join_broadcasts(spark):
+    df = _q(spark, "dim_broadcast_join")
+    assert E.has_broadcast_join(df)
+    assert not E.has_sort_merge_join(df), "dim join must not shuffle-sort"
+    # only the final groupBy may shuffle
+    assert E.num_exchanges(df) <= 1, E.executed_plan(df)
+
+
+def test_q3_broadcasts_filtered_dim(spark):
+    df = _q(spark, "q3_top_revenue_orders")
+    assert E.has_broadcast_join(df)
+
+
+def test_q5_six_way_join_limits_shuffles(spark):
+    df = _q(spark, "q5_region_volume")
+    assert E.has_broadcast_join(df)
+    # big-side joins + final agg; dims must not add exchanges
+    assert E.num_exchanges(df) <= 4, E.executed_plan(df)
+
+
+def test_snippetize_is_narrow_and_jvm_only(spark):
+    df = _q(spark, "snippets_flat")
+    assert E.num_exchanges(df) == 0, "snippetize must not shuffle"
+    assert not E.uses_python_eval(df)
+    assert E.codegen_stage_count(df) >= 1
+
+
+def test_flagship_agg_single_shuffle(spark):
+    df = _q(spark, "snippet_stats_by_lang")
+    # countDistinct adds an expand/second agg pass; ≤2 exchanges total
+    assert E.num_exchanges(df) <= 2
+    assert not E.uses_python_eval(df)
+
+
+def test_similarity_topk_no_shuffle_before_topk(spark):
+    df = _q(spark, "similarity_cosine_topk")
+    assert not E.uses_python_eval(df)
+    # broadcast of the query vector, TakeOrdered on top — corpus side
+    # must not shuffle
+    assert E.num_exchanges(df) == 0, E.executed_plan(df)
+
+
+def test_dedup_exact_single_shuffle(spark):
+    df = _q(spark, "dedup_exact")
+    assert E.num_exchanges(df) <= 1
+    assert not E.uses_python_eval(df)
+
+
+def test_no_python_udfs_anywhere_in_registry(spark):
+    """Every registered query must stay JVM-side (mapInPandas exists
+    only in the sources layer, which has no registry entries)."""
+    for name, q in QUERIES.items():
+        df = q.spark(spark, SF_SMOKE)
+        assert not E.uses_python_eval(df), f"{name} uses Python eval"
