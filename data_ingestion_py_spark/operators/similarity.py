@@ -113,6 +113,80 @@ def hyperplane_bits(vec, n_planes: int, dim: int) -> F.Column:
     return key.cast("int")
 
 
+def sign_band_keys(vec, bands: int, rows: int) -> F.Column:
+    """Axis-aligned hyperplane LSH band keys: bit i = (vec[i] >= 0),
+    band b packs bits [b*rows, (b+1)*rows) into one int.
+
+    Deterministic and pure column algebra (codegen-friendly, oracle-
+    reproducible). bands*rows sign bits are consumed from the front of
+    the vector; for dim-64 embeddings 8x8 uses every component.
+    """
+    keys = []
+    for b in range(bands):
+        key = None
+        for i in range(rows):
+            bit = (
+                F.when(vec.getItem(b * rows + i) >= 0, F.lit(1 << i))
+                .otherwise(F.lit(0))
+            )
+            key = bit if key is None else key + bit
+        keys.append(key.cast("int"))
+    return F.array(*keys)
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    bands: int = 8,
+    rows: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Embedding-cosine near-dedup: banded sign-bit LSH candidates +
+    exact cosine verify. Returns (vec_a, vec_b, cosine_sim >= threshold).
+
+    Scale shape (the reason this isn't a crossJoin): the only wide ops
+    are a shuffle on (band, band_key) for the candidate self-join and
+    hash-joins at *candidate* cardinality for the verify — cost tracks
+    collisions, not corpus². Two vectors whose signs agree on all rows
+    of ≥1 band collide; near-identical vectors differ in few sign bits,
+    so with bands*rows = dim a near-dup pair can only be missed if
+    flipped bits land in every band. At 100 TB: raise `rows` to keep
+    buckets small, pre-partition the corpus by band key, and persist
+    `corpus` so the three references don't rescan.
+
+    Capability the reference declares but stubs (FAISS index,
+    README.md:3, data_ingestion.py:283-289) — recast as set-based dedup.
+    """
+    banded = corpus.select(
+        id_col,
+        F.posexplode(sign_band_keys(F.col(vec_col), bands, rows)).alias(
+            "band", "band_key"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    sim = dot(F.col("va"), F.col("vb")) / (
+        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def lsh_bucketed_ann(
     embeddings: DataFrame,
     query_vec_id: int,

@@ -292,6 +292,82 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddings_with_near_dups(e: DataFrame) -> DataFrame:
+    """embeddings ∪ perturbed clones of every 10th vector (ids shifted
+    by 1M, element 0 nudged by +0.2) — guaranteed cosine-near-dups
+    (clone↔original ≥ 0.98) while natural pairs stay < 0.52."""
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    clones = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("v").getItem(0) + 0.2), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    return base.unionByName(clones)
+
+
+EMB_NEAR_DUP_CTE = """
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), corpus AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_concat([v[1] + 0.2], v[2:]) AS v
+    FROM base WHERE vec_id % 10 = 0
+)
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    EMB_NEAR_DUP_CTE
+    + """
+, signs AS (
+    SELECT vec_id,
+           list_transform(v, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS s
+    FROM corpus
+), banded AS (
+    SELECT vec_id, t.band AS band,
+           s[t.band*8+1]       + s[t.band*8+2]*2   + s[t.band*8+3]*4
+         + s[t.band*8+4]*8     + s[t.band*8+5]*16  + s[t.band*8+6]*32
+         + s[t.band*8+7]*64    + s[t.band*8+8]*128 AS band_key
+    FROM signs
+    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) t
+), cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM banded a
+    JOIN banded b
+      ON a.band = b.band AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine_sim
+FROM cand c
+JOIN corpus x ON x.vec_id = c.vec_a
+JOIN corpus y ON y.vec_id = c.vec_b
+WHERE round(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.9
+""",
+    tags=("dedup", "similarity", "lsh"),
+    bench=True,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup: sign-bit banded LSH candidates →
+    exact cosine verify (operators/similarity.embedding_near_duplicates).
+    Cost ∝ bucket collisions, never corpus² — the 100 TB path."""
+    corpus = _embeddings_with_near_dups(load_table(spark, sf_dir, "embeddings"))
+    return similarity.embedding_near_duplicates(
+        corpus, threshold=0.9, bands=8, rows=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -567,3 +643,8 @@ def q_segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         F.round(F.max("c_acctbal"), 2).alias("max_bal"),
     )
+
+
+# Multimodal registry entries live in their own module; importing it
+# registers them into the same QUERIES dict.
+import data_ingestion_py_spark.queries_mm  # noqa: E402,F401

@@ -1,0 +1,138 @@
+"""Multimodal-column queries: binary payload + typed metadata through
+Arrow-batched ``mapInPandas`` stages (sources/multimodal.py).
+
+The media corpus is synthesized deterministically from ``documents``
+(payload = utf-8 bytes of text, kind = doc_id % 3 → image/audio/video)
+so the *oracle side* can recompute every output with DuckDB string/blob
+functions — the fixture text is pure ASCII, so char offsets == byte
+offsets. The Spark side still does the real thing: BinaryType columns
+through Arrow into pandas batches and back. The decode kernels proper
+are stubs (container has no codecs — see sources/multimodal.py), but
+schema, batch shape, fan-out, and hashing are the production plumbing.
+
+Reference tie-in: the PDF page images of data_ingestion.py:148-155 are
+exactly (id, page, image_bytes) rows; this module is that shape done
+Spark-first instead of one shared temp file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.queries import register
+from data_ingestion_py_spark.sources import multimodal as mm
+
+_KINDS = ("image", "audio", "video")
+_SQL_KIND = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media rows (media_id, kind, payload, meta)."""
+    d = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.concat(F.lit("application/x-"), kind).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_features",
+    f"""
+SELECT doc_id AS media_id,
+       {_SQL_KIND} AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+""",
+    tags=("multimodal",),
+    bench=True,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads → per-item features via mapInPandas (Arrow batch
+    in, Arrow batch out; narrow — parallelizes with the scan). The
+    float feature vector is pytest-covered (float32 vs the oracle's
+    float64 would hash-differ); the hash/size columns verify the same
+    code path end-to-end."""
+    return mm.extract_features(_media(spark, sf_dir)).select(
+        "media_id", "kind", "n_bytes", "content_hash"
+    )
+
+
+@register(
+    "multimodal_dedup",
+    f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents
+    WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_media_id,
+       count(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+""",
+    tags=("multimodal", "dedup"),
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup on content hash: mapInPandas feature stage →
+    one hash-groupBy shuffle (sources/multimodal.dedup_by_content).
+    Corpus = media ∪ byte-identical clones of every 10th item."""
+    media = _media(spark, sf_dir)
+    clones = media.where(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + 2000000
+    )
+    feats = mm.extract_features(media.unionByName(clones))
+    return mm.dedup_by_content(feats)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH vids AS (
+    SELECT doc_id AS media_id, text,
+           octet_length(encode(text)) AS n
+    FROM documents WHERE doc_id % 3 = 2
+), f AS (
+    SELECT media_id, text,
+           unnest(generate_series(
+               0, CAST(least(4, greatest(n // 64, 1)) AS INT) - 1)) AS i
+    FROM vids
+)
+SELECT media_id,
+       CAST(i AS INT) AS frame_index,
+       CAST(octet_length(encode(substr(text, i*64 + 1, 64))) AS BIGINT)
+           AS frame_bytes,
+       md5(substr(text, i*64 + 1, 64)) AS frame_hash
+FROM f
+""",
+    tags=("multimodal",),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1 media row → ≤4 frame rows out of a
+    mapInPandas stage (sources/multimodal.sample_frames; stride 64
+    bytes on the stub payload). Frames are compared by size + md5 —
+    byte-exact equality with the oracle's substring slicing."""
+    frames = mm.sample_frames(
+        _media(spark, sf_dir), every_n_bytes=64, max_frames=4
+    )
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.length("frame_payload").cast("long").alias("frame_bytes"),
+        F.md5("frame_payload").alias("frame_hash"),
+    )

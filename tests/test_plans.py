@@ -91,8 +91,26 @@ def test_dedup_exact_single_shuffle(spark):
 
 
 def test_no_python_udfs_anywhere_in_registry(spark):
-    """Every registered query must stay JVM-side (mapInPandas exists
-    only in the sources layer, which has no registry entries)."""
+    """Every registered query stays JVM-side, except the multimodal
+    entries whose decode stage is BY DESIGN an Arrow-batched
+    mapInPandas (never row-at-a-time BatchEvalPython)."""
     for name, q in QUERIES.items():
         df = q.spark(spark, SF_SMOKE)
-        assert not E.uses_python_eval(df), f"{name} uses Python eval"
+        if "multimodal" in q.tags:
+            plan = E.executed_plan(df)
+            assert "MapInPandas" in plan, f"{name} lost its Arrow stage"
+            assert "BatchEvalPython" not in plan, (
+                f"{name} fell back to row-at-a-time Python"
+            )
+        else:
+            assert not E.uses_python_eval(df), f"{name} uses Python eval"
+
+
+def test_embedding_near_dup_no_crossjoin(spark):
+    """The LSH candidate join must be a real equi-join on band keys —
+    a crossJoin here is the O(n²) plan that dies at scale."""
+    df = _q(spark, "dedup_embedding_cosine")
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not E.uses_python_eval(df)
