@@ -158,6 +158,10 @@ def embedding_near_duplicates(
     Capability the reference declares but stubs (FAISS index,
     README.md:3, data_ingestion.py:283-289) — recast as set-based dedup.
     """
+    # the plan references corpus 3× (banding + both verify sides);
+    # without this the whole upstream pipeline runs three times. At
+    # 100 TB use StorageLevel.DISK_ONLY or a materialized table.
+    corpus = corpus.persist()
     banded = corpus.select(
         id_col,
         F.posexplode(sign_band_keys(F.col(vec_col), bands, rows)).alias(

@@ -645,6 +645,7 @@ def q_segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Multimodal registry entries live in their own module; importing it
-# registers them into the same QUERIES dict.
+# Multimodal + relational registry entries live in their own modules;
+# importing them registers them into the same QUERIES dict.
 import data_ingestion_py_spark.queries_mm  # noqa: E402,F401
+import data_ingestion_py_spark.queries_rel  # noqa: E402,F401
