@@ -14,6 +14,10 @@ from data_ingestion_py_spark.streaming.pipeline import (
     run_command_stream,
     windowed_event_counts,
 )
+from data_ingestion_py_spark.streaming.stateful import (
+    GAP_SECONDS,
+    sessionize_stream,
+)
 from tests.conftest import SF_SMOKE
 
 
@@ -96,3 +100,96 @@ def test_windowed_counts_stream_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert batch[k] == v
     assert len(got) >= len(batch) - 2
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState session assembly across TWO micro-batches
+    must reproduce the batch lag-window sessionization: every session
+    except possibly each user's final (still-open) one is emitted, and
+    nothing is emitted that batch doesn't agree with."""
+    import time
+
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    src = str(tmp_path / "events_stream")
+    # split by ts so batch 2 is strictly later (no late data); one file
+    # per half + maxFilesPerTrigger=1 → exactly two micro-batches, with
+    # sessions spanning the boundary carried in state
+    cut = events.selectExpr("percentile_approx(ts, 0.5) AS c").first().c
+    events.where(F.col("ts") <= cut).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    events.where(F.col("ts") > cut).coalesce(1).write.mode("append").parquet(src)
+
+    # batch truth: gap sessions via lag window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        spark.read.parquet(src)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > GAP_SECONDS * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    all_sessions = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.collect()
+    }
+    last_per_user = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sess.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("session_end"))
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt_sess")
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got, "no sessions emitted"
+    assert got <= all_sessions, f"bogus sessions: {sorted(got - all_sessions)[:3]}"
+    must_emit = all_sessions - last_per_user
+    assert must_emit <= got, f"missing: {sorted(must_emit - got)[:3]}"
