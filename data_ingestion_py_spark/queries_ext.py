@@ -322,21 +322,29 @@ WITH base AS (
 """
 
 
+def _sql_sign_bands(bands: int = 4, rows: int = 16) -> str:
+    """UNION ALL select per band: band_key = Σ s[i]·2^i over the band's
+    sign bits — mirrors operators/similarity.sign_band_keys exactly."""
+    selects = []
+    for b in range(bands):
+        terms = " + ".join(
+            f"s[{b * rows + r + 1}]*{1 << r}" if r else f"s[{b * rows + 1}]"
+            for r in range(rows)
+        )
+        selects.append(f"SELECT vec_id, {b} AS band, {terms} AS band_key FROM signs")
+    return "\n    UNION ALL\n    ".join(selects)
+
+
 @register(
     "dedup_embedding_cosine",
     EMB_NEAR_DUP_CTE
-    + """
+    + f"""
 , signs AS (
     SELECT vec_id,
            list_transform(v, x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS s
     FROM corpus
 ), banded AS (
-    SELECT vec_id, t.band AS band,
-           s[t.band*8+1]       + s[t.band*8+2]*2   + s[t.band*8+3]*4
-         + s[t.band*8+4]*8     + s[t.band*8+5]*16  + s[t.band*8+6]*32
-         + s[t.band*8+7]*64    + s[t.band*8+8]*128 AS band_key
-    FROM signs
-    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) t
+    {_sql_sign_bands()}
 ), cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
     FROM banded a
@@ -361,10 +369,15 @@ WHERE round(list_dot_product(x.v, y.v)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dedup: sign-bit banded LSH candidates →
     exact cosine verify (operators/similarity.embedding_near_duplicates).
-    Cost ∝ bucket collisions, never corpus² — the 100 TB path."""
+    Cost ∝ bucket collisions, never corpus² — the 100 TB path.
+
+    4 bands × 16 bits (not 8×8): random-pair collision per band is
+    2^-16, so false candidates ≈ 4n²/65536 instead of 8n²/256 — the
+    verify join stays ~30× smaller while a near-dup pair (≤1 flipped
+    sign bit) still always shares ≥3 bands."""
     corpus = _embeddings_with_near_dups(load_table(spark, sf_dir, "embeddings"))
     return similarity.embedding_near_duplicates(
-        corpus, threshold=0.9, bands=8, rows=8
+        corpus, threshold=0.9, bands=4, rows=16
     )
 
 
