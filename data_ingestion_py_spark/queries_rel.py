@@ -325,3 +325,35 @@ def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+@register(
+    "events_asof_join",
+    """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts AS asof_ts, c.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    tags=("asof", "window"),
+    bench=True,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the latest at-or-before click of
+    the same user (operators/asof.asof_join — union + carry-forward
+    window, ONE shuffle, no range crossJoin, no Python). The oracle is
+    DuckDB's native ASOF JOIN — an independent algorithm agreeing on
+    every row."""
+    from data_ingestion_py_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts", payload_cols=["value"]
+    ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")

@@ -114,3 +114,48 @@ def test_embedding_near_dup_no_crossjoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert not E.uses_python_eval(df)
+
+
+def test_asof_join_single_shuffle_no_python(spark):
+    """The as-of join must stay a union + one keyed window: one
+    exchange, no cartesian/range join, no Python."""
+    df = _q(spark, "events_asof_join")
+    plan = E.executed_plan(df)
+    assert E.num_exchanges(df) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not E.uses_python_eval(df)
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """The 100 TB co-location story: bucketing both join sides on the
+    key removes the per-query exchanges entirely — the join reads
+    pre-shuffled data. This is the deploy-time answer to the
+    lineitem⋈orders shuffles the plan tests above merely bound."""
+    from data_ingestion_py_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    load_table(spark, SF_SMOKE, "lineitem").write.bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").mode("overwrite").saveAsTable("li_b")
+    load_table(spark, SF_SMOKE, "orders").write.bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").mode("overwrite").saveAsTable("ord_b")
+    try:
+        li, od = spark.table("li_b"), spark.table("ord_b")
+        joined = li.join(
+            od, li["l_orderkey"] == od["o_orderkey"]
+        ).groupBy("o_orderpriority").count()
+        # disable broadcast so the join itself is exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = E.executed_plan(joined)
+            assert E.num_exchanges(joined) <= 1, plan  # only the final agg
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
