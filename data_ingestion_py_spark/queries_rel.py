@@ -357,3 +357,62 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, clicks, on=["user_id"], ts_col="ts", payload_cols=["value"]
     ).select("event_id", "user_id", "ts", "value", "asof_ts", "asof_value")
+
+
+@register(
+    "events_range_join_pairs",
+    """
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+""",
+    tags=("range_join",),
+    bench=True,
+)
+def q_events_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-distance range join: same-user event pairs within 5
+    minutes (operators/rangejoin.time_proximity_pairs — banded
+    equi-join on (user, time-bin), never a nested-loop). The oracle is
+    DuckDB's direct inequality join — independent algorithm, same
+    rows."""
+    from data_ingestion_py_spark.operators.rangejoin import (
+        time_proximity_pairs,
+    )
+
+    return time_proximity_pairs(
+        _t(spark, sf_dir, "events"), max_gap_seconds=300
+    )
+
+
+@register(
+    "events_value_quantiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+    tags=("agg", "quantile"),
+)
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). At 100 TB swap in `approx_percentile`
+    (t-digest sketch, mergeable across partitions) — same plan shape,
+    bounded memory; the exact form is the oracle-checkable twin."""
+    e = _t(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.col("q")[0], 6).alias("p50"),
+            F.round(F.col("q")[1], 6).alias("p95"),
+            F.round(F.col("q")[2], 6).alias("p99"),
+        )
+    )

@@ -159,3 +159,15 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_range_join_is_banded_equi_join(spark):
+    """The bounded-distance join must execute as an equi-join on
+    (key, bin) — a BroadcastNestedLoopJoin here is the O(n·m) plan
+    the banding exists to prevent."""
+    df = _q(spark, "events_range_join_pairs")
+    plan = E.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert E.num_exchanges(df) <= 2, plan
+    assert not E.uses_python_eval(df)
