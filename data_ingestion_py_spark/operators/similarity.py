@@ -113,6 +113,69 @@ def hyperplane_bits(vec, n_planes: int, dim: int) -> F.Column:
     return key.cast("int")
 
 
+def label_centroids(corpus: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """Element-wise mean vector per cluster label → (label, cv).
+
+    posexplode → groupBy(label, pos) → avg → reassemble ordered by pos.
+    Centroid table size is k×dim regardless of corpus size — always
+    broadcastable. In production the labels come from a k-means pass;
+    the fixture's labels stand in for that assignment.
+    """
+    pe = corpus.select("label", F.posexplode(vec_col).alias("pos", "val"))
+    cent = pe.groupBy("label", "pos").agg(F.avg("val").alias("m"))
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("cv")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: probe the nprobe nearest centroids, exact-rerank
+    only inside those clusters.
+
+    The 100 TB shape: partition the corpus by cluster id at rest; a
+    query scans nprobe/k of the data (here 2/10), the centroid table
+    broadcasts, and the final top-k is TakeOrderedAndProject. Recall
+    follows IVF semantics — exact for vectors whose cluster is probed.
+    """
+    base = embeddings.select(
+        "vec_id", "label", _to_double(F.col(vec_col)).alias("vec")
+    )
+    q = base.where(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("qvec")
+    )
+    cent_sim = dot(F.col("cv"), F.col("qvec")) / (
+        l2_norm(F.col("cv")) * l2_norm(F.col("qvec"))
+    )
+    probed = (
+        label_centroids(base)
+        .crossJoin(F.broadcast(q))
+        .select("label", cent_sim.alias("csim"))
+        .orderBy(F.desc("csim"), F.asc("label"))
+        .limit(nprobe)
+        .select("label")
+    )
+    sim = dot(F.col("vec"), F.col("qvec")) / (
+        l2_norm(F.col("vec")) * l2_norm(F.col("qvec"))
+    )
+    return (
+        base.join(F.broadcast(probed), "label")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def sign_band_keys(vec, bands: int, rows: int) -> F.Column:
     """Axis-aligned hyperplane LSH band keys: bit i = (vec[i] >= 0),
     band b packs bits [b*rows, (b+1)*rows) into one int.

@@ -431,6 +431,49 @@ def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ivf_topk",
+    """
+WITH base AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), cent AS (
+    SELECT label, t.i AS i, avg(v[t.i + 1]) AS m
+    FROM base CROSS JOIN range(64) t(i)
+    GROUP BY label, t.i
+), cvec AS (
+    SELECT label, list(m ORDER BY i) AS cv FROM cent GROUP BY label
+), qv AS (
+    SELECT v AS q FROM base WHERE vec_id = 0
+), probe AS (
+    SELECT label FROM cvec, qv
+    ORDER BY list_dot_product(cv, q)
+             / (sqrt(list_dot_product(cv, cv))
+                * sqrt(list_dot_product(q, q))) DESC, label
+    LIMIT 2
+)
+SELECT vec_id, label,
+       round(list_dot_product(v, q)
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product(q, q))), 6) AS cosine_sim
+FROM base, qv
+WHERE label IN (SELECT label FROM probe) AND vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""",
+    tags=("similarity", "ivf"),
+)
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-2-centroid probe + exact rerank inside probed
+    clusters (operators/similarity.ivf_topk). Scans nprobe/k of the
+    corpus per query — the partition-at-rest scale path alongside the
+    hyperplane-LSH variant."""
+    return similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), 0, 10, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

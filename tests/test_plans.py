@@ -8,6 +8,7 @@ runtime on the 60k-row fixture.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import data_ingestion_py_spark.queries_ext  # noqa: F401
 from data_ingestion_py_spark.plans import explain as E
@@ -171,3 +172,54 @@ def test_range_join_is_banded_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert E.num_exchanges(df) <= 2, plan
     assert not E.uses_python_eval(df)
+
+
+def test_salted_join_equals_plain_join_and_distributes(spark):
+    """Salting must not change results, only the key distribution:
+    every output row of the salted join matches the plain join, and the
+    physical join key includes the salt."""
+    from data_ingestion_py_spark.io import load_table
+    from data_ingestion_py_spark.operators.skew import salted_join
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    # simulate a hot-key dim join: parts joined from lineitem
+    part = load_table(spark, SF_SMOKE, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    salted = salted_join(li, part, key="l_partkey", salt_from="l_orderkey")
+    plain = li.join(part, "l_partkey")
+    a = salted.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("q"),
+    )
+    b = plain.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("q"),
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    assert "_salt" in E.executed_plan(salted.select("p_brand")), (
+        "salt not part of the join key"
+    )
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_partitioned → read with a partition predicate must scan
+    only the matching partition directories (PartitionFilters in the
+    scan, not a post-scan Filter over everything)."""
+    from data_ingestion_py_spark.io import load_table, write_partitioned
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, partition_by=["lang"])
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = E.formatted_plan(back)
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan
+    assert back.count() > 0
