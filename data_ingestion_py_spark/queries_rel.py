@@ -416,3 +416,142 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("q")[2], 6).alias("p99"),
         )
     )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+WITH c_orders AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+    tags=("tpch", "outer_join"),
+)
+def q_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram INCLUDING zero-order
+    customers — the left join is the point (an inner join silently
+    drops the zero bucket). count(col) counts non-null matches only."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(1 - l_discount AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS total_rev
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+""",
+    tags=("tpch", "scalar_subquery"),
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving max revenue — scalar
+    subquery against an aggregate of the same CTE. DECIMAL sums so the
+    equality against max() can't be broken by partial-agg float drift;
+    the 1-row max broadcasts."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (1 - F.col("l_discount")).cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_rev")
+    )
+    maxv = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        s.join(rev, s["s_suppkey"] == rev["l_suppkey"])
+        .crossJoin(F.broadcast(maxv))
+        .where(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+      SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = lineitem.l_partkey)
+""",
+    tags=("tpch", "correlated_subquery"),
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated average threshold, decorrelated to a
+    per-part aggregate + equi-join — the avg is computed once per part,
+    not once per row. The brand filter prunes part before the join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    thr = l.groupBy(F.col("l_partkey").alias("tk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(thr, l["l_partkey"] == F.col("tk"))
+        .where(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    """
+WITH avg_bal AS (
+    SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+GROUP BY c_mktsegment
+""",
+    tags=("tpch", "anti_join"),
+)
+def q_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers who never
+    placed a large (>400k) order — scalar-subquery threshold + anti
+    join against a filtered subquery, grouped by segment. (Every
+    customer has *some* order in the fixture, so the plain no-orders
+    form would be an empty — vacuous — result.)"""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
