@@ -110,6 +110,47 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", top_n: int = 3
+) -> DataFrame:
+    """Top-N characteristic terms per document by smoothed TF-IDF.
+
+    tfidf = tf · (ln((1+N)/(1+df)) + 1)  (sklearn-style smoothing).
+
+    Shape at scale: explode → two hash aggs (term-frequency per doc,
+    doc-frequency per term) → equi-join on term → per-doc top-N window.
+    The doc count N is a 1-row broadcast. No ML-library dependency and
+    no Python — the whole pipeline is codegen. Ordering ties break on
+    the rounded score then term, so ranking is reproducible anywhere.
+    """
+    from data_ingestion_py_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = toks.agg(F.countDistinct("doc_id").alias("nd"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((1.0 + F.col("nd")) / (1.0 + F.col("df"))) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_n)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Winnowing-style document fingerprint: min/max md5 over k-gram
     shingles + shingle count. The min-hash pair is a compact content id

@@ -579,6 +579,39 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.fingerprints(_docs(spark, sf_dir), k=5)
 
 
+@register(
+    "text_tfidf_top_terms",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT count(DISTINCT doc_id) AS nd FROM toks
+), scored AS (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * (ln((1.0 + nd) / (1.0 + dfreq.df)) + 1.0), 6)
+               AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+""",
+    tags=("text", "tfidf"),
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed TF-IDF
+    (operators/text_analysis.tfidf_top_terms — explode, two hash aggs,
+    term join, per-doc window; all codegen)."""
+    return text_analysis.tfidf_top_terms(_docs(spark, sf_dir), top_n=3)
+
+
 # ---------------------------------------------------------------------------
 # Sessionization + scalar-subquery capability queries
 # ---------------------------------------------------------------------------
