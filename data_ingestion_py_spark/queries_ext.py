@@ -431,6 +431,48 @@ def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from data_ingestion_py_spark.queries import SNIPPET_CTE as _SNIPPET_CTE  # noqa: E402
+
+
+@register(
+    "sql_keyword_search",
+    _SNIPPET_CTE
+    + """
+SELECT doc_id, lang, count(*) AS n_hits
+FROM snippets
+WHERE snippet_text LIKE '%data%'
+GROUP BY doc_id, lang
+ORDER BY n_hits DESC, doc_id
+LIMIT 20
+""",
+    tags=("sql", "search"),
+)
+def q_sql_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point end-to-end: fixture tables registered as
+    views, the snippets serving table exposed as a view over
+    snippetize(), and the query itself issued as ``spark.sql`` text —
+    proving a reference user can keep writing plain SQL against this
+    engine. LIKE pushes down as a Contains filter on the generated
+    column."""
+    from data_ingestion_py_spark.io import register_views
+    from data_ingestion_py_spark.operators.snippetize import snippetize
+
+    register_views(spark, sf_dir)
+    snippetize(
+        load_table(spark, sf_dir, "documents"), carry_cols=("lang", "source")
+    ).createOrReplaceTempView("snippets")
+    return spark.sql(
+        """
+        SELECT doc_id, lang, count(*) AS n_hits
+        FROM snippets
+        WHERE snippet_text LIKE '%data%'
+        GROUP BY doc_id, lang
+        ORDER BY n_hits DESC, doc_id
+        LIMIT 20
+        """
+    )
+
+
 @register(
     "similarity_ivf_topk",
     """

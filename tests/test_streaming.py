@@ -193,3 +193,43 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     assert got <= all_sessions, f"bogus sessions: {sorted(got - all_sessions)[:3]}"
     must_emit = all_sessions - last_per_user
     assert must_emit <= got, f"missing: {sorted(must_emit - got)[:3]}"
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Exactly-once event delivery via dropDuplicatesWithinWatermark:
+    the same events arriving again in a later micro-batch must not
+    reappear downstream — the streaming twin of dedup_exact."""
+    import time
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "dup_stream")
+    events.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # replay the SAME events (plus nothing new) as a second file
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    n_distinct = events.count()
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    q = (
+        stream.withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
