@@ -98,3 +98,28 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    out_path: str | None = None,
+) -> None:
+    """Compact a small-file-fragmented parquet dataset to
+    ``target_files`` files (streaming sinks and per-batch appends
+    fragment tables; scan cost at 100 TB is dominated by file count
+    once files drop below ~128 MB).
+
+    ``coalesce`` (no shuffle) when reducing, ``repartition`` when
+    growing. Writes to ``out_path`` (default: in-place via a temp
+    subdir swap is intentionally NOT done here — at scale compaction
+    writes a new snapshot and swaps a table pointer atomically).
+    """
+    df = spark.read.parquet(path)
+    n_now = df.rdd.getNumPartitions()
+    out = out_path or (path.rstrip("/") + "_compacted")
+    if target_files < n_now:
+        df.coalesce(target_files).write.mode("overwrite").parquet(out)
+    else:
+        df.repartition(target_files).write.mode("overwrite").parquet(out)

@@ -780,3 +780,44 @@ def q_segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # importing them registers them into the same QUERIES dict.
 import data_ingestion_py_spark.queries_mm  # noqa: E402,F401
 import data_ingestion_py_spark.queries_rel  # noqa: E402,F401
+
+
+@register(
+    "documents_profile",
+    f"""
+WITH t AS (SELECT doc_id, text, lang, source, n_chars,
+                  {_SQL_TOKS} AS toks
+           FROM documents)
+SELECT count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty_text,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(toks)), 4) AS avg_tokens
+FROM t
+""",
+    tags=("profile",),
+)
+def q_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling over the corpus: cardinalities, null/
+    empty rates, length stats — the pre-flight check every training-
+    data pipeline runs before ingesting a new source. All aggregates in
+    a single hash-agg pass; at 100 TB the countDistincts become
+    approx_count_distinct (HLL) with the same plan shape."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        ).cast("bigint").alias("n_empty_text"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
+    )

@@ -223,3 +223,31 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "lang" in m.group(1), plan
     assert back.count() > 0
+
+
+# queries that intentionally broadcast a 1-row/tiny DataFrame via
+# crossJoin (scalar subqueries, query vectors, doc counts) — their BNLJ
+# is a broadcast of O(1) rows, not an accidental cartesian
+_TINY_BROADCAST_OK = {
+    "similarity_cosine_topk",
+    "similarity_lsh_ann",
+    "similarity_ivf_topk",
+    "customers_above_avg_balance",
+    "q15_top_supplier",
+    "q22_dormant_rich_customers",
+    "text_tfidf_top_terms",
+    "dedup_embedding_cosine",
+}
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """No registry query may contain a CartesianProduct, and
+    BroadcastNestedLoopJoin only where a deliberate 1-row/tiny
+    broadcast is part of the algorithm."""
+    for name, q in QUERIES.items():
+        plan = E.executed_plan(q.spark(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian"
+        if name not in _TINY_BROADCAST_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} has an unexpected nested-loop join"
+            )

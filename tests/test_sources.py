@@ -82,3 +82,20 @@ def test_media_dedup_by_content(spark, media_df):
     copies = {r.canonical_media_id: r.n_copies for r in dd}
     assert copies[1] == 2  # ids 1+2 share payload
     assert copies[3] == 1 and copies[4] == 1
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    from data_ingestion_py_spark.io import compact, load_table
+    from tests.conftest import SF_SMOKE
+
+    src = str(tmp_path / "fragmented")
+    load_table(spark, SF_SMOKE, "events").repartition(16).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/part-*")) == 16
+    compact(spark, src, target_files=2)
+    out = src + "_compacted"
+    assert len(glob.glob(out + "/part-*")) == 2
+    assert (
+        spark.read.parquet(out).count() == spark.read.parquet(src).count()
+    )
