@@ -651,3 +651,37 @@ def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "events_multi_rollup",
+    """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP),
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP))
+""",
+    tags=("rollup", "timeseries"),
+)
+def q_events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly, daily, and
+    grand totals from ONE pass (ROLLUP → Expand + single hash agg, one
+    shuffle) instead of three unioned aggregations. At 100 TB this is
+    the continuous-aggregate pattern: materialize the hour level,
+    derive day/total from it."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
