@@ -446,18 +446,17 @@ ORDER BY n_hits DESC, doc_id
 LIMIT 20
 """,
     tags=("sql", "search"),
+    bench=True,
 )
 def q_sql_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL entry point end-to-end: fixture tables registered as
-    views, the snippets serving table exposed as a view over
-    snippetize(), and the query itself issued as ``spark.sql`` text —
-    proving a reference user can keep writing plain SQL against this
-    engine. LIKE pushes down as a Contains filter on the generated
-    column."""
-    from data_ingestion_py_spark.io import register_views
+    """The SQL entry point end-to-end: the snippets serving table
+    exposed as a view over snippetize(), and the query itself issued as
+    ``spark.sql`` text — proving a reference user can keep writing
+    plain SQL against this engine (io.register_views exposes the base
+    tables the same way). LIKE evaluates as a codegen Contains over the
+    generated column."""
     from data_ingestion_py_spark.operators.snippetize import snippetize
 
-    register_views(spark, sf_dir)
     snippetize(
         load_table(spark, sf_dir, "documents"), carry_cols=("lang", "source")
     ).createOrReplaceTempView("snippets")
@@ -646,6 +645,7 @@ WITH toks AS (
 SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
 """,
     tags=("text", "tfidf"),
+    bench=True,
 )
 def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per doc by smoothed TF-IDF

@@ -398,6 +398,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
     tags=("agg", "quantile"),
+    bench=True,
 )
 def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quantiles per group (Spark `percentile` ==
@@ -568,6 +569,7 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 LIMIT 50
 """,
     tags=("tpch", "count_distinct"),
+    bench=True,
 )
 def q_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part descriptor
@@ -665,6 +667,7 @@ GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS TIMESTAMP),
                  CAST(date_trunc('hour', ts) AS TIMESTAMP))
 """,
     tags=("rollup", "timeseries"),
+    bench=True,
 )
 def q_events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: hourly, daily, and
