@@ -130,3 +130,38 @@ def test_no_python_udf_in_plan(spark):
     plan = snippetize(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# --- hypothesis property tests (SURVEY §5.2) -------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_tok = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(_tok, min_size=0, max_size=60), min_size=1, max_size=8
+    )
+)
+def test_hypothesis_matches_model(spark, docs):
+    """Randomized token lists (0..60 tokens, 1..8 docs per example):
+    the Spark operator must equal the clean-room Python model doc by
+    doc — covering empty docs, sub-window docs, and exact-boundary
+    lengths wherever hypothesis finds them."""
+    pdf = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(pdf, ["doc_id", "text"])
+    got: dict[int, list[tuple[int, str]]] = {}
+    for r in snippetize(df).collect():
+        got.setdefault(r.doc_id, []).append((r.snippet_id, r.snippet_text))
+    for i, toks in enumerate(docs):
+        expected = model_snippets(" ".join(toks))
+        assert sorted(got.get(i, [])) == sorted(expected), (
+            f"doc {i}: {toks}"
+        )
