@@ -617,37 +617,34 @@ LIMIT 20
 )
 def q_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers solely responsible for a late
-    multi-supplier order — EXISTS + NOT EXISTS against the same
-    derived table, as one semi and one anti join. `late` is computed
-    once and persisted (three plan references); all joins key on
-    l_orderkey so at scale they share one co-partitioning."""
+    multi-supplier order. The oracle keeps the textbook EXISTS +
+    NOT EXISTS formulation; here both quantifiers collapse into ONE
+    per-order aggregation — "exactly one distinct late supplier AND
+    ≥2 distinct suppliers overall" — so the plan is two hash aggs
+    sharing the l_orderkey partitioning plus a tiny join, instead of
+    three O(lineitem) self-joins. That aggregation rewrite is the
+    difference between one shuffle and three at 100 TB."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
-    late = (
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    late_per_order = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .where(F.col("l_shipdate") > F.col("o_orderdate"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .persist()
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_late"),
+            F.min("l_suppkey").alias("sole_suppkey"),
+        )
     )
-    l1 = late.alias("l1")
-    l2 = l.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    multi = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_semi",
-    )
-    sole = multi.alias("l1").join(
-        l3,
-        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-        "left_anti",
+    sole = (
+        late_per_order.where(F.col("n_late") == 1)
+        .join(per_order.where(F.col("n_supp") >= 2), "l_orderkey")
     )
     return (
-        sole.join(s, F.col("l_suppkey") == s["s_suppkey"])
+        sole.join(s, F.col("sole_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
