@@ -685,3 +685,115 @@ def q_events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q8_market_share",
+    """
+WITH region_rev AS (
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           sn.n_name AS supp_nation,
+           CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN supplier  ON l_suppkey  = s_suppkey
+    JOIN nation sn ON supplier.s_nationkey = sn.n_nationkey
+    JOIN region    ON sn.n_regionkey = region.r_regionkey
+    WHERE region.r_name = 'AFRICA'
+)
+SELECT o_year,
+       CAST(round(100.0 * sum(CASE WHEN supp_nation = 'NATION_0'
+                                   THEN volume ELSE 0 END)
+                  / sum(volume), 6) AS DOUBLE) AS mkt_share_pct
+FROM region_rev
+GROUP BY o_year
+""",
+    tags=("tpch", "conditional_agg"),
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of its region's supplier
+    revenue per order-year — conditional aggregation over a star join,
+    region filter pruning the nation dim BEFORE it broadcasts. DECIMAL
+    volume so the share ratio is drift-free."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    dims = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (1 - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_0", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(dims, s["s_nationkey"] == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(100.0 * F.sum(nation_vol) / F.sum(vol), 6)
+            .cast("double")
+            .alias("mkt_share_pct")
+        )
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+SELECT sn.n_name AS supp_nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey  = s_suppkey
+JOIN nation sn ON supplier.s_nationkey = sn.n_nationkey
+GROUP BY sn.n_name, CAST(year(o_orderdate) AS INT)
+""",
+    tags=("tpch", "join"),
+)
+def q_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit rollup by supplier nation × order year
+    (no partsupp cost column in the fixture, so profit = discounted
+    revenue). Two fact joins sharing the l_orderkey / l_suppkey
+    partitionings + a broadcast nation dim; DECIMAL sums."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sn = F.broadcast(
+        n.select(
+            F.col("n_nationkey").alias("s_nk"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(sn, s["s_nationkey"] == F.col("s_nk"))
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("profit")
+        )
+    )
