@@ -797,3 +797,74 @@ def q_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("profit")
         )
     )
+
+
+@register(
+    "orders_analytic_functions",
+    """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(lag(o_orderkey) OVER w AS BIGINT) AS prev_orderkey,
+       CAST(lead(o_orderkey) OVER w AS BIGINT) AS next_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS spend_quartile,
+       round(cume_dist() OVER w, 6) AS spend_cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window", "analytic"),
+)
+def q_orders_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-function suite over one keyed window: lag/lead
+    neighbors, ntile quartiles, cumulative distribution — one shuffle
+    on o_custkey + per-partition sort, all functions evaluated in a
+    single Window physical node. Total ORDER BY (price, orderkey) so
+    every function is deterministic."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.lag("o_orderkey").over(w).cast("bigint").alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).cast("bigint").alias("next_orderkey"),
+        F.ntile(4).over(w).cast("int").alias("spend_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume"),
+    )
+
+
+@register(
+    "events_pivot_by_type",
+    """
+SELECT user_id,
+       round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 2) AS error,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup'   THEN value ELSE 0 END), 2) AS signup,
+       round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 2) AS view
+FROM events
+GROUP BY user_id
+""",
+    tags=("pivot",),
+)
+def q_events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user value totals, one column per event
+    type. The explicit value list keeps it a single-pass conditional
+    agg — Spark skips the extra distinct-values job and the plan is
+    identical at any scale. Missing combinations surface as 0 via the
+    ELSE, matching the oracle exactly."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2))
+    )
+    # pivot yields NULL for absent (user, type) pairs; oracle's ELSE 0
+    return pivoted.select(
+        "user_id",
+        *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(t) for t in types],
+    )
