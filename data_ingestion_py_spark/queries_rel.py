@@ -868,3 +868,70 @@ def q_events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(t) for t in types],
     )
+
+
+@register(
+    "supplier_set_ops",
+    """
+SELECT s_suppkey FROM supplier WHERE s_acctbal > 1000
+INTERSECT
+SELECT l_suppkey AS s_suppkey FROM lineitem WHERE l_returnflag = 'R'
+EXCEPT
+SELECT l_suppkey AS s_suppkey FROM lineitem
+WHERE l_quantity > 49 AND l_discount >= 0.09
+""",
+    tags=("set_ops",),
+)
+def q_supplier_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra (absent from the reference, SURVEY §2.7): rich
+    suppliers with returned shipments, minus any that ever shipped a
+    max-quantity deep-discount line. INTERSECT/EXCEPT compile to left-semi/left-anti
+    joins with aggregate-dedup — same shuffle shape as the quantifier
+    queries, set semantics for free."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    rich = s.where(F.col("s_acctbal") > 1000).select("s_suppkey")
+    returned = (
+        l.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    maxed = (
+        l.where((F.col("l_quantity") > 49) & (F.col("l_discount") >= 0.09))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return rich.intersect(returned).exceptAll(maxed.distinct())
+
+
+@register(
+    "lang_doc_rollcall",
+    """
+SELECT lang,
+       count(*) AS n_docs,
+       array_to_string(list(doc_id ORDER BY doc_id)[1:5], ',')
+           AS first_doc_ids
+FROM documents
+GROUP BY lang
+""",
+    tags=("array_agg",),
+)
+def q_lang_doc_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation: per-language doc counts + the first 5
+    doc ids as an array column. collect_list has no order guarantee in
+    a distributed agg — sort_array after collection is the only
+    deterministic form (the oracle's `list(... ORDER BY)` states the
+    same contract)."""
+    d = _docs2(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("first_doc_ids"),
+    )
+
+
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents")
