@@ -46,6 +46,18 @@ def apply_actions(
     Audit columns: seq, action_code, target, status — one row per
     command, mirroring the reference's per-action message list (:52-69)
     as a table instead of strings.
+
+    **Batch-order contract** (intentional divergence from the
+    reference's strict FIFO drain): within one batch, all uploads apply
+    before all removes, so ``[remove X (seq 1), upload X (seq 2)]``
+    ends with X *absent*. Commands whose relative order matters must be
+    split across batches (the streaming pipeline's micro-batches
+    preserve cross-batch order). Cross-name operations never interact,
+    so this only affects same-name sequences within a single batch.
+
+    ``commands`` is cached here (read ~6× across dispatch + audit);
+    the caller should ``commands.unpersist()`` once the returned state
+    and audit are materialized (streaming/pipeline.py does).
     """
     commands = commands.cache()
 

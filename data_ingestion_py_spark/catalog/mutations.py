@@ -102,13 +102,17 @@ def expire_documents_auto(state: CatalogState) -> CatalogState:
 
 
 def add_categories(state: CatalogState, new_cats: DataFrame) -> CatalogState:
-    """M6 dim append with value-uniqueness guard on name (:338)."""
+    """M6 dim append with value-uniqueness guard on name (:338) AND on
+    category_id — two incoming rows with distinct names but the same id
+    would otherwise both insert, breaking the id uniqueness the
+    left-anti join enforces against existing state."""
     accepted = (
         new_cats.join(state.categories, "category_name", "left_anti")
         .join(
             state.categories.select("category_id"), "category_id", "left_anti"
         )
         .dropDuplicates(["category_name"])
+        .dropDuplicates(["category_id"])
     )
     return state.with_(
         categories=state.categories.unionByName(

@@ -91,6 +91,32 @@ class CatalogState:
     def with_(self, **kw) -> "CatalogState":
         return replace(self, **kw)
 
+    def materialize(self, path: str | None = None) -> "CatalogState":
+        """Cut lineage after a mutation batch — REQUIRED for long-running
+        ingestion loops.
+
+        Mutations are pure DataFrame chains; after N batches the plan is
+        N layers deep and every anti-join recomputes the whole history
+        (the driver would eventually OOM on plan size, not data). With
+        ``path`` the tables are written to Parquet and read back — the
+        production shape, where each batch commits an overwrite/MERGE.
+        Without it, ``localCheckpoint`` truncates lineage in memory —
+        the single-process shape used by streaming/pipeline.py.
+        """
+        if path is None:
+            return CatalogState(
+                categories=self.categories.localCheckpoint(eager=True),
+                documents=self.documents.localCheckpoint(eager=True),
+                pages=self.pages.localCheckpoint(eager=True),
+            )
+        spark = self.categories.sparkSession
+        tables = {}
+        for name in ("categories", "documents", "pages"):
+            p = f"{path}/{name}"
+            getattr(self, name).write.mode("overwrite").parquet(p)
+            tables[name] = spark.read.parquet(p)
+        return CatalogState(**tables)
+
     def snippets(self) -> DataFrame:
         """The flat serving table (reference ``snippets`` collection,
         data_ingestion.py:211-220), derived — never stored ahead of its

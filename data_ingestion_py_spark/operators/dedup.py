@@ -29,9 +29,31 @@ from data_ingestion_py_spark.functions.text import (
 )
 
 SHINGLE_K = 3
-N_HASHES = 16
-BANDS = 4
-ROWS_PER_BAND = 4
+N_HASHES = 32
+
+
+def lsh_params(
+    threshold: float, n_hashes: int = N_HASHES, target_recall: float = 0.9
+) -> tuple[int, int]:
+    """Fit (bands, rows) to the Jaccard threshold via the LSH S-curve.
+
+    Collision probability at similarity s is 1-(1-s^r)^b. Pick the
+    LARGEST r (= fewest false candidates, cheapest verify join) whose
+    recall at ``threshold`` still meets ``target_recall``. r=1 always
+    satisfies any target (<1), so the loop terminates.
+
+    The round-1 default (4 bands × 4 rows on 16 hashes) had ~40% recall
+    at j=0.5 — fine for planted near-identical dups, under-recalls a
+    real corpus; this fit gives (16, 2) there → 0.99 recall.
+    """
+    for r in range(n_hashes, 0, -1):
+        b = n_hashes // r
+        if 1.0 - (1.0 - threshold**r) ** b >= target_recall:
+            return b, r
+    return n_hashes, 1
+
+
+BANDS, ROWS_PER_BAND = lsh_params(0.5, N_HASHES)  # (16, 2)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -69,11 +91,24 @@ def minhash_signatures(
     """
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
-    docs = docs.repartition(target)
-    return with_shingles(docs, text_col, k).select(
-        "doc_id",
-        minhash_signature(F.col("shingles"), n_hashes).alias("sig"),
-        F.col("shingles"),
+    # Rebalance only when the input arrives under-partitioned (the
+    # fixture is ONE parquet file → 2 tasks); a multi-file corpus that
+    # already spans the cluster must not pay a gratuitous full shuffle.
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    # Docs too short to shingle (size(tokens) < k → empty shingle array)
+    # are dropped, matching the oracle's WHERE len(toks) >= k. Without
+    # this they'd emit all-null signatures AND share identical band keys
+    # ('0|','1|',...), forming one O(m²) candidate clique — a skew bomb
+    # at corpus scale.
+    return (
+        with_shingles(docs, text_col, k)
+        .where(F.size("shingles") > 0)
+        .select(
+            "doc_id",
+            minhash_signature(F.col("shingles"), n_hashes).alias("sig"),
+            F.col("shingles"),
+        )
     )
 
 
@@ -138,15 +173,20 @@ def near_duplicates_minhash(
     threshold: float = 0.5,
     k: int = SHINGLE_K,
     n_hashes: int = N_HASHES,
-    bands: int = BANDS,
-    rows: int = ROWS_PER_BAND,
+    bands: int | None = None,
+    rows: int | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dedup: returns (doc_a, doc_b, jaccard).
+
+    (bands, rows) default to the S-curve fit for ``threshold``
+    (lsh_params), so recall at the threshold is ≥0.9 by construction.
 
     Signatures are cached: the plan references them three times
     (banding + both sides of the verify join); without the cache the
     whole shingle/md5 pipeline runs 3×.
     """
+    if bands is None or rows is None:
+        bands, rows = lsh_params(threshold, n_hashes)
     sigs = minhash_signatures(docs, text_col, k, n_hashes).cache()
     cands = lsh_candidate_pairs(sigs.select("doc_id", "sig"), bands, rows)
     return jaccard_verify(cands, sigs.select("doc_id", "shingles"), threshold)

@@ -176,6 +176,57 @@ def ivf_topk(
     )
 
 
+def active_snippet_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    status_col: str = "document_status",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Similarity search over ACTIVE snippets — the reference's declared
+    FAISS capability end-to-end (README.md:3 "active snippets ... used
+    by a similarity search"; stubs data_ingestion.py:283-289 — the whole
+    reason the Active/Expired status lifecycle exists).
+
+    Returns the snippets of the k most-similar *active* documents, each
+    snippet carrying its document's cosine score:
+    (id_col, snippet_id, snippet_text, cosine_sim).
+
+    Scale shape: status filter → hash join docs⋈embeddings on id →
+    broadcast 1-row query vec → TakeOrdered k — and only THEN
+    snippetize, so the windowing algebra runs over k rows, not the
+    corpus. Expired documents are pruned at the scan (predicate
+    pushdown), exactly how the reference's index rebuild would skip
+    them.
+    """
+    from data_ingestion_py_spark.operators.snippetize import snippetize
+
+    base = embeddings.select(
+        F.col("vec_id"), _to_double(F.col(vec_col)).alias("vec")
+    )
+    q = base.where(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("qvec")
+    )
+    active = docs.where(F.col(status_col) == "Active").select(id_col, text_col)
+    sim = dot(F.col("vec"), F.col("qvec")) / (
+        l2_norm(F.col("vec")) * l2_norm(F.col("qvec"))
+    )
+    top_docs = (
+        active.join(base, active[id_col] == base["vec_id"])
+        .crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != query_vec_id)
+        .select(id_col, text_col, F.round(sim, 6).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+    return snippetize(
+        top_docs, text_col=text_col, id_cols=(id_col,), carry_cols=("cosine_sim",)
+    ).select(id_col, "snippet_id", "snippet_text", "cosine_sim")
+
+
 def sign_band_keys(vec, bands: int, rows: int) -> F.Column:
     """Axis-aligned hyperplane LSH band keys: bit i = (vec[i] >= 0),
     band b packs bits [b*rows, (b+1)*rows) into one int.

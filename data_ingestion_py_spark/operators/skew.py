@@ -32,8 +32,15 @@ def salted_join(
 
     ``salt_from`` is a stable fact column (an id) hashed into the salt.
     Output equals the plain join exactly — only the physical key
-    distribution changes.
+    distribution changes. Supports ``inner`` and ``left`` only: with
+    right/full outer the replicated dim would emit its unmatched rows
+    once per salt.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner','left'), got {how!r}: "
+            "right/full outer would duplicate unmatched dim rows n_salts×"
+        )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.hash(F.col(salt_from)), F.lit(n_salts))
     )

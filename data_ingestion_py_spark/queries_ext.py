@@ -416,9 +416,40 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "similarity_lsh_ann",
-    None,  # hyperplane construction is column algebra but the SQL twin
-    # would be ~64×8 nested md5 exprs; recall vs brute force is
-    # property-tested in tests/test_similarity.py instead.
+    """
+WITH planes AS (
+    SELECT p,
+           list_transform(generate_series(0, 63), i ->
+               ((instr('0123456789abcdef', substr(md5('hp' || p || ':' || i), 1, 1)) - 1) * 16
+                + (instr('0123456789abcdef', substr(md5('hp' || p || ':' || i), 2, 1)) - 1))
+               / 127.5 - 1.0) AS pc
+    FROM (SELECT unnest(generate_series(0, 3)) AS p)
+), base AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), bkt AS (
+    SELECT b.vec_id,
+           CAST(sum(CASE WHEN list_dot_product(b.v, p.pc) >= 0
+                         THEN 1 << p.p ELSE 0 END) AS INT) AS bucket
+    FROM base b CROSS JOIN planes p
+    GROUP BY b.vec_id
+), bucketed AS (
+    SELECT base.vec_id, base.label, base.v, bkt.bucket
+    FROM base JOIN bkt USING (vec_id)
+), q AS (
+    SELECT v AS qvec, bucket AS qbucket FROM bucketed WHERE vec_id = 0
+)
+SELECT c.vec_id, c.label,
+       round(list_dot_product(c.v, q.qvec)
+             / (sqrt(list_dot_product(c.v, c.v))
+                * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine_sim
+FROM bucketed c, q
+WHERE c.bucket = q.qbucket AND c.vec_id <> 0
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""",  # the md5-derived hyperplanes (operators/similarity.hyperplane_bits)
+    # are pure column algebra, so the oracle recomputes the SAME planes
+    # and buckets in SQL — closing round 1's only no_oracle row.
     tags=("similarity", "lsh"),
 )
 def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,6 +460,71 @@ def q_similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucketed_ann(
         load_table(spark, sf_dir, "embeddings"), 0, 10, n_planes=4
     )
+
+
+@register(
+    "similarity_active_snippets",
+    """
+WITH docs AS (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 7 = 0 THEN 'Expired' ELSE 'Active' END
+               AS document_status
+    FROM documents
+), base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), q AS (
+    SELECT v AS qvec FROM base WHERE vec_id = 1
+), top_docs AS (
+    SELECT d.doc_id, d.text,
+           round(list_dot_product(b.v, q.qvec)
+                 / (sqrt(list_dot_product(b.v, b.v))
+                    * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cosine_sim
+    FROM docs d JOIN base b ON b.vec_id = d.doc_id, q
+    WHERE d.document_status = 'Active' AND d.doc_id <> 1
+    ORDER BY cosine_sim DESC, d.doc_id
+    LIMIT 5
+), _tok AS (
+    SELECT doc_id, cosine_sim,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM top_docs
+), _sent AS (
+    SELECT doc_id, cosine_sim,
+           CAST(ceil(len(toks) / 8.0) AS INT) AS nsent,
+           list_transform(
+               generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1),
+               i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS sentences
+    FROM _tok
+), _ex AS (
+    SELECT doc_id, cosine_sim, sentences,
+           unnest(generate_series(0, nsent - 1, 3)) AS s
+    FROM _sent WHERE nsent > 0
+)
+SELECT doc_id,
+       CAST(s // 3 + 1 AS INT) AS snippet_id,
+       array_to_string(sentences[s+1 : s+5], ' ') AS snippet_text,
+       cosine_sim
+FROM _ex
+""",
+    tags=("similarity", "snippets", "status"),
+    bench=True,
+)
+def q_similarity_active_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity over ACTIVE snippets — the reference's declared FAISS
+    capability (README.md:3, stubs data_ingestion.py:283-289) E2E: the
+    Active/Expired lifecycle gates which documents the vector search
+    sees (every 7th doc is deterministically Expired here, standing in
+    for change_document_status/expire sweeps), and only the top-k active
+    docs get snippetized. Expired-docs-drop-out is separately pytest'd
+    against CatalogState in tests/test_similarity.py."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "document_status",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("Expired")).otherwise(
+            F.lit("Active")
+        ),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.active_snippet_topk(docs, emb, query_vec_id=1, k=5)
 
 
 from data_ingestion_py_spark.queries import SNIPPET_CTE as _SNIPPET_CTE  # noqa: E402

@@ -69,13 +69,11 @@ def run_command_stream(
         # materialize the state eagerly so each batch's lineage doesn't
         # stack across micro-batches (bounded plan depth)
         new_state, audit = apply_actions(holder.state, batch_df)
-        new_state = CatalogState(
-            categories=_pin(new_state.categories),
-            documents=_pin(new_state.documents),
-            pages=_pin(new_state.pages),
-        )
-        holder.state = new_state
+        holder.state = new_state.materialize()
         holder.audits.append(_pin(audit))
+        # apply_actions cached the command batch (it is read ~6×); all
+        # consumers are materialized now, so release the blocks.
+        batch_df.unpersist()
 
     stream = read_command_stream(spark, commands_dir)
     writer = (

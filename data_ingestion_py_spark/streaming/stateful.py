@@ -72,7 +72,12 @@ def _sessionize_group(
 
     events = pd.concat(list(pdf_iter), ignore_index=True)
     events = events.sort_values(["ts", "event_id"])
-    ts_us = (events["ts"].astype("int64") // 1000).tolist()  # ns → µs
+    # normalize to ns explicitly before the int64 view: under pandas 2 /
+    # Arrow configs the column can arrive as datetime64[us], and a bare
+    # astype('int64') would shrink gap arithmetic 1000×.
+    ts_us = (
+        events["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    ).tolist()  # ns → µs
 
     open_sess = state.get if state.exists else None
     closed: list[tuple[int, int, int]] = []

@@ -44,6 +44,104 @@ def test_lsh_ann_deterministic(spark):
     assert a == b
 
 
+def test_active_snippet_topk_drops_expired(spark):
+    """The reference's FAISS-over-active-snippets semantics: a document
+    expired via change_document_status must vanish from similarity
+    results; reactivating brings it back (README.md:3)."""
+    from data_ingestion_py_spark.catalog import mutations
+    from data_ingestion_py_spark.catalog.actions import (
+        apply_actions,
+        commands_from_rows,
+    )
+    from data_ingestion_py_spark.catalog.state import (
+        empty_state,
+        seed_categories,
+    )
+
+    state = empty_state(spark).with_(categories=seed_categories(spark))
+    uploads = commands_from_rows(
+        spark,
+        [
+            {
+                "seq": i,
+                "action_code": 1,
+                "document_id": i,
+                "category_id": 1,
+                "document_name": f"doc_{i}",
+                "file_link": f"https://host/{i}.pdf",
+                "page_texts": [f"token{i} " * 20],
+            }
+            for i in range(4)
+        ],
+    )
+    state, _ = apply_actions(state, uploads)
+
+    # doc text for similarity = concatenated page text, status from state
+    docs = (
+        state.pages.groupBy("document_id")
+        .agg(F.concat_ws(" ", F.collect_list("page_text")).alias("text"))
+        .join(
+            state.documents.select("document_id", "document_status"),
+            "document_id",
+        )
+        .select(
+            F.col("document_id").alias("doc_id"), "text", "document_status"
+        )
+    )
+    # embeddings: doc i gets a unit-ish vector rotated by i so that
+    # cosine(doc1, doc2) > cosine(doc1, doc3) deterministically
+    emb = spark.createDataFrame(
+        [(i, [1.0 / (1 + abs(i - 1))] * 32 + [0.1 * i] * 32) for i in range(4)],
+        "vec_id: long, embedding: array<double>",
+    )
+
+    out = similarity.active_snippet_topk(docs, emb, query_vec_id=1, k=3)
+    assert 2 in {r.doc_id for r in out.collect()}
+
+    expired = mutations.change_document_status(
+        state, spark.createDataFrame([("doc_2",)], "document_name: string"),
+        "Expired",
+    )
+    docs_after = (
+        expired.pages.groupBy("document_id")
+        .agg(F.concat_ws(" ", F.collect_list("page_text")).alias("text"))
+        .join(
+            expired.documents.select("document_id", "document_status"),
+            "document_id",
+        )
+        .select(
+            F.col("document_id").alias("doc_id"), "text", "document_status"
+        )
+    )
+    out_after = similarity.active_snippet_topk(
+        docs_after, emb, query_vec_id=1, k=3
+    )
+    assert 2 not in {r.doc_id for r in out_after.collect()}
+
+    # reactivate → returns
+    react = mutations.change_document_status(
+        expired, spark.createDataFrame([("doc_2",)], "document_name: string"),
+        "Active",
+    )
+    docs_react = (
+        react.pages.groupBy("document_id")
+        .agg(F.concat_ws(" ", F.collect_list("page_text")).alias("text"))
+        .join(
+            react.documents.select("document_id", "document_status"),
+            "document_id",
+        )
+        .select(
+            F.col("document_id").alias("doc_id"), "text", "document_status"
+        )
+    )
+    assert 2 in {
+        r.doc_id
+        for r in similarity.active_snippet_topk(
+            docs_react, emb, query_vec_id=1, k=3
+        ).collect()
+    }
+
+
 def test_bruteforce_stays_jvm_side(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     plan = (
