@@ -9,8 +9,13 @@ Runs the headline queries (``bench=True`` in the registry) at
      "queries": {"q": sec, ...}, "sf": 0.1}
 
 Each query is fully materialized through the ``noop`` sink (measures
-engine compute, not driver-side pandas conversion). Best of two runs
+engine compute, not driver-side pandas conversion). Best of three runs
 per query (first run pays JVM/codegen warmup).
+
+Also reports a skewed-key join micro-bench (90% of fact rows on one
+key, broadcast + AQE skew handling disabled) comparing a plain
+shuffle join against operators/skew.salted_join — the measured number
+behind the skew-mitigation machinery.
 """
 
 from __future__ import annotations
@@ -47,7 +52,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in bench_queries.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -63,10 +68,69 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "skew_join": _skew_bench(spark, sf_dir),
             }
         )
     )
     spark.stop()
+
+
+def _skew_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Plain vs salted join on a 90%-hot key, best of 3.
+
+    Broadcast and AQE skew-splitting are disabled for both sides so the
+    measurement isolates what salting does to a raw shuffle join: the
+    hot key lands on ONE task in the plain plan and on n_salts tasks in
+    the salted one.
+    """
+    from pyspark.sql import functions as F
+
+    from data_ingestion_py_spark.io import load_table
+    from data_ingestion_py_spark.operators.skew import salted_join
+
+    # 95% of fact rows on one key; dim is SMALL (a few hundred rows)
+    # but broadcast is disabled — the regime salting exists for: the
+    # hot key's task dominates the stage and dim replication is cheap.
+    # (With a fact-sized dim, replication cost would swamp the win —
+    # that case wants AQE skew-split or a broadcast branch instead.)
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 20 < 19, F.lit(1))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        F.col("l_orderkey").alias("salt_src"),
+        "l_quantity",
+    )
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderkey") == 1) | (F.col("o_orderkey") % 600 == 0))
+        .select(F.col("o_orderkey").alias("k"), "o_totalprice")
+    )
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        out: dict[str, float] = {}
+        for label, joined in (
+            ("plain_sec", lambda: fact.join(dim, "k")),
+            ("salted_sec", lambda: salted_join(fact, dim, "k", "salt_src")),
+        ):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                joined().write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            out[label] = round(best, 3)
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 if __name__ == "__main__":

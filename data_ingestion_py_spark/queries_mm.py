@@ -101,6 +101,60 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_meta",
+    """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST(doc_id % 480 + 16 AS INT) AS height
+FROM documents
+""",
+    tags=("multimodal", "decode"),
+)
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: construct valid PNG IHDR / JPEG
+    SOF0 headers in column algebra (hex → unhex, dimensions derived
+    from doc_id), push the binary through the Arrow mapInPandas stage,
+    and header-parse width/height back with the pure-Python kernel
+    (sources/multimodal.image_dimensions). The oracle is *independent
+    ground truth* — it recomputes the planted dimensions arithmetically,
+    so a parser that misreads endianness, offsets, or marker layout
+    hash-mismatches immediately."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 640 + 16).cast("int")
+    h = (F.col("doc_id") % 480 + 16).cast("int")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),  # sig + IHDR len/type
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("0806000000DEADBEEF"),  # bit depth/color/CRC filler
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8FFC0001108"),  # SOI + SOF0 + len 17 + precision 8
+        F.lpad(F.hex(h), 4, "0"),  # JPEG stores height first
+        F.lpad(F.hex(w), 4, "0"),
+        F.lit("03" + "00" * 9 + "FFD9"),  # 3 components + EOI
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(
+            F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(jpeg_hex)
+        ).alias("payload"),
+        F.struct(
+            F.lit("image/mixed").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    fmt = F.when(F.col("media_id") % 2 == 0, "png").otherwise("jpeg")
+    return mm.extract_features(media).select(
+        "media_id", fmt.alias("fmt"), "width", "height"
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """
 WITH vids AS (

@@ -1,0 +1,454 @@
+"""Training-data-pipeline operators, wave 2: deterministic sampling /
+dataset splits, PII redaction, merge/upsert, grouping sets, numeric
+profile aggregates, per-group quantiles, n-gram stats.
+
+Everything is oracle-checked; hash-based determinism (md5) is used for
+anything random-looking so the DuckDB twin reproduces it bit-for-bit —
+the same property that makes these operators resumable/retryable at
+100 TB (a re-run or speculative task computes identical splits).
+
+Reference tie-in: the reference has no sampling/cleaning layer at all;
+these are the north-star extensions BASELINE.json asks for, built on
+the same documents/events fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def split_bucket(id_col, n_buckets: int = 100):
+    """Stable bucket in [0, n_buckets): first 4 md5 hex digits of the id.
+
+    Pure column algebra, identical in DuckDB — the foundation for
+    reproducible sampling: re-runs, retries, and different engines all
+    agree on every row's bucket, unlike rand()-based sampling.
+    """
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+def assign_split(id_col, train_pct: int = 80, val_pct: int = 10):
+    b = split_bucket(id_col)
+    return (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
+_SQL_BUCKET = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100)"
+)
+
+
+@register(
+    "dataset_split_stratified",
+    f"""
+WITH s AS (
+    SELECT lang,
+           CASE WHEN {_SQL_BUCKET} < 80 THEN 'train'
+                WHEN {_SQL_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT lang, split, count(*) AS n_docs
+FROM s GROUP BY lang, split
+""",
+    tags=("sampling", "split"),
+)
+def q_dataset_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 80/10/10 train/val/test split with per-lang
+    counts (the stratification report every corpus build emits). At
+    100 TB this is a narrow map + one rollup — no shuffle of the data
+    itself, and the assignment is stable across re-runs and engines."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", assign_split(F.col("doc_id")).alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "sample_deterministic_pct",
+    f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_SQL_BUCKET} < 5
+""",
+    tags=("sampling",),
+)
+def q_sample_deterministic_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% deterministic sample: WHERE hash-bucket < 5. The predicate is
+    pushed to the scan; the same rows come back on every run (unlike
+    df.sample), which is what makes debugging a 100 TB pipeline sane."""
+    d = _docs(spark, sf_dir)
+    return d.where(split_bucket(F.col("doc_id")) < 5).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / text cleaning
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+DIGITS9_RE = "[0-9]{9,}"
+
+
+def redact_text(text):
+    """Email + long-digit-run redaction, then whitespace normalization —
+    the minimal PII scrub stage. RE2-compatible patterns (no lookarounds)
+    so the DuckDB oracle and any engine swap run the same regexes."""
+    t = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, DIGITS9_RE, "<NUM>")
+    return F.trim(F.regexp_replace(t, "\\s+", " "))
+
+
+@register(
+    "text_redact_pii",
+    f"""
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN text || ' contact user' || doc_id
+                     || '@example.com  id 123456789' || doc_id
+                ELSE text END AS text
+    FROM documents
+), red AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{DIGITS9_RE}', '<NUM>', 'g'),
+               '\\s+', ' ', 'g')) AS clean_text
+    FROM corpus
+)
+SELECT doc_id,
+       md5(clean_text) AS clean_hash,
+       CAST(len(string_split(clean_text, '<EMAIL>')) - 1 AS BIGINT)
+           AS n_emails_redacted,
+       CAST(len(string_split(clean_text, '<NUM>')) - 1 AS BIGINT)
+           AS n_nums_redacted
+FROM red
+""",
+    tags=("text", "pii"),
+)
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus seeded with planted emails + id numbers
+    (every 4th doc), verified by content hash — so the oracle confirms
+    the exact redacted text, not just counts. Pure codegen regexes."""
+    d = _docs(spark, sf_dir)
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com  id 123456789"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = seeded.select(
+        "doc_id", redact_text(F.col("text")).alias("clean_text")
+    )
+    return clean.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_hash"),
+        (F.size(F.split("clean_text", "<EMAIL>")) - 1)
+        .cast("long")
+        .alias("n_emails_redacted"),
+        (F.size(F.split("clean_text", "<NUM>")) - 1)
+        .cast("long")
+        .alias("n_nums_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge / upsert (the MERGE INTO shape, engine-agnostic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "documents_merge_upsert",
+    """
+WITH updates AS (
+    SELECT doc_id, 'updated-' || lang AS lang, n_chars + 1000 AS n_chars
+    FROM documents WHERE doc_id % 10 = 3
+    UNION ALL
+    SELECT doc_id + 5000000 AS doc_id, 'new' AS lang, 1 AS n_chars
+    FROM documents WHERE doc_id % 50 = 0
+), unioned AS (
+    SELECT doc_id, lang, n_chars, 1 AS src FROM updates
+    UNION ALL
+    SELECT doc_id, lang, n_chars, 0 AS src FROM documents
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY src DESC)
+               AS rk
+    FROM unioned
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rk = 1
+""",
+    tags=("merge", "upsert"),
+)
+def q_documents_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without Delta: updates win over base rows
+    via a per-key row_number (update every 10th doc, insert fresh ids).
+    One shuffle on the merge key — at rest this is the partitioned-
+    overwrite / MERGE pattern every incremental corpus build runs.
+    Matched rows take the update's values; unmatched inserts append."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    updates = (
+        d.where(F.col("doc_id") % 10 == 3)
+        .select(
+            "doc_id",
+            F.concat(F.lit("updated-"), F.col("lang")).alias("lang"),
+            (F.col("n_chars") + 1000).alias("n_chars"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"),
+                F.lit("new").alias("lang"),
+                F.lit(1).cast("long").alias("n_chars"),
+            )
+        )
+    )
+    from pyspark.sql.window import Window
+
+    unioned = updates.withColumn("src", F.lit(1)).unionByName(
+        d.withColumn("src", F.lit(0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("src"))
+    return (
+        unioned.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / numeric profile / per-group quantiles / n-grams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_grouping_sets",
+    """
+SELECT event_type,
+       CAST(dayofweek(ts) AS BIGINT) AS dow,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (dayofweek(ts)))
+""",
+    tags=("agg", "grouping-sets"),
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True GROUPING SETS (disjoint dimensions, not a rollup prefix):
+    per-type totals and per-day-of-week totals in ONE Expand+HashAgg
+    pass over the scan instead of two jobs. DuckDB's dayofweek is
+    0-6 Sunday-first; Spark's dayofweek is 1-7 Sunday-first, so the
+    Spark side subtracts 1."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(dayofweek(ts) - 1 AS BIGINT) AS dow,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type), ((dayofweek(ts) - 1)))
+        """
+    )
+
+
+@register(
+    "lineitem_numeric_profile",
+    """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def q_lineitem_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile statistics per group — corr/covar/stddev in one
+    hash-agg pass (each is a tracked moment aggregate; no second scan).
+    The numeric-drift check feature stores run before training."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias(
+            "covar_qty_disc"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "events_group_quantiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "quantile"),
+)
+def q_events_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group continuous quantiles (Spark `percentile` ≙ DuckDB
+    `quantile_cont`). At 100 TB swap to approx_percentile (t-digest) —
+    same plan shape, bounded memory; exact keeps the oracle exact here."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "snippets_prose_mode",
+    """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+), prose AS (
+    SELECT doc_id,
+           array_to_string(
+               list_transform(
+                   generate_series(0, CAST(ceil(len(t)/7.0) AS INT) - 1),
+                   i -> array_to_string(t[i*7+1 : i*7+7], ' ')),
+               '. ') || '.' AS prose_text
+    FROM toks WHERE len(t) > 0
+), sent AS (
+    -- independent splitter: sentinel replace + split (the Spark side
+    -- uses a real lookbehind regex; both must recover the sentences)
+    SELECT doc_id,
+           string_split(replace(prose_text, '. ', '.' || chr(1)), chr(1))
+               AS sentences
+    FROM prose
+), ex AS (
+    SELECT doc_id, sentences,
+           unnest(generate_series(0, len(sentences) - 1, 3)) AS s
+    FROM sent WHERE len(sentences) > 0
+)
+SELECT doc_id,
+       CAST(s // 3 + 1 AS INT) AS snippet_id,
+       array_to_string(sentences[s+1 : s+5], ' ') AS snippet_text
+FROM ex
+""",
+    tags=("T1", "T2", "prose"),
+)
+def q_snippets_prose_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prose-mode snippetization E2E: deterministic prose is synthesized
+    from the fixture (7-token sentences joined with '. '), then the REAL
+    punctuation sentence splitter — the spaCy-seam analog, a lookbehind
+    regex split (operators/snippetize.sentences_from_punctuation,
+    reference :171-176) — recovers sentences and the standard 5/3
+    sliding windows apply. The oracle rebuilds sentences with a
+    sentinel-replace split (different algorithm, same answer), so a
+    regression in the regex path can't hide behind its own oracle."""
+    from data_ingestion_py_spark.functions.text import tokens as _toks
+    from data_ingestion_py_spark.operators.snippetize import snippetize
+
+    d = _docs(spark, sf_dir)
+    t = _toks(F.col("text"))
+    nsent = F.ceil(F.size(t) / 7).cast("int")
+    prose = F.concat(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nsent - 1),
+                lambda i: F.array_join(F.slice(t, i * 7 + 1, 7), " "),
+            ),
+            ". ",
+        ),
+        F.lit("."),
+    )
+    prose_docs = d.where(F.size(t) > 0).select(
+        "doc_id", prose.alias("prose_text")
+    )
+    return snippetize(
+        prose_docs, text_col="prose_text", mode="punctuation"
+    ).select("doc_id", "snippet_id", "snippet_text")
+
+
+@register(
+    "text_top_bigrams",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+), bg AS (
+    SELECT unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1])) AS bigram
+    FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+    tags=("text", "ngram"),
+)
+def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 bigrams: array-algebra bigram construction
+    (zip each token with its successor — no Python), explode, one
+    count shuffle, TakeOrdered. The n-gram LM / contamination-check
+    primitive."""
+    from data_ingestion_py_spark.functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.where(F.size(t) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

@@ -52,8 +52,63 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("content_hash", T.StringType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
     ]
 )
+
+
+def image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
+    """REAL decode kernel: (width, height) from PNG / JPEG / GIF header
+    bytes — pure-Python byte parsing, no codec libraries.
+
+    - PNG: 8-byte signature, then the IHDR chunk's big-endian uint32
+      width/height at offsets 16/20 (PNG spec §11.2.2).
+    - JPEG: walk the marker segments from SOI; the first SOFn frame
+      header (C0–CF except the non-frame C4/C8/CC) carries big-endian
+      uint16 height then width after the precision byte (ITU T.81 §B.2.2).
+    - GIF: 'GIF87a'/'GIF89a', little-endian uint16 logical-screen
+      width/height at offset 6.
+
+    Returns None for anything unrecognized or truncated — audio/video
+    and genuinely-opaque payloads stay (None, None) in extract_features.
+    """
+    if payload is None:
+        return None
+    if (
+        len(payload) >= 24
+        and payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and payload[12:16] == b"IHDR"
+    ):
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers have no length field
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                return (
+                    int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    int.from_bytes(payload[i + 5 : i + 7], "big"),
+                )
+            i += 2 + seg_len
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    return None
 
 FRAME_SCHEMA = T.StructType(
     [
@@ -87,6 +142,12 @@ def extract_features(
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [bytes(p) if p is not None else b"" for p in pdf["payload"]]
+            # real kernel for images: header-parse width/height (PNG/
+            # JPEG/GIF); audio/video duration stays at the stub seam
+            dims = [
+                image_dimensions(p) if k == "image" else None
+                for k, p in zip(pdf["kind"], payloads)
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -96,6 +157,12 @@ def extract_features(
                         hashlib.md5(p).hexdigest() for p in payloads
                     ],
                     "feature": [_fake_feature(p, dim) for p in payloads],
+                    "width": pd.array(
+                        [d[0] if d else None for d in dims], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[1] if d else None for d in dims], dtype="Int32"
+                    ),
                 }
             )
 

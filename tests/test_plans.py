@@ -232,6 +232,7 @@ _TINY_BROADCAST_OK = {
     "similarity_cosine_topk",
     "similarity_lsh_ann",
     "similarity_ivf_topk",
+    "similarity_active_snippets",
     "customers_above_avg_balance",
     "q15_top_supplier",
     "q22_dormant_rich_customers",
@@ -251,3 +252,38 @@ def test_no_accidental_cartesian_anywhere(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name} has an unexpected nested-loop join"
             )
+
+
+def test_deterministic_sample_is_scan_side(spark):
+    """The hash-bucket sample filter must be a narrow scan-side filter:
+    no shuffle, no Python — at 100 TB a sample that shuffles first
+    defeats its own purpose."""
+    df = _q(spark, "sample_deterministic_pct")
+    assert E.num_exchanges(df) == 0, E.executed_plan(df)
+    assert not E.uses_python_eval(df)
+
+
+def test_pii_redaction_stays_codegen(spark):
+    """Regex scrub is a pure map stage: zero shuffles, zero Python."""
+    df = _q(spark, "text_redact_pii")
+    assert E.num_exchanges(df) == 0, E.executed_plan(df)
+    assert not E.uses_python_eval(df)
+    assert E.codegen_stage_count(df) >= 1
+
+
+def test_merge_upsert_single_shuffle(spark):
+    """MERGE-shape upsert = one exchange on the merge key (the window's
+    partitionBy); updates and base co-shuffle in the same exchange."""
+    df = _q(spark, "documents_merge_upsert")
+    assert E.num_exchanges(df) <= 1, E.executed_plan(df)
+    assert not E.uses_python_eval(df)
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """GROUPING SETS must be one Expand + hash-agg pass over the scan,
+    not one job per dimension."""
+    df = _q(spark, "events_grouping_sets")
+    plan = E.executed_plan(df)
+    assert plan.count("Expand") >= 1, plan
+    # one shuffle for the (expanded) group keys
+    assert E.num_exchanges(df) <= 1, plan

@@ -53,6 +53,67 @@ def media_df(spark):
     return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
 
 
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00"
+        + b"\xde\xad\xbe\xef"
+    )
+
+
+def _jpeg(w: int, h: int, with_app0: bool = False) -> bytes:
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0\x00\x11\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    return b"\xff\xd8" + (app0 if with_app0 else b"") + sof0 + b"\xff\xd9"
+
+
+def test_image_dimensions_real_headers():
+    """The REAL decode kernel against hand-built-but-valid header bytes."""
+    assert multimodal.image_dimensions(_png(640, 480)) == (640, 480)
+    assert multimodal.image_dimensions(_png(1, 1)) == (1, 1)
+    assert multimodal.image_dimensions(_jpeg(320, 240)) == (320, 240)
+    # SOF behind an APP0 (JFIF) segment — the marker walk must skip it
+    assert multimodal.image_dimensions(_jpeg(1920, 1080, with_app0=True)) == (
+        1920,
+        1080,
+    )
+    # GIF logical screen descriptor, little-endian
+    assert multimodal.image_dimensions(
+        b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little")
+    ) == (12, 34)
+    # garbage / truncated / None → None, never an exception
+    assert multimodal.image_dimensions(b"not an image") is None
+    assert multimodal.image_dimensions(_png(640, 480)[:20]) is None
+    assert multimodal.image_dimensions(b"\xff\xd8\xff") is None
+    assert multimodal.image_dimensions(None) is None
+
+
+def test_extract_features_populates_image_meta(spark):
+    rows = [
+        (1, "image", _png(800, 600), (None, None, None, None)),
+        (2, "image", _jpeg(64, 32, with_app0=True), (None, None, None, None)),
+        (3, "image", b"opaque", (None, None, None, None)),
+        (4, "audio", _png(9, 9), (None, None, None, None)),  # kind gates parse
+    ]
+    feats = multimodal.extract_features(
+        spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    ).collect()
+    by_id = {r.media_id: (r.width, r.height) for r in feats}
+    assert by_id[1] == (800, 600)
+    assert by_id[2] == (64, 32)
+    assert by_id[3] == (None, None)
+    assert by_id[4] == (None, None)
+
+
 def test_feature_extraction_stub(spark, media_df):
     feats = multimodal.extract_features(media_df).collect()
     by_id = {r.media_id: r for r in feats}

@@ -233,3 +233,71 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == n_distinct
     assert out.select("event_id").distinct().count() == n_distinct
+
+
+def test_native_session_window_agrees_with_custom_stateful(spark):
+    """Independent-algorithm cross-check: Spark's built-in
+    ``session_window`` (gap-merged intervals, batch form) must produce
+    the same per-user session counts as the lag-window batch query that
+    mirrors streaming/stateful.py's semantics (30-min gap)."""
+    import data_ingestion_py_spark.queries_ext  # noqa: F401  (registers)
+    from data_ingestion_py_spark.io import load_table
+    from data_ingestion_py_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events")
+    native = (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("count").alias("n_events"),
+        )
+    )
+    custom = QUERIES["events_sessionize"].spark(spark, SF_SMOKE)
+    a = {(r.user_id): (r.n_sessions, r.n_events) for r in native.collect()}
+    b = {(r.user_id): (r.n_sessions, r.n_events) for r in custom.collect()}
+    assert a == b
+
+
+def test_sliding_window_counts_stream_matches_batch(spark, tmp_path):
+    """Overlapping (sliding) windows through a real stream: each event
+    lands in window_size/slide windows; availableNow replay must equal
+    the batch groupBy of the same expression."""
+    from data_ingestion_py_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").limit(2000)
+    src = str(tmp_path / "ev_parquet")
+    e.write.mode("overwrite").parquet(src)
+
+    def agg(df):
+        return (
+            df.groupBy(
+                F.window("ts", "1 hour", "15 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n")
+        )
+
+    batch = {(r.ws, r.event_type): r.n for r in agg(
+        spark.read.parquet(src)).collect()}
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = []
+    q = (
+        agg(stream.withWatermark("ts", "1 minute"))
+        .writeStream.outputMode("complete")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.ws, r.event_type): r.n for r in out}
+    assert got == batch
+    # sliding windows really overlap: total window-rows > event count
+    assert sum(got.values()) > 2000
