@@ -410,6 +410,339 @@ def q_snippets_prose_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "snippet_id", "snippet_text")
 
 
+# ---------------------------------------------------------------------------
+# Dedup cluster assembly (connected components over LSH pairs)
+# ---------------------------------------------------------------------------
+
+
+def _cc_oracle_sql() -> str:
+    """LSH-pairs CTE chain (same fragments as dedup_minhash_lsh_pairs)
+    + a recursive min-label fixpoint — an INDEPENDENT clustering
+    algorithm (transitive closure per node) against Spark's iterative
+    label propagation: different algorithm, same components."""
+    from data_ingestion_py_spark.queries_ext import (
+        NEAR_DUP_CORPUS_CTE,
+        _sql_band_keys,
+        _sql_minhash_sig,
+        _sql_shingles,
+    )
+
+    return (
+        NEAR_DUP_CORPUS_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+        + _sql_shingles()
+        + _sql_minhash_sig()
+        + _sql_band_keys()
+        + """
+, verified AS (
+    SELECT doc_a, doc_b
+    FROM cand
+    JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM shingled) sa
+         ON cand.doc_a = sa.doc_id
+    JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM shingled) sb
+         ON cand.doc_b = sb.doc_id
+    WHERE CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.dsh, sb.dsh))) >= 0.5
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM verified
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM verified
+), reach AS (
+    SELECT src, src AS node FROM edges
+    UNION
+    SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+    SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp
+"""
+    )
+
+
+@register(
+    "dedup_connected_components",
+    _cc_oracle_sql(),
+    tags=("dedup", "clusters"),
+)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last stage: LSH near-dup PAIRS → duplicate
+    CLUSTERS via iterative min-label propagation
+    (operators/components.py), canonical = min doc_id per component.
+    Rows with doc_id != cluster_id are exactly the drop set. The oracle
+    clusters the same pairs with a recursive transitive closure —
+    a different algorithm that must land on the same components."""
+    from data_ingestion_py_spark.operators.components import dedup_clusters
+    from data_ingestion_py_spark.queries_ext import _corpus_with_near_dups
+
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    from data_ingestion_py_spark.operators import dedup as _dedup
+
+    pairs = _dedup.near_duplicates_minhash(corpus, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    return dedup_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Eval-set contamination check (n-gram overlap vs the train split)
+# ---------------------------------------------------------------------------
+
+_CONTAM_K = 8  # 8-gram overlap: natural docs ≈ 0.04, planted clones ≈ 1.0
+
+
+@register(
+    "contamination_eval_overlap",
+    f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+), tr AS (
+    SELECT DISTINCT unnest(list_distinct(list_transform(
+        generate_series(0, len(t) - {_CONTAM_K}),
+        i -> array_to_string(t[i+1 : i+{_CONTAM_K}], ' ')))) AS g
+    FROM toks
+    WHERE {_SQL_BUCKET} < 80 AND len(t) >= {_CONTAM_K}
+), ev AS (
+    SELECT doc_id, t FROM toks WHERE {_SQL_BUCKET} >= 95
+    UNION ALL
+    SELECT doc_id + 3000000 AS doc_id, t[3:] AS t
+    FROM toks WHERE {_SQL_BUCKET} < 80 AND doc_id % 20 = 0
+), eg AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(0, len(t) - {_CONTAM_K}),
+        i -> array_to_string(t[i+1 : i+{_CONTAM_K}], ' ')))) AS g
+    FROM ev WHERE len(t) >= {_CONTAM_K}
+)
+SELECT eg.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit,
+       round(CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS overlap_frac,
+       CAST(CASE WHEN CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+                           AS DOUBLE) / count(*) >= 0.6
+                 THEN 1 ELSE 0 END AS INT) AS is_contaminated
+FROM eg LEFT JOIN tr ON eg.g = tr.g
+GROUP BY eg.doc_id
+""",
+    tags=("contamination", "ngram"),
+)
+def q_contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: for each eval doc, the fraction
+    of its distinct 8-grams that appear anywhere in the train split.
+    Eval = the natural top-5% hash buckets ∪ planted clones of train
+    docs (first 2 tokens dropped, ids +3M) which MUST flag ≈1.0.
+
+    Scale shape: both gram sets are explode → distinct → one shuffle
+    join keyed on the gram string (never broadcast — the train-side
+    n-gram set is corpus-sized at 100 TB); per-doc rollup after. The
+    exact-match join is the standard decontamination pass (eval leakage
+    detection) every corpus build runs before training."""
+    from data_ingestion_py_spark.functions.text import shingles, tokens
+
+    d = _docs(spark, sf_dir)
+    b = split_bucket(F.col("doc_id"))
+    t = tokens(F.col("text"))
+    toks = d.select("doc_id", t.alias("t"), b.alias("b"))
+    tr_grams = (
+        toks.where((F.col("b") < 80) & (F.size("t") >= _CONTAM_K))
+        .select(
+            F.explode(
+                F.array_distinct(shingles(F.col("t"), _CONTAM_K))
+            ).alias("g")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = toks.where(F.col("b") >= 95).select("doc_id", "t").unionByName(
+        toks.where((F.col("b") < 80) & (F.col("doc_id") % 20 == 0)).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.slice(
+                F.col("t"), 3, F.greatest(F.size("t") - 2, F.lit(0))
+            ).alias("t"),
+        )
+    )
+    eg = ev.where(F.size("t") >= _CONTAM_K).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("t"), _CONTAM_K))).alias(
+            "g"
+        ),
+    )
+    frac = F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast(
+        "double"
+    ) / F.count(F.lit(1))
+    return (
+        eg.join(tr_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+            F.round(frac, 6).alias("overlap_frac"),
+            (frac >= 0.6).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filters (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_filters",
+    """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+), tok AS (
+    SELECT doc_id, unnest(t) AS tk FROM toks WHERE len(t) >= 2
+), cnt AS (
+    SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk
+), tstats AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_frac,
+           round(CAST(sum(c * len(tk)) AS DOUBLE) / sum(c), 6)
+               AS mean_token_len
+    FROM cnt GROUP BY doc_id
+), bstats AS (
+    SELECT doc_id,
+           round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+               AS dup_bigram_frac
+    FROM (SELECT doc_id,
+                 list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1]) AS bg
+          FROM toks WHERE len(t) >= 2)
+)
+SELECT tstats.doc_id, n_tokens, top_token_frac, mean_token_len,
+       dup_bigram_frac,
+       CAST(CASE WHEN top_token_frac <= 0.2 AND dup_bigram_frac <= 0.2
+                  AND n_tokens BETWEEN 5 AND 10000
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM tstats JOIN bstats ON tstats.doc_id = bstats.doc_id
+""",
+    tags=("text", "quality", "repetition"),
+)
+def q_text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gates per document: most-frequent
+    -token fraction, duplicate-bigram fraction, mean token length, token
+    count, and the resulting keep/drop flag.
+
+    Scale shape: token frequencies via explode → ONE shuffle keyed
+    (doc_id, token) → per-doc rollup (re-uses the same partitioning —
+    doc_id prefix — so the second agg is shuffle-free under AQE);
+    bigram stats are pure array algebra in the scan's map stage; one
+    doc_id join merges the two. No Python anywhere."""
+    from data_ingestion_py_spark.functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    toks = d.select("doc_id", t.alias("t")).where(F.size("t") >= 2)
+    cnt = (
+        toks.select("doc_id", F.explode("t").alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tstats = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+            "top_token_frac"
+        ),
+        F.round(
+            F.sum(F.col("c") * F.length("tk")).cast("double") / F.sum("c"), 6
+        ).alias("mean_token_len"),
+    )
+    bg = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, x: F.concat(a, F.lit(" "), x),
+    )
+    bstats = toks.select(
+        "doc_id",
+        F.round(
+            1.0
+            - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+    out = tstats.join(bstats, "doc_id")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "mean_token_len",
+        "dup_bigram_frac",
+        (
+            (F.col("top_token_frac") <= 0.2)
+            & (F.col("dup_bigram_frac") <= 0.2)
+            & F.col("n_tokens").between(5, 10000)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (the IVF / k-means training step)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_label_centroids",
+    """
+WITH ex AS (
+    SELECT label, s.pos AS pos, s.q AS q
+    FROM (SELECT label,
+                 unnest(list_transform(
+                     generate_series(1, len(embedding)),
+                     i -> {'pos': i - 1,
+                           'q': CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                           * 1000000) AS BIGINT)}))
+                     AS s
+          FROM embeddings)
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       CAST((sum(q) - ((sum(q) % count(*)) + count(*)) % count(*))
+            / count(*) AS BIGINT) AS centroid_micro,
+       count(*) AS n_vecs
+FROM ex GROUP BY label, pos
+""",
+    tags=("similarity", "centroids"),
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors — the k-means /
+    IVF-training primitive (one Lloyd's-iteration M-step), in exact
+    fixed-point: elements quantized to integer micro-units
+    (floor(x·1e6)), summed exactly, mean via integer floor division.
+    ``centroid_micro`` is therefore bit-identical regardless of
+    partial-aggregation order, engine, or run — float sums would drift
+    between engines AND between Spark runs, and even a final round()
+    can land on a half-tie that Spark (HALF_UP on the exact binary
+    expansion) and other engines resolve differently.
+
+    Scale shape: posexplode → one hash-agg keyed (label, pos); at
+    100 TB this is the standard centroid update (combiner-friendly:
+    integer partial sums map-side)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("q"),
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("q")
+    # exact floor division in integer algebra: (s - floormod(s, n)) / n
+    return ex.groupBy("label", "pos").agg(
+        ((s - F.pmod(s, n)) / n).cast("long").alias("centroid_micro"),
+        n.alias("n_vecs"),
+    )
+
+
 @register(
     "text_top_bigrams",
     """

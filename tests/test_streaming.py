@@ -301,3 +301,52 @@ def test_sliding_window_counts_stream_matches_batch(spark, tmp_path):
     assert got == batch
     # sliding windows really overlap: total window-rows > event count
     assert sum(got.values()) > 2000
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with event-time bounds (click →
+    purchase attribution within 30 min per user): both sides
+    watermarked, joined on user_id + a time-range predicate — the
+    Structured Streaming state-bounded join. availableNow replay must
+    equal the identical batch join."""
+    from data_ingestion_py_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").limit(3000)
+    src = str(tmp_path / "ev_ssj")
+    e.write.mode("overwrite").parquet(src)
+
+    def attribution(df):
+        clicks = df.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        buys = df.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        return clicks.join(
+            buys,
+            (F.col("c_user") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("c_ts"))
+            & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select("click_id", "buy_id")
+
+    static = spark.read.parquet(src)
+    expect = {(r.click_id, r.buy_id) for r in attribution(static).collect()}
+    assert expect, "fixture produced no click→purchase pairs"
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    wm = stream.withWatermark("ts", "1 hour")
+    out = []
+    q = (
+        attribution(wm)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r.click_id, r.buy_id) for r in out} == expect
