@@ -411,6 +411,138 @@ def q_snippets_prose_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Keep-latest dedup / histogram / edit-distance verify
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dedup_latest",
+    """
+SELECT user_id, event_type,
+       event_id AS latest_event_id, ts AS latest_ts, value AS last_value
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+    tags=("dedup", "cdc"),
+)
+def q_events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key dedup (the CDC compaction / upsert-read
+    shape): newest event per (user, type), deterministic tie-break on
+    event_id. One shuffle on the key; at rest this is the MERGE
+    compaction every incremental table maintains."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT bin, count(*) AS n
+FROM (SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20))
+                        AS INT), 19) AS bin
+      FROM events, b)
+GROUP BY bin
+""",
+    tags=("profile", "histogram"),
+)
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of `value`: one scalar min/max agg
+    broadcast into a scan-side bin expression, then one count shuffle.
+    The data-profiling primitive; identical double arithmetic on both
+    engines makes bin edges engine-stable."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 20)
+            ).cast("int"),
+            F.lit(19),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "dedup_levenshtein_verify",
+    """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(
+               list_filter(string_split(text, ' '), x -> x <> '')[4:], ' ')
+               AS text
+    FROM documents WHERE doc_id % 5 = 0
+)
+SELECT o.doc_id AS doc_a, v.doc_id AS doc_b,
+       levenshtein(substr(o.text, 1, 200), substr(v.text, 1, 200))
+           AS edit_distance,
+       round(1.0 - CAST(levenshtein(substr(o.text, 1, 200),
+                                    substr(v.text, 1, 200)) AS DOUBLE)
+                   / greatest(len(substr(o.text, 1, 200)),
+                              len(substr(v.text, 1, 200))), 6)
+           AS similarity
+FROM corpus o JOIN corpus v ON v.doc_id = o.doc_id + 1000000
+""",
+    tags=("dedup", "editdistance"),
+)
+def q_dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification on known candidate pairs (doc vs its
+    perturbed variant) — the character-level alternative to n-gram
+    Jaccard for near-dup confirmation. Prefixes capped at 200 chars:
+    Levenshtein is O(len²) per pair, so production verify stages bound
+    the comparison window (or band the DP) — the cap IS the scale
+    design, not a shortcut. Runs only at candidate cardinality."""
+    from data_ingestion_py_spark.queries_ext import _corpus_with_near_dups
+
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    a = corpus.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 200).alias("ta"),
+    )
+    b = corpus.select(
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 200).alias("tb"),
+    )
+    pairs = a.join(b, F.col("doc_b") == F.col("doc_a") + 1000000)
+    d = F.levenshtein("ta", "tb")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        d.alias("edit_distance"),
+        F.round(
+            1.0
+            - d.cast("double")
+            / F.greatest(F.length("ta"), F.length("tb")),
+            6,
+        ).alias("similarity"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup cluster assembly (connected components over LSH pairs)
 # ---------------------------------------------------------------------------
 

@@ -238,6 +238,7 @@ _TINY_BROADCAST_OK = {
     "q22_dormant_rich_customers",
     "text_tfidf_top_terms",
     "dedup_embedding_cosine",
+    "events_value_histogram",
 }
 
 
