@@ -1,0 +1,347 @@
+"""Corpus-curation operators: the filter/clean/pack/mix stages a
+large-scale LLM training-data pipeline runs between raw ingestion and
+tokenization.
+
+- quality cascade: combined keep/reject verdict with a first-match
+  reject reason (all-integer gates — no float thresholds to drift
+  between engines)
+- line-level boilerplate removal (C4-style): drop lines whose document
+  frequency crosses a threshold, reassemble documents in order
+- sequence packing: contiguous token-budget chunking implemented the
+  scalable way (per-range partial sums + tiny offset table) instead of
+  one global single-partition window
+- domain mixture sampling: deterministic per-source acceptance rates
+
+Reference tie-in: the reference (data_ingestion.py) ingests and
+snippetizes but never curates; these extend its pipeline surface the
+way SURVEY.md §6 lays out. All hash-deterministic (md5 buckets), so
+re-runs, speculative tasks, and the DuckDB oracle agree row-for-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_py_spark.functions.text import STOPWORDS, tokens
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.queries import register
+from data_ingestion_py_spark.queries_pipeline import _SQL_BUCKET, split_bucket
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Quality filter cascade
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "corpus_quality_cascade",
+    f"""
+WITH sig AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+           len(list_distinct(list_filter(string_split(text, ' '),
+                                         x -> x <> ''))) AS n_distinct,
+           len(list_filter(string_split(text, ' '),
+                           x -> list_contains([{_STOP_SQL}], x))) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN n_tokens > 90 THEN 'too_long'
+            WHEN n_stop = 0 THEN 'no_stopwords'
+            WHEN 5 * n_distinct < 2 * n_tokens THEN 'repetitive'
+            ELSE '' END AS reject_reason,
+       CASE WHEN n_tokens >= 20 AND n_tokens <= 90 AND n_stop > 0
+                 AND 5 * n_distinct >= 2 * n_tokens
+            THEN 1 ELSE 0 END AS keep
+FROM sig
+""",
+    tags=("curation", "quality"),
+)
+def q_corpus_quality_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate cascade with a first-match reject
+    reason: length window, stopword presence, distinct-token ratio.
+    Every gate is integer arithmetic (e.g. ``5*distinct < 2*n`` instead
+    of ``distinct/n < 0.4``) so no float threshold can straddle engines.
+    One narrow map over the scan — no shuffle, no UDF; at 100 TB this
+    is bandwidth-bound, exactly what a filter stage should be."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    sig = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS))
+        ).alias("n_stop"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("n_tokens") > 90, "too_long")
+        .when(F.col("n_stop") == 0, "no_stopwords")
+        .when(5 * F.col("n_distinct") < 2 * F.col("n_tokens"), "repetitive")
+        .otherwise("")
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        reason.alias("reject_reason"),
+        (reason == "").cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (C4-style)
+# ---------------------------------------------------------------------------
+
+_BOILER_SQL = """
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 3 = 0
+                   THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0
+                   THEN chr(10) || 'all rights reserved worldwide' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+                   THEN chr(10) || 'footer token ' || doc_id ELSE '' END
+               AS text
+    FROM documents
+"""
+
+
+def _corpus_with_boilerplate(d: DataFrame) -> DataFrame:
+    """Seed known boilerplate: two high-document-frequency lines
+    (%3, %4) that must be stripped and one unique footer (%5) that must
+    survive. Mirrored verbatim by ``_BOILER_SQL`` so the oracle builds
+    the identical corpus."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nsubscribe to our newsletter"),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nall rights reserved worldwide"),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("\nfooter token "), F.col("doc_id")),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+
+
+@register(
+    "corpus_line_dedup",
+    f"""
+WITH corpus AS ({_BOILER_SQL}),
+lines AS (
+    SELECT doc_id, pos, line
+    FROM (SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1)
+                     AS pos,
+                 unnest(string_split(text, chr(10))) AS line
+          FROM corpus)
+), blacklist AS (
+    SELECT line FROM lines GROUP BY line
+    HAVING count(DISTINCT doc_id) >= 50
+), kept AS (
+    SELECT l.* FROM lines l ANTI JOIN blacklist b ON l.line = b.line
+), totals AS (
+    SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT k.doc_id,
+       string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text,
+       CAST(count(*) AS INT) AS n_lines_kept,
+       CAST(any_value(t.n_lines) - count(*) AS INT) AS n_lines_dropped
+FROM kept k JOIN totals t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id
+""",
+    tags=("curation", "dedup", "boilerplate"),
+)
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: a line occurring in >= 50 documents
+    is boilerplate; strip it everywhere and reassemble each document in
+    original line order. The blacklist is, by construction, tiny (high
+    document frequency => few distinct lines), so the strip is a
+    broadcast anti-join — the full corpus shuffles once (the line-DF
+    count), never for the join. Docs that were 100% boilerplate drop
+    out (none here: fixture texts are unique)."""
+    corpus = _corpus_with_boilerplate(_docs(spark, sf_dir))
+    lines = corpus.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\n")).alias("pos0", "line"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    blacklist = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 50)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(blacklist), "line", "left_anti")
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            "clean_text",
+            F.col("n_kept").cast("int").alias("n_lines_kept"),
+            (F.col("n_lines") - F.col("n_kept"))
+            .cast("int")
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (contiguous token-budget chunking)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+_RANGE_SIZE = 125
+
+
+@register(
+    "corpus_pack_sequences",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+    FROM documents
+), cum AS (
+    SELECT doc_id, n,
+           COALESCE(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+    FROM toks
+)
+SELECT CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY 1
+""",
+    tags=("curation", "packing"),
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming concat-and-chunk sequence packing: documents in doc_id
+    order fill {PACK_BUDGET}-token packs; a doc belongs to the pack its
+    cumulative offset starts in (GPT-style contiguous packing, docs may
+    straddle boundaries).
+
+    The naive plan is a global ``sum() OVER (ORDER BY doc_id)`` — ONE
+    partition holding the whole corpus. Implemented instead as the
+    two-phase scan: per-range partial sums (range = doc_id div
+    {_RANGE_SIZE}) -> a tiny offsets table (one row per range, window
+    over that only) broadcast back -> within-range cumsum. Each range
+    is an independent window partition, so the big table never
+    single-partitions; the oracle recomputes it with the naive global
+    window — different algorithm, same answer."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n"),
+        F.floor(F.col("doc_id") / _RANGE_SIZE).alias("range_id"),
+    )
+    range_totals = toks.groupBy("range_id").agg(F.sum("n").alias("range_n"))
+    w_ranges = (
+        Window.orderBy("range_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = range_totals.select(
+        "range_id",
+        F.coalesce(F.sum("range_n").over(w_ranges), F.lit(0)).alias("offset"),
+    )
+    w_in_range = (
+        Window.partitionBy("range_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.join(F.broadcast(offsets), "range_id").select(
+        "doc_id",
+        "n",
+        (
+            F.col("offset")
+            + F.coalesce(F.sum("n").over(w_in_range), F.lit(0))
+        ).alias("cum_before"),
+    )
+    return (
+        cum.groupBy(
+            F.floor(F.col("cum_before") / PACK_BUDGET)
+            .cast("long")
+            .alias("pack_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_mixture_sample",
+    f"""
+WITH rated AS (
+    SELECT doc_id, source,
+           20 + 4 * CAST(substr(source, 4) AS INT) AS rate_pct
+    FROM documents
+)
+SELECT source, CAST(any_value(rate_pct) AS INT) AS rate_pct,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN {_SQL_BUCKET} < rate_pct THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM rated GROUP BY source
+""",
+    tags=("curation", "sampling", "mixture"),
+)
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: each source gets a deterministic
+    acceptance rate (src0 -> 20% ... src19 -> 96%, standing in for the
+    up/down-weighting table a training-mix config provides) and rows
+    are kept by md5 bucket — stable across re-runs, retries, and
+    engines, unlike rand()-based sampling. Narrow map + one small
+    rollup; the sampled subset never materializes on the driver."""
+    d = _docs(spark, sf_dir)
+    rated = d.select(
+        "doc_id",
+        "source",
+        (20 + 4 * F.substring("source", 4, 10).cast("int")).alias("rate_pct"),
+    )
+    return rated.groupBy("source").agg(
+        F.first("rate_pct").cast("int").alias("rate_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(
+            (split_bucket(F.col("doc_id")) < F.col("rate_pct")).cast("int")
+        )
+        .cast("long")
+        .alias("n_kept"),
+    )
