@@ -1,0 +1,279 @@
+"""Product/behavioral analytics: RFM segmentation, YoY growth, funnel
+conversion, retention cohorts.
+
+The reference's query surface stops at lookups and scans
+(data_ingestion.py:306-330); these are the standard warehouse analytics
+any engine replacing it must serve. All patterns are shuffle-on-the-
+natural-key aggregations (customer, user, year) plus tiny window passes
+— the shapes that survive a 100× scale-up unchanged because the heavy
+table shuffles exactly once per stage and dimension passes stay
+broadcast-sized.
+
+Parity discipline: money sums go through DECIMAL(18,2) before any
+arithmetic (partial-agg order must not flip doubles), dates are emitted
+as strings (DATE objects hash differently across engines' pandas
+bridges), and every window that feeds ntile/lag carries a unique
+tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_rfm_segments",
+    """
+WITH rfm AS (
+    SELECT o_custkey AS c_custkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+    FROM orders GROUP BY o_custkey
+), scored AS (
+    SELECT c_custkey, n_orders,
+           CAST(monetary AS DOUBLE) AS monetary_total,
+           ntile(4) OVER (ORDER BY last_order, c_custkey) AS r_score,
+           ntile(4) OVER (ORDER BY n_orders, c_custkey) AS f_score,
+           ntile(4) OVER (ORDER BY monetary, c_custkey) AS m_score
+    FROM rfm
+)
+SELECT c_custkey, CAST(n_orders AS BIGINT) AS n_orders, monetary_total,
+       r_score, f_score, m_score,
+       r_score || '-' || f_score || '-' || m_score AS segment
+FROM scored
+""",
+    tags=("analytics", "rfm"),
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation: one
+    shuffle on custkey for the base aggregate, then three ntile windows
+    over the *aggregated* (customer-sized, not order-sized) table.
+    Every window orders with a custkey tie-break so quartile edges are
+    engine-deterministic; monetary sums in DECIMAL so partial-agg order
+    cannot flip cents. The global ntile windows single-partition the
+    *customer aggregate* — fine to ~10M customers; past that the swap
+    is approxQuantile-derived quartile boundaries + a scan-side bucket
+    expression (same output grain, no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "c_custkey",
+        "n_orders",
+        F.col("monetary").cast("double").alias("monetary_total"),
+        F.ntile(4)
+        .over(Window.orderBy("last_order", "c_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy("n_orders", "c_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "c_custkey"))
+        .alias("m_score"),
+    )
+    return scored.select(
+        "c_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "monetary_total",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_yoy_revenue",
+    """
+WITH yearly AS (
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT order_year,
+       CAST(rev AS DOUBLE) AS revenue,
+       CAST(rev - lag(rev) OVER (ORDER BY order_year) AS DOUBLE)
+           AS yoy_delta
+FROM yearly
+""",
+    tags=("analytics", "window"),
+)
+def q_orders_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue delta: one rollup to year grain, then a
+    lag window over the handful of year rows. The delta stays in
+    DECIMAL until the final cast — subtracting two rounded doubles
+    would reintroduce representation drift. At scale the window costs
+    nothing (it runs on the aggregate, rows = distinct years)."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("order_year")
+    return yearly.select(
+        "order_year",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("rev") - F.lag("rev").over(w))
+        .cast("double")
+        .alias("yoy_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion (view -> click -> purchase, strictly ordered)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_conversion",
+    """
+WITH v AS (
+    SELECT user_id, min(ts) AS t_view
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t_click
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t_view
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked_after,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_after
+""",
+    tags=("analytics", "funnel"),
+)
+def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: first view, first click AFTER that
+    view, first purchase AFTER that click — per user, then counts per
+    stage. Three aggregations all keyed on user_id: the event table
+    shuffles once and the later stages join stage outputs (user-sized,
+    far smaller than events) back on the same key, so AQE keeps the
+    exchange reuse. The strict inequality makes same-timestamp races
+    non-events on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+        .crossJoin(
+            F.broadcast(
+                c.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_clicked_after")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                p.agg(
+                    F.count(F.lit(1))
+                    .cast("long")
+                    .alias("n_purchased_after")
+                )
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH firsts AS (
+    SELECT user_id,
+           CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_week,
+           CAST(date_trunc('week', e.ts) AS DATE) AS active_week
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+       CAST(datediff('day', cohort_week, active_week) / 7 AS INT)
+           AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity GROUP BY cohort_week, week_offset
+""",
+    tags=("analytics", "retention"),
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: users bucketed by first-activity week
+    (cohort), counted in each later week they were active. Two
+    aggregations on user_id plus one on the (cohort, offset) pair —
+    the distinct collapses the event table to user-week grain early,
+    which is what keeps the final shuffle small at 100 TB. ISO Monday
+    week-start on both engines; weeks emitted as strings (DATE objects
+    round-trip differently through the two pandas bridges)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("active_week"),
+        )
+        .distinct()
+    )
+    return (
+        activity.select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )

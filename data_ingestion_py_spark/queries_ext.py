@@ -874,6 +874,7 @@ def q_segment_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Multimodal + relational + pipeline registry entries live in their own
 # modules; importing them registers them into the same QUERIES dict.
+import data_ingestion_py_spark.queries_analytics  # noqa: E402,F401
 import data_ingestion_py_spark.queries_catalog  # noqa: E402,F401
 import data_ingestion_py_spark.queries_curation  # noqa: E402,F401
 import data_ingestion_py_spark.queries_mm  # noqa: E402,F401

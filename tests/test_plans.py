@@ -239,6 +239,7 @@ _TINY_BROADCAST_OK = {
     "text_tfidf_top_terms",
     "dedup_embedding_cosine",
     "events_value_histogram",
+    "events_funnel_conversion",
 }
 
 
