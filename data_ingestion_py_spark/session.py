@@ -25,6 +25,13 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime bloom-filter pruning: a selective filter on one join side
+    # injects a bloom filter into the other side's scan, cutting the
+    # shuffled fact volume before the exchange. The payoff IS the
+    # 100 TB case (fact >> filtered build side); local fixtures sit
+    # under the default thresholds, so test_plans pins the injection
+    # with thresholds lowered.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",

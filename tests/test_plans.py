@@ -289,3 +289,38 @@ def test_grouping_sets_single_expand_pass(spark):
     assert plan.count("Expand") >= 1, plan
     # one shuffle for the (expanded) group keys
     assert E.num_exchanges(df) <= 1, plan
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Scale machinery pin: with a selective filter on the build side of
+    a shuffle join, the optimizer must inject a runtime bloom filter
+    into the fact scan (might_contain over bloom_filter_agg) so the
+    fact table is pruned BEFORE the exchange. Thresholds are lowered
+    here because the payoff condition (fact bytes >> filtered build
+    side) only exists at cluster scale; session.py enables the feature
+    so a real deployment gets this plan automatically."""
+    from data_ingestion_py_spark.io import load_table
+
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_SMOKE, "orders")
+        l = load_table(spark, SF_SMOKE, "lineitem")
+        sel = o.where(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            l.join(sel, l.l_orderkey == sel.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = E.executed_plan(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
