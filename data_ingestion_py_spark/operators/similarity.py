@@ -336,3 +336,110 @@ def lsh_bucketed_ann(
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    m_sub: int = 8,
+    n_cent: int = 16,
+    shortlist: int = 50,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN: encode each vector as ``m_sub`` byte
+    codes (nearest codebook centroid per subspace), score candidates
+    with an ADC (asymmetric distance computation) lookup table, exact-
+    rerank only the shortlist.
+
+    This is the memory-side complement to IVF: at 100 TB the corpus is
+    stored as codes (m_sub bytes/vector instead of dim*4), the per-query
+    cost is one broadcast of an (m_sub × n_cent) distance table and a
+    code-table scan, and the full-precision vectors are touched only
+    for ``shortlist`` rows. The codebook here is deterministic (the
+    subvectors of vec_id < n_cent) so the DuckDB oracle reproduces it
+    exactly; production swaps in k-means-trained centroids — every
+    plan property is identical.
+
+    Distances use the dot-product identity ||a-b||² = a·a − 2a·b + b·b
+    (sequential folds matching DuckDB's list_dot_product); argmin ties
+    break on centroid id via row_number, never engine-dependent.
+    """
+    from pyspark.sql.window import Window
+
+    sub_d = dim // m_sub
+    base = embeddings.select(
+        "vec_id", "label", _to_double(F.col(vec_col)).alias("vec")
+    )
+    subs = base.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        F.col("vec"),
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("vec"), F.col("m") * sub_d + 1, sub_d).alias("sv"),
+    )
+    codebook = subs.where(F.col("vec_id") < n_cent).select(
+        F.col("vec_id").cast("int").alias("c"), "m", F.col("sv").alias("cv")
+    )
+    d2 = (
+        dot(F.col("sv"), F.col("sv"))
+        - 2 * dot(F.col("sv"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "c")
+    codes = (
+        subs.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", "c", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("c").alias("code"))
+    )
+    qtable = (
+        subs.where(F.col("vec_id") == query_vec_id)
+        .join(F.broadcast(codebook), "m")
+        .select("m", "c", d2.alias("qd2"))
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtable),
+            (codes["m"] == qtable["m"]) & (codes["code"] == qtable["c"]),
+        )
+        .select("vec_id", codes["m"].alias("m"), "qd2")
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "qd2"))),
+                    lambda s: s["qd2"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_d2")
+        )
+    )
+    short = (
+        adc.where(F.col("vec_id") != query_vec_id)
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    q = base.where(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("qvec")
+    )
+    sim = dot(F.col("vec"), F.col("qvec")) / (
+        l2_norm(F.col("vec")) * l2_norm(F.col("qvec"))
+    )
+    return (
+        base.join(short.select("vec_id", "approx_d2"), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("approx_d2"), 6).alias("approx_d2"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

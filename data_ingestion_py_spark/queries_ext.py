@@ -611,6 +611,61 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_pq_topk",
+    """
+WITH base AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings
+), subs AS (
+    SELECT vec_id, ms.m, vec[ms.m * 8 + 1 : ms.m * 8 + 8] AS sv
+    FROM base CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms
+), codebook AS (
+    SELECT CAST(vec_id AS INT) AS c, m, sv AS cv FROM subs WHERE vec_id < 16
+), dists AS (
+    SELECT s.vec_id, s.m, cb.c,
+           list_dot_product(s.sv, s.sv)
+               - 2 * list_dot_product(s.sv, cb.cv)
+               + list_dot_product(cb.cv, cb.cv) AS d2
+    FROM subs s JOIN codebook cb ON s.m = cb.m
+), codes AS (
+    SELECT vec_id, m, c AS code
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                       ORDER BY d2, c) AS rn
+          FROM dists)
+    WHERE rn = 1
+), qtable AS (
+    SELECT m, c, d2 AS qd2 FROM dists WHERE vec_id = 0
+), adc AS (
+    SELECT co.vec_id, list_sum(list(qt.qd2 ORDER BY co.m)) AS approx_d2
+    FROM codes co JOIN qtable qt ON co.m = qt.m AND co.code = qt.c
+    GROUP BY co.vec_id
+), short AS (
+    SELECT vec_id, approx_d2 FROM adc WHERE vec_id <> 0
+    ORDER BY approx_d2, vec_id LIMIT 50
+), qv AS (
+    SELECT vec AS q FROM base WHERE vec_id = 0
+)
+SELECT b.vec_id, b.label,
+       round(s.approx_d2, 6) AS approx_d2,
+       round(list_dot_product(b.vec, q)
+             / (sqrt(list_dot_product(b.vec, b.vec))
+                * sqrt(list_dot_product(q, q))), 6) AS cosine_sim
+FROM base b JOIN short s USING (vec_id), qv
+ORDER BY cosine_sim DESC, b.vec_id
+LIMIT 10
+""",
+    tags=("similarity", "pq"),
+)
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): 8-byte
+    codes + broadcast ADC table + exact rerank of a 50-row shortlist.
+    The memory-side scale path — at 100 TB the scan reads codes
+    (8 B/vector), not float vectors (256 B/vector)."""
+    return similarity.pq_topk(load_table(spark, sf_dir, "embeddings"), 0, 10)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

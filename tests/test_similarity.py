@@ -152,3 +152,31 @@ def test_bruteforce_stays_jvm_side(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_pq_topk_recall_and_exact_sims(spark):
+    """PQ ANN: (a) k rows, query excluded; (b) reranked cosines equal
+    brute force exactly for returned ids; (c) shortlist recall@10 vs
+    brute force is high on the fixture (ADC with 16 centroids is an
+    approximation — the rerank cannot recover what the shortlist
+    missed, so this pins the quantizer's usefulness)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pq = similarity.pq_topk(emb, 0, k=10).collect()
+    assert len(pq) == 10
+    assert all(r.vec_id != 0 for r in pq)
+    brute_all = similarity.cosine_topk(emb, 0, k=10_000).collect()
+    brute_sims = {r.vec_id: r.cosine_sim for r in brute_all}
+    for r in pq:
+        assert abs(brute_sims[r.vec_id] - r.cosine_sim) < 1e-9
+    true_top10 = {r.vec_id for r in brute_all[:10]}
+    recall = len(true_top10 & {r.vec_id for r in pq}) / 10
+    assert recall >= 0.5, f"PQ recall@10 too low: {recall}"
+
+
+def test_pq_topk_deterministic(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = sorted((r.vec_id, r.approx_d2) for r in
+               similarity.pq_topk(emb, 0, 10).collect())
+    b = sorted((r.vec_id, r.approx_d2) for r in
+               similarity.pq_topk(emb, 0, 10).collect())
+    assert a == b
