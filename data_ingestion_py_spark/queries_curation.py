@@ -345,3 +345,43 @@ def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-n per-stratum sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_stratified_fixed_n",
+    """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+WHERE rn <= 10
+""",
+    tags=("curation", "sampling"),
+)
+def q_corpus_stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum sampling (eval-set construction: 10 docs
+    per language, every run, every engine): rank within each stratum by
+    md5 of the id and keep the first 10. Unlike rate-based sampling
+    this guarantees the count; unlike rand() it is reproducible. One
+    shuffle on the stratum key; the window partitions by lang so no
+    global sort exists — at 100 TB a heavily-skewed stratum bounds the
+    task, which is acceptable because only ranks <= n survive the
+    first-stage limit pushdown."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 10)
+        .select("doc_id", "lang")
+    )

@@ -1,0 +1,210 @@
+"""Data-quality and warehouse-maintenance operators: declarative
+constraint checking and SCD2 (slowly-changing-dimension) versioning.
+
+The reference enforces its invariants imperatively, one document at a
+time (name-duplicate guard at data_ingestion.py:232, category-value
+guard at :338); at corpus scale invariants are checked set-wise — one
+pass, one violations report — and dimension history is kept as
+versioned rows, not overwrites. Both are pure column algebra with
+DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# Declarative constraint checking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_constraint_violations",
+    """
+SELECT 'orders.custkey_not_null' AS rule,
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+           AS n_violations,
+       CAST(count(*) AS BIGINT) AS n_checked
+FROM orders
+UNION ALL
+SELECT 'orders.orderkey_unique',
+       CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'lineitem.orderkey_refs_orders',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+UNION ALL
+SELECT 'orders.status_accepted',
+       CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+            AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem.discount_range',
+       CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+            AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem
+""",
+    tags=("dq", "constraints"),
+)
+def q_dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite — not-null, uniqueness,
+    referential integrity, accepted values, numeric range — one
+    violations row per rule. Each rule is a single aggregate (or one
+    anti-join for the FK rule) over its table; nothing materializes on
+    the driver. At 100 TB the per-table rules share one scan each and
+    the FK check is the only shuffle (orderkey anti-join) — the shape
+    every expectations framework compiles to."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    not_null = o.agg(
+        F.lit("orders.custkey_not_null").alias("rule"),
+        F.sum(F.col("o_custkey").isNull().cast("int"))
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    )
+    unique = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.lit("orders.orderkey_unique").alias("rule"),
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+        )
+    )
+    orphans = l.join(
+        o.select("o_orderkey"),
+        l["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    fk = orphans.crossJoin(
+        F.broadcast(l.agg(F.count(F.lit(1)).cast("long").alias("n_checked")))
+    ).select(
+        F.lit("lineitem.orderkey_refs_orders").alias("rule"),
+        "n_violations",
+        "n_checked",
+    )
+    accepted = o.agg(
+        F.lit("orders.status_accepted").alias("rule"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("int"))
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    )
+    rng = l.agg(
+        F.lit("lineitem.discount_range").alias("rule"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+    )
+    return not_null.unionByName(unique).unionByName(fk).unionByName(
+        accepted
+    ).unionByName(rng)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension versioning
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH current AS (
+    SELECT doc_id, lang, source,
+           '2024-01-01' AS valid_from, NULL AS valid_to
+    FROM documents
+), updates AS (
+    -- the synthetic change batch: every %4 doc re-languaged, every %6
+    -- doc re-sourced (doc %12 changes both)
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN 'xx' ELSE lang END AS lang,
+           CASE WHEN doc_id % 6 = 0 THEN 'src_new' ELSE source END AS source
+    FROM documents
+    WHERE doc_id % 4 = 0 OR doc_id % 6 = 0
+), changed AS (
+    SELECT u.doc_id, u.lang, u.source
+    FROM updates u JOIN current c ON u.doc_id = c.doc_id
+    WHERE u.lang <> c.lang OR u.source <> c.source
+)
+SELECT c.doc_id, c.lang, c.source, c.valid_from,
+       CASE WHEN ch.doc_id IS NOT NULL THEN '2024-06-01' END AS valid_to,
+       CAST(ch.doc_id IS NULL AS INT) AS is_current
+FROM current c LEFT JOIN changed ch ON c.doc_id = ch.doc_id
+UNION ALL
+SELECT doc_id, lang, source, '2024-06-01' AS valid_from,
+       NULL AS valid_to, 1 AS is_current
+FROM changed
+"""
+
+
+@register("dq_scd2_document_versions", _SCD2_SQL, tags=("dq", "scd2"))
+def q_dq_scd2_document_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge: apply a change batch to a dimension while keeping
+    history — changed rows get their old version closed (valid_to
+    stamped) and a new open version appended; no-op updates (batch rows
+    equal to current) are detected and skipped. One equi-join on the
+    business key plus a union — the MERGE a Delta/Iceberg table runs,
+    expressed engine-neutral. Dates are literal strings: the batch's
+    effective date is pipeline metadata, not data."""
+    d = load_table(spark, sf_dir, "documents")
+    current = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lit("2024-01-01").alias("valid_from"),
+    )
+    updates = d.where((F.col("doc_id") % 4 == 0) | (F.col("doc_id") % 6 == 0)).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, "xx").otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("doc_id") % 6 == 0, "src_new")
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    changed = (
+        updates.alias("u")
+        .join(current.alias("c"), "doc_id")
+        .where(
+            (F.col("u.lang") != F.col("c.lang"))
+            | (F.col("u.source") != F.col("c.source"))
+        )
+        .select("doc_id", F.col("u.lang").alias("lang"), F.col("u.source").alias("source"))
+    )
+    closed_or_open = (
+        current.alias("c")
+        .join(changed.select("doc_id", F.lit(1).alias("_chg")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("c.lang").alias("lang"),
+            F.col("c.source").alias("source"),
+            "valid_from",
+            F.when(F.col("_chg").isNotNull(), "2024-06-01").alias("valid_to"),
+            F.col("_chg").isNull().cast("int").alias("is_current"),
+        )
+    )
+    new_versions = changed.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.lit("2024-06-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    return closed_or_open.unionByName(new_versions)

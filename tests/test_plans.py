@@ -240,6 +240,8 @@ _TINY_BROADCAST_OK = {
     "dedup_embedding_cosine",
     "events_value_histogram",
     "events_funnel_conversion",
+    "dq_constraint_violations",
+    "similarity_pq_topk",
 }
 
 
