@@ -208,3 +208,113 @@ def q_dq_scd2_document_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_current"),
     )
     return closed_or_open.unionByName(new_versions)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (table version comparison)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_snapshot_diff",
+    """
+WITH v1 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+), v2 AS (
+    -- synthetic next snapshot: %13 docs removed (above), %7 docs
+    -- rewritten, 50 new ids appended
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'rewritten ' || doc_id
+                ELSE text END AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 5000000, 'new doc ' || doc_id
+    FROM documents WHERE doc_id % 10 = 0
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows
+FROM (
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.text <> v2.text THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+GROUP BY status
+""",
+    tags=("dq", "diff"),
+)
+def q_dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: full-outer join of two table versions on the
+    primary key, rows classified added / removed / changed / unchanged
+    — the audit every incremental publish runs before swapping a table
+    pointer. One co-partitioned shuffle on the key; change detection
+    compares the payload column directly (at width, a row-hash column
+    computed scan-side replaces the per-column compare — same plan).
+    The second snapshot is synthesized deterministically from the
+    fixture so both engines diff identical inputs."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.where(F.col("doc_id") % 13 != 0).select("doc_id", "text")
+    v2 = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("rewritten "), F.col("doc_id")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.concat(F.lit("new doc "), F.col("doc_id")).alias("text"),
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.text") != F.col("b.text"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (oracle twin of operators/layout.zorder_key)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_zorder_keys",
+    """
+SELECT l_orderkey, l_linenumber,
+       CAST(list_sum(list_transform(generate_series(0, 7), i ->
+           (((l_orderkey % 256) // (1 << i)) % 2) * (1 << (2 * i))
+           + (((l_partkey % 256) // (1 << i)) % 2) * (1 << (2 * i + 1))
+       )) AS BIGINT) AS zkey
+FROM lineitem
+""",
+    tags=("layout", "zorder"),
+)
+def q_layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key per row over two independent dimensions —
+    the sort key operators/layout.write_zordered range-partitions by,
+    so files become 2-D tiles and min/max stats prune on either
+    predicate. Pure integer bit algebra, no UDF; the oracle recomputes
+    the interleave arithmetically (division/modulo) while Spark uses
+    shifts — independent constructions, same integers."""
+    from data_ingestion_py_spark.operators.layout import zorder_key
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(F.col("l_orderkey"), F.col("l_partkey"), bits=8).alias(
+            "zkey"
+        ),
+    )
