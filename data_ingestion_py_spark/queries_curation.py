@@ -385,3 +385,125 @@ def q_corpus_stratified_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus build (quality -> near-dup dedup -> packing summary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_build_e2e",
+    f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(
+               list_filter(string_split(text, ' '), x -> x <> '')[4:], ' ')
+               AS text
+    FROM documents WHERE doc_id % 5 = 0
+), sig AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM corpus
+), gated AS (
+    SELECT doc_id, toks, len(toks) AS n
+    FROM sig
+    WHERE len(toks) >= 20 AND len(toks) <= 90
+      AND len(list_filter(toks, x -> list_contains([{_STOP_SQL}], x))) > 0
+      AND 5 * len(list_distinct(toks)) >= 2 * len(toks)
+), shingled AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(0, len(toks) - 3),
+               i -> array_to_string(toks[i+1 : i+3], ' '))) AS sh
+    FROM gated
+), dropped AS (
+    SELECT v.doc_id
+    FROM shingled v JOIN shingled o ON v.doc_id = o.doc_id + 1000000
+    WHERE 2 * len(list_intersect(v.sh, o.sh))
+          >= len(list_distinct(list_concat(v.sh, o.sh)))
+), survivors AS (
+    SELECT g.doc_id, g.n FROM gated g
+    WHERE g.doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_input,
+       CAST((SELECT count(*) FROM gated) AS BIGINT) AS n_after_quality,
+       CAST(count(*) AS BIGINT) AS n_after_dedup,
+       CAST(sum(n) AS BIGINT) AS n_tokens_kept,
+       CAST((sum(n) - (SELECT n FROM survivors
+                       ORDER BY doc_id DESC LIMIT 1)) // {PACK_BUDGET} + 1
+            AS BIGINT) AS n_packs
+FROM survivors
+""",
+    tags=("curation", "pipeline", "e2e"),
+)
+def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus build as ONE composed pipeline under the hard gate:
+    seeded raw corpus (originals + planted near-dup variants) →
+    all-integer quality gates → shingle-Jaccard near-dup removal
+    (variant dropped iff its surviving original overlaps ≥ 0.5,
+    decided as ``2·|∩| ≥ |∪|`` — no float threshold) → pack-count
+    summary at the {PACK_BUDGET}-token budget.
+
+    Every stage is the registry operator's logic inlined on the same
+    frame, so the oracle checks stage COMPOSITION — filters feeding
+    joins feeding aggregates — not just each stage alone. Plan shape:
+    one narrow quality scan, one candidate-cardinality join (variants ⋈
+    originals by construction), one anti-join, three scalar aggregates.
+    """
+    from data_ingestion_py_spark.functions.text import shingles
+    from data_ingestion_py_spark.queries_ext import _corpus_with_near_dups
+
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    toks = tokens(F.col("text"))
+    sig = corpus.select("doc_id", toks.alias("toks"))
+    gated = sig.where(
+        (F.size("toks") >= 20)
+        & (F.size("toks") <= 90)
+        & (F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))) > 0)
+        & (5 * F.size(F.array_distinct("toks")) >= 2 * F.size("toks"))
+    ).select("doc_id", "toks", F.size("toks").alias("n"))
+    shingled = gated.select(
+        "doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("sh")
+    )
+    v, o = shingled.alias("v"), shingled.alias("o")
+    dropped = (
+        v.join(o, F.col("v.doc_id") == F.col("o.doc_id") + 1000000)
+        .where(
+            2 * F.size(F.array_intersect("v.sh", "o.sh"))
+            >= F.size(F.array_distinct(F.concat(F.col("v.sh"), F.col("o.sh"))))
+        )
+        .select(F.col("v.doc_id").alias("doc_id"))
+    )
+    survivors = gated.join(dropped, "doc_id", "left_anti").select("doc_id", "n")
+
+    n_input = corpus.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+    n_quality = gated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_after_quality")
+    )
+    last_n = (
+        survivors.orderBy(F.desc("doc_id")).limit(1).select(
+            F.col("n").alias("last_n")
+        )
+    )
+    summary = survivors.agg(
+        F.count(F.lit(1)).cast("long").alias("n_after_dedup"),
+        F.sum("n").cast("long").alias("n_tokens_kept"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(n_input))
+        .crossJoin(F.broadcast(n_quality))
+        .crossJoin(F.broadcast(last_n))
+        .select(
+            "n_input",
+            "n_after_quality",
+            "n_after_dedup",
+            "n_tokens_kept",
+            (
+                F.expr(f"(n_tokens_kept - last_n) div {PACK_BUDGET}") + 1
+            )
+            .cast("long")
+            .alias("n_packs"),
+        )
+    )

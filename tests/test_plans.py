@@ -242,6 +242,7 @@ _TINY_BROADCAST_OK = {
     "events_funnel_conversion",
     "dq_constraint_violations",
     "similarity_pq_topk",
+    "corpus_build_e2e",
 }
 
 
