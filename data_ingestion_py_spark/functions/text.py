@@ -123,3 +123,20 @@ def token_subwords(tok: Column, chars_per_subword: int = 4) -> Column:
     """BPE-ish subword count: ceil(len/4) — a deterministic stand-in for
     a learned tokenizer's piece count."""
     return F.ceil(F.length(tok) / F.lit(chars_per_subword)).cast("long")
+
+
+def quality_keep_condition(toks) -> Column:
+    """The corpus quality gate as one reusable predicate (the same
+    all-integer gates corpus_quality_cascade reports reasons for):
+    token count in [20, 90], at least one stopword, distinct-token
+    ratio >= 0.4 decided as ``5*distinct >= 2*n``. The incremental
+    curation stream filters with this predicate; its thresholds match
+    corpus_quality_cascade's gates, so batch and stream keep exactly
+    the same documents."""
+    n = F.size(toks)
+    return (
+        (n >= 20)
+        & (n <= 90)
+        & (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) > 0)
+        & (5 * F.size(F.array_distinct(toks)) >= 2 * n)
+    )

@@ -277,3 +277,85 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation + unpivot (melt)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cube_day_type",
+    """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY CUBE (CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR),
+               event_type)
+""",
+    tags=("analytics", "cube"),
+)
+def q_events_cube_day_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (day, event_type): all four grouping combinations —
+    per-cell, per-day, per-type, grand total — in ONE Expand+HashAgg
+    pass instead of four scans. The Expand multiplies rows 4× before
+    the aggregate, which is the deliberate trade: one shuffle, partial
+    aggregation applies, and AQE coalesces the skewed null-group
+    partitions."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_trunc("day", F.col("ts"))
+            .cast("date")
+            .cast("string")
+            .alias("day"),
+            "event_type",
+        )
+        .cube("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@register(
+    "lineitem_unpivot_metrics",
+    """
+WITH agg AS (
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS disc
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'qty' AS metric, qty AS val FROM agg
+UNION ALL
+SELECT l_returnflag, 'price', price FROM agg
+UNION ALL
+SELECT l_returnflag, 'disc', disc FROM agg
+""",
+    tags=("analytics", "unpivot"),
+)
+def q_lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-flag aggregate → long (flag, metric,
+    value) rows via the native unpivot operator (one Expand pass, the
+    inverse of events_pivot_by_type). Sums travel as DECIMAL and only
+    the final value is cast — the metric column stays engine-stable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("price"),
+        F.sum(F.col("l_discount").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "disc"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -116,3 +116,76 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+@dataclass
+class CurationState:
+    """Cross-batch state for the incremental curation stream: the set
+    of content hashes already accepted (the streaming twin of
+    dedup_exact's groupBy) and the accepted batches so far."""
+
+    seen_hashes: DataFrame
+    accepted: list[DataFrame]
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    holder: CurationState,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Incremental corpus curation: each micro-batch of raw documents
+    passes the SAME quality gate as the batch cascade
+    (functions.text.quality_keep_condition), is exact-deduped within
+    the batch (first doc_id wins) AND against every previously accepted
+    batch (anti-join on md5(text)), then appended to the holder.
+
+    This is the steady-state shape of a crawl pipeline: the corpus
+    grows monotonically, re-delivered or re-crawled content is dropped
+    by content hash, and the dedup state is itself a table (at cluster
+    scale: a Delta/parquet hash index merged per batch, not a driver
+    set). Replaying all files (availableNow) produces exactly the
+    batch-mode result — the test pins that equivalence.
+    """
+    from data_ingestion_py_spark.functions.text import (
+        quality_keep_condition,
+        tokens,
+    )
+    from pyspark.sql.window import Window
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        gated = batch_df.where(
+            quality_keep_condition(tokens(F.col("text")))
+        ).withColumn("content_hash", F.md5("text"))
+        w = Window.partitionBy("content_hash").orderBy("doc_id")
+        in_batch_first = (
+            gated.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        fresh = in_batch_first.join(
+            holder.seen_hashes, "content_hash", "left_anti"
+        )
+        fresh = _pin(fresh)
+        holder.accepted.append(fresh)
+        holder.seen_hashes = _pin(
+            holder.seen_hashes.unionByName(
+                fresh.select("content_hash")
+            ).distinct()
+        )
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -350,3 +350,63 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {(r.click_id, r.buy_id) for r in out} == expect
+
+
+def test_incremental_curation_stream_matches_batch(spark, tmp_path):
+    """Quality gate + cross-batch content dedup via foreachBatch state:
+    three micro-batches where batch 2 re-delivers batch-1 content under
+    new ids and batch 3 mixes fresh and duplicate docs. The accepted
+    union must equal the one-shot batch computation (gate, then keep
+    min doc_id per content hash)."""
+    import time
+
+    from data_ingestion_py_spark.functions.text import (
+        quality_keep_condition,
+        tokens,
+    )
+    from data_ingestion_py_spark.streaming.pipeline import (
+        CurationState,
+        run_curation_stream,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") % 3 == 0)
+    # re-delivered batch-1 content under shifted ids (pure duplicates)
+    b2 = b1.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    b3 = docs.where(F.col("doc_id") % 3 == 1).unionByName(
+        b1.limit(10).select((F.col("doc_id") + 800000).alias("doc_id"), "text")
+    )
+    src = str(tmp_path / "raw_docs")
+    for b in (b1, b2, b3):
+        b.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct file mtimes => stable batch order
+
+    holder = CurationState(
+        seen_hashes=spark.createDataFrame([], "content_hash string"),
+        accepted=[],
+    )
+    q = run_curation_stream(spark, src, holder, str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+
+    got = {
+        (r.doc_id, r.content_hash)
+        for acc in holder.accepted
+        for r in acc.select("doc_id", "content_hash").collect()
+    }
+
+    # batch-mode expectation over the SAME union of files
+    all_docs = spark.read.parquet(src)
+    gated = all_docs.where(
+        quality_keep_condition(tokens(F.col("text")))
+    ).withColumn("content_hash", F.md5("text"))
+    expected = {
+        (r.doc_id, r.content_hash)
+        for r in gated.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    assert got == expected
+    # duplicates actually existed and were dropped
+    assert gated.count() > len(expected)
