@@ -977,3 +977,61 @@ def q_documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.round(F.avg(F.size(toks)), 4).alias("avg_tokens"),
     )
+
+
+@register(
+    "text_regex_tokens",
+    """
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0
+                THEN text || ' costs 42 dollars, isn''t it?'
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            AS INT) AS n_regex_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+       CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INT) AS n_punct
+FROM corpus
+""",
+    tags=("text", "tokens"),
+)
+def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter runs | digit runs | single
+    punctuation — the GPT-2 pre-tokenizer's skeleton, RE2-compatible so
+    any engine runs the same pattern): per-doc counts of total regex
+    tokens, number runs, and punctuation. Seeded punctuation/digits on
+    every 6th doc keep the number/punct counts non-trivially non-zero.
+    Pure scan-side regexp_extract_all — no shuffle, no UDF."""
+    d = _docs(spark, sf_dir)
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.col("text"), F.lit(" costs 42 dollars, isn't it?")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+            )
+        )
+        .cast("int")
+        .alias("n_regex_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0))
+        )
+        .cast("int")
+        .alias("n_numbers"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), F.lit(0))
+        )
+        .cast("int")
+        .alias("n_punct"),
+    )

@@ -190,3 +190,45 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_payload").cast("long").alias("frame_bytes"),
         F.md5("frame_payload").alias("frame_hash"),
     )
+
+
+@register(
+    "multimodal_resize_plan",
+    """
+WITH imgs AS (
+    SELECT doc_id AS media_id,
+           CAST(320 + (doc_id % 17) * 64 AS INT) AS src_w,
+           CAST(200 + (doc_id % 23) * 48 AS INT) AS src_h
+    FROM documents WHERE doc_id % 3 = 0
+)
+SELECT media_id, src_w, src_h,
+       CAST(CASE WHEN src_w <= 512 AND src_h <= 512 THEN src_w
+                 WHEN src_w * 512 >= src_h * 512 THEN 512
+                 ELSE (src_w * 512) // src_h END AS INT) AS dst_w,
+       CAST(CASE WHEN src_w <= 512 AND src_h <= 512 THEN src_h
+                 WHEN src_w * 512 >= src_h * 512 THEN (src_h * 512) // src_w
+                 ELSE 512 END AS INT) AS dst_h
+FROM imgs
+""",
+    tags=("multimodal", "resize"),
+)
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-in-512x512 resize planning through the Arrow mapInPandas
+    stage (sources/multimodal.resize_plan): integer-only target-dim
+    math, never upscaling. Source dims are synthesized deterministically
+    into meta.width/height (the slot the real header parse fills) so
+    the oracle can recompute the plan; the pixel resample itself stays
+    at the documented decoder='real' stub seam."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            (320 + (F.col("doc_id") % 17) * 64).cast("int").alias("width"),
+            (200 + (F.col("doc_id") % 23) * 48).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return mm.resize_plan(media, 512, 512)

@@ -204,3 +204,60 @@ def dedup_by_content(features: DataFrame) -> DataFrame:
         F.min("media_id").alias("canonical_media_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_w", T.IntegerType(), False),
+        T.StructField("src_h", T.IntegerType(), False),
+        T.StructField("dst_w", T.IntegerType(), False),
+        T.StructField("dst_h", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_plan(
+    media: DataFrame, max_w: int, max_h: int, decoder: str = "stub"
+) -> DataFrame:
+    """Fit-in-box resize planning over image rows (mapInPandas).
+
+    Target dimensions use integer-only math (never upscale; the binding
+    axis is chosen by comparing ``w*max_h`` vs ``h*max_w``, the scaled
+    axis floors) so every engine — and the DuckDB oracle — agrees
+    exactly. Source dims come from ``meta.width/height`` (populated by
+    the real header parse in ``extract_features`` or upstream
+    metadata). ``decoder="real"`` is the seam where the actual pixel
+    resample (PIL) plugs in; planning does not need it.
+    """
+    if decoder == "real":  # pragma: no cover - container lacks codecs
+        raise NotImplementedError(
+            "real pixel resampling (PIL) is not available in this "
+            "container; use decoder='stub' (planning is exact either way)"
+        )
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: int(m["width"]))
+            h = pdf["meta"].map(lambda m: int(m["height"]))
+            dst_w, dst_h = [], []
+            for wi, hi in zip(w, h):
+                if wi <= max_w and hi <= max_h:
+                    tw, th = wi, hi
+                elif wi * max_h >= hi * max_w:  # width is binding
+                    tw, th = max_w, (hi * max_w) // wi
+                else:
+                    tw, th = (wi * max_h) // hi, max_h
+                dst_w.append(tw)
+                dst_h.append(th)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "src_w": pd.array(w, dtype="int32"),
+                    "src_h": pd.array(h, dtype="int32"),
+                    "dst_w": pd.array(dst_w, dtype="int32"),
+                    "dst_h": pd.array(dst_h, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_go, RESIZE_SCHEMA)
