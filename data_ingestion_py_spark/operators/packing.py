@@ -1,0 +1,71 @@
+"""Contiguous sequence packing: assign ordered items to fixed token
+budgets by cumulative offset (GPT-style concat-and-chunk).
+
+The defining constraint is that pack assignment depends on a GLOBAL
+running sum over the ordered corpus — the naive plan is one
+unpartitioned window holding every row. This operator implements the
+scalable two-phase form instead: per-range partial sums produce a tiny
+offsets table (rows = number of ranges) that broadcasts back, and the
+running sum completes inside each range independently. The big table
+never single-partitions; the only global pass runs on the range
+aggregate.
+
+Used by the ``corpus_pack_sequences`` registry query (whose DuckDB
+oracle recomputes the naive global window — different algorithm, same
+answer) and property-tested against a clean-room Python model in
+``tests/test_packing.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def with_pack_ids(
+    items: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    n_col: str = "n",
+    range_size: int = 125,
+) -> DataFrame:
+    """items(id, n) → items + cum_before + pack_id.
+
+    ``cum_before`` is the sum of ``n`` over all rows with a smaller id;
+    ``pack_id = floor(cum_before / budget)`` — an item belongs to the
+    pack its offset starts in (items may straddle pack boundaries).
+    ``range_size`` controls the two-phase split: ranges = id div
+    range_size; the offsets table has one row per range and broadcasts.
+    """
+    idc: Column = F.col(id_col)
+    base = items.withColumn("_range_id", F.floor(idc / range_size))
+    range_totals = base.groupBy("_range_id").agg(
+        F.sum(n_col).alias("_range_n")
+    )
+    w_ranges = Window.orderBy("_range_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = range_totals.select(
+        "_range_id",
+        F.coalesce(F.sum("_range_n").over(w_ranges), F.lit(0)).alias(
+            "_offset"
+        ),
+    )
+    w_in_range = (
+        Window.partitionBy("_range_id")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), "_range_id")
+        .withColumn(
+            "cum_before",
+            F.col("_offset")
+            + F.coalesce(F.sum(n_col).over(w_in_range), F.lit(0)),
+        )
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("cum_before") / budget).cast("long"),
+        )
+        .drop("_range_id", "_range_n", "_offset")
+    )

@@ -359,3 +359,101 @@ def q_lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands + Pareto analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_activity_islands",
+    """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+), grp AS (
+    SELECT user_id, d,
+           d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS g
+    FROM days
+)
+SELECT user_id, CAST(min(d) AS VARCHAR) AS island_start,
+       CAST(max(d) AS VARCHAR) AS island_end,
+       CAST(count(*) AS INT) AS island_days
+FROM grp GROUP BY user_id, g
+""",
+    tags=("analytics", "islands"),
+)
+def q_events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user via the date-minus-row_number trick (consecutive dates share
+    the group key). The distinct collapses events to user-day grain
+    first, so the window runs on ~users×days rows, partitioned by user
+    — no global sort, one shuffle on user_id. Dates leave as strings
+    for the pandas-bridge reason documented module-wide."""
+    e = load_table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(
+            F.col("d"), F.row_number().over(w)
+        ).alias("g"),
+    )
+    return grp.groupBy("user_id", "g").agg(
+        F.min("d").cast("string").alias("island_start"),
+        F.max("d").cast("string").alias("island_end"),
+        F.count(F.lit(1)).cast("int").alias("island_days"),
+    ).drop("g")
+
+
+@register(
+    "orders_pareto_revenue",
+    """
+WITH by_cust AS (
+    SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders GROUP BY o_custkey
+), ranked AS (
+    SELECT o_custkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+           CAST(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM by_cust
+)
+SELECT o_custkey, revenue, rnk, cum_revenue
+FROM ranked WHERE rnk <= 100
+""",
+    tags=("analytics", "pareto"),
+)
+def q_orders_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration: customers ranked by revenue with a
+    running cumulative total, top 100. Both windows run on the
+    customer-sized aggregate with a custkey tie-break; the cumulative
+    sum stays DECIMAL until the final cast, so partial ordering can
+    never flip cents. The rank<=100 cut means only the head of the
+    distribution ever leaves the cluster."""
+    o = load_table(spark, sf_dir, "orders")
+    by_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = by_cust.select(
+        "o_custkey",
+        F.col("rev").cast("double").alias("revenue"),
+        F.row_number().over(w).alias("rnk"),
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("cum_revenue"),
+    )
+    return ranked.where(F.col("rnk") <= 100)

@@ -259,40 +259,15 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an independent window partition, so the big table never
     single-partitions; the oracle recomputes it with the naive global
     window — different algorithm, same answer."""
+    from data_ingestion_py_spark.operators.packing import with_pack_ids
+
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).alias("n"),
-        F.floor(F.col("doc_id") / _RANGE_SIZE).alias("range_id"),
-    )
-    range_totals = toks.groupBy("range_id").agg(F.sum("n").alias("range_n"))
-    w_ranges = (
-        Window.orderBy("range_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = range_totals.select(
-        "range_id",
-        F.coalesce(F.sum("range_n").over(w_ranges), F.lit(0)).alias("offset"),
-    )
-    w_in_range = (
-        Window.partitionBy("range_id")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = toks.join(F.broadcast(offsets), "range_id").select(
-        "doc_id",
-        "n",
-        (
-            F.col("offset")
-            + F.coalesce(F.sum("n").over(w_in_range), F.lit(0))
-        ).alias("cum_before"),
+    toks = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+    cum = with_pack_ids(
+        toks, PACK_BUDGET, id_col="doc_id", n_col="n", range_size=_RANGE_SIZE
     )
     return (
-        cum.groupBy(
-            F.floor(F.col("cum_before") / PACK_BUDGET)
-            .cast("long")
-            .alias("pack_id")
-        )
+        cum.groupBy("pack_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n").cast("long").alias("n_tokens"),
