@@ -457,3 +457,41 @@ def q_orders_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum_revenue"),
     )
     return ranked.where(F.col("rnk") <= 100)
+
+
+@register(
+    "events_type_transitions",
+    """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM ordered WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    tags=("analytics", "markov"),
+)
+def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences
+    (the Markov-chain / session-bigram shape): lag window partitioned
+    by user with a (ts, event_id) tie-break, then one count rollup on
+    the 5x5 type pairs. The event table shuffles once on user_id for
+    the window; the final aggregate is tiny. Same construction as
+    token-bigram counting, applied to behavioral sequences."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
