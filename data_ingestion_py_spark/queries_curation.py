@@ -482,3 +482,48 @@ def q_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_packs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-entity rate caps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_per_user_daily_cap",
+    """
+WITH ranked AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+           row_number() OVER (
+               PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+               ORDER BY ts, event_id) AS rn
+    FROM events
+)
+SELECT user_id, CAST(d AS VARCHAR) AS day,
+       CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY user_id, d
+""",
+    tags=("curation", "ratelimit"),
+)
+def q_events_per_user_daily_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity contribution cap: keep the first 5 events per
+    (user, day) in arrival order — how a corpus build stops one hot
+    source/user from dominating the mix. One shuffle on the composite
+    key; the row_number window is bounded per key so no partition ever
+    holds more than one user-day. Deterministic (ts, event_id)
+    ordering makes retries reproduce the same kept set."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    d = F.date_trunc("day", F.col("ts")).cast("date")
+    w = Window.partitionBy("user_id", d).orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id",
+        d.alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.groupBy("user_id", F.col("d").cast("string").alias("day")).agg(
+        F.sum((F.col("rn") <= 5).cast("int")).cast("long").alias("n_kept"),
+        F.sum((F.col("rn") > 5).cast("int")).cast("long").alias("n_dropped"),
+    )
