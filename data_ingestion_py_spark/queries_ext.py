@@ -936,6 +936,7 @@ import data_ingestion_py_spark.queries_dq  # noqa: E402,F401
 import data_ingestion_py_spark.queries_mm  # noqa: E402,F401
 import data_ingestion_py_spark.queries_pipeline  # noqa: E402,F401
 import data_ingestion_py_spark.queries_rel  # noqa: E402,F401
+import data_ingestion_py_spark.queries_timeseries  # noqa: E402,F401
 
 
 @register(

@@ -1,0 +1,445 @@
+"""Time-series operators: gap-fill + LOCF, rolling time-range windows,
+time-weighted averages, z-score outlier gates, winsorization, and a
+deterministic KMV distinct sketch.
+
+The reference stores page-timestamped snippets and event-like command
+queues (data_ingestion.py:306-330, :487-503) but has no time-series
+query surface at all; these are the hypertable-style operations an
+engine replacing it at ingestion scale must serve (gap-filled rollups
+for monitoring, rate/TWA for metering, outlier gates for curation,
+sketches for cheap cardinality).
+
+Parity discipline (see SURVEY.md §8): every aggregate that feeds a
+comparison or a division is quantized to integer units first (cents /
+micro-units) and summed exactly — the derived doubles are then
+bit-identical across engines regardless of partial-aggregation order.
+Windows that must be ordered carry a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill + last-observation-carried-forward
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_gap_fill_locf",
+    """
+WITH e AS (
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) AS bin,
+           value
+    FROM events WHERE event_type = 'error'
+), binned AS (
+    SELECT bin, count(*) AS n_events,
+           round(sum(round(value * 100)) / count(*) / 100.0, 4) AS bin_avg
+    FROM e GROUP BY bin
+), spine AS (
+    SELECT unnest(generate_series(
+        (SELECT min(bin) FROM binned),
+        (SELECT max(bin) FROM binned),
+        INTERVAL 10 MINUTE)) AS bin
+), joined AS (
+    SELECT s.bin, coalesce(b.n_events, 0) AS n_events, b.bin_avg
+    FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+)
+SELECT strftime(bin AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS bin,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events = 0 AS BOOLEAN) AS is_gap,
+       last_value(bin_avg IGNORE NULLS)
+           OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS locf_avg
+FROM joined
+""",
+    tags=("timeseries", "gapfill"),
+)
+def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 10-minute rollup of 'error' events with LOCF
+    (last-observation-carried-forward) interpolation — the TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` shape every monitoring rollup
+    needs. The spine is generated from one 2-value aggregate via
+    ``sequence`` + explode, so its size is bounded by the time range,
+    not the data; the events table shuffles once (the bin rollup). The
+    LOCF window is a single ordered pass over the *spine-sized* (not
+    event-sized) table — at 100 TB you'd partition it by the series key
+    (here there is one series). Bin averages are computed from exact
+    cent sums so both engines derive identical doubles."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    bin_col = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp("ts") / 600)).cast("long") * 600
+    )
+    binned = (
+        e.select(bin_col.alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.count(F.lit(1))
+                / 100.0,
+                4,
+            ).alias("bin_avg"),
+        )
+    )
+    bounds = binned.agg(
+        F.min("bin").alias("lo"), F.max("bin").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 10 MINUTES"))
+        ).alias("bin")
+    )
+    joined = spine.join(binned, "bin", "left").select(
+        "bin",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "bin_avg",
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.date_format("bin", "yyyy-MM-dd HH:mm:ss").alias("bin"),
+        "n_events",
+        (F.col("n_events") == 0).alias("is_gap"),
+        F.last("bin_avg", ignorenulls=True).over(w).alias("locf_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day revenue (time-range window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rolling_7d_revenue",
+    """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day_idx,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+    FROM orders GROUP BY 1, 2
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(day_rev AS DOUBLE) AS day_revenue,
+       CAST(sum(day_rev) OVER (
+           ORDER BY day_idx
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS rolling_7d_revenue
+FROM daily
+""",
+    tags=("timeseries", "window"),
+)
+def q_orders_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue via a RANGE window over an integer day
+    index — the moving-aggregate shape (rates, SLAs, run-rate
+    dashboards). The orders table shuffles once into the day rollup;
+    the window then runs over the *day-sized* aggregate (~2.4k rows
+    for 7 years), so the global sort is bounded by the calendar, not
+    the data. RANGE (not ROWS) semantics make missing days count as
+    zero contribution without gap-filling. Sums stay DECIMAL until the
+    final cast so partial-agg order can't flip cents."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("day_idx"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("d", "day_idx")
+        .agg(F.sum("p").alias("day_rev"))
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        F.col("day_rev").cast("double").alias("day_revenue"),
+        F.sum("day_rev").over(w).cast("double").alias("rolling_7d_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+WITH seq AS (
+    SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) AS v_cents,
+           CAST(epoch_us(lead(ts) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id)) -
+               epoch_us(ts) AS BIGINT) AS dur_us
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       round(CAST(sum(CAST(v_cents AS DECIMAL(38,0)) * dur_us) AS DOUBLE) /
+             CAST(sum(CAST(dur_us AS DECIMAL(38,0))) AS DOUBLE) / 100.0,
+             6) AS twa_value
+FROM seq WHERE dur_us IS NOT NULL
+GROUP BY event_type
+""",
+    tags=("timeseries", "twa"),
+)
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean of `value` per event type — the metering
+    / sensor-rollup aggregate where each observation holds until the
+    next one (TimescaleDB ``time_weight('locf', ...)``). One shuffle on
+    event_type for the lead window, then a hash aggregate. Values are
+    quantized to exact cents and durations to exact microseconds, both
+    summed as DECIMAL(38,0), so the final ratio is derived from
+    identical integers in any engine / partial-agg order; int64 would
+    already overflow at ~1e5 rows, which is why the sums are decimal."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            F.sum(F.col("v_cents").cast("decimal(38,0)") * F.col("dur_us")).cast(
+                "double"
+            )
+            / F.sum(F.col("dur_us").cast("decimal(38,0)")).cast("double")
+            / 100.0,
+            6,
+        ).alias("twa_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outlier gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_zscore_outliers",
+    """
+WITH q AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+), stats AS (
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(vc) AS DOUBLE) / count(*) AS mean_c,
+           sqrt((CAST(sum(CAST(vc AS DECIMAL(38,0)) * vc) AS DOUBLE) -
+                 CAST(sum(vc) AS DOUBLE) * CAST(sum(vc) AS DOUBLE) / count(*))
+                / (count(*) - 1)) AS std_c
+    FROM q GROUP BY event_type
+)
+SELECT q.event_type,
+       CAST(stats.n AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs((vc - mean_c) / std_c) > 2.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN abs((vc - mean_c) / std_c) > 2.0
+                           THEN 1 ELSE 0 END) AS DOUBLE) / stats.n, 6)
+           AS outlier_pct
+FROM q JOIN stats ON q.event_type = stats.event_type
+GROUP BY q.event_type, stats.n
+""",
+    tags=("timeseries", "quality"),
+)
+def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier gate (|z| > 2) — the numeric analogue
+    of the text quality cascade: drop metric rows that sit far outside
+    their group's distribution before they poison a training mix. Two
+    passes over events (stats, then flag) with the 5-row stats table
+    broadcast back — at 100 TB both are one shuffle each and the join
+    never moves the fact table. Mean/stddev are derived from *exact*
+    integer cent sums (sum, sum-of-squares in DECIMAL), so the derived
+    doubles — and therefore every row's side of the > 2.0 comparison —
+    are bit-identical across engines; a naive stddev_samp over raw
+    doubles would make boundary rows flip with partial-agg order."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("vc").cast("double") / F.count(F.lit(1))).alias("mean_c"),
+        F.sqrt(
+            (
+                F.sum(F.col("vc").cast("decimal(38,0)") * F.col("vc")).cast("double")
+                - F.sum("vc").cast("double")
+                * F.sum("vc").cast("double")
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("std_c"),
+    )
+    z = F.abs((F.col("vc") - F.col("mean_c")) / F.col("std_c"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            F.sum(F.when(z > 2.0, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(F.when(z > 2.0, 1).otherwise(0)).cast("double") / F.col("n"),
+                6,
+            ).alias("outlier_pct"),
+        )
+        .select(
+            "event_type", F.col("n").cast("long").alias("n"), "n_outliers",
+            "outlier_pct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_winsorized_stats",
+    """
+WITH b AS (
+    SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(p01, 2) AS p01,
+       round(p99, 2) AS p99,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100.0, 4) AS raw_mean,
+       round(CAST(sum(CAST(round(
+                 least(greatest(o_totalprice, p01), p99) * 100) AS BIGINT))
+             AS DOUBLE) / count(*) / 100.0, 4) AS winsorized_mean
+FROM orders, b
+GROUP BY p01, p99
+""",
+    tags=("timeseries", "quality"),
+)
+def q_orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip order totals at the exact p01/p99 quantiles
+    and compare the clipped vs raw mean — the standard heavy-tail guard
+    before loss-weighting or per-source budgeting. The 1-row quantile
+    aggregate broadcasts into the scan (crossJoin of a scalar, the
+    q15/q22 pattern — never a real cartesian); the clip itself is a
+    narrow map. Exact ``percentile`` here; at 100 TB the swap is
+    ``approx_percentile`` with the same plan shape. Means are derived
+    from exact cent sums so both engines agree to the last bit."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("p01"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy("p01", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / 100.0,
+                4,
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(F.round(clipped * 100).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                4,
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "n",
+            F.round("p01", 2).alias("p01"),
+            F.round("p99", 2).alias("p99"),
+            "raw_mean",
+            "winsorized_mean",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+_SQL_H32 = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT)"
+
+
+@register(
+    "events_kmv_distinct",
+    f"""
+WITH h AS (
+    SELECT DISTINCT event_type, {_SQL_H32} AS h32 FROM events
+), ranked AS (
+    SELECT event_type, h32,
+           row_number() OVER (PARTITION BY event_type ORDER BY h32) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n_exact
+    FROM h
+)
+SELECT event_type,
+       CAST(max(n_exact) AS BIGINT) AS exact_distinct,
+       round(CASE WHEN max(n_exact) < {_KMV_K} THEN CAST(max(n_exact) AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) * 4294967296.0 /
+                       max(CASE WHEN rn = {_KMV_K} THEN h32 END)
+             END, 2) AS kmv_estimate
+FROM ranked WHERE rn <= {_KMV_K}
+GROUP BY event_type
+""",
+    tags=("sketch", "cardinality"),
+)
+def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user sketch per event type:
+    keep the k=64 smallest 32-bit md5 hashes of user_id; the k-th
+    minimum's position in hash space estimates the cardinality as
+    (k-1) / (h_k / 2^32). Unlike HyperLogLog this construction is
+    exactly reproducible in any engine (md5 column algebra, no salted
+    native sketch state), mergeable (union of k-min sets re-trimmed to
+    k), and oracle-checkable — the deterministic stand-in for
+    ``approx_count_distinct`` at 100 TB, where the exact-distinct
+    column here would be dropped and the per-partition k-min sets
+    merged instead of windowed. Exact distinct is carried alongside to
+    show the estimate lands within KMV's ~1/sqrt(k) ≈ 12% band."""
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h32"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h32")
+    wc = Window.partitionBy("event_type")
+    ranked = h.select(
+        "event_type",
+        "h32",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    ).filter(F.col("rn") <= _KMV_K)
+    return ranked.groupBy("event_type").agg(
+        F.max("n_exact").cast("long").alias("exact_distinct"),
+        F.round(
+            F.when(
+                F.max("n_exact") < _KMV_K, F.max("n_exact").cast("double")
+            ).otherwise(
+                (_KMV_K - 1)
+                * 4294967296.0
+                / F.max(F.when(F.col("rn") == _KMV_K, F.col("h32")))
+            ),
+            2,
+        ).alias("kmv_estimate"),
+    )
