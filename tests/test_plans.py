@@ -243,6 +243,7 @@ _TINY_BROADCAST_OK = {
     "dq_constraint_violations",
     "similarity_pq_topk",
     "corpus_build_e2e",
+    "orders_winsorized_stats",
 }
 
 
