@@ -933,6 +933,7 @@ import data_ingestion_py_spark.queries_analytics  # noqa: E402,F401
 import data_ingestion_py_spark.queries_catalog  # noqa: E402,F401
 import data_ingestion_py_spark.queries_curation  # noqa: E402,F401
 import data_ingestion_py_spark.queries_dq  # noqa: E402,F401
+import data_ingestion_py_spark.queries_graph  # noqa: E402,F401
 import data_ingestion_py_spark.queries_mm  # noqa: E402,F401
 import data_ingestion_py_spark.queries_pipeline  # noqa: E402,F401
 import data_ingestion_py_spark.queries_rel  # noqa: E402,F401
