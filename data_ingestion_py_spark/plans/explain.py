@@ -70,3 +70,33 @@ def codegen_stage_count(df: DataFrame) -> int:
     ids = re.findall(r"WholeStageCodegen \((\d+)\)", plan)
     ids += re.findall(r"\*\((\d+)\)", plan)
     return len(set(ids))
+
+
+def single_partition_windows(df: DataFrame) -> int:
+    """Window operators fed by an Exchange SinglePartition — i.e.
+    partition-less windows that move their whole input to one task.
+    Legit only over provably bounded inputs (year tables, per-range
+    offset tables); a registry query whose window input is
+    row-proportional must use the two-phase form in
+    ``operators/ranking.py`` / ``operators/packing.py`` instead.
+    AQE may interpose ShuffleQueryStage/AQEShuffleRead between the
+    Window's Sort and the exchange, so we look a few lines ahead.
+    """
+    lines = executed_plan(df).splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if re.search(r"\bWindow(?:GroupLimit)? ", line) and "WindowGroupLimit" not in line:
+            window = len(lines)
+            for j in range(i + 1, min(i + 6, window)):
+                if "SinglePartition" in lines[j]:
+                    hits += 1
+                    break
+                # a partitioned exchange or a deeper operator means
+                # we've left this Window's input chain
+                if re.search(
+                    r"Exchange (?:hash|range)partitioning"
+                    r"|\b(?:HashAggregate|Join|Window) ",
+                    lines[j],
+                ):
+                    break
+    return hits

@@ -57,33 +57,47 @@ FROM scored
 )
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation: one
-    shuffle on custkey for the base aggregate, then three ntile windows
-    over the *aggregated* (customer-sized, not order-sized) table.
-    Every window orders with a custkey tie-break so quartile edges are
-    engine-deterministic; monetary sums in DECIMAL so partial-agg order
-    cannot flip cents. The global ntile windows single-partition the
-    *customer aggregate* — fine to ~10M customers; past that the swap
-    is approxQuantile-derived quartile boundaries + a scan-side bucket
-    expression (same output grain, no global sort)."""
+    shuffle on custkey for the base aggregate, then three EXACT ntile
+    passes over the customer-sized table — each via the two-phase
+    global rank (``operators/ranking.py``: range-partition → tiny
+    offsets broadcast → local window), so nothing single-partitions at
+    any scale. ``ntile_expr`` reproduces SQL NTILE(4) bit-exactly from
+    (rank, total), which keeps the DuckDB window-function oracle
+    unchanged. Every order carries a custkey tie-break so quartile
+    edges are engine-deterministic; monetary sums in DECIMAL so
+    partial-agg order cannot flip cents."""
+    from data_ingestion_py_spark.operators.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
+    for key, score in (
+        ("last_order", "r_score"),
+        ("n_orders", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        rfm = with_global_rank(
+            rfm,
+            [F.asc(key), F.asc("c_custkey")],
+            rank_col="_rnk",
+            total_col="_tot",
+        )
+        rfm = rfm.withColumn(
+            score, ntile_expr(F.col("_rnk"), F.col("_tot"), 4)
+        ).drop("_rnk", "_tot")
     scored = rfm.select(
         "c_custkey",
         "n_orders",
         F.col("monetary").cast("double").alias("monetary_total"),
-        F.ntile(4)
-        .over(Window.orderBy("last_order", "c_custkey"))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy("n_orders", "c_custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy("monetary", "c_custkey"))
-        .alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return scored.select(
         "c_custkey",
@@ -437,26 +451,31 @@ FROM ranked WHERE rnk <= 100
 )
 def q_orders_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto (80/20) concentration: customers ranked by revenue with a
-    running cumulative total, top 100. Both windows run on the
-    customer-sized aggregate with a custkey tie-break; the cumulative
-    sum stays DECIMAL until the final cast, so partial ordering can
-    never flip cents. The rank<=100 cut means only the head of the
-    distribution ever leaves the cluster."""
+    running cumulative total, top 100. Rank AND running sum come from
+    one two-phase global-rank pass (``operators/ranking.py``) over the
+    customer aggregate — range-partition on (rev desc, custkey), tiny
+    offsets broadcast, local window — so the running sum never
+    single-partitions. The cumulative sum stays DECIMAL until the final
+    cast, so partial ordering can never flip cents; the rank<=100 cut
+    means only the head of the distribution ever leaves the cluster."""
+    from data_ingestion_py_spark.operators.ranking import with_global_rank
+
     o = load_table(spark, sf_dir, "orders")
     by_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    ranked = by_cust.select(
+    ranked = with_global_rank(
+        by_cust,
+        [F.desc("rev"), F.asc("o_custkey")],
+        rank_col="rnk",
+        cumsum={"cum_rev": F.col("rev")},
+    )
+    return ranked.where(F.col("rnk") <= 100).select(
         "o_custkey",
         F.col("rev").cast("double").alias("revenue"),
-        F.row_number().over(w).alias("rnk"),
-        F.sum("rev")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("double")
-        .alias("cum_revenue"),
+        "rnk",
+        F.col("cum_rev").cast("double").alias("cum_revenue"),
     )
-    return ranked.where(F.col("rnk") <= 100)
 
 
 @register(

@@ -328,3 +328,39 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# queries whose executed plan legitimately contains partition-less
+# Window operators — every entry's window input is provably BOUNDED
+# (calendar-sized or partition-count-sized), never row-proportional:
+#   orders_yoy_revenue        lag over the year rollup (rows = years)
+#   orders_rolling_7d_revenue range window over the day rollup
+#                             (rows = calendar days)
+#   corpus_pack_sequences     packing offsets table (rows = id-ranges,
+#                             operators/packing.py two-phase form)
+#   customer_rfm_segments     3x ranking offsets tables (rows =
+#                             shuffle partitions, operators/ranking.py)
+#   orders_pareto_revenue     1x ranking offsets table (same)
+# name -> max allowed count, so a regression that ADDS one still fails.
+_BOUNDED_GLOBAL_WINDOW_OK = {
+    "orders_yoy_revenue": 1,
+    "orders_rolling_7d_revenue": 1,
+    "corpus_pack_sequences": 1,
+    "customer_rfm_segments": 3,
+    "orders_pareto_revenue": 1,
+}
+
+
+def test_no_unbounded_single_partition_windows(spark):
+    """No registry query may single-partition a row-proportional input
+    through a partition-less Window. The allowlist above enumerates the
+    windows that run over bounded aggregates (the correct two-phase
+    form); anything else must use operators/ranking.py or
+    operators/packing.py. This pins VERDICT r2 finding #2 permanently."""
+    for name, q in QUERIES.items():
+        n = E.single_partition_windows(q.spark(spark, SF_SMOKE))
+        cap = _BOUNDED_GLOBAL_WINDOW_OK.get(name, 0)
+        assert n <= cap, (
+            f"{name}: {n} single-partition Window(s), allowed {cap} — "
+            "use the two-phase global-rank/offsets form"
+        )
