@@ -181,13 +181,19 @@ def near_duplicates_minhash(
     (bands, rows) default to the S-curve fit for ``threshold``
     (lsh_params), so recall at the threshold is ≥0.9 by construction.
 
-    Signatures are cached: the plan references them three times
-    (banding + both sides of the verify join); without the cache the
-    whole shingle/md5 pipeline runs 3×.
+    Signatures are materialized once via a lazy ``localCheckpoint``:
+    the plan references them three times (banding + both sides of the
+    verify join) and would otherwise run the whole shingle/md5 pipeline
+    3×. Unlike ``.cache()`` (which parks an entry in the CacheManager
+    until someone remembers to unpersist — a leak in long-lived
+    sessions), checkpoint blocks are released automatically when the
+    DataFrame is garbage-collected after the consumer materializes.
     """
     if bands is None or rows is None:
         bands, rows = lsh_params(threshold, n_hashes)
-    sigs = minhash_signatures(docs, text_col, k, n_hashes).cache()
+    sigs = minhash_signatures(docs, text_col, k, n_hashes).localCheckpoint(
+        eager=False
+    )
     cands = lsh_candidate_pairs(sigs.select("doc_id", "sig"), bands, rows)
     return jaccard_verify(cands, sigs.select("doc_id", "shingles"), threshold)
 

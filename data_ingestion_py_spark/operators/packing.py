@@ -18,6 +18,8 @@ answer) and property-tested against a clean-room Python model in
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -27,7 +29,7 @@ def with_pack_ids(
     budget: int,
     id_col: str = "doc_id",
     n_col: str = "n",
-    range_size: int = 125,
+    range_size: int | None = None,
 ) -> DataFrame:
     """items(id, n) → items + cum_before + pack_id.
 
@@ -36,8 +38,19 @@ def with_pack_ids(
     pack its offset starts in (items may straddle pack boundaries).
     ``range_size`` controls the two-phase split: ranges = id div
     range_size; the offsets table has one row per range and broadcasts.
+    By default it is DERIVED so the offsets table stays O(√n) at any
+    corpus size (a fixed value is an 8M-row broadcast at 1e9 docs): one
+    cheap (count, min, max) pass sizes the ranges as id-span / √n. Pass
+    an explicit ``range_size`` to skip that pass when the caller
+    already knows the corpus shape.
     """
     idc: Column = F.col(id_col)
+    if range_size is None:
+        n, lo, hi = items.agg(
+            F.count(F.lit(1)), F.min(idc), F.max(idc)
+        ).first()
+        span = (hi - lo + 1) if n else 1
+        range_size = max(1, math.ceil(span / max(1, math.isqrt(n or 1))))
     base = items.withColumn("_range_id", F.floor(idc / range_size))
     range_totals = base.groupBy("_range_id").agg(
         F.sum(n_col).alias("_range_n")

@@ -220,7 +220,6 @@ def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PACK_BUDGET = 512
-_RANGE_SIZE = 125
 
 
 @register(
@@ -253,19 +252,19 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The naive plan is a global ``sum() OVER (ORDER BY doc_id)`` — ONE
     partition holding the whole corpus. Implemented instead as the
-    two-phase scan: per-range partial sums (range = doc_id div
-    {_RANGE_SIZE}) -> a tiny offsets table (one row per range, window
-    over that only) broadcast back -> within-range cumsum. Each range
-    is an independent window partition, so the big table never
-    single-partitions; the oracle recomputes it with the naive global
-    window — different algorithm, same answer."""
+    two-phase scan: per-range partial sums -> a tiny offsets table (one
+    row per range, window over that only) broadcast back ->
+    within-range cumsum. The range size is DERIVED (id-span / √n via
+    one cheap count pass), so the offsets broadcast stays O(√n) rows at
+    any corpus size — ~31k rows at 1e9 docs, never the 8M a fixed split
+    would produce. Each range is an independent window partition, so
+    the big table never single-partitions; the oracle recomputes it
+    with the naive global window — different algorithm, same answer."""
     from data_ingestion_py_spark.operators.packing import with_pack_ids
 
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
-    cum = with_pack_ids(
-        toks, PACK_BUDGET, id_col="doc_id", n_col="n", range_size=_RANGE_SIZE
-    )
+    cum = with_pack_ids(toks, PACK_BUDGET, id_col="doc_id", n_col="n")
     return (
         cum.groupBy("pack_id")
         .agg(

@@ -232,3 +232,80 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return mm.resize_plan(media, 512, 512)
+
+
+def _le_hex(c, nbytes: int):
+    """Little-endian hex of an integer column (byte-swapped F.hex)."""
+    h = F.lpad(F.hex(c), nbytes * 2, "0")
+    return F.concat(
+        *[
+            F.substring(h, (nbytes - 1 - i) * 2 + 1, 2)
+            for i in range(nbytes)
+        ]
+    )
+
+
+@register(
+    "multimodal_av_duration",
+    """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(CASE WHEN doc_id % 3 = 1
+            THEN ((doc_id * 37) % 100000 + 1000) * 1000
+                 // (16000 + (doc_id % 4) * 8000)
+            ELSE ((doc_id * 13) % 36000 + 60) * 1000
+                 // ((doc_id % 5) * 300 + 600)
+       END AS BIGINT) AS duration_ms
+FROM documents WHERE doc_id % 3 <> 0
+""",
+    tags=("multimodal", "decode"),
+)
+def q_multimodal_av_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio/video header decode end-to-end (the de-stubbed
+    counterpart of multimodal_image_meta): construct valid WAV/RIFF
+    headers (little-endian fmt/data chunks) and MP4 ftyp+moov+mvhd
+    boxes (big-endian) in column algebra with doc_id-derived byte
+    rates / data sizes / timescales, push the binary through the Arrow
+    mapInPandas probe, and parse the duration back with the pure-byte
+    kernel (sources/multimodal.media_duration_ms). The oracle
+    recomputes the planted durations arithmetically — independent
+    ground truth, so endianness/offset/chunk-walk bugs hash-mismatch
+    immediately."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 != 0)
+    is_audio = F.col("doc_id") % 3 == 1
+    byte_rate = (16000 + (F.col("doc_id") % 4) * 8000).cast("long")
+    data_size = ((F.col("doc_id") * 37) % 100000 + 1000).cast("long")
+    wav_hex = F.concat(
+        F.lit("52494646"),               # 'RIFF'
+        _le_hex(data_size + 36, 4),      # riff size
+        F.lit("57415645"),               # 'WAVE'
+        F.lit("666D7420"),               # 'fmt '
+        _le_hex(F.lit(16), 4),           # fmt chunk size
+        _le_hex(F.lit(1), 2),            # PCM
+        _le_hex(F.lit(1), 2),            # mono
+        _le_hex((byte_rate / 2).cast("long"), 4),  # sample rate
+        _le_hex(byte_rate, 4),           # byte rate  <- parsed
+        _le_hex(F.lit(2), 2),            # block align
+        _le_hex(F.lit(16), 2),           # bits/sample
+        F.lit("64617461"),               # 'data'
+        _le_hex(data_size, 4),           # data size  <- parsed
+    )
+    timescale = ((F.col("doc_id") % 5) * 300 + 600).cast("long")
+    dur_units = ((F.col("doc_id") * 13) % 36000 + 60).cast("long")
+    be4 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    mp4_hex = F.concat(
+        F.lit("000000106674797069736F6D00000000"),  # ftyp isom
+        F.lit("000000246D6F6F76"),                  # moov (size 36)
+        F.lit("0000001C6D766864"),                  # mvhd v0 (size 28)
+        F.lit("00000000" * 3),                      # ver/flags,ctime,mtime
+        be4(timescale),
+        be4(dur_units),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(is_audio, "audio").otherwise("video").alias("kind"),
+        F.unhex(F.when(is_audio, wav_hex).otherwise(mp4_hex)).alias(
+            "payload"
+        ),
+    )
+    return mm.probe_metadata(media).select("media_id", "kind", "duration_ms")

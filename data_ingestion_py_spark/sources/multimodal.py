@@ -89,7 +89,15 @@ def image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
         while i + 4 <= n:
             if payload[i] != 0xFF:
                 return None
+            # spec-legal 0xFF fill bytes may pad before the marker
+            # (ITU T.81 §B.1.1.2) — skip to the last 0xFF of the run
+            while i + 2 < n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 4 > n:
+                return None
             marker = payload[i + 1]
+            if marker in (0xD9, 0xDA):
+                return None  # EOI / SOS: entropy data follows, no SOF seen
             if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers have no length field
                 continue
@@ -109,6 +117,129 @@ def image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
             int.from_bytes(payload[8:10], "little"),
         )
     return None
+
+def media_duration_ms(payload: bytes | None) -> int | None:
+    """REAL decode kernel: duration in milliseconds from WAV/RIFF or
+    MP4 (ISO BMFF) header bytes — pure-Python byte parsing, no codec
+    libraries. The audio/video counterpart of ``image_dimensions``.
+
+    - WAV: 'RIFF'+size+'WAVE', then a word-aligned chunk walk; the
+      'fmt ' chunk's little-endian uint32 byte-rate at data offset 8
+      and the 'data' chunk's declared size give
+      ``data_size * 1000 // byte_rate`` (RIFF/WAVE spec).
+    - MP4: big-endian box walk; inside 'moov', the 'mvhd' box carries
+      timescale + duration — version 0 as uint32s at offsets 20/24,
+      version 1 as uint32/uint64 at 28/32 (ISO 14496-12 §8.2.2) —
+      giving ``duration * 1000 // timescale``.
+
+    Returns None for unrecognized, truncated, or 64-bit-size ('co64'
+    style size==1) payloads — those stay NULL rather than guessed.
+    """
+    if payload is None:
+        return None
+    n = len(payload)
+    if n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i = 12
+        byte_rate: int | None = None
+        data_size: int | None = None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            csz = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 20 <= n:
+                byte_rate = int.from_bytes(payload[i + 16 : i + 20], "little")
+            elif cid == b"data":
+                data_size = csz
+            if byte_rate is not None and data_size is not None:
+                return (
+                    data_size * 1000 // byte_rate if byte_rate else None
+                )
+            i += 8 + csz + (csz & 1)  # RIFF chunks are word-aligned
+        return None
+    if n >= 12 and payload[4:8] == b"ftyp":
+        i = 0
+        while i + 8 <= n:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            if size < 8:  # size 0 (to-eof) / 1 (64-bit) unsupported
+                return None
+            if payload[i + 4 : i + 8] == b"moov":
+                j, end = i + 8, min(i + size, n)
+                while j + 8 <= end:
+                    bsz = int.from_bytes(payload[j : j + 4], "big")
+                    if payload[j + 4 : j + 8] == b"mvhd" and j + 9 <= end:
+                        if payload[j + 8] == 1:
+                            if j + 40 > n:
+                                return None
+                            ts = int.from_bytes(
+                                payload[j + 28 : j + 32], "big"
+                            )
+                            dur = int.from_bytes(
+                                payload[j + 32 : j + 40], "big"
+                            )
+                        else:
+                            if j + 28 > n:
+                                return None
+                            ts = int.from_bytes(
+                                payload[j + 20 : j + 24], "big"
+                            )
+                            dur = int.from_bytes(
+                                payload[j + 24 : j + 28], "big"
+                            )
+                        return dur * 1000 // ts if ts else None
+                    if bsz < 8:
+                        return None
+                    j += bsz
+            i += size
+        return None
+    return None
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def probe_metadata(media: DataFrame) -> DataFrame:
+    """Header-probe every payload with the REAL pure-byte kernels:
+    images → (width, height) via ``image_dimensions``, audio/video →
+    duration via ``media_duration_ms``. Arrow ``mapInPandas`` — the
+    probe parallelizes with the scan, reads only header bytes per
+    item, and never ships payloads to the driver."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                bytes(p) if p is not None else None for p in pdf["payload"]
+            ]
+            dims = [
+                image_dimensions(p) if k == "image" else None
+                for k, p in zip(pdf["kind"], payloads)
+            ]
+            durs = [
+                media_duration_ms(p) if k in ("audio", "video") else None
+                for k, p in zip(pdf["kind"], payloads)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": pd.array(
+                        [d[0] if d else None for d in dims], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d[1] if d else None for d in dims], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(_go, PROBE_SCHEMA)
+
 
 FRAME_SCHEMA = T.StructType(
     [

@@ -145,8 +145,18 @@ def run_curation_stream(
     grows monotonically, re-delivered or re-crawled content is dropped
     by content hash, and the dedup state is itself a table (at cluster
     scale: a Delta/parquet hash index merged per batch, not a driver
-    set). Replaying all files (availableNow) produces exactly the
-    batch-mode result — the test pins that equivalence.
+    set).
+
+    Canonicalization CONTRACT — first-delivered-wins: within a batch
+    the smallest doc_id per hash wins; ACROSS batches the first
+    delivery of a hash keeps ownership even if a later file carries a
+    smaller doc_id for the same content. That is the correct streaming
+    semantic (an already-published doc must not be retracted when a
+    duplicate arrives), but it means an availableNow replay equals the
+    batch cascade only when file delivery order is the doc_id order —
+    true for this source (one parquet file per trigger, files named in
+    id order) and pinned by the test; a re-crawl that delivers files
+    out of order diverges from batch mode by design.
     """
     from data_ingestion_py_spark.functions.text import (
         quality_keep_condition,

@@ -26,7 +26,7 @@ def model_packs(
     sizes=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
     id_stride=st.integers(min_value=1, max_value=40),
     budget=st.integers(min_value=1, max_value=512),
-    range_size=st.integers(min_value=1, max_value=50),
+    range_size=st.one_of(st.none(), st.integers(min_value=1, max_value=50)),
 )
 @settings(
     max_examples=12,
@@ -65,3 +65,15 @@ def test_pack_ids_contiguous_and_token_preserving(spark):
     for r in per_pack:
         if r.pack_id != last:
             assert r.t >= 256 - 59  # max item size headroom
+
+
+def test_derived_range_size_scales_with_sqrt_n(spark):
+    # sparse ids over a wide span: the derived split must keep the
+    # offsets table ~sqrt(n) rows, not span-sized or fixed
+    items = [(i * 1000, 5) for i in range(400)]
+    df = spark.createDataFrame(items, "doc_id long, n long")
+    got = {
+        r.doc_id: (r.cum_before, r.pack_id)
+        for r in with_pack_ids(df, 64).collect()
+    }
+    assert got == model_packs(items, 64)

@@ -160,3 +160,101 @@ def test_compact_reduces_file_count(spark, tmp_path):
     assert (
         spark.read.parquet(out).count() == spark.read.parquet(src).count()
     )
+
+def test_jpeg_fill_bytes_before_marker():
+    """Spec-legal 0xFF padding before a marker (ITU T.81 B.1.1.2) must
+    not derail the segment walk, and EOI/SOS must terminate it."""
+    sof0 = (
+        b"\xff\xc0\x00\x11\x08"
+        + (77).to_bytes(2, "big")
+        + (99).to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 9
+    )
+    padded = b"\xff\xd8" + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    assert multimodal.image_dimensions(padded) == (99, 77)
+    # SOS before any SOF: walk must stop (entropy data follows), not
+    # misread compressed bytes as segments
+    sos_first = b"\xff\xd8" + b"\xff\xda\x00\x04\x01\x00" + b"\x12\x34"
+    assert multimodal.image_dimensions(sos_first) is None
+
+
+def _wav_stdlib(n_frames: int, rate: int) -> bytes:
+    """A REAL wav file via the stdlib wave module (mono 16-bit PCM)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * n_frames)
+    return buf.getvalue()
+
+
+def _mp4(timescale: int, duration: int, version: int = 0) -> bytes:
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + (0).to_bytes(4, "big")
+    if version == 0:
+        mvhd_body = (
+            b"\x00\x00\x00\x00"
+            + (0).to_bytes(4, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+        )
+    else:
+        mvhd_body = (
+            b"\x01\x00\x00\x00"
+            + (0).to_bytes(8, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+        )
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    return ftyp + moov
+
+
+def test_media_duration_real_bytes():
+    """The WAV/MP4 duration kernel against REAL stdlib-generated WAV
+    bytes and hand-built-but-valid ISO BMFF boxes (v0 AND v1 mvhd)."""
+    # 8000 frames at 16kHz mono 16-bit = exactly 500 ms
+    assert multimodal.media_duration_ms(_wav_stdlib(8000, 16000)) == 500
+    assert multimodal.media_duration_ms(_wav_stdlib(44100, 44100)) == 1000
+    assert multimodal.media_duration_ms(_mp4(600, 3000)) == 5000
+    assert multimodal.media_duration_ms(_mp4(1000, 1500, version=1)) == 1500
+    # leading non-moov box is skipped by declared size; free box padding
+    free = (16).to_bytes(4, "big") + b"free" + b"\x00" * 8
+    ftyp_free = _mp4(600, 1200)
+    with_free = ftyp_free[:16] + free + ftyp_free[16:]
+    assert multimodal.media_duration_ms(with_free) == 2000
+    # garbage / truncated / zero timescale / None → None, no exception
+    assert multimodal.media_duration_ms(b"RIFFxxxxWAVE") is None
+    assert multimodal.media_duration_ms(_mp4(0, 500)) is None
+    assert multimodal.media_duration_ms(_wav_stdlib(100, 8000)[:30]) is None
+    assert multimodal.media_duration_ms(b"not media") is None
+    assert multimodal.media_duration_ms(None) is None
+
+
+def test_probe_metadata_mixed_kinds(spark):
+    """The Arrow probe stage routes each kind to its kernel and leaves
+    the other columns NULL."""
+    rows = [
+        (1, "image", _png(64, 32)),
+        (2, "audio", _wav_stdlib(4000, 8000)),
+        (3, "video", _mp4(600, 600)),
+        (4, "audio", b"garbage"),
+        (5, "video", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    got = {
+        r.media_id: (r.width, r.height, r.duration_ms)
+        for r in multimodal.probe_metadata(df).collect()
+    }
+    assert got == {
+        1: (64, 32, None),
+        2: (None, None, 500),
+        3: (None, None, 1000),
+        4: (None, None, None),
+        5: (None, None, None),
+    }
