@@ -57,8 +57,17 @@ def with_global_rank(
     cumsum = cumsum or {}
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(p, *order_by).withColumn(
-        _PID, F.spark_partition_id()
+    # localCheckpoint pins ONE materialization of the range shuffle:
+    # RangePartitioner samples boundaries with an rdd-id-dependent seed,
+    # so if the offsets branch and the window branch each re-executed the
+    # exchange they could see DIFFERENT boundaries — _pid would then
+    # disagree between branches and ranks near boundaries would be off
+    # (observed at sf0.1 where boundary sampling is partial). Both
+    # branches must read the same blocks, not the same plan.
+    ranged = (
+        df.repartitionByRange(p, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     sums = [F.sum(c).alias(f"_gr_s_{n}") for n, c in cumsum.items()]
     pstats = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT), *sums)

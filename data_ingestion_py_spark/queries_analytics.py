@@ -54,6 +54,7 @@ SELECT c_custkey, CAST(n_orders AS BIGINT) AS n_orders, monetary_total,
 FROM scored
 """,
     tags=("analytics", "rfm"),
+    bench=True,
 )
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quartile segmentation: one
@@ -448,6 +449,7 @@ SELECT o_custkey, revenue, rnk, cum_revenue
 FROM ranked WHERE rnk <= 100
 """,
     tags=("analytics", "pareto"),
+    bench=True,
 )
 def q_orders_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto (80/20) concentration: customers ranked by revenue with a
@@ -514,3 +516,94 @@ def q_events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles, distributed (two-phase rank — no single-partition sort)
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4),
+              ("p90", 9, 10), ("p99", 99, 100))
+
+
+def _quantile_oracle() -> str:
+    aggs, outs = [], []
+    for label, num, den in _QUANTILES:
+        lo = f"((n - 1) * {num}) // {den} + 1"
+        rem = f"((n - 1) * {num}) % {den}"
+        aggs.append(
+            f"max(CASE WHEN rnk = {lo} THEN v END) AS lo_{label},\n"
+            f"    max(CASE WHEN rnk = {lo} + 1 THEN v END) AS hi_{label},\n"
+            f"    max({rem}) AS rem_{label}"
+        )
+        outs.append(
+            f"round(lo_{label} + rem_{label} * "
+            f"(coalesce(hi_{label}, lo_{label}) - lo_{label}) / {den}, 4)"
+            f" AS {label}"
+        )
+    return f"""
+WITH ranked AS (
+    SELECT o_totalprice AS v,
+           row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+           count(*) OVER () AS n
+    FROM orders
+), agg AS (
+    SELECT {', '.join(aggs)}
+    FROM ranked
+)
+SELECT {', '.join(outs)} FROM agg
+"""
+
+
+@register(
+    "orders_exact_quantiles",
+    _quantile_oracle(),
+    tags=("analytics", "quantile"),
+    bench=True,
+)
+def q_orders_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p75/p90/p99 of order totals, computed distributed:
+    the two-phase global rank (``operators/ranking.py``) assigns every
+    row its position without a single-partition sort, then one
+    aggregation picks the two straddling ranks per percentile and
+    interpolates (quantile_cont semantics). All rank arithmetic is
+    INTEGER (h = (n-1)·num/den as div + mod), so no float h can round
+    differently across engines — the one place naive exact-percentile
+    implementations drift. This is the scale path ``F.percentile``
+    (which collects each group into one task's memory) cannot take;
+    the DuckDB oracle replays the identical integer interpolation over
+    a naive global window."""
+    from data_ingestion_py_spark.operators.ranking import with_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    ranked = with_global_rank(
+        o,
+        [F.asc("v"), F.asc("o_orderkey")],
+        rank_col="rnk",
+        total_col="n",
+    )
+    aggs = []
+    for label, num, den in _QUANTILES:
+        lo = F.expr(f"((n - 1) * {num}) div {den} + 1")
+        aggs += [
+            F.max(F.when(F.col("rnk") == lo, F.col("v"))).alias(f"_lo_{label}"),
+            F.max(F.when(F.col("rnk") == lo + 1, F.col("v"))).alias(
+                f"_hi_{label}"
+            ),
+            F.max(F.expr(f"((n - 1) * {num}) % {den}")).alias(f"_rem_{label}"),
+        ]
+    agg = ranked.agg(*aggs)
+    outs = [
+        F.round(
+            F.col(f"_lo_{label}")
+            + F.col(f"_rem_{label}")
+            * (F.coalesce(F.col(f"_hi_{label}"), F.col(f"_lo_{label}"))
+               - F.col(f"_lo_{label}"))
+            / den,
+            4,
+        ).alias(label)
+        for label, num, den in _QUANTILES
+    ]
+    return agg.select(*outs)

@@ -243,6 +243,7 @@ SELECT CAST(floor(cum_before / {PACK_BUDGET}) AS BIGINT) AS pack_id,
 FROM cum GROUP BY 1
 """,
     tags=("curation", "packing"),
+    bench=True,
 )
 def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming concat-and-chunk sequence packing: documents in doc_id

@@ -40,7 +40,8 @@ WITH e AS (
     FROM events WHERE event_type = 'error'
 ), binned AS (
     SELECT bin, count(*) AS n_events,
-           round(sum(round(value * 100)) / count(*) / 100.0, 4) AS bin_avg
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) * 100 + count(*))
+               // (2 * count(*))) / 10000.0 AS bin_avg
     FROM e GROUP BY bin
 ), spine AS (
     SELECT unnest(generate_series(
@@ -80,11 +81,20 @@ def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.round(F.col("value") * 100).cast("long"))
-                / F.count(F.lit(1))
-                / 100.0,
-                4,
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_sum_c"),
+        )
+        # 4-dp HALF_UP average via pure integer arithmetic:
+        # (2a+b) div (2b) — a float round() here can land on a
+        # representation tie and flip the last digit between engines
+        # (it did, at sf0.1); an integer divided by 10000.0 cannot.
+        .select(
+            "bin",
+            "n_events",
+            (
+                F.expr(
+                    "(2 * _sum_c * 100 + n_events) div (2 * n_events)"
+                )
+                / 10000.0
             ).alias("bin_avg"),
         )
     )
@@ -314,11 +324,11 @@ WITH b AS (
 SELECT CAST(count(*) AS BIGINT) AS n,
        round(p01, 2) AS p01,
        round(p99, 2) AS p99,
-       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
-             / count(*) / 100.0, 4) AS raw_mean,
-       round(CAST(sum(CAST(round(
-                 least(greatest(o_totalprice, p01), p99) * 100) AS BIGINT))
-             AS DOUBLE) / count(*) / 100.0, 4) AS winsorized_mean
+       ((2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 100
+         + count(*)) // (2 * count(*))) / 10000.0 AS raw_mean,
+       ((2 * sum(CAST(round(
+             least(greatest(o_totalprice, p01), p99) * 100) AS BIGINT)) * 100
+         + count(*)) // (2 * count(*))) / 10000.0 AS winsorized_mean
 FROM orders, b
 GROUP BY p01, p99
 """,
@@ -344,20 +354,19 @@ def q_orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p01", "p99")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
-                    "double"
-                )
-                / F.count(F.lit(1))
-                / 100.0,
-                4,
-            ).alias("raw_mean"),
-            F.round(
-                F.sum(F.round(clipped * 100).cast("long")).cast("double")
-                / F.count(F.lit(1))
-                / 100.0,
-                4,
-            ).alias("winsorized_mean"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "_raw_c"
+            ),
+            F.sum(F.round(clipped * 100).cast("long")).alias("_win_c"),
+        )
+        # integer HALF_UP mean at 4 dp — see events_gap_fill_locf
+        .withColumn(
+            "raw_mean",
+            F.expr("(2 * _raw_c * 100 + n) div (2 * n)") / 10000.0,
+        )
+        .withColumn(
+            "winsorized_mean",
+            F.expr("(2 * _win_c * 100 + n) div (2 * n)") / 10000.0,
         )
         .select(
             "n",

@@ -348,6 +348,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "corpus_pack_sequences": 1,
     "customer_rfm_segments": 3,
     "orders_pareto_revenue": 1,
+    "orders_exact_quantiles": 1,
 }
 
 
