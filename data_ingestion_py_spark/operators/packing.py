@@ -46,6 +46,11 @@ def with_pack_ids(
     """
     idc: Column = F.col(id_col)
     if range_size is None:
+        # the sizing agg is an extra action over the full items lineage
+        # (for corpus_pack_sequences that would be a second scan+tokenize
+        # pass) — a lazy localCheckpoint materializes once at the agg and
+        # the main plan below reuses the same blocks
+        items = items.localCheckpoint(eager=False)
         n, lo, hi = items.agg(
             F.count(F.lit(1)), F.min(idc), F.max(idc)
         ).first()

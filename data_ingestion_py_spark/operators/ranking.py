@@ -56,7 +56,15 @@ def with_global_rank(
     """
     cumsum = cumsum or {}
     spark = df.sparkSession
-    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is not None:
+        p = num_partitions
+    else:
+        # "spark.sql.shuffle.partitions" may be non-numeric (e.g. "auto"
+        # under AQE auto-optimized shuffle on some platforms)
+        try:
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            p = spark.sparkContext.defaultParallelism
     # EAGER localCheckpoint pins ONE materialization of the range shuffle:
     # RangePartitioner samples boundaries with an rdd-id-dependent seed,
     # so if the offsets branch and the window branch each re-executed the

@@ -95,7 +95,9 @@ def single_partition_windows(df: DataFrame) -> int:
                 # we've left this Window's input chain
                 if re.search(
                     r"Exchange (?:hash|range)partitioning"
-                    r"|\b(?:HashAggregate|Join|Window) ",
+                    # no \b before Join: SortMergeJoin/BroadcastHashJoin
+                    # etc. have no word boundary in front of "Join"
+                    r"|\bHashAggregate |Join |\bWindow ",
                     lines[j],
                 ):
                     break
