@@ -46,32 +46,47 @@ def main() -> None:
 
     bench_queries = {n: q for n, q in QUERIES.items() if q.bench}
 
-    # Warm the JVM + parquet footer caches once.
-    next(iter(bench_queries.values())).spark(spark, sf_dir).count()
+    # Warm the JVM + parquet footer caches once (fault-isolated: a broken
+    # first query must not kill the whole bench).
+    try:
+        next(iter(bench_queries.values())).spark(spark, sf_dir).count()
+    except Exception:
+        pass
 
+    # Fault isolation (round-4 lesson: one AnalysisException zeroed the
+    # entire round's perf signal): each query's build+run is wrapped;
+    # failures land in `errors` and the run keeps going.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, q in bench_queries.items():
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = q.spark(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — bench must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+
+    try:
+        skew = _skew_bench(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        skew = {"err": f"{type(exc).__name__}: {exc}"[:300]}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "skew_join": _skew_bench(spark, sf_dir),
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "skew_join": skew,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
 
 

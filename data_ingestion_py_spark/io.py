@@ -66,6 +66,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Belt-and-braces for sessions built outside get_spark() (which pins
+    # inferTimestampNTZ=false): normalize any TIMESTAMP_NTZ column to
+    # plain TIMESTAMP so unix_micros()/withWatermark() work downstream.
+    # The session timezone is UTC, so the cast is value-preserving and
+    # matches the DuckDB oracle's naive-timestamp reading byte-for-byte.
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from data_ingestion_py_spark.functions.time import ts_us
+
 
 def time_proximity_pairs(
     events: DataFrame,
@@ -38,8 +40,8 @@ def time_proximity_pairs(
     binned = events.select(
         F.col(key),
         F.col(id_col),
-        F.unix_micros(F.col(ts_col)).alias("_us"),
-        F.floor(F.unix_micros(F.col(ts_col)) / gap_us).alias("_bin"),
+        ts_us(ts_col).alias("_us"),
+        F.floor(ts_us(ts_col) / gap_us).alias("_bin"),
     )
     probe = binned.select(
         F.col(key),

@@ -94,10 +94,13 @@ def single_partition_windows(df: DataFrame) -> int:
                 # a partitioned exchange or a deeper operator means
                 # we've left this Window's input chain
                 if re.search(
-                    r"Exchange (?:hash|range)partitioning"
                     # no \b before Join: SortMergeJoin/BroadcastHashJoin
-                    # etc. have no word boundary in front of "Join"
-                    r"|\bHashAggregate |Join |\bWindow ",
+                    # etc. have no word boundary in front of "Join";
+                    # aggregates render as "HashAggregate(keys=..." (a
+                    # parenthesis, not a trailing space) and come in
+                    # Hash/ObjectHash/Sort variants
+                    r"Exchange (?:hash|range)partitioning"
+                    r"|(?:Hash|ObjectHash|Sort)Aggregate\(|Join |\bWindow ",
                     lines[j],
                 ):
                     break

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_py_spark.functions.text import STOPWORDS, tokens
+from data_ingestion_py_spark.functions.time import ts_us
 from data_ingestion_py_spark.io import load_table
 from data_ingestion_py_spark.operators import dedup, similarity, text_analysis
 from data_ingestion_py_spark.queries import register
@@ -844,7 +845,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_new = F.when(
         F.col("prev_ts").isNull()
-        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1800 * 1_000_000),
+        | (ts_us("ts") - ts_us("prev_ts") > 1800 * 1_000_000),
         1,
     ).otherwise(0)
     return (

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_ingestion_py_spark.functions.ints import half_up_mean_sql
+from data_ingestion_py_spark.functions.time import ts_us
 from data_ingestion_py_spark.io import load_table
 from data_ingestion_py_spark.queries import register
 
@@ -84,17 +86,17 @@ def q_events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("_sum_c"),
         )
         # 4-dp HALF_UP average via pure integer arithmetic:
-        # (2a+b) div (2b) — a float round() here can land on a
+        # (2a+b) // (2b) — a float round() here can land on a
         # representation tie and flip the last digit between engines
         # (it did, at sf0.1); an integer divided by 10000.0 cannot.
+        # Spark `div` and DuckDB `//` both truncate toward zero, so the
+        # form is parity-exact for negative sums too (pinned by
+        # tests/test_intmath.py).
         .select(
             "bin",
             "n_events",
             (
-                F.expr(
-                    "(2 * _sum_c * 100 + n_events) div (2 * n_events)"
-                )
-                / 10000.0
+                F.expr(half_up_mean_sql("_sum_c", "n_events")) / 10000.0
             ).alias("bin_avg"),
         )
     )
@@ -215,7 +217,7 @@ def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("v_cents"),
         (
-            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+            ts_us(F.lead("ts").over(w)) - ts_us(F.col("ts"))
         ).alias("dur_us"),
     ).filter(F.col("dur_us").isNotNull())
     return seq.groupBy("event_type").agg(
@@ -362,11 +364,11 @@ def q_orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer HALF_UP mean at 4 dp — see events_gap_fill_locf
         .withColumn(
             "raw_mean",
-            F.expr("(2 * _raw_c * 100 + n) div (2 * n)") / 10000.0,
+            F.expr(half_up_mean_sql("_raw_c", "n")) / 10000.0,
         )
         .withColumn(
             "winsorized_mean",
-            F.expr("(2 * _win_c * 100 + n) div (2 * n)") / 10000.0,
+            F.expr(half_up_mean_sql("_win_c", "n")) / 10000.0,
         )
         .select(
             "n",

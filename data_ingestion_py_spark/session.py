@@ -35,6 +35,12 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # Parquet µs timestamps with isAdjustedToUTC=false would otherwise be
+    # inferred as TIMESTAMP_NTZ (Spark 4.x default), which breaks
+    # unix_micros() and withWatermark(). With the session pinned to UTC
+    # above, reading them as plain TIMESTAMP is value-identical to what
+    # the DuckDB oracle sees (naive timestamps over the same bytes).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",

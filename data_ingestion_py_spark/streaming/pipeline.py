@@ -102,8 +102,11 @@ def windowed_event_counts(
     Works identically on a static DataFrame (watermark is a no-op) and a
     stream — the test asserts stream-vs-batch equivalence.
     """
+    from data_ingestion_py_spark.functions.time import with_event_time
+
     return (
-        events.withWatermark("ts", watermark_delay)
+        with_event_time(events, "ts")
+        .withWatermark("ts", watermark_delay)
         .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

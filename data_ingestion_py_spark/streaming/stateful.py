@@ -121,8 +121,11 @@ def sessionize_stream(
     active user, and each micro-batch touches only users present in the
     batch or timing out.
     """
+    from data_ingestion_py_spark.functions.time import with_event_time
+
     return (
-        events.withWatermark("ts", watermark_delay)
+        with_event_time(events, "ts")
+        .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize_group,
