@@ -34,11 +34,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["snippet_stats_by_lang"].spark(spark, "/root/testdata/sf0.001")
 
 
+def _sample_order() -> list[str]:
+    """Registry names, never-yet-driver-verified first.
+
+    The driver samples a prefix of this dict each round (50 names as of
+    round 4), so ordering queries that no CORRECTNESS_r*.json has seen
+    ahead of already-verified ones rotates fresh queries into every
+    round's sample automatically — cumulative driver coverage grows
+    instead of re-checking the same prefix. Within each group, registry
+    order is preserved (deterministic)."""
+    import json
+
+    seen: set[str] = set()
+    for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        try:
+            seen |= set(json.loads(path.read_text()))
+        except Exception:
+            continue
+    names = list(QUERIES)
+    return [n for n in names if n not in seen] + [n for n in names if n in seen]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark for name, q in QUERIES.items()}
+    return {name: QUERIES[name].spark for name in _sample_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
-    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}
+    return {
+        name: QUERIES[name].oracle
+        for name in _sample_order()
+        if QUERIES[name].oracle is not None
+    }

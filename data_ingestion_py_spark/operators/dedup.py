@@ -27,6 +27,7 @@ from data_ingestion_py_spark.functions.text import (
     shingles,
     tokens,
 )
+from data_ingestion_py_spark.operators.materialize import pin
 
 SHINGLE_K = 3
 N_HASHES = 32
@@ -175,28 +176,32 @@ def near_duplicates_minhash(
     n_hashes: int = N_HASHES,
     bands: int | None = None,
     rows: int | None = None,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dedup: returns (doc_a, doc_b, jaccard).
 
     (bands, rows) default to the S-curve fit for ``threshold``
     (lsh_params), so recall at the threshold is ≥0.9 by construction.
 
-    Signatures are materialized once via an eager ``localCheckpoint``:
+    Signatures are materialized once (``operators/materialize.pin``):
     the plan references them three times (banding + both sides of the
     verify join) and would otherwise run the whole shingle/md5 pipeline
     3×. Unlike ``.cache()`` (which parks an entry in the CacheManager
     until someone remembers to unpersist — a leak in long-lived
-    sessions), checkpoint blocks are released automatically when the
-    DataFrame is garbage-collected after the consumer materializes.
-    Eager, because a lazy checkpoint lets the three consumer branches
-    race ahead of materialization and recompute the pipeline per
-    branch (measured 2.4x on the LSH bench).
+    sessions), the default checkpoint blocks are released automatically
+    when the DataFrame is garbage-collected after the consumer
+    materializes. Eager, because a lazy checkpoint lets the three
+    consumer branches race ahead of materialization and recompute the
+    pipeline per branch (measured 2.4x on the LSH bench).
+
+    At 100 TB the signature table is corpus-sized: pass
+    ``storage_level="DISK_ONLY"`` (or ``"DISK_ONLY_2"`` on preemptible
+    fleets) to keep it off executor storage memory and retain a
+    recompute path — see ``materialize.pin``.
     """
     if bands is None or rows is None:
         bands, rows = lsh_params(threshold, n_hashes)
-    sigs = minhash_signatures(docs, text_col, k, n_hashes).localCheckpoint(
-        eager=True
-    )
+    sigs = pin(minhash_signatures(docs, text_col, k, n_hashes), storage_level)
     cands = lsh_candidate_pairs(sigs.select("doc_id", "sig"), bands, rows)
     return jaccard_verify(cands, sigs.select("doc_id", "shingles"), threshold)
 

@@ -43,6 +43,15 @@ def with_pack_ids(
     cheap (count, min, max) pass sizes the ranges as id-span / √n. Pass
     an explicit ``range_size`` to skip that pass when the caller
     already knows the corpus shape.
+
+    Fault-tolerance tradeoff of the derived path: the lazy
+    ``localCheckpoint`` below truncates lineage and its blocks are
+    unreplicated — an executor lost after the sizing agg materializes
+    them fails the job with no recompute path, and the blocks stay
+    pinned for the returned DataFrame's lifetime (repeated builds in a
+    loop accumulate storage until GC). On very large or preemptible
+    deployments pass an explicit ``range_size`` — that path has no
+    checkpoint at all.
     """
     idc: Column = F.col(id_col)
     if range_size is None:

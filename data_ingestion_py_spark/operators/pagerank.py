@@ -25,10 +25,12 @@ skew of hub nodes, or pre-salt known mega-hubs), then one sum
 aggregation on dst, then a left join back to the node list for
 zero-in-degree nodes. ``localCheckpoint`` per round keeps N rounds at
 N depth-1 plans (same pattern as components / catalog.materialize).
-Dangling nodes (no outgoing edges) keep their mass out of circulation
-rather than redistributing it — acceptable for ranking (relative order
-unaffected for connected graphs); the production swap is one extra
-scalar aggregate per round adding dangling mass / n to every node.
+Dangling nodes (no outgoing edges) redistribute their damped mass
+uniformly each round — one extra scalar aggregate over the (static,
+usually tiny) dangling-node set, broadcast into the update as a 1-row
+crossJoin; graphs with no dangling nodes skip it entirely. The share
+``dang * d div (100 * n)`` uses the same truncating integer division
+in Spark and DuckDB, so the oracle replay stays bit-identical.
 """
 
 from __future__ import annotations
@@ -67,6 +69,15 @@ def pagerank_integer(
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # out-weight is static across rounds: attach it to the edge once
     e = e.join(out_w, "src").localCheckpoint()
+    # dangling set (no outgoing edges) is static too; its per-round mass
+    # is redistributed uniformly. Graphs with no dangling nodes skip the
+    # extra aggregate entirely (the common case for trade/link rollups).
+    dangling = nodes.join(
+        e.select("src").distinct(),
+        nodes["node"] == F.col("src"),
+        "left_anti",
+    ).localCheckpoint()
+    has_dangling = dangling.limit(1).count() > 0
     ranks = nodes.withColumn("rank_micro", F.lit(SCALE // n).cast("long"))
     for _ in range(n_iter):
         contrib = (
@@ -78,16 +89,28 @@ def pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        updated = nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+        dampened = F.expr(f"coalesce(s, 0) * {damping_pct} div 100")
+        if has_dangling:
+            # 1-row scalar (dangling mass this round), broadcast into
+            # every node's update — a deliberate tiny-broadcast BNLJ,
+            # never a real cartesian.
+            dang = (
+                ranks.join(F.broadcast(dangling), "node", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("rank_micro"), F.lit(0)).alias("_dang")
+                )
+            )
+            updated = updated.crossJoin(F.broadcast(dang))
+            share = F.expr(f"_dang * {damping_pct} div (100 * {n})")
+        else:
+            share = F.lit(0)
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
+            updated.select(
                 "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"coalesce(s, 0) * {damping_pct} div 100"
-                    )
-                ).cast("long").alias("rank_micro"),
+                (F.lit(base) + dampened + share)
+                .cast("long")
+                .alias("rank_micro"),
             )
             .localCheckpoint()
         )
@@ -111,7 +134,11 @@ def pagerank_oracle_sql(
     SELECT n.node,
            (SELECT base FROM consts) +
            (coalesce(sum({prev}.rank_micro * e.w // e.out_w), 0)
-                * {damping_pct} // 100) AS rank_micro
+                * {damping_pct} // 100) +
+           ((SELECT coalesce(sum(r.rank_micro), 0) FROM {prev} r
+             WHERE r.node NOT IN (SELECT src FROM edges))
+                * {damping_pct}
+                // (100 * (SELECT n_nodes FROM consts))) AS rank_micro
     FROM nodes n
     LEFT JOIN ew e ON e.dst = n.node
     LEFT JOIN {prev} ON {prev}.node = e.src
@@ -129,7 +156,8 @@ nodes AS (
 consts AS (
     SELECT CAST(1000000 * {100 - damping_pct} AS BIGINT)
                // (100 * count(*)) AS base,
-           CAST(1000000 AS BIGINT) // count(*) AS r_init
+           CAST(1000000 AS BIGINT) // count(*) AS r_init,
+           count(*) AS n_nodes
     FROM nodes
 ),
 outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),

@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from data_ingestion_py_spark.operators.materialize import pin
+
 _PID = "_gr_pid"
 _CNT = "_gr_cnt"
 _ROFF = "_gr_rank_off"
@@ -45,6 +47,7 @@ def with_global_rank(
     cumsum: dict[str, Column] | None = None,
     total_col: str | None = None,
     num_partitions: int | None = None,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """df + ``rank_col`` (global row_number over ``order_by``) and, for
     each ``cumsum`` entry ``name -> col``, a running inclusive sum in
@@ -53,6 +56,12 @@ def with_global_rank(
     dependent. ``total_col`` optionally emits the global row count on
     every row (needed by ``ntile_expr``) — it rides the same broadcast,
     no extra pass.
+
+    The range-shuffled input materializes once (corpus-sized when
+    ``df`` is corpus-sized): pass ``storage_level="DISK_ONLY"`` to keep
+    those blocks off executor storage memory at 100 TB — see
+    ``operators/materialize.pin`` (including the note on
+    range-boundary stability under recompute).
     """
     cumsum = cumsum or {}
     spark = df.sparkSession
@@ -72,10 +81,11 @@ def with_global_rank(
     # disagree between branches and ranks near boundaries would be off
     # (observed at sf0.1 where boundary sampling is partial). Both
     # branches must read the same blocks, not the same plan.
-    ranged = (
-        df.repartitionByRange(p, *order_by)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    ranged = pin(
+        df.repartitionByRange(p, *order_by).withColumn(
+            _PID, F.spark_partition_id()
+        ),
+        storage_level,
     )
     sums = [F.sum(c).alias(f"_gr_s_{n}") for n, c in cumsum.items()]
     pstats = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT), *sums)

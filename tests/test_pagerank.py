@@ -70,3 +70,16 @@ def test_matches_duckdb_oracle_replay(spark, n_iter, damping):
     sql = pagerank_oracle_sql(cte, n_iter=n_iter, damping_pct=damping)
     want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
     assert got == want
+
+
+def test_dangling_mass_redistributed(spark):
+    # 4 is a pure sink (dangling). With redistribution, total mass must
+    # stay ~SCALE (only integer-truncation drift, a few micro per node
+    # per round); without it, the sink would leak ~its rank each round.
+    rows = [(1, 2, 1), (2, 3, 1), (3, 1, 1), (1, 4, 1)]
+    ranks = pagerank_integer(_edges(spark, rows), n_iter=5)
+    got = {r.node: r.rank_micro for r in ranks.collect()}
+    total = sum(got.values())
+    assert abs(total - SCALE) <= 50, got
+    # the sink still accumulates rank (it has in-edges)
+    assert got[4] > 0

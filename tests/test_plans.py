@@ -351,7 +351,13 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
 #   orders_rolling_7d_revenue range window over the day rollup
 #                             (rows = calendar days)
 #   corpus_pack_sequences     packing offsets table (rows = id-ranges,
-#                             operators/packing.py two-phase form)
+#                             operators/packing.py two-phase form).
+#                             NOTE: its default derived-range_size path
+#                             localCheckpoints, so the executed plan
+#                             shows Scan ExistingRDD — scan-level
+#                             assertions (pushed_filters/read_schemas)
+#                             on this query must use an explicit
+#                             range_size build instead.
 #   customer_rfm_segments     3x ranking offsets tables (rows =
 #                             shuffle partitions, operators/ranking.py)
 #   orders_pareto_revenue     1x ranking offsets table (same)
