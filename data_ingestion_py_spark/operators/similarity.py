@@ -75,6 +75,107 @@ def cosine_topk(
     )
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch k-NN join: the top-k corpus neighbors for EVERY query row
+    (retrieval-eval / RAG-candidate generation — ``cosine_topk`` is the
+    nq=1 special case). Returns (query_id, vec_id, label, cosine_sim,
+    rank), rank 1..k per query.
+
+    Scale shape: the query set broadcasts (nq vectors — eval sets are
+    small by construction); the corpus stays ONE narrow scan stage
+    computing all nq similarities per row. The per-query top-k is
+    two-phase so no task ever holds corpus-per-query: a local
+    ``row_number`` per (query, scan-partition) cuts each partition to k
+    survivors, then the global pass ranks the nq·P·k survivors — the
+    only shuffle, at survivor (not corpus) cardinality. Ties break by
+    vec_id on the ROUNDED similarity so the oracle replays exactly.
+    """
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id), _to_double(F.col(vec_col)).alias("qvec")
+    )
+    c = corpus.select(
+        "vec_id", "label", _to_double(F.col(vec_col)).alias("vec")
+    )
+    sim = dot(F.col("vec"), F.col("qvec")) / (
+        l2_norm(F.col("vec")) * l2_norm(F.col("qvec"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select(
+            query_id,
+            "vec_id",
+            "label",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .withColumn("_p", F.spark_partition_id())
+    )
+    order = [F.desc("cosine_sim"), F.asc("vec_id")]
+    w_local = Window.partitionBy(query_id, "_p").orderBy(*order)
+    survivors = (
+        scored.withColumn("_r", F.row_number().over(w_local))
+        .where(F.col("_r") <= k)
+        .drop("_r", "_p")
+    )
+    w_global = Window.partitionBy(query_id).orderBy(*order)
+    return survivors.withColumn(
+        "rank", F.row_number().over(w_global)
+    ).where(F.col("rank") <= k)
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    cluster_col: str = "label",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: exact pairwise cosine
+    WITHIN each semantic cluster only. Returns (cluster, vec_a, vec_b,
+    cosine_sim) for pairs ≥ threshold, vec_a < vec_b.
+
+    This is the cluster-bounded alternative to hash-banded LSH
+    (``embedding_near_duplicates``): instead of bit-collision buckets,
+    the candidate set is "same k-means cluster" — which is exactly how
+    SemDeDup (Abbas et al. 2023) and the DataComp pipelines bound the
+    O(n²) comparison. Cost is Σ_c |c|² — with balanced clustering,
+    (n/k)²·k, tunable via k; the shuffle is one exchange on the cluster
+    id. Here the fixture's ``label`` column stands in for the k-means
+    assignment (same convention as ``ivf_topk``); production wires a
+    k-means pass (or ``label_centroids`` re-assignment) upstream.
+    """
+    a = corpus.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = corpus.select(
+        F.col(cluster_col).alias("cluster"),
+        F.col("vec_id").alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    sim = dot(F.col("_va"), F.col("_vb")) / (
+        l2_norm(F.col("_va")) * l2_norm(F.col("_vb"))
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "cluster",
+            "vec_a",
+            "vec_b",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def hyperplane_bits(vec, n_planes: int, dim: int) -> F.Column:
     """Deterministic random-hyperplane sign bits.
 

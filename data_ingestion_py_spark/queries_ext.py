@@ -382,6 +382,57 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semdedup_clusters",
+    """
+WITH base AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), corpus AS (
+    SELECT vec_id, label, v FROM base
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, label,
+           list_concat([v[1] + 0.2], v[2:]) AS v
+    FROM base WHERE vec_id % 10 = 0
+)
+SELECT a.label AS cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_sim
+FROM corpus a
+JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+""",
+    tags=("dedup", "similarity"),
+)
+def q_dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: exact pairwise cosine bounded to same-semantic-cluster
+    pairs (fixture ``label`` stands in for the k-means assignment) —
+    one shuffle on the cluster id, cost Σ|cluster|² instead of n².
+    Same planted near-dup corpus as ``dedup_embedding_cosine``, so the
+    two candidate-generation strategies (hash bands vs semantic
+    clusters) are directly comparable on identical ground truth."""
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    clones = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.col("v").getItem(0) + 0.2), F.slice("v", 2, 63)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(clones)
+    return similarity.semantic_dedup_pairs(
+        corpus, threshold=0.9, cluster_col="label", vec_col="v"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -413,6 +464,49 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against vec_id=0 (broadcast query vec,
     JVM-side zip_with dot product, TakeOrderedAndProject)."""
     return similarity.cosine_topk(load_table(spark, sf_dir, "embeddings"), 0, 10)
+
+
+@register(
+    "similarity_knn_join",
+    """
+WITH q AS (
+    SELECT vec_id AS q_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvec
+    FROM embeddings WHERE vec_id < 5
+), c AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+    FROM embeddings WHERE vec_id >= 5
+), scored AS (
+    SELECT q.q_id, c.vec_id, c.label,
+           round(list_dot_product(vec, qvec)
+                 / (sqrt(list_dot_product(vec, vec))
+                    * sqrt(list_dot_product(qvec, qvec))), 6) AS cosine_sim
+    FROM c, q
+)
+SELECT q_id, vec_id, label, cosine_sim, CAST(rnk AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cosine_sim DESC, vec_id
+    ) AS rnk
+    FROM scored
+)
+WHERE rnk <= 5
+""",
+    tags=("similarity",),
+)
+def q_similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-5 neighbors for each of 5 query vectors in
+    one pass — the retrieval-eval / RAG-candidate shape. Query set
+    broadcasts; per-query top-k is two-phase (local per-partition cut,
+    then survivor-cardinality global rank) so the corpus never
+    single-partitions per query — see ``similarity.knn_join``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return similarity.knn_join(queries, corpus, k=5)
 
 
 @register(

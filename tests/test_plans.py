@@ -248,6 +248,7 @@ _TINY_BROADCAST_OK = {
     "q22_dormant_rich_customers",
     "text_tfidf_top_terms",
     "dedup_embedding_cosine",
+    "similarity_knn_join",
     "events_value_histogram",
     "events_funnel_conversion",
     "dq_constraint_violations",

@@ -180,3 +180,33 @@ def test_pq_topk_deterministic(spark):
     b = sorted((r.vec_id, r.approx_d2) for r in
                similarity.pq_topk(emb, 0, 10).collect())
     assert a == b
+
+
+def test_knn_join_nq1_matches_cosine_topk(spark):
+    """knn_join with a single query row must reproduce cosine_topk —
+    the nq=1 special case, pinning the two-phase top-k against the
+    TakeOrdered baseline."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") != 0)
+    got = similarity.knn_join(queries, corpus, k=10)
+    want = similarity.cosine_topk(emb, 0, 10)
+    g = [(r.vec_id, r.cosine_sim) for r in got.orderBy("rank").collect()]
+    w = [(r.vec_id, r.cosine_sim) for r in want.collect()]
+    assert g == w
+
+
+def test_knn_join_every_query_gets_k(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 5)
+    out = similarity.knn_join(queries, corpus, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r.rank)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
