@@ -89,12 +89,13 @@ def knn_join(
 
     Scale shape: the query set broadcasts (nq vectors — eval sets are
     small by construction); the corpus stays ONE narrow scan stage
-    computing all nq similarities per row. The per-query top-k is
-    two-phase so no task ever holds corpus-per-query: a local
-    ``row_number`` per (query, scan-partition) cuts each partition to k
-    survivors, then the global pass ranks the nq·P·k survivors — the
-    only shuffle, at survivor (not corpus) cardinality. Ties break by
-    vec_id on the ROUNDED similarity so the oracle replays exactly.
+    computing all nq similarities per row. The per-query top-k is a
+    single partitioned window — which Catalyst executes as the
+    two-phase algorithm via ``WindowGroupLimit``: a PARTIAL group
+    limit per input partition keeps ≤k rows per query BEFORE the
+    exchange, so the only shuffle moves nq·P·k survivors, never the
+    scored corpus (pinned by ``test_plans.py``). Ties break by vec_id
+    on the ROUNDED similarity so the oracle replays exactly.
     """
     from pyspark.sql.window import Window
 
@@ -107,27 +108,18 @@ def knn_join(
     sim = dot(F.col("vec"), F.col("qvec")) / (
         l2_norm(F.col("vec")) * l2_norm(F.col("qvec"))
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .select(
-            query_id,
-            "vec_id",
-            "label",
-            F.round(sim, 6).alias("cosine_sim"),
-        )
-        .withColumn("_p", F.spark_partition_id())
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        "vec_id",
+        "label",
+        F.round(sim, 6).alias("cosine_sim"),
     )
-    order = [F.desc("cosine_sim"), F.asc("vec_id")]
-    w_local = Window.partitionBy(query_id, "_p").orderBy(*order)
-    survivors = (
-        scored.withColumn("_r", F.row_number().over(w_local))
-        .where(F.col("_r") <= k)
-        .drop("_r", "_p")
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
     )
-    w_global = Window.partitionBy(query_id).orderBy(*order)
-    return survivors.withColumn(
-        "rank", F.row_number().over(w_global)
-    ).where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
 
 
 def semantic_dedup_pairs(

@@ -275,6 +275,20 @@ def test_no_accidental_cartesian_anywhere(spark):
     assert not failures, "\n".join(failures)
 
 
+def test_knn_join_uses_partial_window_group_limit(spark):
+    """The batch k-NN per-query top-k must execute two-phase: a PARTIAL
+    WindowGroupLimit per input partition ahead of the exchange (only
+    ≤k rows per query per partition shuffle), never the full scored
+    corpus. This is the Catalyst-native form of the hand-rolled
+    local-top-k pattern — if a refactor loses the rank<=k filter shape,
+    the partial limit disappears and this pins the regression."""
+    df = _q(spark, "similarity_knn_join")
+    plan = E.executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+    assert E.num_exchanges(df) == 1, plan
+
+
 def test_deterministic_sample_is_scan_side(spark):
     """The hash-bucket sample filter must be a narrow scan-side filter:
     no shuffle, no Python — at 100 TB a sample that shuffles first
