@@ -818,6 +818,37 @@ def q_text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic k-means clustering (full Lloyd's, oracle-replayed)
+# ---------------------------------------------------------------------------
+
+
+def _register_kmeans() -> None:
+    from data_ingestion_py_spark.operators.kmeans import (
+        kmeans_integer,
+        kmeans_oracle_sql,
+    )
+
+    @register(
+        "embedding_kmeans_assign",
+        kmeans_oracle_sql(k=8, n_iter=3),
+        tags=("similarity", "clustering", "iterative"),
+    )
+    def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Integer-quantized Lloyd's k-means (k=8, 3 assignment rounds)
+        over the embeddings table — the clustering pass that ivf_topk /
+        semantic_dedup_pairs assume upstream, bit-exact against a DuckDB
+        unrolled-CTE replay (``operators/kmeans.py``). Centroids stay
+        k×dim (always broadcast); assignment is one narrow argmin map;
+        updates are one (cid, pos)-keyed integer hash-agg per round."""
+        return kmeans_integer(
+            load_table(spark, sf_dir, "embeddings"), k=8, n_iter=3
+        )
+
+
+_register_kmeans()
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding centroids (the IVF / k-means training step)
 # ---------------------------------------------------------------------------
 

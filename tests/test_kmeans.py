@@ -1,0 +1,78 @@
+"""Integer k-means: hand-built geometry with known answers, plus the
+DuckDB unrolled-CTE oracle replay (same integer arithmetic, two
+engines, bit-identical — the pagerank verification pattern)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from data_ingestion_py_spark.operators.kmeans import (
+    kmeans_integer,
+    kmeans_oracle_sql,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_two_blobs_separate(spark):
+    # two tight blobs far apart; seeds (ids 0,1) land one per blob
+    blob_a = [(0, [0.9, 0.9]), (2, [0.91, 0.88]), (4, [0.89, 0.92])]
+    blob_b = [(1, [-0.9, -0.9]), (3, [-0.88, -0.91]), (5, [-0.92, -0.89])]
+    out = kmeans_integer(_emb(spark, blob_a + blob_b), k=2, n_iter=3)
+    got = {r.vec_id: r.cid for r in out.collect()}
+    assert got[0] == got[2] == got[4]
+    assert got[1] == got[3] == got[5]
+    assert got[0] != got[1]
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # seeds 0 and 1 are IDENTICAL points: round-1 ties all break to
+    # cid 0, so seed 1's cluster is empty at the first update — the
+    # coalesce guard must keep its centroid (at the duplicate point)
+    # instead of crashing or shrinking k. The orphaned centroid then
+    # legitimately wins the duplicates back in round 2 (it sits at
+    # distance 0 while cid 0's centroid moved toward point 3).
+    rows = [
+        (0, [1.0, 1.0]),
+        (1, [1.0, 1.0]),
+        (2, [-1.0, -1.0]),
+        (3, [0.99, 1.01]),
+        (4, [-0.98, -1.02]),
+    ]
+    out = kmeans_integer(_emb(spark, rows), k=3, n_iter=3)
+    got = {r.vec_id: r.cid for r in out.collect()}
+    assert len(got) == 5
+    assert got[0] == got[1]          # duplicates stay together
+    assert got[2] == got[4]          # far blob stays together
+    assert got[2] not in {got[0], got[3]}
+
+
+@pytest.mark.parametrize("k,n_iter", [(2, 2), (3, 3)])
+def test_matches_duckdb_oracle_replay(spark, k, n_iter):
+    rows = [
+        (0, [0.5, -0.25, 0.125]),
+        (1, [-0.5, 0.3, 0.7]),
+        (2, [0.45, -0.2, 0.1]),
+        (3, [-0.55, 0.35, 0.65]),
+        (4, [0.0, 0.0, 0.0]),
+        (5, [0.52, -0.22, 0.18]),
+        (6, [-0.48, 0.28, 0.72]),
+    ]
+    got = sorted(
+        (r.vec_id, r.cid)
+        for r in kmeans_integer(_emb(spark, rows), k=k, n_iter=n_iter).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[]);"
+    )
+    for vid, v in rows:
+        con.execute(f"INSERT INTO embeddings VALUES ({vid}, {v})")
+    sql = kmeans_oracle_sql(k=k, n_iter=n_iter)
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want

@@ -249,6 +249,7 @@ _TINY_BROADCAST_OK = {
     "text_tfidf_top_terms",
     "dedup_embedding_cosine",
     "similarity_knn_join",
+    "embedding_kmeans_assign",
     "events_value_histogram",
     "events_funnel_conversion",
     "dq_constraint_violations",
