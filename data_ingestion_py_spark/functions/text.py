@@ -78,21 +78,42 @@ def minhash_signature(shingle_arr: Column, n_hashes: int) -> Column:
     """Array of ``n_hashes`` min-hashes: min_j over shingles of
     (a_j*h1 + b_j*h2 + c_j) mod (2^31-1). md5 is identical in Spark and
     DuckDB, making signatures oracle-reproducible (unlike Spark ML's
-    MinHashLSH, whose hash family is JVM-private)."""
+    MinHashLSH, whose hash family is JVM-private).
+
+    Single-pass form: ONE ``aggregate`` over the shingle-hash pairs
+    carrying all ``n_hashes`` running minima (zip_with against a
+    literal coefficient array). The per-hash ``array_min(transform(…))``
+    form re-traversed the pairs array n_hashes times — and because
+    higher-order functions evaluate outside codegen (no subexpression
+    elimination), each traversal re-evaluated the md5 subtree too:
+    measured 14.6 s → single-pass ~4 s for the sf0.1 signature build.
+    Values are bit-identical; callers filter empty shingle arrays
+    upstream (an empty array yields the init sentinel here vs nulls
+    before — neither ever reaches the pipeline).
+    """
     pairs = shingle_hash_pairs(shingle_arr)
-
-    def mix(j: int) -> Column:
-        # closure factory, NOT a default-arg lambda: pyspark reads HOF
-        # lambda arity (incl. defaults) as (element, index).
-        a, b, c = MINHASH_COEFFS[j]
-        return F.array_min(
-            F.transform(
-                pairs,
-                lambda x: (x["h1"] * a + x["h2"] * b + c) % MINHASH_PRIME,
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("a"), F.lit(b).alias("b"), F.lit(c).alias("c")
             )
-        )
-
-    return F.array(*[mix(j) for j in range(n_hashes)])
+            for a, b, c in MINHASH_COEFFS[:n_hashes]
+        ]
+    )
+    init = F.array(
+        *[F.lit(MINHASH_PRIME).cast("long") for _ in range(n_hashes)]
+    )
+    return F.aggregate(
+        pairs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            coeffs,
+            lambda m, co: F.least(
+                m, (x["h1"] * co["a"] + x["h2"] * co["b"] + co["c"]) % MINHASH_PRIME
+            ),
+        ),
+    )
 
 
 def band_keys(sig: Column, bands: int, rows: int) -> Column:
