@@ -206,6 +206,73 @@ def near_duplicates_minhash(
     return jaccard_verify(cands, sigs.select("doc_id", "shingles"), threshold)
 
 
+def incremental_near_duplicates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    n_hashes: int = N_HASHES,
+    bands: int | None = None,
+    rows: int | None = None,
+    storage_level: str | None = None,
+) -> DataFrame:
+    """New-batch vs existing-corpus near-dedup — the ingestion-time
+    gate a production pipeline actually runs per batch (full-corpus
+    self-dedup is the backfill job; this is the steady state). Returns
+    (new_doc_id, corpus_doc_id, jaccard) for pairs ≥ threshold.
+
+    Asymmetric LSH: both sides sign+band identically, but the
+    candidate join is new-bands ⋈ corpus-bands only — cost tracks
+    (batch × collision rate), never corpus². At 100 TB the corpus-side
+    banded signature table is computed ONCE and kept at rest
+    (partitioned by band_key, so each batch's probe join co-locates);
+    here both sides build inline and pin via ``materialize.pin``
+    (``storage_level="DISK_ONLY"`` for the corpus side at scale).
+    """
+    if bands is None or rows is None:
+        bands, rows = lsh_params(threshold, n_hashes)
+    new_sigs = pin(
+        minhash_signatures(new_docs, text_col, k, n_hashes), storage_level
+    )
+    corp_sigs = pin(
+        minhash_signatures(corpus_docs, text_col, k, n_hashes), storage_level
+    )
+
+    def _banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(band_keys(F.col("sig"), bands, rows)).alias("band_key"),
+        )
+
+    cands = (
+        _banded(new_sigs, "new_doc_id")
+        .join(_banded(corp_sigs, "corpus_doc_id"), "band_key")
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+    sa = new_sigs.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.array_distinct("shingles").alias("sh_a"),
+    )
+    sb = corp_sigs.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.array_distinct("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(sa, "new_doc_id")
+        .join(sb, "corpus_doc_id")
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", n_bits: int = 16
 ) -> DataFrame:

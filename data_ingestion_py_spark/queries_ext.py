@@ -223,6 +223,73 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_duplicates_minhash(corpus, threshold=0.5)
 
 
+def _sql_incremental_band_join(
+    bands: int = dedup.BANDS, rows: int = dedup.ROWS_PER_BAND
+) -> str:
+    keys = ", ".join(
+        "concat_ws('|', '{b}', {parts})".format(
+            b=b,
+            parts=", ".join(
+                f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+, banded AS (
+    SELECT doc_id, unnest([{keys}]) AS band_key FROM sig_arr
+), cand AS (
+    SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id
+    FROM banded a JOIN banded b USING (band_key)
+    WHERE a.doc_id >= 1000000 AND b.doc_id < 1000000
+)
+"""
+
+
+@register(
+    "dedup_incremental_batch",
+    """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           regexp_replace(text, '^[^ ]+ ', '') AS text
+    FROM documents WHERE doc_id % 10 = 0
+)"""
+    + _sql_shingles()
+    + _sql_minhash_sig()
+    + _sql_incremental_band_join()
+    + """
+, verified AS (
+    SELECT new_doc_id, corpus_doc_id,
+           round(CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.dsh, sb.dsh))), 6)
+               AS jaccard
+    FROM cand
+    JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM shingled) sa
+         ON cand.new_doc_id = sa.doc_id
+    JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM shingled) sb
+         ON cand.corpus_doc_id = sb.doc_id
+)
+SELECT new_doc_id, corpus_doc_id, jaccard FROM verified WHERE jaccard >= 0.5
+""",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch vs corpus) near-dedup — the steady-state
+    ingestion gate: the batch is every 10th document with its first
+    token dropped (a guaranteed near-dup of its source), probed against
+    the full corpus via the asymmetric band join
+    (``dedup.incremental_near_duplicates``) — candidates are
+    batch × collisions, never corpus²."""
+    docs = _docs(spark, sf_dir)
+    new_batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+    )
+    return dedup.incremental_near_duplicates(new_batch, docs, threshold=0.5)
+
+
 def _sql_simhash(n_bits: int = 16) -> str:
     sums = ",\n           ".join(
         "sum(CASE WHEN (instr('0123456789abcdef', substr(h, {pos}, 1)) - 1) "
