@@ -19,9 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from data_ingestion_py_spark.functions.text import hexval
-
-
 def _to_double(vec) -> F.Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -176,20 +173,20 @@ def hyperplane_bits(vec, n_planes: int, dim: int) -> F.Column:
     recomputed anywhere (no driver-side randomness, resumable at scale).
     """
     def plane_components(p: int) -> F.Column:
-        # NB: 1-arg lambda only — pyspark treats 2-arg HOF lambdas
-        # (incl. default args) as (element, index).
-        prefix = f"hp{p}:"
+        # Components are md5-derived constants of (p, i) only — compute
+        # them ONCE driver-side (hashlib md5 == engine md5, and the
+        # int→double / 127.5 − 1.0 arithmetic is the same IEEE ops, so
+        # the values are bit-identical to the oracle's in-SQL
+        # recomputation) and inline as a literal array. The previous
+        # in-engine form re-evaluated dim md5 calls per plane PER ROW:
+        # higher-order-function lambdas aren't constant-folded.
+        import hashlib
 
-        def comp(i):
-            h = F.md5(F.concat(F.lit(prefix), i.cast("string")))
-            return (
-                (hexval(F.substring(h, 1, 1)) * 16 + hexval(F.substring(h, 2, 1)))
-                .cast("double")
-                / 127.5
-                - 1.0
-            )
+        def comp(i: int) -> float:
+            h = hashlib.md5(f"hp{p}:{i}".encode()).hexdigest()
+            return (int(h[0], 16) * 16 + int(h[1], 16)) / 127.5 - 1.0
 
-        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), comp)
+        return F.array(*[F.lit(comp(i)) for i in range(dim)])
 
     bits = []
     for p in range(n_planes):
