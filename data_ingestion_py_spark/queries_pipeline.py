@@ -624,6 +624,67 @@ _CONTAM_K = 8  # 8-gram overlap: natural docs ≈ 0.04, planted clones ≈ 1.0
 
 
 @register(
+    "corpus_repeated_ngrams",
+    f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(0, len(t) - {_CONTAM_K}),
+        i -> array_to_string(t[i+1 : i+{_CONTAM_K}], ' ')))) AS g
+    FROM toks WHERE len(t) >= {_CONTAM_K}
+), gcount AS (
+    SELECT g, count(*) AS nd FROM grams GROUP BY g
+)
+SELECT grams.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN gcount.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup,
+       round(CAST(sum(CASE WHEN gcount.nd >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS dup_frac
+FROM grams JOIN gcount USING (g)
+GROUP BY grams.doc_id
+""",
+    tags=("dedup", "ngram"),
+)
+def q_corpus_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): for each document, the
+    fraction of its distinct 8-grams that also occur in at least one
+    OTHER document — the exact-substring duplication score that catches
+    boilerplate/templates MinHash's whole-doc similarity misses.
+
+    Scale shape: explode distinct per-doc grams (narrow), ONE shuffle
+    keyed on the gram for the corpus-wide count (since grams are
+    per-doc-distinct, count(*) = distinct docs), one keyed join back at
+    gram cardinality, per-doc rollup. The gram table is corpus-sized at
+    100 TB — deliberately never broadcast (same posture as the
+    contamination join)."""
+    from data_ingestion_py_spark.functions.text import shingles, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= _CONTAM_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("t"), _CONTAM_K))).alias("g"),
+    )
+    gcount = grams.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        grams.join(gcount, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).cast("bigint").alias("n_dup"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+    )
+
+
+@register(
     "contamination_eval_overlap",
     f"""
 WITH toks AS (
