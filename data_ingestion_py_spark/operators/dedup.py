@@ -238,6 +238,23 @@ def incremental_near_duplicates(
     corp_sigs = pin(
         minhash_signatures(corpus_docs, text_col, k, n_hashes), storage_level
     )
+    return incremental_pairs_from_signatures(
+        new_sigs, corp_sigs, threshold, bands, rows
+    )
+
+
+def incremental_pairs_from_signatures(
+    new_sigs: DataFrame,
+    corp_sigs: DataFrame,
+    threshold: float,
+    bands: int,
+    rows: int,
+) -> DataFrame:
+    """The band-probe + Jaccard-verify stage of incremental dedup, over
+    ALREADY-COMPUTED signature tables (doc_id, sig, shingles) — shared
+    by the batch operator above and the streaming pipeline (which keeps
+    the corpus signature table as cross-batch state and must not
+    re-sign the whole corpus every micro-batch)."""
 
     def _banded(sigs: DataFrame, out_id: str) -> DataFrame:
         return sigs.select(

@@ -202,3 +202,90 @@ def run_curation_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+@dataclass
+class LshDedupState:
+    """Cross-batch state for streaming NEAR-dedup (the LSH twin of
+    ``CurationState``'s exact-hash set): the MinHash signature table of
+    every admitted document — at cluster scale a parquet/Delta table
+    partitioned by band key, appended per batch — plus the admitted
+    docs and the flagged (near-dup) pairs so far."""
+
+    corpus_sigs: DataFrame | None
+    admitted: list[DataFrame]
+    flagged: list[DataFrame]
+
+
+def run_incremental_lsh_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    holder: LshDedupState,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """Streaming near-dedup: each micro-batch is MinHash-signed ONCE,
+    self-deduped within the batch (lower doc_id wins a near-dup pair),
+    probed against the admitted corpus via the asymmetric band join
+    (``dedup.incremental_pairs_from_signatures`` — candidates are
+    batch × collisions, never corpus²), and only unmatched docs are
+    admitted; their signatures append to the cross-batch state. This is
+    the steady-state crawl-dedup shape: the expensive signing happens
+    once per document ever, and the corpus-side signature table is the
+    durable index.
+
+    First-delivered-wins across batches (same contract as
+    ``run_curation_stream``): an admitted doc keeps ownership; later
+    near-dups of it are flagged, never retracted.
+    """
+    from data_ingestion_py_spark.operators import dedup
+
+    bands, rows = dedup.lsh_params(threshold)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = _pin(dedup.minhash_signatures(batch_df))
+        # intra-batch: drop the higher id of each near-dup pair
+        intra = dedup.incremental_pairs_from_signatures(
+            sigs, sigs, threshold, bands, rows
+        ).where(F.col("new_doc_id") > F.col("corpus_doc_id"))
+        batch_losers = intra.select(
+            F.col("new_doc_id").alias("doc_id")
+        ).distinct()
+        survivors = sigs.join(batch_losers, "doc_id", "left_anti")
+        if holder.corpus_sigs is None:
+            cross = None
+            fresh = survivors
+        else:
+            cross = dedup.incremental_pairs_from_signatures(
+                survivors, holder.corpus_sigs, threshold, bands, rows
+            )
+            cross = _pin(cross)
+            holder.flagged.append(cross)
+            fresh = survivors.join(
+                cross.select(F.col("new_doc_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        fresh = _pin(fresh)
+        holder.admitted.append(fresh.select("doc_id"))
+        holder.corpus_sigs = (
+            fresh
+            if holder.corpus_sigs is None
+            else _pin(holder.corpus_sigs.unionByName(fresh))
+        )
+
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
