@@ -47,6 +47,82 @@ FROM (
 JOIN nation n ON n.n_nationkey = pr.node
 """
 
+_TRIANGLE_ORACLE = f"""
+WITH edges AS ({_TRADE_EDGES_CTE}),
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+tri AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+"""
+
+
+@register(
+    "graph_triangle_count",
+    _TRIANGLE_ORACLE,
+    tags=("graph",),
+)
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count over the (undirected) nation trade graph
+    — the clustering-coefficient / community-density primitive.
+
+    Canonical orientation (a < b by node id) counts each triangle
+    exactly once as a<b<c: wedges join on the middle node, the closing
+    edge joins on (a, c) — two keyed equi-join shuffles at edge
+    cardinality, never an n³ enumeration. At web scale the standard
+    skew fix is orienting by (degree, id) instead of id so high-degree
+    hubs don't own every wedge; id orientation keeps the oracle exact
+    here and the swap is a one-line orientation change."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            s["s_nationkey"].alias("src"), c["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"], "left_semi")
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
 
 @register(
     "graph_pagerank",
