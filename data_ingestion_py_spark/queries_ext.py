@@ -973,6 +973,55 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window",
+    """
+WITH w AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+    FROM events
+), s AS (
+    SELECT user_id, ts,
+           sum(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sess_id
+    FROM w
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess_id
+""",
+    tags=("window", "sessionize"),
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session windows (``F.session_window``) in batch
+    mode — one row per (user, gap-merged session) with start/end/count.
+    Session end = last event + gap, matching the streaming operator's
+    semantics exactly, so this is the batch replay of the streaming
+    sessionizer. The oracle proves the equivalence independently via
+    the classic gaps-and-islands form (lag → new-session flag →
+    running sum → group). One shuffle on user_id; the session merge is
+    Spark's built-in operator, not a window hand-roll."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "events_sessionize",
     """
 WITH w AS (
