@@ -649,6 +649,38 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_variant_extract",
+    """
+SELECT event_type,
+       CAST(sum(CAST(props ->> '$.k' AS INT)) AS BIGINT) AS sum_k,
+       CAST(count(CASE WHEN CAST(props ->> '$.k' AS INT) > 50
+                       THEN 1 END) AS BIGINT) AS n_high,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("json", "variant", "agg"),
+)
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once → typed ``variant_get`` field reads. Against
+    string-path ``get_json_object`` (events_json_extract), VARIANT is
+    the at-scale answer: parsed once into a binary encoding, fields
+    shredded/pushed down by the reader at rest, no re-parse per
+    extraction. Same aggregate surface as the string-path query so the
+    two are directly comparable; the oracle reads the identical fields
+    via DuckDB JSON operators."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.count(F.when(k > 50, 1)).cast("bigint").alias("n_high"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
 SELECT date_trunc('hour', ts) AS hour, event_type,
