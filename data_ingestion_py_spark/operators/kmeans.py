@@ -143,17 +143,17 @@ def kmeans_integer(
     return assigned.select("vec_id", "cid")
 
 
-def kmeans_oracle_sql(
+def kmeans_ctes(
     embeddings_rel: str = "embeddings",
     k: int = 8,
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> str:
-    """DuckDB SQL replaying ``kmeans_integer`` exactly — quantize,
-    seed, then alternate assignment (correlated argmin over the k
-    centroids, ties to lower cid) and floor-division centroid update,
-    unrolled as chained CTEs."""
+) -> tuple[str, str]:
+    """The unrolled k-means CTE chain, composable into larger oracle
+    queries. Returns (ctes, final_assignment_name): the caller prepends
+    its own CTEs (e.g. a planted-dup corpus) and selects from the
+    returned assignment relation (vec_id, v, cid)."""
     d2 = (
         "(list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.cvec)"
         " + list_dot_product(c.cvec, c.cvec))"
@@ -207,8 +207,22 @@ def kmeans_oracle_sql(
 )"""
             )
             prev_c = f"c{i}"
-    joined = ",\n".join(parts)
+    return ",\n".join(parts), f"a{n_iter}"
+
+
+def kmeans_oracle_sql(
+    embeddings_rel: str = "embeddings",
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB SQL replaying ``kmeans_integer`` exactly — quantize,
+    seed, then alternate assignment (correlated argmin over the k
+    centroids, ties to lower cid) and floor-division centroid update,
+    unrolled as chained CTEs."""
+    ctes, final = kmeans_ctes(embeddings_rel, k, n_iter, vec_col, id_col)
     return f"""
-WITH {joined}
-SELECT vec_id, cid FROM a{n_iter}
+WITH {ctes}
+SELECT vec_id, cid FROM {final}
 """

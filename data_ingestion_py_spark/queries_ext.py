@@ -500,6 +500,80 @@ def q_dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_semdedup_kmeans() -> None:
+    from data_ingestion_py_spark.operators.kmeans import kmeans_ctes
+
+    _corpus_cte = """
+corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_concat([CAST(embedding[1] AS DOUBLE) + 0.2],
+                       list_transform(embedding[2:], x -> CAST(x AS DOUBLE)))
+               AS v
+    FROM embeddings WHERE vec_id % 10 = 0
+)"""
+    ctes, final = kmeans_ctes(
+        embeddings_rel="corpus", k=8, n_iter=2, vec_col="v", id_col="vec_id"
+    )
+    _cos = (
+        "round(list_dot_product(x.v, y.v)"
+        " / (sqrt(list_dot_product(x.v, x.v))"
+        " * sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+
+    @register(
+        "dedup_semdedup_kmeans",
+        f"""
+WITH {_corpus_cte},
+{ctes}
+SELECT fa.cid AS cluster, fa.vec_id AS vec_a, fb.vec_id AS vec_b,
+       {_cos} AS cosine_sim
+FROM {final} fa
+JOIN {final} fb ON fa.cid = fb.cid AND fa.vec_id < fb.vec_id
+JOIN corpus x ON x.vec_id = fa.vec_id
+JOIN corpus y ON y.vec_id = fb.vec_id
+WHERE {_cos} >= 0.9
+""",
+        tags=("dedup", "similarity", "clustering", "iterative"),
+    )
+    def q_dedup_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The FULL SemDeDup pipeline, composed end-to-end: deterministic
+        integer k-means (k=8, 2 assignment rounds) clusters the planted
+        near-dup corpus, then exact pairwise cosine runs WITHIN each
+        learned cluster only — no fixture-label stand-in anywhere. The
+        oracle replays both stages (unrolled k-means CTEs + in-cluster
+        pairwise) so the whole composition sits under the hash gate.
+        Clones (+0.2 on dim 0) land in their source's cluster, so the
+        cluster-bounded pass finds them at a fraction of n² cost."""
+        from data_ingestion_py_spark.operators.kmeans import kmeans_integer
+
+        base = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        clones = base.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.concat(
+                F.array(F.col("v").getItem(0) + 0.2), F.slice("v", 2, 63)
+            ).alias("v"),
+        )
+        corpus = base.unionByName(clones)
+        assign = kmeans_integer(
+            corpus, k=8, n_iter=2, vec_col="v", id_col="vec_id"
+        )
+        return similarity.semantic_dedup_pairs(
+            corpus.join(assign, "vec_id"),
+            threshold=0.9,
+            cluster_col="cid",
+            vec_col="v",
+        )
+
+
+_register_semdedup_kmeans()
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

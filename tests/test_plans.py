@@ -250,6 +250,7 @@ _TINY_BROADCAST_OK = {
     "dedup_embedding_cosine",
     "similarity_knn_join",
     "embedding_kmeans_assign",
+    "dedup_semdedup_kmeans",
     "events_value_histogram",
     "events_funnel_conversion",
     "dq_constraint_violations",
