@@ -1,15 +1,22 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, all shuffle-efficient and oracle-reproducible:
+All tiers shuffle-efficient and oracle-reproducible:
 
 - exact:       md5(content) groupBy — one shuffle on the 128-bit hash.
 - minhash-LSH: shingle → md5 min-hash signature → band keys → bucket
                self-join (candidates only) → exact Jaccard verify.
                At 100 TB the band-key groupBy replaces the O(n²)
                crossJoin: cost is proportional to bucket collisions.
+- incremental: new-batch bands probe the existing corpus's banded
+               signature table (the steady-state ingestion gate; the
+               streaming twin lives in streaming/pipeline.py).
 - simhash:     16-bit fingerprint from per-token md5 bits; near-dups
                share fingerprints (or differ in ≤ h bits).
 - n-gram Jaccard: exact pairwise verify, for candidate sets only.
+
+(Embedding-space tiers — sign-band LSH, SemDeDup cluster-bounded — live
+in operators/similarity.py; k-means for the cluster assignment in
+operators/kmeans.py.)
 
 No Spark ML MinHashLSH: its hash family isn't reproducible in the
 DuckDB oracle; the md5 construction is, and behaves identically.
