@@ -76,3 +76,13 @@ def test_matches_duckdb_oracle_replay(spark, k, n_iter):
     sql = kmeans_oracle_sql(k=k, n_iter=n_iter)
     want = sorted(map(tuple, con.execute(sql).fetchall()))
     assert got == want
+
+
+def test_k_exceeds_corpus_size(spark):
+    # k=5 over 3 points: LIMIT k yields only 3 seeds; the run must
+    # complete with 3 effective clusters and every point assigned.
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])]
+    out = kmeans_integer(_emb(spark, rows), k=5, n_iter=2)
+    got = {r.vec_id: r.cid for r in out.collect()}
+    assert set(got) == {0, 1, 2}
+    assert len(set(got.values())) == 3

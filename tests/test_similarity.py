@@ -210,3 +210,31 @@ def test_knn_join_every_query_gets_k(spark):
         by_q.setdefault(r.q_id, []).append(r.rank)
     assert set(by_q) == {0, 1, 2, 3, 4}
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_knn_join_empty_corpus(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") < 0)  # empty
+    assert similarity.knn_join(queries, corpus, k=5).count() == 0
+
+
+def test_semantic_dedup_no_cross_cluster_pairs(spark):
+    # vectors in different clusters must never pair, even if identical
+    rows = [
+        (1, 0, [1.0, 0.0]),
+        (2, 1, [1.0, 0.0]),  # identical vector, different cluster
+        (3, 0, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, v array<double>"
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.semantic_dedup_pairs(
+            df, threshold=0.9, cluster_col="label", vec_col="v"
+        ).collect()
+    }
+    assert got == {(1, 3)}
