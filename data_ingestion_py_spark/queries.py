@@ -649,6 +649,42 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_top_n_per_customer",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rnk
+    FROM orders
+)
+WHERE rnk <= 3
+""",
+    tags=("window", "topn"),
+)
+def q_orders_top_n_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N (each customer's 3 largest orders) — the
+    classic greatest-n-per-group shape. Executes two-phase via
+    Catalyst's WindowGroupLimit: a Partial limit per input partition
+    cuts to ≤3 rows per customer BEFORE the exchange, so the shuffle
+    moves survivors, not the orders table (same machinery pinned for
+    similarity_knn_join in test_plans.py)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@register(
     "events_variant_extract",
     """
 SELECT event_type,
