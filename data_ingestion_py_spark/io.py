@@ -75,6 +75,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql.types import TimestampNTZType
 
     ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz_cols:
+        # The NTZ→TIMESTAMP cast is value-preserving ONLY under a UTC
+        # session timezone; this path exists precisely for sessions
+        # built outside get_spark() (which pins UTC), so pin it here
+        # too rather than silently shifting values under a local zone.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            import warnings
+
+            warnings.warn(
+                f"load_table: session timezone {tz!r} would shift "
+                f"TIMESTAMP_NTZ columns {ntz_cols} during the cast; "
+                "setting spark.sql.session.timeZone=UTC to keep values "
+                "oracle-identical",
+                stacklevel=2,
+            )
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -33,6 +33,9 @@ gone before recompute risk appears.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -46,6 +49,15 @@ def pin(df: DataFrame, storage_level: str | None = None) -> DataFrame:
     persist at that level and force materialization eagerly (the eager
     part matters — a lazy persist lets N consumer branches race and
     recompute the upstream N times before blocks land).
+
+    OWNERSHIP: localCheckpoint blocks are released when the returned
+    DataFrame is garbage-collected, but PERSISTED pins are registered
+    in the CacheManager and survive until someone unpersists them — the
+    caller who passes ``storage_level`` owns calling
+    ``df.unpersist()`` once every consumer has materialized (or use
+    ``pinned(...)`` below, which scopes the lifetime for you).
+    Long-lived sessions that call persisted-pin operators repeatedly
+    without releasing will accumulate storage blocks indefinitely.
     """
     if storage_level is None:
         return df.localCheckpoint(eager=True)
@@ -59,3 +71,27 @@ def pin(df: DataFrame, storage_level: str | None = None) -> DataFrame:
     df = df.persist(level)
     df.count()
     return df
+
+
+@contextmanager
+def pinned(
+    df: DataFrame, storage_level: str | None = None
+) -> Iterator[DataFrame]:
+    """Scoped ``pin``: yields the materialized DataFrame and, for
+    persisted pins, unpersists on exit — the leak-proof way to use a
+    ``storage_level`` pin when all consumers finish inside one scope::
+
+        with pinned(sigs, "DISK_ONLY") as s:
+            out = consumer_a(s).union(consumer_b(s))
+            out.write.parquet(path)   # consumers materialize HERE
+
+    Exit before the consumers materialize and they will recompute the
+    upstream (persist keeps lineage) — correct but slow; keep the
+    action inside the ``with`` block.
+    """
+    out = pin(df, storage_level)
+    try:
+        yield out
+    finally:
+        if storage_level is not None:
+            out.unpersist()

@@ -370,7 +370,10 @@ def _embeddings_with_near_dups(e: DataFrame) -> DataFrame:
     clones = base.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.concat(
-            F.array(F.col("v").getItem(0) + 0.2), F.slice("v", 2, 63)
+            # dimension-agnostic tail (oracle uses open-ended v[2:]);
+            # slice clamps at the array end, so length size(v) is safe.
+            F.array(F.col("v").getItem(0) + 0.2),
+            F.slice("v", F.lit(2), F.size("v")),
         ).alias("v"),
     )
     return base.unionByName(clones)
@@ -491,7 +494,11 @@ def q_dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"),
         "label",
         F.concat(
-            F.array(F.col("v").getItem(0) + 0.2), F.slice("v", 2, 63)
+            # dimension-agnostic tail (matches the oracle's open-ended
+            # v[2:]): slice clamps at the array end, so length size(v)
+            # yields elements 2..size(v) for any fixture dimension.
+            F.array(F.col("v").getItem(0) + 0.2),
+            F.slice("v", F.lit(2), F.size("v")),
         ).alias("v"),
     )
     corpus = base.unionByName(clones)
@@ -556,7 +563,10 @@ WHERE {_cos} >= 0.9
         clones = base.where(F.col("vec_id") % 10 == 0).select(
             (F.col("vec_id") + 1000000).alias("vec_id"),
             F.concat(
-                F.array(F.col("v").getItem(0) + 0.2), F.slice("v", 2, 63)
+                # dimension-agnostic tail, same rationale as
+                # dedup_semdedup_clusters above.
+                F.array(F.col("v").getItem(0) + 0.2),
+                F.slice("v", F.lit(2), F.size("v")),
             ).alias("v"),
         )
         corpus = base.unionByName(clones)
@@ -1079,7 +1089,15 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionizer. The oracle proves the equivalence independently via
     the classic gaps-and-islands form (lag → new-session flag →
     running sum → group). One shuffle on user_id; the session merge is
-    Spark's built-in operator, not a window hand-roll."""
+    Spark's built-in operator, not a window hand-roll.
+
+    Boundary semantics (verified empirically + pinned by
+    ``tests/test_streaming.py::test_session_window_touch_merge``):
+    Spark session windows TOUCH-MERGE — an event at exactly
+    ``prev_ts + gap`` extends the session ([start, last+gap] windows
+    merge when they touch), so the oracle's new-session flag must be
+    the strict ``diff > gap``, matching what both engines compute at
+    ``diff == gap``."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(

@@ -30,10 +30,17 @@ from data_ingestion_py_spark.catalog.state import ACTION_SCHEMA, CatalogState
 
 @dataclass
 class StateHolder:
-    """Mutable cell the foreachBatch closure updates per micro-batch."""
+    """Mutable cell the foreachBatch closure updates per micro-batch.
+
+    ``last_batch_id`` makes every handler idempotent under foreachBatch
+    re-delivery: after a failure/restart Spark may call the handler
+    again with an already-processed batch_id, and blindly re-applying
+    would duplicate holder state. Handlers skip batch_ids ≤ the last
+    applied one (batch_ids are sequential per checkpoint)."""
 
     state: CatalogState
     audits: list[DataFrame]
+    last_batch_id: int = -1
 
 
 def read_command_stream(
@@ -64,8 +71,26 @@ def run_command_stream(
     and appends the audit table to the holder. Batches must be applied
     in order — foreachBatch guarantees sequential batch_ids.
     """
+    stream = read_command_stream(spark, commands_dir)
+    writer = (
+        stream.writeStream.foreachBatch(command_batch_processor(holder))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def command_batch_processor(holder: StateHolder):
+    """The foreachBatch handler for ``run_command_stream`` — exposed as
+    a factory so the re-delivery guard is unit-testable without forcing
+    a mid-stream crash."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= holder.last_batch_id:  # re-delivered after restart
+            return
+        holder.last_batch_id = batch_id
         # materialize the state eagerly so each batch's lineage doesn't
         # stack across micro-batches (bounded plan depth)
         new_state, audit = apply_actions(holder.state, batch_df)
@@ -75,15 +100,7 @@ def run_command_stream(
         # consumers are materialized now, so release the blocks.
         batch_df.unpersist()
 
-    stream = read_command_stream(spark, commands_dir)
-    writer = (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _process
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -129,6 +146,7 @@ class CurationState:
 
     seen_hashes: DataFrame
     accepted: list[DataFrame]
+    last_batch_id: int = -1  # idempotency under re-delivery (see StateHolder)
 
 
 def run_curation_stream(
@@ -161,6 +179,25 @@ def run_curation_stream(
     id order) and pinned by the test; a re-crawl that delivers files
     out of order diverges from batch mode by design.
     """
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(curation_batch_processor(holder))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def curation_batch_processor(holder: CurationState):
+    """foreachBatch handler for ``run_curation_stream`` (factory form so
+    the re-delivery guard is unit-testable)."""
     from data_ingestion_py_spark.functions.text import (
         quality_keep_condition,
         tokens,
@@ -168,6 +205,9 @@ def run_curation_stream(
     from pyspark.sql.window import Window
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= holder.last_batch_id:  # re-delivered after restart
+            return
+        holder.last_batch_id = batch_id
         gated = batch_df.where(
             quality_keep_condition(tokens(F.col("text")))
         ).withColumn("content_hash", F.md5("text"))
@@ -188,20 +228,7 @@ def run_curation_stream(
             ).distinct()
         )
 
-    schema = spark.read.parquet(docs_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(docs_dir)
-    )
-    writer = (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _process
 
 
 @dataclass
@@ -215,6 +242,7 @@ class LshDedupState:
     corpus_sigs: DataFrame | None
     admitted: list[DataFrame]
     flagged: list[DataFrame]
+    last_batch_id: int = -1  # idempotency under re-delivery (see StateHolder)
 
 
 def run_incremental_lsh_stream(
@@ -239,11 +267,33 @@ def run_incremental_lsh_stream(
     ``run_curation_stream``): an admitted doc keeps ownership; later
     near-dups of it are flagged, never retracted.
     """
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(lsh_batch_processor(holder, threshold))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def lsh_batch_processor(holder: LshDedupState, threshold: float = 0.5):
+    """foreachBatch handler for ``run_incremental_lsh_stream`` (factory
+    form so the re-delivery guard is unit-testable)."""
     from data_ingestion_py_spark.operators import dedup
 
     bands, rows = dedup.lsh_params(threshold)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= holder.last_batch_id:  # re-delivered after restart
+            return
+        holder.last_batch_id = batch_id
         sigs = _pin(dedup.minhash_signatures(batch_df))
         # intra-batch: drop the higher id of each near-dup pair
         intra = dedup.incremental_pairs_from_signatures(
@@ -275,17 +325,4 @@ def run_incremental_lsh_stream(
             else _pin(holder.corpus_sigs.unionByName(fresh))
         )
 
-    schema = spark.read.parquet(docs_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(docs_dir)
-    )
-    writer = (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _process

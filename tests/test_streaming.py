@@ -482,3 +482,72 @@ def test_incremental_lsh_dedup_stream(spark, tmp_path):
     }
     natural = {a for a, _ in flagged_pairs}
     assert new_signable - natural <= admitted
+
+
+def test_session_window_touch_merge(spark):
+    """Pin Spark's session_window boundary semantics (ADVICE r5): an
+    event at EXACTLY prev_ts + gap touch-merges into the running
+    session (windows [start, last+gap] merge when they touch), so the
+    events_session_window oracle's strict `diff > gap` new-session
+    flag is the correct mirror — both engines merge at diff == gap."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=30)),  # exactly the gap: merges
+        (1, base + dt.timedelta(minutes=60, seconds=1)),  # > gap: new
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = sorted(
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("s"), "n")
+        .collect(),
+        key=lambda r: r.s,
+    )
+    assert [(r.s, r.n) for r in out] == [
+        (base, 2),  # touch-merged: 00:00 and 00:30 share a session
+        (base + dt.timedelta(minutes=60, seconds=1), 1),
+    ]
+
+
+def test_foreach_batch_redelivery_is_idempotent(spark):
+    """foreachBatch may re-deliver the last batch after a restart; the
+    processors must skip batch_ids they already applied instead of
+    duplicating holder state (ADVICE r5)."""
+    from data_ingestion_py_spark.streaming.pipeline import (
+        CurationState,
+        LshDedupState,
+        curation_batch_processor,
+        lsh_batch_processor,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    batch = docs.where(F.col("doc_id") < 120)
+
+    # curation: re-delivering batch 0 must not re-append or grow state
+    cur = CurationState(
+        seen_hashes=spark.createDataFrame([], "content_hash string"),
+        accepted=[],
+    )
+    proc = curation_batch_processor(cur)
+    proc(batch, 0)
+    n_accepted = len(cur.accepted)
+    n_seen = cur.seen_hashes.count()
+    proc(batch, 0)  # re-delivery
+    assert len(cur.accepted) == n_accepted
+    assert cur.seen_hashes.count() == n_seen
+    proc(batch.limit(0), 1)  # next batch still applies
+    assert len(cur.accepted) == n_accepted + 1
+
+    # LSH: re-delivering batch 0 must not re-sign or re-admit
+    lsh = LshDedupState(corpus_sigs=None, admitted=[], flagged=[])
+    lproc = lsh_batch_processor(lsh, threshold=0.5)
+    lproc(batch, 0)
+    n_admitted = len(lsh.admitted)
+    n_corpus = lsh.corpus_sigs.count()
+    lproc(batch, 0)  # re-delivery: without the guard this would flag
+    # every doc against its own first delivery and duplicate state
+    assert len(lsh.admitted) == n_admitted
+    assert lsh.corpus_sigs.count() == n_corpus
