@@ -58,3 +58,54 @@ def test_dedup_clusters_sizes_and_canonical(spark):
         for r in out.where(F.col("doc_id") != F.col("cluster_id")).collect()
     )
     assert drops == [7, 12, 21]
+
+
+# ---------------------------------------------------------------------------
+# method="star" (large-star/small-star alternation) — must agree with
+# propagation on every graph shape, including the power-law case it
+# exists for (a planted high-degree hub).
+# ---------------------------------------------------------------------------
+
+
+def _both(spark, edges):
+    a = connected_components(_pairs(spark, edges))
+    b = connected_components(_pairs(spark, edges), method="star")
+    return (
+        {r.node: r.component for r in a.collect()},
+        {r.node: r.component for r in b.collect()},
+    )
+
+
+def test_star_matches_propagation_unit_graphs(spark):
+    for edges in (
+        [(1, 2), (2, 3), (10, 11)],            # two components
+        [(i, i + 1) for i in range(9)],        # long chain
+        [(5, 2), (2, 9)],                      # arbitrary orientation
+        [(7, 3), (3, 12), (20, 21)],           # mixed sizes
+        [(4, 4), (1, 2)],                      # self-loop node
+    ):
+        a, b = _both(spark, edges)
+        assert a == b, f"divergence on {edges}: {a} vs {b}"
+
+
+def test_star_planted_high_degree_hub(spark):
+    # power-law shape: hub 500 connects to 200 leaves, one of which
+    # chains down to the true component min (0). Propagation needs the
+    # min to flow THROUGH the hub; star re-roots the hub's edges at the
+    # minimum directly.
+    edges = [(500, 1000 + i) for i in range(200)]
+    edges += [(1000, 3), (3, 0)]  # chain to a smaller min
+    a, b = _both(spark, edges)
+    assert a == b
+    assert set(b.values()) == {0}  # one component, rooted at min
+
+
+def test_star_random_graph_equivalence(spark):
+    # deterministic pseudo-random sparse graph: ~150 nodes, 120 edges
+    edges = [
+        ((i * 7919) % 150, (i * 104729) % 150)
+        for i in range(120)
+        if (i * 7919) % 150 != (i * 104729) % 150
+    ]
+    a, b = _both(spark, edges)
+    assert a == b
