@@ -1,0 +1,212 @@
+"""Durable LSH band index — streaming dedup state AT REST.
+
+``SCALE.md`` ("Streaming state") promises that at cluster scale the
+corpus signature index behind incremental near-dedup is "a
+parquet/Delta table partitioned by band key, not driver memory". The
+in-session form (``streaming/pipeline.LshDedupState``) holds the state
+as pinned DataFrames; THIS module is the promised at-rest form:
+
+- ``bands/``  — (doc_id, band_key) exploded band rows, partitioned by
+  ``ingest_batch`` then ``band_bucket = pmod(xxhash64(band_key), B)``.
+  Raw band keys have unbounded cardinality (one directory per key is a
+  small-files bomb), so the partition column is a BOUNDED hash bucket
+  of the key; a probe computes its batch's bucket set (≤ B ints — a
+  bounded driver list, never data-sized) and pushes an IN filter that
+  prunes partition directories at the scan (``PartitionFilters``,
+  pinned by ``tests/test_plans.py``).
+- ``sigs/``   — (doc_id, sig, shingles) per admitted doc, partitioned
+  by ``ingest_batch``. Written LAST per batch, so its partition
+  directory doubles as the batch's COMMIT MARKER: a crash between the
+  two writes leaves orphan band rows, which are harmless (duplicate
+  candidates collapse in the probe's ``distinct``) and are re-written
+  idempotently when the batch re-delivers.
+- ``flagged/`` — (new_doc_id, corpus_doc_id, jaccard) near-dup pairs
+  per batch, partitioned by ``ingest_batch`` (the audit trail).
+- ``meta/``   — one row (bands, rows, n_buckets), written once;
+  re-opening the index restores the banding parameters so a restarted
+  job cannot silently probe with mismatched bands.
+
+Restart contract: ``has_batch(batch_id)`` = "does the sigs commit
+marker exist" — the idempotency check lives in the INDEX, not in any
+driver-side holder, so it survives process restarts (the weaker
+in-session guard in ``LshDedupState.last_batch_id`` does not).
+Batch ids come from the stream checkpoint, so an index is tied to one
+checkpoint lineage.
+
+Reference contrast: egorji/data_ingestion.py has no dedup state at all
+(its only dedup is the whole-collection name scan at :302-315); this
+is the piece a crawl pipeline needs to dedup forever without
+re-signing its corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_ingestion_py_spark.functions.text import band_keys
+from data_ingestion_py_spark.operators import dedup
+
+N_BUCKETS = 64
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (works on local, HDFS, object stores;
+    driver-side metadata only — never touches data)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+class BandIndex:
+    """Handle on a durable band index rooted at ``path``.
+
+    Open an existing index (parameters restored from ``meta/``) or lay
+    down a new one on first ``append_batch``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bands: int = dedup.BANDS,
+        rows: int = dedup.ROWS_PER_BAND,
+        n_buckets: int = N_BUCKETS,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.bands, self.rows, self.n_buckets = bands, rows, n_buckets
+        if _fs_exists(spark, self._meta_path):
+            m = spark.read.parquet(self._meta_path).first()
+            self.bands, self.rows, self.n_buckets = (
+                m.bands,
+                m.rows,
+                m.n_buckets,
+            )
+
+    # -- layout ----------------------------------------------------------
+    @property
+    def _bands_path(self) -> str:
+        return f"{self.path}/bands"
+
+    @property
+    def _sigs_path(self) -> str:
+        return f"{self.path}/sigs"
+
+    @property
+    def _flagged_path(self) -> str:
+        return f"{self.path}/flagged"
+
+    @property
+    def _meta_path(self) -> str:
+        return f"{self.path}/meta"
+
+    # -- state inspection ------------------------------------------------
+    def is_empty(self) -> bool:
+        return not _fs_exists(self.spark, self._sigs_path)
+
+    def has_batch(self, batch_id: int) -> bool:
+        """True iff ``batch_id``'s sigs commit marker exists — the
+        restart-safe re-delivery guard."""
+        return _fs_exists(
+            self.spark, f"{self._sigs_path}/ingest_batch={batch_id}"
+        )
+
+    def corpus_sigs(self) -> DataFrame:
+        return self.spark.read.parquet(self._sigs_path)
+
+    def admitted_ids(self) -> DataFrame:
+        return self.corpus_sigs().select("doc_id")
+
+    def flagged(self) -> DataFrame:
+        if not _fs_exists(self.spark, self._flagged_path):
+            return self.spark.createDataFrame(
+                [], "new_doc_id long, corpus_doc_id long, jaccard double"
+            )
+        return self.spark.read.parquet(self._flagged_path).select(
+            "new_doc_id", "corpus_doc_id", "jaccard"
+        )
+
+    # -- banding ---------------------------------------------------------
+    def _banded(self, sigs: DataFrame, id_alias: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(
+                band_keys(F.col("sig"), self.bands, self.rows)
+            ).alias("band_key"),
+        ).withColumn(
+            "band_bucket", F.pmod(F.xxhash64("band_key"), F.lit(self.n_buckets))
+        )
+
+    # -- writes ----------------------------------------------------------
+    def append_batch(self, sigs: DataFrame, batch_id: int) -> None:
+        """Admit a batch of signed docs (doc_id, sig, shingles):
+        band rows first, sigs commit marker last (see module doc)."""
+        if not _fs_exists(self.spark, self._meta_path):
+            self.spark.createDataFrame(
+                [(self.bands, self.rows, self.n_buckets)],
+                "bands int, rows int, n_buckets int",
+            ).write.mode("overwrite").parquet(self._meta_path)
+        (
+            self._banded(sigs, "doc_id")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("ingest_batch", "band_bucket")
+            .parquet(self._bands_path)
+        )
+        (
+            sigs.select("doc_id", "sig", "shingles")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("ingest_batch")
+            .parquet(self._sigs_path)
+        )
+
+    def append_flagged(self, pairs: DataFrame, batch_id: int) -> None:
+        (
+            pairs.select("new_doc_id", "corpus_doc_id", "jaccard")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("ingest_batch")
+            .parquet(self._flagged_path)
+        )
+
+    # -- probe -----------------------------------------------------------
+    def probe_candidates(self, new_sigs: DataFrame) -> DataFrame:
+        """Candidate (new_doc_id, corpus_doc_id) pairs for a signed
+        batch: the batch's band rows join the at-rest index on
+        band_key, with the scan restricted to the batch's bucket set —
+        a literal IN over ≤ n_buckets ints, so the parquet scan prunes
+        partition directories (``PartitionFilters``), reading only the
+        buckets this batch can possibly collide in."""
+        new_banded = self._banded(new_sigs, "new_doc_id")
+        buckets = sorted(
+            r.band_bucket
+            for r in new_banded.select("band_bucket").distinct().collect()
+        )
+        idx = self.spark.read.parquet(self._bands_path).where(
+            F.col("band_bucket").isin(buckets)
+        )
+        return (
+            new_banded.join(
+                idx.select(F.col("doc_id").alias("corpus_doc_id"), "band_key"),
+                "band_key",
+            )
+            .select("new_doc_id", "corpus_doc_id")
+            .distinct()
+        )
+
+    def probe(self, new_sigs: DataFrame, threshold: float) -> DataFrame:
+        """(new_doc_id, corpus_doc_id, jaccard) near-dup pairs of a
+        signed batch against the admitted corpus: pruned band probe,
+        then exact Jaccard verify at candidate cardinality."""
+        if self.is_empty():
+            return self.spark.createDataFrame(
+                [], "new_doc_id long, corpus_doc_id long, jaccard double"
+            )
+        return dedup.verify_incremental_pairs(
+            self.probe_candidates(new_sigs),
+            new_sigs,
+            self.corpus_sigs(),
+            threshold,
+        )

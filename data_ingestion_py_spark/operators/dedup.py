@@ -275,6 +275,19 @@ def incremental_pairs_from_signatures(
         .select("new_doc_id", "corpus_doc_id")
         .distinct()
     )
+    return verify_incremental_pairs(cands, new_sigs, corp_sigs, threshold)
+
+
+def verify_incremental_pairs(
+    cands: DataFrame,
+    new_sigs: DataFrame,
+    corp_sigs: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify for asymmetric candidate pairs — shared by
+    the in-session band probe above and the durable at-rest probe
+    (``operators/band_index.BandIndex.probe``). Joins at candidate
+    cardinality only."""
     sa = new_sigs.select(
         F.col("doc_id").alias("new_doc_id"),
         F.array_distinct("shingles").alias("sh_a"),

@@ -326,3 +326,72 @@ def lsh_batch_processor(holder: LshDedupState, threshold: float = 0.5):
         )
 
     return _process
+
+
+def run_durable_lsh_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    index,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    available_now: bool = True,
+):
+    """``run_incremental_lsh_stream`` with the dedup state AT REST: the
+    corpus signature index is an ``operators/band_index.BandIndex``
+    (partitioned parquet), not in-session DataFrames. Restarting the
+    process and re-opening the same index path resumes dedup exactly
+    where it stopped — admitted docs, their band rows, and the flagged
+    audit trail all live in the table; nothing is rebuilt or re-signed.
+    Re-delivered batches are skipped by the index's commit marker
+    (``has_batch``), which unlike ``LshDedupState.last_batch_id``
+    survives restarts."""
+    schema = spark.read.parquet(docs_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(
+            durable_lsh_batch_processor(index, threshold)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def durable_lsh_batch_processor(index, threshold: float = 0.5):
+    """foreachBatch handler for ``run_durable_lsh_stream``: sign once,
+    intra-batch self-dedup, pruned probe against the at-rest index,
+    flag matches, admit the rest."""
+    from data_ingestion_py_spark.operators import dedup
+
+    bands, rows = index.bands, index.rows
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if index.has_batch(batch_id):  # re-delivered after restart
+            return
+        sigs = _pin(dedup.minhash_signatures(batch_df))
+        intra = dedup.incremental_pairs_from_signatures(
+            sigs, sigs, threshold, bands, rows
+        ).where(F.col("new_doc_id") > F.col("corpus_doc_id"))
+        batch_losers = intra.select(
+            F.col("new_doc_id").alias("doc_id")
+        ).distinct()
+        survivors = _pin(sigs.join(batch_losers, "doc_id", "left_anti"))
+        if index.is_empty():
+            fresh = survivors
+        else:
+            cross = _pin(index.probe(survivors, threshold))
+            index.append_flagged(cross, batch_id)
+            fresh = survivors.join(
+                cross.select(F.col("new_doc_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        index.append_batch(fresh, batch_id)
+
+    return _process

@@ -1,0 +1,108 @@
+"""Durable band index: at-rest dedup state that survives restarts.
+
+Pins the three SCALE.md claims about streaming dedup state at cluster
+scale: (1) the signature index is a partitioned parquet table, not
+driver memory; (2) probes prune partition directories at the scan;
+(3) a restarted job re-opens the index and both resumes dedup against
+pre-restart admissions AND skips re-delivered batches via the commit
+marker.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.operators import dedup
+from data_ingestion_py_spark.operators.band_index import BandIndex
+from data_ingestion_py_spark.plans import explain as E
+from data_ingestion_py_spark.streaming.pipeline import (
+    durable_lsh_batch_processor,
+    run_durable_lsh_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+
+def _near_dups_of(df, id_shift=700000):
+    """Perturbed clones (first token dropped) — guaranteed near-dups."""
+    return df.select(
+        (F.col("doc_id") + id_shift).alias("doc_id"),
+        F.regexp_replace("text", r"^[^ ]+ ", "").alias("text"),
+    )
+
+
+def test_probe_scan_prunes_band_bucket_partitions(spark, tmp_path):
+    """The probe's index scan must carry PartitionFilters on
+    band_bucket — only the batch's bucket directories are read."""
+    idx = BandIndex(spark, str(tmp_path / "idx"))
+    corpus = _docs(spark).where(F.col("doc_id") < 200)
+    idx.append_batch(dedup.minhash_signatures(corpus), batch_id=0)
+
+    batch = _docs(spark).where(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 220)
+    )
+    cands = idx.probe_candidates(dedup.minhash_signatures(batch))
+    plan = E.formatted_plan(cands)
+    assert "PartitionFilters" in plan
+    import re
+
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("band_bucket" in f for f in filters), plan
+
+
+def test_index_restart_resumes_and_skips_redelivery(spark, tmp_path):
+    """Two 'process lifetimes' over the SAME index path + checkpoint:
+    the second lifetime opens a FRESH BandIndex handle (parameters
+    restored from meta/), dedups new near-dups against batches
+    admitted before the restart, and its commit markers reject
+    re-delivered batch ids."""
+    src = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    idx_path = str(tmp_path / "idx")
+
+    docs = _docs(spark)
+    b1 = docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 300))
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    # ---- lifetime 1: admit batch 1 ----
+    idx1 = BandIndex(spark, idx_path)
+    q = run_durable_lsh_stream(spark, src, idx1, ckpt)
+    q.awaitTermination(240)
+    admitted_1 = {r.doc_id for r in idx1.admitted_ids().collect()}
+    assert admitted_1  # something got admitted
+    assert idx1.has_batch(0)
+
+    # ---- lifetime 2: new handle, same path; near-dups of lifetime-1
+    # docs plus genuinely new docs arrive ----
+    time.sleep(1.1)  # distinct file mtime => stable batch order
+    near = _near_dups_of(b1.where(F.col("doc_id") % 2 == 0))
+    new_docs = docs.where((F.col("doc_id") % 3 == 1) & (F.col("doc_id") < 100))
+    near.unionByName(new_docs).coalesce(1).write.mode("append").parquet(src)
+
+    idx2 = BandIndex(spark, idx_path)  # re-open: meta restores params
+    assert (idx2.bands, idx2.rows) == (idx1.bands, idx1.rows)
+    assert idx2.has_batch(0)  # commit marker survived the "restart"
+    q = run_durable_lsh_stream(spark, src, idx2, ckpt)
+    q.awaitTermination(240)
+
+    flagged_new = {r.new_doc_id for r in idx2.flagged().collect()}
+    near_ids = {r.doc_id for r in near.collect()}
+    caught = near_ids & flagged_new
+    assert len(caught) >= 0.9 * len(near_ids), (
+        f"only {len(caught)}/{len(near_ids)} cross-restart near-dups flagged"
+    )
+    admitted_2 = {r.doc_id for r in idx2.admitted_ids().collect()}
+    assert not (caught & admitted_2)  # flagged docs were not admitted
+    assert admitted_1 <= admitted_2  # pre-restart admissions intact
+
+    # ---- re-delivery of an already-committed batch is a no-op ----
+    n_before = idx2.admitted_ids().count()
+    proc = durable_lsh_batch_processor(idx2, threshold=0.5)
+    proc(b1, 0)  # same batch_id as lifetime 1
+    assert idx2.admitted_ids().count() == n_before
