@@ -16,11 +16,25 @@ embedding components quantize to integer micro-units
 - centroid updates are exact integer sums + floor division
   (``(s − pmod(s, n)) / n``, identical to DuckDB's
   ``(s − ((s % n) + n) % n) / n``);
-- seeds are the k lowest ``vec_id`` rows (no RNG), ties in the argmin
-  break on the lower cid
+- seeds are DETERMINISTIC farthest-first (k-means++ without the RNG):
+  seed 0 = lowest ``vec_id``; seed i = the point maximizing the exact
+  squared-L2 distance to its nearest chosen seed, ties → lower
+  vec_id. Lowest-id-only seeding (``seeding="lowid"``, the legacy
+  mode) can land every seed in one region when ids correlate with
+  insertion order, collapsing Lloyd's into a poor local optimum —
+  pinned by the planted two-blob test where lowid demonstrably fails
+  and farthest-first separates. ``cid`` = seed selection order;
+- ties in the assignment argmin break on the lower cid
 
 — so the full iteration replays bit-identically as unrolled DuckDB
 CTEs and sits under the registry's hard hash gate.
+
+Seeding cost: k−1 extra passes over the quantized corpus, each a
+TakeOrdered(1) scalar action with the current seed set inlined as
+literals (seed vectors are k×dim — driver-small by the same argument
+that makes centroids broadcastable). The 100 TB swap when k is large
+is k-means|| oversampling (Bahmani et al.) — documented, not needed
+at these k.
 
 Scale shape, per round: centroids are k×dim — ALWAYS broadcastable
 (one 1-row array crossJoin, the tiny-broadcast pattern); assignment is
@@ -79,6 +93,35 @@ def _assign(vq: DataFrame, cent_row: DataFrame) -> DataFrame:
     )
 
 
+def _farthest_first_seeds(vq: DataFrame, k: int) -> list[list[float]]:
+    """Deterministic farthest-first seed sweep over the quantized
+    corpus: seed 0 = lowest vec_id; each next seed maximizes the exact
+    squared-L2 distance to its nearest already-chosen seed (ties →
+    lower vec_id). Each round inlines the current seed vectors as
+    literals (k×dim — the same size class as the broadcast centroid
+    array) and runs one TakeOrdered(1) action; distances are exact
+    integer arithmetic in doubles, so the sweep replays bit-identically
+    in the DuckDB oracle."""
+    first = vq.orderBy("vec_id").limit(1).collect()[0]
+    seeds: list[list[float]] = [list(first.v)]
+    vv = dot(F.col("v"), F.col("v"))
+    for _ in range(1, k):
+        terms = []
+        for sv in seeds:
+            lit_s = F.array(*[F.lit(float(x)) for x in sv])
+            ss = float(sum(x * x for x in sv))  # exact: ints < 2^53
+            terms.append(vv - 2 * dot(F.col("v"), lit_s) + F.lit(ss))
+        mind2 = F.least(*terms) if len(terms) > 1 else terms[0]
+        nxt = (
+            vq.select("vec_id", "v", mind2.alias("_d"))
+            .orderBy(F.desc("_d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append(list(nxt.v))
+    return seeds
+
+
 def kmeans_integer(
     embeddings: DataFrame,
     k: int = 8,
@@ -86,11 +129,13 @@ def kmeans_integer(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     storage_level: str | None = None,
+    seeding: str = "farthest",
 ) -> DataFrame:
     """(vec_id, cid) after ``n_iter`` assignment rounds (with
     ``n_iter − 1`` centroid updates between them) of deterministic
-    integer Lloyd's k-means. ``cid`` is 0..k−1 by seed order (the k
-    lowest vec_ids)."""
+    integer Lloyd's k-means. ``cid`` is 0..k−1 by seed order —
+    selection order for ``seeding="farthest"`` (default), vec_id order
+    of the k lowest ids for the legacy ``seeding="lowid"``."""
     vq = pin(
         embeddings.select(
             F.col(id_col).alias("vec_id"),
@@ -103,18 +148,28 @@ def kmeans_integer(
         ),
         storage_level,
     )
-    seeds = vq.orderBy("vec_id").limit(k)
-    # cid = position in the vec_id-sorted seed array (posexplode index)
-    cents = (
-        seeds.agg(
-            F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("_s")
+    spark = embeddings.sparkSession
+    if seeding == "farthest":
+        cents = spark.createDataFrame(
+            [(i, sv) for i, sv in enumerate(_farthest_first_seeds(vq, k))],
+            "cid int, cvec array<double>",
         )
-        .select(F.posexplode(F.col("_s")).alias("cid", "s"))
-        .select(
-            F.col("cid").cast("int").alias("cid"), F.col("s")["v"].alias("cvec")
+    elif seeding == "lowid":
+        seeds = vq.orderBy("vec_id").limit(k)
+        # cid = position in the vec_id-sorted seed array (posexplode index)
+        cents = (
+            seeds.agg(
+                F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("_s")
+            )
+            .select(F.posexplode(F.col("_s")).alias("cid", "s"))
+            .select(
+                F.col("cid").cast("int").alias("cid"),
+                F.col("s")["v"].alias("cvec"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
+    else:
+        raise ValueError(f"unknown seeding {seeding!r}")
     assigned = _assign(vq, _centroid_array(cents))
     for _ in range(n_iter - 1):
         n = F.count(F.lit(1))
@@ -149,11 +204,15 @@ def kmeans_ctes(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seeding: str = "farthest",
 ) -> tuple[str, str]:
     """The unrolled k-means CTE chain, composable into larger oracle
     queries. Returns (ctes, final_assignment_name): the caller prepends
     its own CTEs (e.g. a planted-dup corpus) and selects from the
-    returned assignment relation (vec_id, v, cid)."""
+    returned assignment relation (vec_id, v, cid). ``seeding`` must
+    match the Spark side (farthest-first unrolls as one seed-pick CTE
+    per seed; the max-distance pick is the same correlated-min ORDER
+    BY the assignment argmin uses)."""
     d2 = (
         "(list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, c.cvec)"
         " + list_dot_product(c.cvec, c.cvec))"
@@ -166,12 +225,43 @@ def kmeans_ctes(
                     AS DOUBLE)) AS v
     FROM {embeddings_rel}
 )""",
-        f"""c0 AS (
+    ]
+    if seeding == "farthest":
+        d2_seed = (
+            "(list_dot_product(q.v, q.v) - 2 * list_dot_product(q.v, p.v)"
+            " + list_dot_product(p.v, p.v))"
+        )
+        parts.append(
+            """p0 AS (
+    SELECT 0 AS cid, vec_id, v FROM vq ORDER BY vec_id LIMIT 1
+)"""
+        )
+        for i in range(1, k):
+            parts.append(
+                f"""p{i} AS (
+    SELECT cid, vec_id, v FROM p{i - 1}
+    UNION ALL
+    SELECT {i} AS cid, vec_id, v FROM (
+        SELECT q.vec_id, q.v FROM vq q
+        ORDER BY (SELECT min({d2_seed}) FROM p{i - 1} p) DESC, q.vec_id
+        LIMIT 1)
+)"""
+            )
+        parts.append(
+            f"""c0 AS (
+    SELECT CAST(cid AS INT) AS cid, v AS cvec FROM p{k - 1}
+)"""
+        )
+    elif seeding == "lowid":
+        parts.append(
+            f"""c0 AS (
     SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
            v AS cvec
     FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT {k})
-)""",
-    ]
+)"""
+        )
+    else:
+        raise ValueError(f"unknown seeding {seeding!r}")
     prev_c = "c0"
     for i in range(1, n_iter + 1):
         parts.append(
@@ -216,12 +306,15 @@ def kmeans_oracle_sql(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seeding: str = "farthest",
 ) -> str:
     """DuckDB SQL replaying ``kmeans_integer`` exactly — quantize,
-    seed, then alternate assignment (correlated argmin over the k
-    centroids, ties to lower cid) and floor-division centroid update,
-    unrolled as chained CTEs."""
-    ctes, final = kmeans_ctes(embeddings_rel, k, n_iter, vec_col, id_col)
+    seed (farthest-first sweep by default), then alternate assignment
+    (correlated argmin over the k centroids, ties to lower cid) and
+    floor-division centroid update, unrolled as chained CTEs."""
+    ctes, final = kmeans_ctes(
+        embeddings_rel, k, n_iter, vec_col, id_col, seeding
+    )
     return f"""
 WITH {ctes}
 SELECT vec_id, cid FROM {final}
