@@ -70,10 +70,17 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — bench must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    try:
-        skew = _skew_bench(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001
-        skew = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+    probes: dict[str, dict] = {}
+    for key, fn in (
+        ("skew_join", _skew_bench),
+        ("quantile_swap", _quantile_swap_bench),
+        ("distinct_swap", _distinct_swap_bench),
+        ("dedup_slope", _dedup_slope_bench),
+    ):
+        try:
+            probes[key] = fn(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            probes[key] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -82,7 +89,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "skew_join": skew,
+        **probes,
     }
     if errors:
         result["errors"] = errors
@@ -146,6 +153,152 @@ def _skew_bench(spark, sf_dir: str) -> dict[str, float]:
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _best_of(n: int, act) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        act()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _quantile_swap_bench(spark, sf_dir: str) -> dict:
+    """Exact two-phase quantiles vs approx_percentile — the swap the
+    ranking docstrings promise at 100 TB, with the error actually
+    observed instead of assumed. Exact = the registry's
+    orders_exact_quantiles (two-phase global rank + integer
+    interpolation); approx = one pass of approx_percentile at default
+    accuracy (10000)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_py_spark.io import load_table
+    from data_ingestion_py_spark.queries import QUERIES
+
+    pcts = [0.25, 0.50, 0.75, 0.90, 0.99]
+    exact_q = QUERIES["orders_exact_quantiles"]
+    exact_row = {}
+
+    def _run_exact():
+        exact_row["r"] = exact_q.spark(spark, sf_dir).collect()[0]
+
+    o = load_table(spark, sf_dir, "orders")
+    approx_row = {}
+
+    def _run_approx():
+        approx_row["r"] = o.agg(
+            F.percentile_approx("o_totalprice", pcts).alias("qs")
+        ).collect()[0]
+
+    out = {
+        "exact_sec": _best_of(3, _run_exact),
+        "approx_sec": _best_of(3, _run_approx),
+    }
+    exact_vals = [exact_row["r"][i] for i in range(len(pcts))]
+    approx_vals = list(approx_row["r"].qs)
+    out["max_rel_err"] = round(
+        max(
+            abs(a - e) / abs(e)
+            for a, e in zip(approx_vals, exact_vals)
+            if e != 0
+        ),
+        6,
+    )
+    return out
+
+
+def _distinct_swap_bench(spark, sf_dir: str) -> dict:
+    """Exact countDistinct vs approx_count_distinct (HLL++, default
+    rsd 5%) over the fact table's key — times + observed error."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_py_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_v, approx_v = {}, {}
+
+    def _run_exact():
+        exact_v["n"] = li.agg(
+            F.countDistinct("l_orderkey").alias("n")
+        ).collect()[0].n
+
+    def _run_approx():
+        approx_v["n"] = li.agg(
+            F.approx_count_distinct("l_orderkey").alias("n")
+        ).collect()[0].n
+
+    out = {
+        "exact_sec": _best_of(3, _run_exact),
+        "approx_sec": _best_of(3, _run_approx),
+    }
+    out["rel_err"] = round(
+        abs(approx_v["n"] - exact_v["n"]) / exact_v["n"], 6
+    )
+    return out
+
+
+def _dedup_slope_bench(spark, sf_dir: str) -> dict:
+    """MinHash+LSH wall-time slope vs corpus growth: the band-bucket
+    design claims cost ∝ collisions (~linear in corpus size), not
+    corpus². Measured: near_duplicates_minhash over the documents
+    table at 1× and 10×, where the 10× corpus is ten deterministic
+    copies with every token suffixed by the copy index — each copy
+    keeps the original's internal similarity structure but shares no
+    shingles across copies, i.e. \"10× the data at the same dup-rate\"
+    (naive all-pairs would grow 100×; band-bucketed should be ~10×,
+    plus constant factors that AMORTIZE at larger data)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_py_spark.io import load_table
+    from data_ingestion_py_spark.operators.dedup import (
+        near_duplicates_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # Force shuffle joins for BOTH sizes: the corpus-sized shingle
+    # tables in the verify join are exactly what a 100 TB run could
+    # never broadcast (size ESTIMATES of text-heavy checkpointed
+    # tables also undershoot badly enough that AQE's broadcast attempt
+    # OOMs the single-JVM driver at 10×) — the shuffle-join plan is
+    # the scale-representative one the slope claim is about.
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def corpus(m: int):
+        parts = []
+        for c in range(m):
+            text = (
+                F.col("text")
+                if c == 0
+                else F.regexp_replace("text", r"(\S+)", f"$1_{c}")
+            )
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + F.lit(c * 10_000_000)).alias("doc_id"),
+                    text.alias("text"),
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    try:
+        out: dict[str, float] = {}
+        for label, m in (("x1_sec", 1), ("x10_sec", 10)):
+            corp = corpus(m)
+            out[label] = _best_of(
+                2,
+                lambda: near_duplicates_minhash(corp, threshold=0.5)
+                .write.mode("overwrite")
+                .format("noop")
+                .save(),
+            )
+        out["slope"] = round(out["x10_sec"] / out["x1_sec"], 2)
+        return out
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
 if __name__ == "__main__":
