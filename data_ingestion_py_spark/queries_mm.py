@@ -234,6 +234,109 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.resize_plan(media, 512, 512)
 
 
+@register(
+    "multimodal_phash_dedup",
+    """
+WITH corpus AS (
+    SELECT doc_id AS media_id, doc_id AS seed, 0 AS shift FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000 AS media_id, doc_id AS seed, 8 AS shift
+    FROM documents WHERE doc_id % 10 = 0
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 255),
+               i -> (seed * 31 + i * (7 + seed % 11)) % 240 + shift) AS p
+    FROM corpus
+), bl AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 15), b ->
+               list_sum(list_transform(generate_series(0, 15), j ->
+                   p[((b // 4) * 4 + (j // 4)) * 16
+                     + (b % 4) * 4 + (j % 4) + 1]))) AS bs
+    FROM px
+), ph AS (
+    SELECT media_id,
+           list_sum(list_transform(generate_series(0, 15), b ->
+               CASE WHEN bs[b + 1] * 256 > list_sum(bs) * 16
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS phash
+    FROM bl
+)
+SELECT CAST(phash AS BIGINT) AS phash,
+       min(media_id) AS canonical_media_id,
+       count(*) AS n_copies
+FROM ph GROUP BY phash
+""",
+    tags=("multimodal", "dedup", "phash"),
+)
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL-LEVEL near-dup image dedup, end-to-end real within
+    container limits: valid binary PGM (P5) / PPM (P6) images are
+    built in column algebra (header + doc_id-derived 16×16 raster,
+    P6 with r=g=b), pushed through the Arrow ``mapInPandas`` stage,
+    pixel-DECODED by the pure-byte netpbm kernel
+    (sources/multimodal.decode_pnm), and reduced to an integer
+    average-hash (4×4 block means vs global mean, cross-multiplied —
+    no division anywhere). Clones of every 10th image get a uniform
+    +8 brightness shift: byte-distinct (md5/exact dedup misses them)
+    but provably average-hash-invariant, so the phash groupBy is a
+    genuine NEAR-dup pass over decoded pixels. The oracle recomputes
+    the hash arithmetically from the planted pixel formula — it never
+    sees the bytes, so any header-walk/raster-offset/endianness bug in
+    the decoder hash-mismatches immediately. One shuffle on phash."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("shift"),
+    )
+    clones = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 3000000).alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(8).alias("shift"),
+    )
+    corpus = base.unionByName(clones)
+
+    def _pix_hex(i):  # 2-hex-char pixel byte, value in 8..247
+        return F.lpad(
+            F.hex(
+                (F.col("seed") * 31 + i * (7 + F.col("seed") % 11)) % 240
+                + F.col("shift")
+            ),
+            2,
+            "0",
+        )
+
+    idx = F.sequence(F.lit(0), F.lit(255))
+    p5 = F.concat(
+        F.lit("50350A31362031360A3235350A"),  # "P5\n16 16\n255\n"
+        F.concat_ws("", F.transform(idx, _pix_hex)),
+    )
+    p6 = F.concat(
+        F.lit("50360A31362031360A3235350A"),  # "P6\n16 16\n255\n"
+        F.concat_ws(
+            "",
+            F.transform(
+                idx,
+                lambda i: F.concat(_pix_hex(i), _pix_hex(i), _pix_hex(i)),
+            ),
+        ),
+    )
+    media = corpus.select(
+        "media_id",
+        F.unhex(F.when(F.col("media_id") % 2 == 0, p5).otherwise(p6)).alias(
+            "payload"
+        ),
+    )
+    return (
+        mm.perceptual_hashes(media, grid=4)
+        .groupBy("phash")
+        .agg(
+            F.min("media_id").alias("canonical_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def _le_hex(c, nbytes: int):
     """Little-endian hex of an integer column (byte-swapped F.hex)."""
     h = F.lpad(F.hex(c), nbytes * 2, "0")

@@ -118,6 +118,130 @@ def image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
         )
     return None
 
+def decode_pnm(payload: bytes | None) -> tuple[int, int, list[int]] | None:
+    """REAL pixel decode kernel for the uncompressed netpbm formats —
+    the honest step past header parsing that needs no codec library:
+
+    - P5 (PGM, binary grayscale): 'P5', whitespace/comments, ASCII
+      width height maxval, ONE whitespace byte, then w*h raster bytes.
+    - P6 (PPM, binary RGB): same header, 3 bytes/pixel; grayscale is
+      the integer mean (r+g+b)//3.
+
+    Returns (width, height, grayscale_pixels row-major) or None for
+    unrecognized/truncated payloads or maxval > 255 (2-byte rasters
+    not supported). Pure bytes in → ints out, deterministic.
+    """
+    if payload is None or len(payload) < 2 or payload[:1] != b"P":
+        return None
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        return None
+    i, n = 2, len(payload)
+
+    def _skip_ws(i: int) -> int:
+        while i < n:
+            if payload[i : i + 1].isspace():
+                i += 1
+            elif payload[i : i + 1] == b"#":  # comment to end-of-line
+                while i < n and payload[i] not in (0x0A, 0x0D):
+                    i += 1
+            else:
+                break
+        return i
+
+    def _read_int(i: int) -> tuple[int, int] | None:
+        i = _skip_ws(i)
+        j = i
+        while j < n and 0x30 <= payload[j] <= 0x39:
+            j += 1
+        if j == i:
+            return None
+        return int(payload[i:j]), j
+
+    hdr = []
+    for _ in range(3):  # width, height, maxval
+        got = _read_int(i)
+        if got is None:
+            return None
+        v, i = got
+        hdr.append(v)
+    w, h, maxval = hdr
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    i += 1  # exactly one whitespace byte before the raster
+    ch = 1 if magic == b"P5" else 3
+    if i + w * h * ch > n:
+        return None
+    raster = payload[i : i + w * h * ch]
+    if ch == 1:
+        return w, h, list(raster)
+    return w, h, [
+        (raster[3 * p] + raster[3 * p + 1] + raster[3 * p + 2]) // 3
+        for p in range(w * h)
+    ]
+
+
+def average_hash(payload: bytes | None, grid: int = 4) -> int | None:
+    """Perceptual hash (average-hash) over a decoded PNM raster:
+    downsample to ``grid×grid`` integer block sums, then bit b = 1 iff
+    block b's mean exceeds the global mean — compared cross-multiplied
+    (``block_sum·total_pixels > total_sum·block_pixels``) so the whole
+    hash is INTEGER arithmetic, bit-identical in any engine. Uniform
+    brightness shifts provably cancel out of the comparison, which is
+    what makes this a NEAR-dup key where md5 is an exact-dup key."""
+    decoded = decode_pnm(payload)
+    if decoded is None:
+        return None
+    w, h, pix = decoded
+    total_sum = sum(pix)
+    total_px = w * h
+    bits = 0
+    for b in range(grid * grid):
+        bx, by = b % grid, b // grid
+        x0, x1 = (w * bx) // grid, (w * (bx + 1)) // grid
+        y0, y1 = (h * by) // grid, (h * (by + 1)) // grid
+        bsum = sum(
+            pix[y * w + x] for y in range(y0, y1) for x in range(x0, x1)
+        )
+        bpx = (x1 - x0) * (y1 - y0)
+        if bpx and bsum * total_px > total_sum * bpx:
+            bits |= 1 << b
+    return bits
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def perceptual_hashes(media: DataFrame, grid: int = 4) -> DataFrame:
+    """(media_id, phash) via the real PNM pixel decode + integer
+    average-hash, Arrow-batched ``mapInPandas`` — the per-item pixel
+    work parallelizes with the scan; payloads never reach the driver."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pd.array(
+                        [
+                            average_hash(
+                                bytes(p) if p is not None else None, grid
+                            )
+                            for p in pdf["payload"]
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_go, PHASH_SCHEMA)
+
+
 def media_duration_ms(payload: bytes | None) -> int | None:
     """REAL decode kernel: duration in milliseconds from WAV/RIFF or
     MP4 (ISO BMFF) header bytes — pure-Python byte parsing, no codec

@@ -258,3 +258,56 @@ def test_probe_metadata_mixed_kinds(spark):
         4: (None, None, None),
         5: (None, None, None),
     }
+
+
+def test_decode_pnm_p5_p6_and_edge_cases():
+    from data_ingestion_py_spark.sources.multimodal import decode_pnm
+
+    # P5 grayscale 2x2 with a header comment
+    p5 = b"P5\n# a comment\n2 2\n255\n" + bytes([10, 20, 30, 40])
+    assert decode_pnm(p5) == (2, 2, [10, 20, 30, 40])
+    # P6 RGB 2x1: gray = (r+g+b)//3
+    p6 = b"P6\n2 1\n255\n" + bytes([30, 60, 90, 10, 10, 11])
+    assert decode_pnm(p6) == (2, 1, [60, 10])
+    # truncated raster, bad magic, 16-bit maxval -> None
+    assert decode_pnm(b"P5\n2 2\n255\n" + bytes([1, 2, 3])) is None
+    assert decode_pnm(b"P4\n2 2\n255\n\x00\x00\x00\x00") is None
+    assert decode_pnm(b"P5\n2 2\n65535\n" + bytes(8)) is None
+    assert decode_pnm(None) is None
+
+
+def test_average_hash_shift_invariance_and_discrimination():
+    from data_ingestion_py_spark.sources.multimodal import average_hash
+
+    def pgm(pixels, w, h):
+        return f"P5\n{w} {h}\n255\n".encode() + bytes(pixels)
+
+    base = [(i * 13 + (i // 16) * 7) % 240 for i in range(256)]
+    shifted = [p + 8 for p in base]  # uniform brightness shift
+    inverted = [239 - p for p in base]
+    h_base = average_hash(pgm(base, 16, 16))
+    assert h_base == average_hash(pgm(shifted, 16, 16))  # invariant
+    assert h_base != average_hash(pgm(inverted, 16, 16))  # discriminates
+    # P6 with r=g=b equals the P5 hash (gray reduction is exact)
+    p6 = b"P6\n16 16\n255\n" + bytes(
+        v for p in base for v in (p, p, p)
+    )
+    assert average_hash(p6) == h_base
+
+
+def test_perceptual_hashes_spark_matches_kernel(spark):
+    from data_ingestion_py_spark.sources.multimodal import (
+        average_hash,
+        perceptual_hashes,
+    )
+
+    rows = []
+    for mid in range(6):
+        pix = bytes(((mid * 31 + i * 7) % 240) for i in range(256))
+        rows.append((mid, b"P5\n16 16\n255\n" + pix))
+    rows.append((99, b"not an image"))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.phash for r in perceptual_hashes(df).collect()}
+    for mid, payload in rows:
+        assert got[mid] == average_hash(payload)
+    assert got[99] is None
