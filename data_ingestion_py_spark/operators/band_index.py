@@ -171,6 +171,73 @@ class BandIndex:
             .parquet(self._flagged_path)
         )
 
+    # -- maintenance -----------------------------------------------------
+    def committed_batches(self) -> list[int]:
+        if self.is_empty():
+            return []
+        return sorted(
+            r.ingest_batch
+            for r in self.corpus_sigs().select("ingest_batch").distinct().collect()
+        )
+
+    def compacted(self, new_path: str) -> "BandIndex":
+        """Rewrite the index as a consolidated snapshot at ``new_path``
+        and return a handle on it. Streaming appends fragment the
+        index (one file set per micro-batch per bucket); at 100 TB
+        scan cost is dominated by file count, so periodic compaction
+        into a NEW snapshot + an atomic table-pointer swap is the
+        maintenance pattern (``io.compact`` documents the same for
+        plain tables — never rewrite in place).
+
+        All rows collapse under the MAX committed ingest_batch: that
+        preserves ``has_batch`` for the only batch a restarted stream
+        can re-deliver (the last one); older markers are dropped with
+        the fragmentation, which is safe because the checkpoint never
+        re-delivers batches before the last committed one. Band rows
+        re-partition to one file per bucket; adjust file counts at
+        cluster scale via a pre-write ``repartition`` if buckets grow
+        past single-file sizes."""
+        batches = self.committed_batches()
+        if not batches:
+            raise ValueError("cannot compact an empty index")
+        hi = batches[-1]
+        out = BandIndex(
+            self.spark, new_path, self.bands, self.rows, self.n_buckets
+        )
+        self.spark.createDataFrame(
+            [(self.bands, self.rows, self.n_buckets)],
+            "bands int, rows int, n_buckets int",
+        ).write.mode("overwrite").parquet(out._meta_path)
+        (
+            self.spark.read.parquet(self._bands_path)
+            .select("doc_id", "band_key", "band_bucket")
+            .withColumn("ingest_batch", F.lit(hi))
+            .repartition("band_bucket")
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch", "band_bucket")
+            .parquet(out._bands_path)
+        )
+        (
+            self.corpus_sigs()
+            .select("doc_id", "sig", "shingles")
+            .withColumn("ingest_batch", F.lit(hi))
+            .coalesce(max(1, self.spark.sparkContext.defaultParallelism // 4))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(out._sigs_path)
+        )
+        if _fs_exists(self.spark, self._flagged_path):
+            (
+                self.spark.read.parquet(self._flagged_path)
+                .select("new_doc_id", "corpus_doc_id", "jaccard")
+                .withColumn("ingest_batch", F.lit(hi))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(out._flagged_path)
+            )
+        return out
+
     # -- probe -----------------------------------------------------------
     def probe_candidates(self, new_sigs: DataFrame) -> DataFrame:
         """Candidate (new_doc_id, corpus_doc_id) pairs for a signed

@@ -527,3 +527,50 @@ def q_events_per_user_daily_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rn") <= 5).cast("int")).cast("long").alias("n_kept"),
         F.sum((F.col("rn") > 5).cast("int")).cast("long").alias("n_dropped"),
     )
+
+
+@register(
+    "corpus_global_shuffle",
+    """
+WITH perm AS (
+    SELECT doc_id,
+           md5(concat('epoch-1|', CAST(doc_id AS VARCHAR))) AS k
+    FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+           AS shuffle_pos
+FROM perm
+""",
+    tags=("curation", "shuffle"),
+    bench=True,
+)
+def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL training-order shuffle — the last step of
+    every corpus build: assign each document a position in a
+    pseudo-random permutation so training reads are decorrelated from
+    ingestion order. Permutation key = md5(epoch-salt | doc_id):
+    reproducible across runs and engines, a new epoch is just a new
+    salt, and no RNG state exists anywhere. The position comes from
+    the two-phase global rank (``operators/ranking.py`` — range
+    shuffle on the key + broadcast partition offsets), so there is NO
+    single-partition sort: at 100 TB this is the difference between a
+    shuffle that scales and a driver-shaped bottleneck. The oracle
+    replays the permutation with a naive global window."""
+    from data_ingestion_py_spark.operators.ranking import with_global_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("epoch-1|"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    ranked = with_global_rank(
+        d,
+        [F.asc("k"), F.asc("doc_id")],
+        rank_col="shuffle_pos",
+        total_col="_n",
+    )
+    return ranked.select(
+        "doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos")
+    )

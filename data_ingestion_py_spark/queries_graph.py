@@ -78,13 +78,20 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count over the (undirected) nation trade graph
     — the clustering-coefficient / community-density primitive.
 
-    Canonical orientation (a < b by node id) counts each triangle
-    exactly once as a<b<c: wedges join on the middle node, the closing
-    edge joins on (a, c) — two keyed equi-join shuffles at edge
-    cardinality, never an n³ enumeration. At web scale the standard
-    skew fix is orienting by (degree, id) instead of id so high-degree
-    hubs don't own every wedge; id orientation keeps the oracle exact
-    here and the swap is a one-line orientation change."""
+    Runs the DEGREE-ORIENTED algorithm (``operators/triangles.py``,
+    ``orient="degree"``): edges re-orient from the lower-(degree, id)
+    endpoint, bounding every node's wedge work at O(√m) out-neighbors
+    — the Schank-Wagner skew fix for power-law graphs, where id
+    orientation lets one low-id hub own deg(hub)² wedge pairs in a
+    single task. Triangle counts are orientation-INVARIANT, so the
+    oracle keeps the simple id-canonical a<b<c form — two independent
+    orientations, one hash gate; equality across orientations is also
+    pinned on planted hub graphs in ``tests/test_triangles.py``."""
+    from data_ingestion_py_spark.operators.triangles import (
+        triangle_counts,
+        undirected_edges,
+    )
+
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -98,30 +105,7 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    und = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-    )
-    e1 = und.alias("e1")
-    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
-    tri = (
-        e1.join(e2, "b")
-        .join(e3, ["a", "c"], "left_semi")
-        .select("a", "b", "c")
-    )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
-    )
-    return nodes.groupBy("node").agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
-    )
+    return triangle_counts(undirected_edges(edges), orient="degree")
 
 
 @register(

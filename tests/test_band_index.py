@@ -106,3 +106,37 @@ def test_index_restart_resumes_and_skips_redelivery(spark, tmp_path):
     proc = durable_lsh_batch_processor(idx2, threshold=0.5)
     proc(b1, 0)  # same batch_id as lifetime 1
     assert idx2.admitted_ids().count() == n_before
+
+
+def test_compaction_preserves_dedup_state(spark, tmp_path):
+    """Compacting into a new snapshot must preserve admissions, probe
+    results, and the re-delivery marker for the LAST batch, while
+    reducing the band table's file count."""
+    idx = BandIndex(spark, str(tmp_path / "idx"))
+    docs = _docs(spark)
+    for bid, lo, hi in ((0, 0, 150), (1, 150, 300), (2, 300, 450)):
+        batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        idx.append_batch(dedup.minhash_signatures(batch), batch_id=bid)
+
+    compact = idx.compacted(str(tmp_path / "idx2"))
+    assert compact.committed_batches() == [2]
+    assert compact.has_batch(2)  # the only re-deliverable batch
+    a = {r.doc_id for r in idx.admitted_ids().collect()}
+    b = {r.doc_id for r in compact.admitted_ids().collect()}
+    assert a == b
+
+    probe_batch = dedup.minhash_signatures(
+        _near_dups_of(docs.where(F.col("doc_id") < 100))
+    )
+    p1 = {(r.new_doc_id, r.corpus_doc_id) for r in idx.probe(probe_batch, 0.5).collect()}
+    p2 = {(r.new_doc_id, r.corpus_doc_id) for r in compact.probe(probe_batch, 0.5).collect()}
+    assert p1 == p2 and p1  # identical, non-trivial
+
+    def _n_parquet(root):
+        import pathlib
+
+        return sum(1 for p in pathlib.Path(root).rglob("*.parquet"))
+
+    assert _n_parquet(tmp_path / "idx2" / "bands") < _n_parquet(
+        tmp_path / "idx" / "bands"
+    )
