@@ -584,6 +584,122 @@ WHERE {_cos} >= 0.9
 _register_semdedup_kmeans()
 
 
+def _register_ivf_kmeans() -> None:
+    from data_ingestion_py_spark.operators.kmeans import kmeans_ctes
+
+    _QID, _K, _NPROBE = 7, 10, 2
+    ctes, final = kmeans_ctes(k=8, n_iter=2)
+    _cos = (
+        lambda a, b: f"round(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+    @register(
+        "similarity_ivf_kmeans",
+        f"""
+WITH {ctes},
+fc AS (
+    SELECT cid, pos,
+           CAST(CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS DOUBLE) AS m
+    FROM (
+        SELECT cid, u.pos AS pos, CAST(sum(u.q) AS BIGINT) AS s,
+               count(*) AS n
+        FROM (
+            SELECT cid,
+                   unnest(list_transform(generate_series(1, len(v)),
+                       j -> {{'pos': j - 1, 'q': CAST(v[j] AS BIGINT)}})) AS u
+            FROM {final})
+        GROUP BY cid, u.pos)
+),
+cent AS (SELECT cid, list(m ORDER BY pos) AS cv FROM fc GROUP BY cid),
+qv AS (SELECT v AS q FROM vq WHERE vec_id = {_QID}),
+probed AS (
+    SELECT c.cid FROM cent c, qv
+    ORDER BY {_cos('c.cv', 'qv.q')} DESC, c.cid
+    LIMIT {_NPROBE}
+)
+SELECT a.vec_id, a.cid AS cluster,
+       {_cos('a.v', 'qv.q')} AS cosine_sim
+FROM {final} a JOIN probed p ON a.cid = p.cid CROSS JOIN qv
+WHERE a.vec_id <> {_QID}
+ORDER BY cosine_sim DESC, a.vec_id
+LIMIT {_K}
+""",
+        tags=("similarity", "clustering", "iterative"),
+    )
+    def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF ANN with LEARNED clusters, end-to-end under one hash
+        gate (the similarity twin of ``dedup_semdedup_kmeans``):
+        deterministic k-means assigns clusters, exact fixed-point
+        centroids are rebuilt from the final assignment, the query
+        probes the ``nprobe`` nearest centroids, and the exact rerank
+        touches only those clusters — nprobe/k of the corpus, with the
+        k×dim centroid table and the 1-row query vector broadcast. No
+        fixture-label stand-in anywhere; the oracle replays the whole
+        composition (unrolled k-means CTEs + floor-mean centroid CTEs
+        + probe + rerank)."""
+        from data_ingestion_py_spark.operators.kmeans import (
+            SCALE,
+            kmeans_integer,
+        )
+        from data_ingestion_py_spark.operators.similarity import dot, l2_norm
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        vq = emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * SCALE)
+                .cast("long")
+                .cast("double"),
+            ).alias("v"),
+        )
+        base = vq.join(kmeans_integer(emb, k=8, n_iter=2), "vec_id")
+        n = F.count(F.lit(1))
+        s = F.sum("val").cast("long")
+        means = (
+            base.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(((s - F.pmod(s, n)) / n).cast("long").cast("double").alias("m"))
+        )
+        cents = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("cv")
+        )
+        qv = vq.where(F.col("vec_id") == _QID).select(F.col("v").alias("q"))
+        csim = dot(F.col("cv"), F.col("q")) / (
+            l2_norm(F.col("cv")) * l2_norm(F.col("q"))
+        )
+        probed = (
+            cents.crossJoin(F.broadcast(qv))
+            .select("cid", csim.alias("csim"))
+            .orderBy(F.desc("csim"), F.asc("cid"))
+            .limit(_NPROBE)
+            .select("cid")
+        )
+        sim = dot(F.col("v"), F.col("q")) / (
+            l2_norm(F.col("v")) * l2_norm(F.col("q"))
+        )
+        return (
+            base.join(F.broadcast(probed), "cid")
+            .crossJoin(F.broadcast(qv))
+            .where(F.col("vec_id") != _QID)
+            .select(
+                "vec_id",
+                F.col("cid").alias("cluster"),
+                F.round(sim, 6).alias("cosine_sim"),
+            )
+            .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+            .limit(_K)
+        )
+
+
+_register_ivf_kmeans()
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -262,6 +262,7 @@ _TINY_BROADCAST_OK = {
     "similarity_knn_join",
     "embedding_kmeans_assign",
     "dedup_semdedup_kmeans",
+    "similarity_ivf_kmeans",
     "events_value_histogram",
     "events_funnel_conversion",
     "dq_constraint_violations",
