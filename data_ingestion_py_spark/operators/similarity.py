@@ -533,3 +533,113 @@ def pq_topk(
         .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def mmr_diversify(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    m: int = 10,
+    k: int = 5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): from the exact cosine top-``m`` shortlist, greedily pick
+    ``k`` results trading relevance against redundancy,
+
+        pick_i = argmax_c [ λ·sim(q,c) − (1−λ)·max_{s∈picked} sim(c,s) ]
+
+    with λ = 0.7 — the diversity-aware sampler a curation pipeline
+    uses to avoid returning k near-copies (the same reason SemDeDup
+    exists, applied at retrieval time).
+
+    Determinism contract: similarities are quantized to integer
+    micro-units up front, and the MMR objective is evaluated in pure
+    integer arithmetic (score×10 = 7·rel − 3·maxsim), ties broken on
+    vec_id — so the greedy trace replays bit-identically in the DuckDB
+    oracle as k unrolled CTEs (same pattern as operators/kmeans.py).
+
+    Shape at scale: stage 1 is the corpus-wide exact top-m
+    (broadcast 1-row query vector → narrow map → TakeOrdered) — the
+    only corpus-proportional work. Everything after runs on the m-row
+    shortlist: an m×m pairwise-sim broadcast join and k unrolled
+    argmax-over-m steps, all tiny-side broadcasts; cost is O(m²+k·m)
+    regardless of corpus size. No driver collect — the greedy loop
+    unrolls into the plan, not into Python data.
+    """
+    base = embeddings.select(
+        "vec_id", _to_double(F.col(vec_col)).alias("v")
+    )
+    q = base.where(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qvec")
+    )
+    rel = dot(F.col("v"), F.col("qvec")) / (
+        l2_norm(F.col("v")) * l2_norm(F.col("qvec"))
+    )
+    cand = (
+        base.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.round(rel * 1000000.0).cast("long").alias("rel_micro"),
+        )
+        .orderBy(F.desc("rel_micro"), F.asc("vec_id"))
+        .limit(m)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ai"), F.col("v").alias("va")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("bi"), F.col("v").alias("vb")
+    )
+    psim = dot(F.col("va"), F.col("vb")) / (
+        l2_norm(F.col("va")) * l2_norm(F.col("vb"))
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("ai") != F.col("bi"))
+        .select(
+            "ai",
+            "bi",
+            F.round(psim * 1000000.0).cast("long").alias("s_micro"),
+        )
+    )
+    selected = (
+        cand.orderBy(F.desc("rel_micro"), F.asc("vec_id"))
+        .limit(1)
+        .select("vec_id", "rel_micro", F.lit(1).alias("pick_order"))
+    )
+    for i in range(2, k + 1):
+        remaining = cand.join(
+            F.broadcast(selected.select("vec_id")), "vec_id", "left_anti"
+        )
+        scored = (
+            remaining.join(
+                F.broadcast(pairs), remaining["vec_id"] == pairs["ai"]
+            )
+            .join(
+                F.broadcast(
+                    selected.select(F.col("vec_id").alias("bi"))
+                ),
+                "bi",
+            )
+            .groupBy(remaining["vec_id"], "rel_micro")
+            .agg(F.max("s_micro").alias("ms_micro"))
+            .select(
+                "vec_id",
+                "rel_micro",
+                (7 * F.col("rel_micro") - 3 * F.col("ms_micro")).alias(
+                    "score_x10"
+                ),
+            )
+        )
+        pick = (
+            scored.orderBy(F.desc("score_x10"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "rel_micro", F.lit(i).alias("pick_order"))
+        )
+        selected = selected.unionByName(pick)
+    return selected.select(
+        F.col("pick_order").cast("int").alias("pick_order"),
+        "vec_id",
+        "rel_micro",
+    )

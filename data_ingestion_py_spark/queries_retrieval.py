@@ -1,0 +1,480 @@
+"""Retrieval & statistical-LM scoring queries over the documents table.
+
+The reference (data_ingestion.py:229-252) stops at "store snippets so a
+retriever can search them"; this module supplies the retrieval side a
+training-data pipeline actually runs at corpus scale:
+
+- BM25 ranked search (Robertson/Sparck-Jones; the Lucene idf form) —
+  the lexical-retrieval baseline next to the vector stack in
+  operators/similarity.py.
+- Bigram language-model surprisal scoring (add-one smoothing) — the
+  classic "perplexity filter" for corpus quality (high-surprisal docs
+  are boilerplate/garbage candidates).
+- DSIR-style importance weights (hashed-unigram log-likelihood ratio
+  between a target subset and the raw corpus; Xie et al. 2023,
+  "Data Selection for Language Models via Importance Resampling") —
+  selects raw docs that look like the target distribution.
+
+Determinism contract (same as operators/kmeans.py): every per-item
+float score is quantized to integer micro-units (round(x*1e6) as
+BIGINT) BEFORE any multi-row sum, so aggregation order can never flip
+the driver's value hash; ln/÷ appear only in single-expression forms
+that Spark and DuckDB evaluate bit-identically (precedent:
+text_tfidf_top_terms).
+
+Scale notes are per-query; the common shape is: narrow per-doc token
+algebra (codegen, no shuffle) → small keyed aggs over terms → keyed
+instance join → per-doc agg. Corpus-sized tables always shuffle on the
+term key and are never broadcast; vocabulary-sized side tables are the
+broadcast candidates at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.functions.text import tokens
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.queries import register
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+# ---------------------------------------------------------------------------
+# BM25 ranked search
+# ---------------------------------------------------------------------------
+
+#: Fixed query for the registry entry (mid-frequency corpus terms, so
+#: df is neither 0 nor N and the idf term does real work).
+BM25_QUERY_TERMS = ("merge", "window", "shuffle")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k documents for a bag-of-terms query.
+
+    idf  = ln(1 + (N - df + 0.5)/(df + 0.5))          (Lucene form)
+    s(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Shape at scale: token filtering to the query terms happens in the
+    narrow map BEFORE the explode, so the only corpus-proportional
+    shuffled relation is |matching (doc, term) pairs| — a tiny
+    fraction of the corpus. Doc length rides along as a functionally-
+    dependent groupBy key (no second pass over the text). df (|query|
+    rows) and the N/avgdl scalar are broadcasts. The documents scan
+    runs 3× (tf / df / corpus-stats paths), each a narrow codegen
+    map — at 100 TB the N+avgdl stats would be maintained as corpus
+    metadata instead of recomputed per query (see SCALE.md).
+
+    Per-(doc,term) scores are quantized to micro-units before the
+    per-doc sum → integer-exact total, reproducible ranking.
+    """
+    toks = tokens(F.col(text_col))
+    qlit = F.array(*[F.lit(t) for t in query_terms])
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: F.array_contains(qlit, t)).alias("qtoks"),
+    )
+    tf = (
+        per_doc.where(F.size("qtoks") > 0)
+        .select("doc_id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("dl").alias("sum_dl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        (1.0 - b)
+                        + b
+                        * F.col("dl")
+                        / (
+                            F.col("sum_dl").cast("double")
+                            / F.col("nd")
+                        )
+                    )
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("s") * 1000000.0).cast("long").alias("s_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s_micro").alias("score_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _bm25_oracle(query_terms: tuple[str, ...], k: int) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH per_doc AS (
+    SELECT doc_id, len(toks) AS dl,
+           list_filter(toks, t -> list_contains([{terms_sql}], t)) AS qtoks
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), tf AS (
+    SELECT doc_id, dl, unnest(qtoks) AS term
+    FROM per_doc WHERE len(qtoks) > 0
+), tfc AS (
+    SELECT doc_id, dl, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tfc GROUP BY term
+), stats AS (
+    SELECT count(*) AS nd, sum(dl) AS sum_dl FROM per_doc
+), scored AS (
+    SELECT doc_id,
+           CAST(round(
+               ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+               * (tf * ({BM25_K1} + 1.0))
+               / (tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * dl
+                   / (CAST(sum_dl AS DOUBLE) / nd)))
+               * 1000000.0) AS BIGINT) AS s_micro
+    FROM tfc JOIN dfreq USING (term), stats
+)
+SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM scored GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register(
+    "text_bm25_topk",
+    _bm25_oracle(BM25_QUERY_TERMS, 10),
+    tags=("text", "retrieval"),
+    bench=True,
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed 3-term query (see bm25_topk)."""
+    return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+LM_MIN_BIGRAMS = 5
+
+
+def bigram_lm_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document average bigram surprisal under an add-one-smoothed
+    bigram LM trained on the same corpus (self-perplexity — the
+    KenLM-style quality-filter signal, minus the external model).
+
+    p(w2|w1) = (c(w1 w2) + 1) / (c1(w1) + V)
+      with c1(w1) = bigram-start count and V = |distinct tokens|.
+
+    nll is quantized per bigram INSTANCE to micro-nats, then summed
+    exactly; avg_nll = sum / n in one rounded division per doc.
+
+    Shape at scale: bigram construction is narrow array algebra
+    (zip_with over the token array — no Python, no shuffle). Then:
+    bigram counts (keyed agg), start counts (keyed agg), a keyed join
+    building the (bigram → nll) stats table, a keyed instance join,
+    and the per-doc agg. The stats table is vocabulary²-bounded but
+    Zipf-concentrated; it shuffles on the bigram key and is never
+    broadcast. No step touches the driver.
+    """
+    t = tokens(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    inst = docs.select(
+        "doc_id", F.col("lang"), F.explode(bigrams).alias("bigram")
+    )
+    c2 = inst.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    starts = c2.select(
+        F.split(F.col("bigram"), " ").getItem(0).alias("w1"), "c2"
+    )
+    c1 = starts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = docs.select(F.explode(t).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    stats = (
+        c2.withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.round(
+                -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v")))
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        inst.join(stats, "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("nll_micro").alias("sum_nll_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+        .where(F.col("n_bigrams") >= LM_MIN_BIGRAMS)
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.round(
+                F.col("sum_nll_micro").cast("double")
+                / F.col("n_bigrams")
+                / 1000000.0,
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+_LM_ORACLE = f"""
+WITH toked AS (
+    SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+), inst AS (
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i + 1]))
+               AS bigram
+    FROM toked WHERE len(toks) >= 2
+), c2 AS (
+    SELECT bigram, count(*) AS c2 FROM inst GROUP BY bigram
+), c1 AS (
+    SELECT string_split(bigram, ' ')[1] AS w1, sum(c2) AS c1
+    FROM c2 GROUP BY 1
+), vocab AS (
+    SELECT count(DISTINCT tok) AS v
+    FROM (SELECT unnest(toks) AS tok FROM toked)
+), stats AS (
+    SELECT bigram,
+           CAST(round(-ln((c2 + 1.0) / (c1 + v)) * 1000000.0) AS BIGINT)
+               AS nll_micro
+    FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1, vocab
+), per_doc AS (
+    SELECT doc_id, lang, sum(nll_micro) AS sum_nll_micro,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM inst JOIN stats USING (bigram)
+    GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_bigrams,
+       round(CAST(sum_nll_micro AS DOUBLE) / n_bigrams / 1000000.0, 6)
+           AS avg_nll
+FROM per_doc WHERE n_bigrams >= {LM_MIN_BIGRAMS}
+"""
+
+
+@register(
+    "corpus_bigram_lm_score",
+    _LM_ORACLE,
+    tags=("text", "quality", "lm"),
+)
+def q_corpus_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average bigram surprisal (see bigram_lm_scores)."""
+    return bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (target-vs-raw unigram log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_N = 25
+
+
+def dsir_weights(
+    docs: DataFrame, target_pred, top_n: int = DSIR_TOP_N
+) -> DataFrame:
+    """DSIR importance weights: log p_target(doc)/p_raw(doc) under
+    add-one-smoothed unigram models of a target subset vs the raw
+    corpus (Xie et al. 2023). Docs with the highest weight are the raw
+    docs that look most like the target — the resampling pool.
+
+    λ(t) = ln((ct+1)/(Tt+V)) − ln((cr+1)/(Tr+V)) is quantized to
+    micro-nats per TERM (a vocabulary-sized side table — the broadcast
+    candidate at scale); the per-doc weight Σ_tokens λ_micro(t) is an
+    exact integer sum over token instances.
+
+    Shape at scale: two keyed unigram aggs (target + raw share one
+    pass via conditional sums), the λ table build, one keyed instance
+    join, one per-doc agg. The instance table (corpus-token-sized)
+    shuffles on the term key; λ is vocab-sized.
+    """
+    inst = docs.select(
+        "doc_id",
+        "lang",
+        target_pred.alias("is_target"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    counts = inst.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("tr"),
+        F.sum("ct").alias("tt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            (
+                F.log(
+                    (F.col("ct") + 1.0) / (F.col("tt") + F.col("v"))
+                )
+                - F.log(
+                    (F.col("cr") + 1.0) / (F.col("tr") + F.col("v"))
+                )
+            )
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("lam_micro"),
+    )
+    return (
+        inst.join(lam, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("lam_micro").alias("weight_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .orderBy(F.desc("weight_micro"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH inst AS (
+    SELECT doc_id, lang, lang = '{DSIR_TARGET_LANG}' AS is_target,
+           unnest({_SQL_TOKS}) AS term
+    FROM documents
+), counts AS (
+    SELECT term, count(*) AS cr,
+           sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+    FROM inst GROUP BY term
+), totals AS (
+    SELECT sum(cr) AS tr, sum(ct) AS tt, count(*) AS v FROM counts
+), lam AS (
+    SELECT term,
+           CAST(round((ln((ct + 1.0) / (tt + v))
+                       - ln((cr + 1.0) / (tr + v))) * 1000000.0)
+                AS BIGINT) AS lam_micro
+    FROM counts, totals
+)
+SELECT doc_id, lang, CAST(sum(lam_micro) AS BIGINT) AS weight_micro,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM inst JOIN lam USING (term)
+GROUP BY doc_id, lang
+ORDER BY weight_micro DESC, doc_id ASC LIMIT {DSIR_TOP_N}
+"""
+
+
+@register(
+    "corpus_dsir_weights",
+    _DSIR_ORACLE,
+    tags=("text", "curation", "sampling"),
+)
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 raw docs by DSIR importance weight toward the English
+    subset (see dsir_weights)."""
+    return dsir_weights(
+        load_table(spark, sf_dir, "documents"),
+        F.col("lang") == DSIR_TARGET_LANG,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k (greedy re-rank of the cosine shortlist)
+# ---------------------------------------------------------------------------
+
+MMR_M = 10
+MMR_K = 5
+
+
+def _mmr_oracle(query_vec_id: int, m: int, k: int) -> str:
+    head = f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), q AS (
+    SELECT v AS qvec FROM base WHERE vec_id = {query_vec_id}
+), cand AS (
+    SELECT vec_id, v,
+           CAST(round(list_dot_product(v, qvec)
+                / (sqrt(list_dot_product(v, v))
+                   * sqrt(list_dot_product(qvec, qvec)))
+                * 1000000.0) AS BIGINT) AS rel_micro
+    FROM base, q WHERE vec_id <> {query_vec_id}
+    ORDER BY rel_micro DESC, vec_id LIMIT {m}
+), pairs AS (
+    SELECT a.vec_id AS ai, b.vec_id AS bi,
+           CAST(round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v)))
+                * 1000000.0) AS BIGINT) AS s_micro
+    FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+), sel1 AS (
+    SELECT vec_id, rel_micro, 1 AS pick_order FROM cand
+    ORDER BY rel_micro DESC, vec_id LIMIT 1
+)"""
+    parts = [head]
+    for i in range(2, k + 1):
+        parts.append(f""", pick{i} AS (
+    SELECT c.vec_id, c.rel_micro, {i} AS pick_order
+    FROM cand c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+    ORDER BY 7 * c.rel_micro - 3 * (
+        SELECT max(p.s_micro) FROM pairs p
+        JOIN sel{i - 1} s ON p.bi = s.vec_id WHERE p.ai = c.vec_id
+    ) DESC, c.vec_id LIMIT 1
+), sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})""")
+    parts.append(f"""
+SELECT CAST(pick_order AS INT) AS pick_order, vec_id, rel_micro
+FROM sel{k}""")
+    return "".join(parts)
+
+
+@register(
+    "similarity_mmr_diversify",
+    _mmr_oracle(0, MMR_M, MMR_K),
+    tags=("similarity", "retrieval"),
+)
+def q_similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR pick of 5 diverse results from the cosine top-10
+    shortlist for query vec_id=0 (see similarity.mmr_diversify); the
+    oracle replays the greedy trace as unrolled CTEs."""
+    from data_ingestion_py_spark.operators.similarity import mmr_diversify
+
+    return mmr_diversify(
+        load_table(spark, sf_dir, "embeddings"), 0, m=MMR_M, k=MMR_K
+    )

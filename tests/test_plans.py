@@ -269,6 +269,12 @@ _TINY_BROADCAST_OK = {
     "similarity_pq_topk",
     "corpus_build_e2e",
     "orders_winsorized_stats",
+    # 1-row corpus stats (N, Σdl) / vocab-size broadcasts
+    "text_bm25_topk",
+    "corpus_bigram_lm_score",
+    "corpus_dsir_weights",
+    # 1-row query vector + m-row shortlist self-join (m=10)
+    "similarity_mmr_diversify",
 }
 
 
@@ -398,6 +404,9 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     "customer_rfm_segments": 3,
     "orders_pareto_revenue": 1,
     "orders_exact_quantiles": 1,
+    # two-phase global rank: offsets window runs over the bounded
+    # per-partition-count aggregate (operators/ranking.py:94-98)
+    "corpus_global_shuffle": 1,
 }
 
 

@@ -1,0 +1,139 @@
+"""Unit tests for queries_retrieval (BM25, bigram-LM surprisal, DSIR)
+on planted corpora with hand-computable expectations."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.queries_retrieval import (
+    bigram_lm_scores,
+    bm25_topk,
+    dsir_weights,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, "src0", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+
+
+def test_bm25_ranks_term_density(spark):
+    docs = _docs(
+        spark,
+        [
+            ("alpha beta alpha beta alpha", "en"),  # no query terms
+            ("merge merge merge beta x", "en"),  # tf=3, short
+            ("merge beta gamma delta x", "en"),  # tf=1
+            ("window merge beta gamma x", "en"),  # two distinct terms
+        ],
+    )
+    out = bm25_topk(docs, ("merge", "window"), k=10).collect()
+    got = {r.doc_id: (r.score_micro, r.n_terms) for r in out}
+    assert 0 not in got  # no matching term → absent
+    assert set(got) == {1, 2, 3}
+    # matching two distinct terms beats one low-tf term
+    assert got[3][1] == 2 and got[2][1] == 1
+    assert got[3][0] > got[2][0]
+    # tf saturation still rewards tf=3 over tf=1 at equal dl
+    assert got[1][0] > got[2][0]
+
+
+def test_bm25_hand_value(spark):
+    """Single doc / single term: score must equal the hand formula."""
+    docs = _docs(spark, [("merge beta gamma x", "en"), ("a b c d", "en")])
+    out = bm25_topk(docs, ("merge",), k=10).collect()
+    assert len(out) == 1
+    n, df, tf, dl, avgdl = 2, 1, 1, 4, 4.0
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert out[0].score_micro == round(s * 1_000_000)
+
+
+def test_bigram_lm_flags_rare_transitions(spark):
+    common = "a b " * 20  # "a b" and "b a" dominate the corpus
+    docs = _docs(
+        spark,
+        [
+            (common.strip(), "en"),
+            (common.strip(), "en"),
+            ("q w e r t y u i o p", "en"),  # every bigram unseen elsewhere
+        ],
+    )
+    out = bigram_lm_scores(docs).collect()
+    nll = {r.doc_id: r.avg_nll for r in out}
+    assert set(nll) == {0, 1, 2}
+    assert nll[0] == nll[1]  # identical docs → identical score
+    assert nll[2] > nll[0]  # rare transitions → higher surprisal
+
+
+def test_bigram_lm_min_bigrams_floor(spark):
+    docs = _docs(spark, [("a b", "en"), ("c d e f g h i j k l", "en")])
+    out = bigram_lm_scores(docs).collect()
+    # doc 0 has 1 bigram (< floor of 5) → filtered out
+    assert [r.doc_id for r in out] == [1]
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # target lang 'en' uses vocab {a,b,c}; 'de' uses {x,y,z};
+    # the mixed doc shares the 'en' vocab → should outrank pure-'de'.
+    docs = _docs(
+        spark,
+        [
+            ("a b c a b c", "en"),
+            ("a c b b a c", "en"),
+            ("x y z x y z", "de"),
+            ("a b c a b c", "de"),  # de-labelled but en-like text
+        ],
+    )
+    out = dsir_weights(docs, F.col("lang") == "en", top_n=4).collect()
+    order = [r.doc_id for r in out]
+    assert order[-1] == 2  # pure off-target vocab ranks last
+    assert out[-1].weight_micro < 0  # …with a negative log-ratio
+    assert {order[0], order[1], order[2]} == {0, 1, 3}
+    assert all(r.weight_micro > 0 for r in out[:-1])
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], "l0") for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>, label string",
+    )
+
+
+def test_mmr_skips_redundant_candidate(spark):
+    from data_ingestion_py_spark.operators.similarity import mmr_diversify
+
+    emb = _emb(
+        spark,
+        [
+            [1.0, 0.0, 0.0],  # query
+            [0.7, 0.7, 0.0],  # A: top relevance
+            [0.7, 0.71, 0.0],  # A': near-copy of A, rel #2
+            [0.7, 0.0, 0.71],  # B: same rel as A', orthogonal to A
+        ],
+    )
+    out = sorted(
+        mmr_diversify(emb, 0, m=3, k=2).collect(),
+        key=lambda r: r.pick_order,
+    )
+    # pure-relevance top-2 would be [A, A']; MMR must swap in B
+    assert [r.vec_id for r in out] == [1, 3]
+
+
+def test_mmr_first_pick_is_pure_relevance(spark):
+    from data_ingestion_py_spark.operators.similarity import mmr_diversify
+
+    emb = _emb(
+        spark, [[1.0, 0.0], [0.9, 0.1], [0.5, 0.5], [0.1, 0.9]]
+    )
+    out = sorted(
+        mmr_diversify(emb, 0, m=3, k=3).collect(),
+        key=lambda r: r.pick_order,
+    )
+    assert out[0].vec_id == 1  # highest cosine to the query
+    assert len(out) == 3
+    assert [r.pick_order for r in out] == [1, 2, 3]
