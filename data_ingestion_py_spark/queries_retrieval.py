@@ -478,3 +478,127 @@ def q_similarity_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diversify(
         load_table(spark, sf_dir, "embeddings"), 0, m=MMR_M, k=MMR_K
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer induction over the corpus)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges from the corpus — the
+    heart of tokenizer training (Sennrich et al. 2016) as a
+    distributed pipeline: start from character symbols, repeatedly
+    count adjacent symbol pairs (weighted by word frequency), merge
+    the most frequent pair everywhere, repeat.
+
+    Returns one row per merge round: (merge_round, pair, cnt).
+
+    Merge application uses literal left-to-right non-overlapping
+    string replacement on a space-delimited symbol string — for a run
+    of 2k identical symbols this merges pairs 1,3,… but skips the
+    boundary-sharing even pairs (e.g. ``a a a a`` → ``aa a a``, not
+    ``aa aa``), a deliberate simplification that both engines compute
+    identically (the DuckDB oracle replays the same replace), so the
+    learned merge TABLE is reproducible even where it deviates from
+    reference-BPE on degenerate runs.
+
+    Shape at scale: the corpus is touched exactly ONCE (token explode
+    → word-frequency agg, the only corpus-proportional shuffle).
+    Every merge round then operates on the VOCABULARY-sized table:
+    pair counts are a keyed agg, the argmax is a TakeOrdered(1), and
+    applying the merge is a 1-row broadcast + narrow map. Round
+    lineage grows linearly and re-derives the vocab agg per round —
+    at production vocabulary sizes the vocab table would be pinned
+    (operators/materialize.pin) between rounds like kmeans does.
+    """
+    from data_ingestion_py_spark.functions.text import tokens
+
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
+            "freq",
+        )
+    )
+    merges = None
+    for r in range(1, rounds + 1):
+        syms = F.split(F.col("s"), " ")
+        prs = F.zip_with(
+            F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+            F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        best = (
+            vocab.where(F.size(syms) >= 2)
+            .select(F.explode(prs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        row = best.select(
+            F.lit(r).cast("int").alias("merge_round"), "pair", "cnt"
+        )
+        merges = row if merges is None else merges.unionByName(row)
+        vocab = vocab.crossJoin(F.broadcast(best.select("pair"))).select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("s"),
+            "freq",
+        )
+    return merges
+
+
+def _bpe_oracle(rounds: int) -> str:
+    head = f"""
+WITH v0 AS (
+    SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq
+    FROM (SELECT term AS w, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents)
+          GROUP BY 1)
+)"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        parts.append(f""", b{r} AS (
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+    FROM (SELECT unnest(list_transform(
+                     generate_series(1, len(sy) - 1),
+                     i -> sy[i] || ' ' || sy[i + 1])) AS pair, freq
+          FROM (SELECT string_split(s, ' ') AS sy, freq FROM v{r - 1})
+          WHERE len(sy) >= 2)
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+), v{r} AS (
+    SELECT trim(replace(' ' || s || ' ', ' ' || pair || ' ',
+                        ' ' || replace(pair, ' ', '') || ' ')) AS s, freq
+    FROM v{r - 1}, b{r}
+)""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS merge_round, pair, cnt FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+@register(
+    "text_bpe_merges",
+    _bpe_oracle(BPE_ROUNDS),
+    tags=("text", "tokenizer"),
+)
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 learned BPE merges over the documents corpus (see
+    bpe_merges); the oracle replays each merge round as unrolled CTEs."""
+    return bpe_merges(load_table(spark, sf_dir, "documents"))

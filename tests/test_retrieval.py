@@ -137,3 +137,35 @@ def test_mmr_first_pick_is_pure_relevance(spark):
     assert out[0].vec_id == 1  # highest cosine to the query
     assert len(out) == 3
     assert [r.pick_order for r in out] == [1, 2, 3]
+
+
+def test_bpe_merges_hand_trace(spark):
+    from data_ingestion_py_spark.queries_retrieval import bpe_merges
+
+    # vocab: "aaab"×3, "aab"×2 — merge trace is hand-computable
+    docs = _docs(
+        spark,
+        [("aaab aaab aaab aab aab", "en")],
+    )
+    out = sorted(
+        bpe_merges(docs, rounds=3).collect(), key=lambda r: r.merge_round
+    )
+    got = [(r.pair, r.cnt) for r in out]
+    # r1: 'a a' appears 2×3 + 1×2 = 8 (beats 'a b' = 5)
+    # r2: after greedy merge 'aaab'→[aa,a,b], 'aab'→[aa,b]:
+    #     'a b'=3 ties 'aa a'=3 → lexicographic tiebreak picks 'a b'
+    # r3: 'aaab'→[aa,ab]: 'aa ab'=3 beats 'aa b'=2
+    assert got == [("a a", 8), ("a b", 3), ("aa ab", 3)]
+
+
+def test_bpe_reuses_merged_symbols(spark):
+    from data_ingestion_py_spark.queries_retrieval import bpe_merges
+
+    # 'the'×10: 't h' and 'h e' tie at 10 → lexicographic tiebreak
+    # picks 'h e'; r2 must then merge 't' with the NEW symbol 'he' —
+    # proving merged symbols participate in later rounds
+    docs = _docs(spark, [(" ".join(["the"] * 10), "en")])
+    out = sorted(
+        bpe_merges(docs, rounds=2).collect(), key=lambda r: r.merge_round
+    )
+    assert [(r.pair, r.cnt) for r in out] == [("h e", 10), ("t he", 10)]
