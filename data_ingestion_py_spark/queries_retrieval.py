@@ -514,6 +514,17 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     at production vocabulary sizes the vocab table would be pinned
     (operators/materialize.pin) between rounds like kmeans does.
     """
+    merges, _ = bpe_learn(docs, rounds)
+    return merges
+
+
+def bpe_learn(
+    docs: DataFrame, rounds: int = BPE_ROUNDS
+) -> tuple[DataFrame, DataFrame]:
+    """See bpe_merges. Returns (merges, vocab) where vocab is the
+    post-merge segmentation table (w, s, freq) — ``s`` is the word's
+    space-delimited symbol sequence after all merges, the lookup table
+    bpe-tokenizing the corpus needs."""
     from data_ingestion_py_spark.functions.text import tokens
 
     vocab = (
@@ -521,6 +532,7 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "w",
             F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"),
             "freq",
         )
@@ -546,6 +558,7 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         )
         merges = row if merges is None else merges.unionByName(row)
         vocab = vocab.crossJoin(F.broadcast(best.select("pair"))).select(
+            "w",
             F.trim(
                 F.replace(
                     F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
@@ -559,13 +572,13 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
             ).alias("s"),
             "freq",
         )
-    return merges
+    return merges, vocab
 
 
 def _bpe_oracle(rounds: int) -> str:
     head = f"""
 WITH v0 AS (
-    SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq
+    SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq
     FROM (SELECT term AS w, CAST(count(*) AS BIGINT) AS freq
           FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents)
           GROUP BY 1)
@@ -581,8 +594,8 @@ WITH v0 AS (
           WHERE len(sy) >= 2)
     GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
 ), v{r} AS (
-    SELECT trim(replace(' ' || s || ' ', ' ' || pair || ' ',
-                        ' ' || replace(pair, ' ', '') || ' ')) AS s, freq
+    SELECT w, trim(replace(' ' || s || ' ', ' ' || pair || ' ',
+                           ' ' || replace(pair, ' ', '') || ' ')) AS s, freq
     FROM v{r - 1}, b{r}
 )""")
     sel = " UNION ALL ".join(
@@ -602,3 +615,59 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 3 learned BPE merges over the documents corpus (see
     bpe_merges); the oracle replays each merge round as unrolled CTEs."""
     return bpe_merges(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_vocab_cte(rounds: int) -> str:
+    """The learn-phase CTE chain of _bpe_oracle, reusable as a prefix:
+    yields CTEs v0..v{rounds} (w, s, freq) and b1..b{rounds}."""
+    full = _bpe_oracle(rounds)
+    return full[: full.rindex("\nSELECT")]
+
+
+@register(
+    "corpus_subword_tokens",
+    _bpe_vocab_cte(BPE_ROUNDS)
+    + f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(s, ' '))) AS BIGINT) AS n_subwords,
+       round(CAST(sum(len(string_split(s, ' '))) AS DOUBLE)
+             / count(*), 6) AS subwords_per_word
+FROM (SELECT lang, unnest({_SQL_TOKS}) AS w FROM documents) inst
+JOIN v{BPE_ROUNDS} USING (w)
+GROUP BY lang
+""",
+    tags=("text", "tokenizer"),
+)
+def q_corpus_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer learning APPLIED: per-language subword token counts
+    under the 3-merge BPE segmentation learned from the same corpus —
+    the token-budget estimate a training run needs, composed learn +
+    apply in one oracle-gated query (the tokenizer twin of
+    dedup_semdedup_kmeans's learn-then-use pattern).
+
+    Shape at scale: learn phase as in bpe_learn (corpus touched once);
+    apply phase joins corpus word INSTANCES to the vocabulary-sized
+    segmentation table on the word key — vocab is the broadcast
+    candidate at 100 TB — then one per-lang rollup. Subword count per
+    word = symbols in the final segmentation string; no re-derivation
+    of merges at apply time."""
+    from data_ingestion_py_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, vocab = bpe_learn(docs, BPE_ROUNDS)
+    inst = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    n_sub = F.size(F.split(F.col("s"), " "))
+    return (
+        inst.join(vocab.select("w", "s"), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(n_sub).cast("long").alias("n_subwords"),
+            F.round(
+                F.sum(n_sub).cast("double") / F.count(F.lit(1)), 6
+            ).alias("subwords_per_word"),
+        )
+    )
