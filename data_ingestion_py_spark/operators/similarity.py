@@ -643,3 +643,65 @@ def mmr_diversify(
         "vec_id",
         "rel_micro",
     )
+
+
+RP_SEED_PREFIX = "rp"
+
+
+def rp_sign(j: int, i: int) -> int:
+    """±1 Rademacher entry (j,i) of the random projection matrix,
+    derived from md5 so any engine recomputes the identical matrix
+    (same seam as hyperplane_bits)."""
+    import hashlib
+
+    h = hashlib.md5(f"{RP_SEED_PREFIX}{j}:{i}".encode()).hexdigest()
+    return 1 if int(h[0], 16) < 8 else -1
+
+
+def random_projection(
+    embeddings: DataFrame,
+    d_in: int,
+    d_out: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce each embedding
+    to ``d_out`` dims with a deterministic ±1/√d_out Rademacher matrix
+    (Achlioptas 2003 — database-friendly random projections). Distance
+    preservation is property-tested, not assumed.
+
+    Output is long-form (vec_id, dim, comp_micro) — scalar rows hash
+    cleanly against the oracle, and downstream ops (ANN over the
+    reduced space) reassemble with a collect_list keyed on vec_id.
+
+    Shape at scale: the projection matrix is d_out×d_in literals baked
+    into the plan (no side table, no shuffle, no Python); the whole
+    operator is one narrow codegen map + posexplode over the corpus —
+    embarrassingly parallel, exactly like the signature stage of
+    minhash. The oracle RE-derives the matrix from md5 in SQL, proving
+    the construction is engine-portable rather than a frozen constant.
+    """
+    v = _to_double(F.col(vec_col))
+    scale = 1.0 / (d_out ** 0.5)
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(
+                        *[F.lit(float(rp_sign(j, i))) for i in range(d_in)]
+                    ),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale)
+            * 1000000.0
+        )
+        .cast("long")
+        .alias(f"c{j}")
+        for j in range(d_out)
+    ]
+    return embeddings.select(
+        "vec_id", F.posexplode(F.array(*comps)).alias("dim", "comp_micro")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "comp_micro")

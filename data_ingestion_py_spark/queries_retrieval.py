@@ -671,3 +671,260 @@ def q_corpus_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("subwords_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (embedding dimensionality cut)
+# ---------------------------------------------------------------------------
+
+RP_D_IN = 64  # fixture embedding dim
+RP_D_OUT = 16
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), dims AS (
+    SELECT unnest(generate_series(0, {RP_D_OUT - 1})) AS dim
+)
+SELECT vec_id, CAST(dim AS INT) AS dim,
+       CAST(round(list_dot_product(v,
+               list_transform(generate_series(0, {RP_D_IN - 1}), i ->
+                   CASE WHEN (instr('0123456789abcdef',
+                              substr(md5('rp' || dim || ':' || i), 1, 1)) - 1)
+                             < 8
+                        THEN 1.0 ELSE -1.0 END))
+             * 0.25 * 1000000.0) AS BIGINT) AS comp_micro
+FROM base, dims
+""",
+    tags=("similarity", "embedding"),
+)
+def q_embedding_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JL projection of every embedding to 16 dims (long form; see
+    similarity.random_projection). The oracle re-derives the ±1
+    Rademacher matrix from md5 in SQL — engine-portable construction,
+    not a frozen constant table."""
+    from data_ingestion_py_spark.operators.similarity import (
+        random_projection,
+    )
+
+    return random_projection(
+        load_table(spark, sf_dir, "embeddings"), d_in=RP_D_IN, d_out=RP_D_OUT
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence (distributional word association, window ±2)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 25
+PMI_TOP_N = 20
+
+
+@register(
+    "text_pmi_pairs",
+    f"""
+WITH toked AS (
+    SELECT {_SQL_TOKS} AS toks FROM documents
+), pair_inst AS (
+    SELECT unnest(list_concat(
+        list_transform(generate_series(1, len(toks) - 1), i ->
+            least(toks[i], toks[i + 1]) || ' ' ||
+            greatest(toks[i], toks[i + 1])),
+        list_transform(generate_series(1, len(toks) - 2), i ->
+            least(toks[i], toks[i + 2]) || ' ' ||
+            greatest(toks[i], toks[i + 2])))) AS pair
+    FROM toked
+), pc AS (
+    SELECT pair, CAST(count(*) AS BIGINT) AS c_ab
+    FROM pair_inst GROUP BY pair
+), uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY w
+), stats AS (
+    SELECT (SELECT sum(c) FROM uni) AS t1,
+           (SELECT sum(c_ab) FROM pc) AS t2
+), scored AS (
+    SELECT string_split(pair, ' ')[1] AS w1,
+           string_split(pair, ' ')[2] AS w2,
+           c_ab,
+           CAST(round(ln(((c_ab * 1.0) / t2)
+                         / (((ua.c * 1.0) / t1) * ((ub.c * 1.0) / t1)))
+                      * 1000000.0) AS BIGINT) AS pmi_micro
+    FROM pc
+    JOIN uni ua ON ua.w = string_split(pc.pair, ' ')[1]
+    JOIN uni ub ON ub.w = string_split(pc.pair, ' ')[2],
+    stats
+    WHERE c_ab >= {PMI_MIN_PAIR}
+)
+SELECT w1, w2, c_ab, pmi_micro FROM scored
+ORDER BY pmi_micro DESC, w1, w2 LIMIT {PMI_TOP_N}
+""",
+    tags=("text", "cooccurrence"),
+)
+def q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top pointwise-mutual-information word pairs within a ±2 token
+    window (Church & Hanks 1990) — the distributional-association
+    signal behind collocation mining and word-vector objectives.
+
+    Shape at scale: pair construction is narrow array algebra (two
+    zip_with offset zips, canonical (least,greatest) ordering folds
+    both directions into one key); pair counts and unigram counts are
+    keyed aggs; the frequency floor filters BEFORE the two uni joins
+    so only head pairs join; T1/T2 are 1-row broadcasts. The pair
+    table shuffles on the pair key and is never broadcast; uni is the
+    vocabulary-sized broadcast candidate."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+
+    def offset_pairs(off: int):
+        ln = F.greatest(n - off, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, ln),
+            F.slice(t, 1 + off, ln),
+            lambda a, b: F.concat(
+                F.least(a, b), F.lit(" "), F.greatest(a, b)
+            ),
+        )
+
+    pair_inst = d.select(
+        F.explode(F.concat(offset_pairs(1), offset_pairs(2))).alias("pair")
+    )
+    pc = (
+        pair_inst.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_PAIR)
+        .select(
+            F.split(F.col("pair"), " ").getItem(0).alias("w1"),
+            F.split(F.col("pair"), " ").getItem(1).alias("w2"),
+            "c_ab",
+        )
+    )
+    uni = d.select(F.explode(t).alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # NOTE: t2 must be the UNFILTERED pair-instance total
+    stats = (
+        pair_inst.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .agg(F.sum("c_ab").alias("t2"))
+        .crossJoin(F.broadcast(uni.agg(F.sum("c").alias("t1"))))
+    )
+    pmi = F.log(
+        ((F.col("c_ab") * 1.0) / F.col("t2"))
+        / (
+            ((F.col("ca") * 1.0) / F.col("t1"))
+            * ((F.col("cb") * 1.0) / F.col("t1"))
+        )
+    )
+    return (
+        pc.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(pmi * 1000000.0).cast("long").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture quotas (UniMax-style corpus rebalancing)
+# ---------------------------------------------------------------------------
+
+TEMP_BUDGET = 300  # total docs the rebalanced mix may keep
+
+
+@register(
+    "corpus_temperature_mixture",
+    f"""
+WITH counts AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM documents
+    GROUP BY source
+), weighted AS (
+    SELECT source, n_total,
+           CAST(round(sqrt(n_total) * 1000000.0) AS BIGINT) AS sm
+    FROM counts
+), quotas AS (
+    SELECT source, n_total,
+           ({TEMP_BUDGET} * sm) // (SELECT sum(sm) FROM weighted) AS quota
+    FROM weighted
+), ranked AS (
+    SELECT source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+SELECT q.source, q.n_total, CAST(q.quota AS BIGINT) AS quota,
+       CAST(count(*) FILTER (WHERE r.rn <= q.quota) AS BIGINT) AS n_kept
+FROM quotas q JOIN ranked r ON r.source = q.source
+GROUP BY q.source, q.n_total, q.quota
+""",
+    tags=("curation", "sampling", "mixture"),
+)
+def q_corpus_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled (α=0.5) mixture rebalancing: per-source keep
+    quotas ∝ n^α under a fixed total budget — the UniMax/mT5-style
+    flattening that up-weights small sources relative to proportional
+    sampling, with the quota DERIVED FROM the observed distribution
+    (unlike corpus_mixture_sample's config-given rates). Selection
+    inside each source is md5-rank deterministic, so every engine and
+    every retry keeps the same docs.
+
+    Determinism: √n is quantized to micro-units and the weight
+    normalization is exact integer arithmetic ((budget·sm) DIV Σsm) —
+    no float sums across sources. Shape at scale: one source-keyed
+    count agg (tiny), a 1-row total broadcast, and a per-source
+    bounded rank window (the stratified_fixed_n shape); the corpus
+    never single-partitions."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    weighted = counts.select(
+        "source",
+        "n_total",
+        F.round(F.sqrt(F.col("n_total")) * 1000000.0)
+        .cast("long")
+        .alias("sm"),
+    )
+    total = weighted.agg(F.sum("sm").alias("t"))
+    quotas = weighted.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_total",
+        F.expr(f"({TEMP_BUDGET} * sm) DIV t").cast("long").alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("source", F.row_number().over(w).alias("rn"))
+    return (
+        quotas.join(ranked, "source")
+        .groupBy("source", "n_total", "quota")
+        .agg(
+            F.sum((F.col("rn") <= F.col("quota")).cast("int"))
+            .cast("long")
+            .alias("n_kept")
+        )
+    )

@@ -275,6 +275,11 @@ _TINY_BROADCAST_OK = {
     "corpus_dsir_weights",
     # 1-row query vector + m-row shortlist self-join (m=10)
     "similarity_mmr_diversify",
+    # 1-row argmax merge broadcast per BPE round / stats scalars
+    "text_bpe_merges",
+    "corpus_subword_tokens",
+    "text_pmi_pairs",
+    "corpus_temperature_mixture",
 }
 
 

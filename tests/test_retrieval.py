@@ -169,3 +169,46 @@ def test_bpe_reuses_merged_symbols(spark):
         bpe_merges(docs, rounds=2).collect(), key=lambda r: r.merge_round
     )
     assert [(r.pair, r.cnt) for r in out] == [("h e", 10), ("t he", 10)]
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property on real fixture vectors: squared pairwise distances
+    in the projected space concentrate around the originals (loose
+    bounds — d_out=16 is coarse)."""
+    import numpy as np
+
+    from data_ingestion_py_spark.operators.similarity import (
+        random_projection,
+        rp_sign,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(30)
+    )
+    orig = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    proj_rows = random_projection(emb, d_in=64, d_out=16).collect()
+    proj = {}
+    for r in proj_rows:
+        proj.setdefault(r.vec_id, [0.0] * 16)[r.dim] = r.comp_micro / 1e6
+    ids = sorted(orig)
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        d_o = float(np.sum((orig[a] - orig[b]) ** 2))
+        p_a, p_b = np.array(proj[a]), np.array(proj[b])
+        d_p = float(np.sum((p_a - p_b) ** 2))
+        if d_o > 0:
+            ratios.append(d_p / d_o)
+    assert ratios, "no nonzero-distance pairs"
+    # every ratio in a wide JL band, and the mean is close to 1
+    assert all(0.3 < r < 2.2 for r in ratios), ratios
+    assert 0.75 < sum(ratios) / len(ratios) < 1.3
+
+    # spot-check the matrix derivation matches the operator's output
+    v = orig[ids[0]]
+    j = 3
+    signs = np.array([rp_sign(j, i) for i in range(64)], dtype=float)
+    expected = round(float(v @ signs) * 0.25 * 1e6)
+    assert proj[ids[0]][j] * 1e6 == expected * 1.0 or abs(
+        proj[ids[0]][j] * 1e6 - expected
+    ) <= 1
