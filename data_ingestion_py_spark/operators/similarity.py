@@ -680,8 +680,10 @@ def random_projection(
     minhash. The oracle RE-derives the matrix from md5 in SQL, proving
     the construction is engine-portable rather than a frozen constant.
     """
+    import math
+
     v = _to_double(F.col(vec_col))
-    scale = 1.0 / (d_out ** 0.5)
+    scale = 1.0 / math.sqrt(d_out)
     comps = [
         F.round(
             F.aggregate(
@@ -705,3 +707,100 @@ def random_projection(
     return embeddings.select(
         "vec_id", F.posexplode(F.array(*comps)).alias("dim", "comp_micro")
     ).select("vec_id", F.col("dim").cast("int").alias("dim"), "comp_micro")
+
+
+def rp_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    d_in: int,
+    d_out: int = 16,
+    shortlist: int = 50,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via JL random projection: coarse top-``shortlist`` by L2²
+    in the d_out-dim projected space, exact cosine rerank of the
+    shortlist — the classic compressed-first-pass / exact-second-pass
+    shape (the PQ/IVF sibling, with the projection from
+    random_projection's md5-derived matrix).
+
+    Vectors are L2-NORMALIZED before projection so the coarse L2²
+    ordering is monotonic with cosine (‖a−b‖² = 2−2·cos on the unit
+    sphere) — without this, mixed norms make the L2 shortlist diverge
+    from the cosine rerank target. The coarse distance then runs on
+    micro-unit INTEGER components, so the shortlist is exactly
+    reproducible (no float-sum ordering anywhere) and the oracle can
+    replay both passes. Shape at scale: projection is a narrow map
+    (matrix = plan literals); the coarse top-m is one TakeOrdered over
+    d_out-int rows — 4× fewer bytes per row than the raw vectors at
+    d_in=64 — and only m rows are ever rejoined to full vectors for
+    the rerank.
+    """
+    base = embeddings.select(
+        "vec_id", "label", _to_double(F.col(vec_col)).alias("v")
+    )
+    import math
+
+    scale = 1.0 / math.sqrt(d_out)
+    vn = F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v")))
+
+    def proj(col):
+        return F.array(
+            *[
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            col,
+                            F.array(
+                                *[
+                                    F.lit(float(rp_sign(j, i)))
+                                    for i in range(d_in)
+                                ]
+                            ),
+                            lambda x, s: x * s,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(scale)
+                    * 1000000.0
+                )
+                .cast("long")
+                for j in range(d_out)
+            ]
+        )
+
+    projected = base.select("vec_id", proj(vn).alias("p"))
+    qp = projected.where(F.col("vec_id") == query_vec_id).select(
+        F.col("p").alias("qp")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("p"), F.col("qp"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    short = (
+        projected.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qp))
+        .select("vec_id", d2.alias("coarse_d2"))
+        .orderBy(F.asc("coarse_d2"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    q = base.where(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qvec")
+    )
+    sim = dot(F.col("v"), F.col("qvec")) / (
+        l2_norm(F.col("v")) * l2_norm(F.col("qvec"))
+    )
+    return (
+        base.join(short, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "coarse_d2",
+            F.round(sim * 1000000.0).cast("long").alias("cosine_micro"),
+        )
+        .orderBy(F.desc("cosine_micro"), F.asc("vec_id"))
+        .limit(k)
+    )

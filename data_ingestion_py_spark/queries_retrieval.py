@@ -928,3 +928,69 @@ def q_corpus_temperature_mixture(
             .alias("n_kept")
         )
     )
+
+
+_RP_SIGN_SQL = """CASE WHEN (instr('0123456789abcdef',
+                              substr(md5('rp' || {j} || ':' || i), 1, 1)) - 1)
+                             < 8
+                        THEN 1.0 ELSE -1.0 END"""
+
+
+RP_ANN_D_OUT = 32
+RP_ANN_SHORTLIST = 100
+
+@register(
+    "similarity_rp_topk",
+    f"""
+WITH base AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), normed AS (
+    SELECT vec_id,
+           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+    FROM base
+), projected AS (
+    SELECT vec_id,
+           list_transform(generate_series(0, {RP_ANN_D_OUT - 1}), j ->
+               CAST(round(list_dot_product(vn,
+                   list_transform(generate_series(0, {RP_D_IN - 1}), i ->
+                       {_RP_SIGN_SQL.format(j="j")}))
+                 * (1.0 / sqrt({RP_ANN_D_OUT}.0)) * 1000000.0) AS BIGINT)) AS p
+    FROM normed
+), qp AS (
+    SELECT p AS qp FROM projected WHERE vec_id = 0
+), short AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(generate_series(1, {RP_ANN_D_OUT}),
+                j -> (p[j] - qp[j]) * (p[j] - qp[j]))) AS BIGINT)
+               AS coarse_d2
+    FROM projected, qp WHERE vec_id <> 0
+    ORDER BY coarse_d2, vec_id LIMIT {RP_ANN_SHORTLIST}
+), q AS (
+    SELECT v AS qvec FROM base WHERE vec_id = 0
+)
+SELECT b.vec_id, b.label, s.coarse_d2,
+       CAST(round(list_dot_product(v, qvec)
+            / (sqrt(list_dot_product(v, v))
+               * sqrt(list_dot_product(qvec, qvec)))
+            * 1000000.0) AS BIGINT) AS cosine_micro
+FROM base b JOIN short s ON b.vec_id = s.vec_id, q
+ORDER BY cosine_micro DESC, b.vec_id LIMIT 10
+""",
+    tags=("similarity", "ann"),
+)
+def q_similarity_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-projection ANN: integer coarse top-100 in the 32-dim projected
+    space, exact cosine rerank to top-10 (see similarity.rp_topk) —
+    the compressed-first-pass sibling of IVF/PQ, composed with the
+    random_projection operator in one oracle-gated query."""
+    from data_ingestion_py_spark.operators.similarity import rp_topk
+
+    return rp_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        0,
+        d_in=RP_D_IN,
+        d_out=RP_ANN_D_OUT,
+        shortlist=RP_ANN_SHORTLIST,
+    )

@@ -280,6 +280,8 @@ _TINY_BROADCAST_OK = {
     "corpus_subword_tokens",
     "text_pmi_pairs",
     "corpus_temperature_mixture",
+    # 1-row projected-query + query-vector broadcasts
+    "similarity_rp_topk",
 }
 
 
