@@ -994,3 +994,88 @@ def q_similarity_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_out=RP_ANN_D_OUT,
         shortlist=RP_ANN_SHORTLIST,
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-pair construction)
+# ---------------------------------------------------------------------------
+
+NEG_N_ANCHORS = 10
+NEG_PER_ANCHOR = 5
+NEG_PREFILTER = 26  # of 256 → ~10% candidate thinning before ranking
+
+
+@register(
+    "corpus_negative_samples",
+    f"""
+WITH anchors AS (
+    SELECT doc_id AS anchor_id, source AS a_source FROM documents
+    WHERE doc_id < {NEG_N_ANCHORS}
+), cand AS (
+    SELECT a.anchor_id, d.doc_id AS neg_id,
+           md5(CAST(a.anchor_id AS VARCHAR) || ':'
+               || CAST(d.doc_id AS VARCHAR)) AS h
+    FROM documents d JOIN anchors a ON d.source <> a.a_source
+    WHERE (instr('0123456789abcdef',
+                 substr(md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                            || CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef',
+                   substr(md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                              || CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)
+          < {NEG_PREFILTER}
+)
+SELECT anchor_id, neg_id, CAST(rn AS INT) AS rank
+FROM (SELECT anchor_id, neg_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY h, neg_id) AS rn
+      FROM cand)
+WHERE rn <= {NEG_PER_ANCHOR}
+""",
+    tags=("curation", "sampling", "contrastive"),
+)
+def q_corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive pairs: 5 random
+    negatives per anchor, never from the anchor's own source (the
+    standard same-domain-leak guard), selected by md5 rank so every
+    engine/retry draws the same negatives.
+
+    Shape at scale: anchors broadcast (contrastive anchor sets are
+    batch-sized); the candidate stream is hash-THINNED in the narrow
+    map (~10% here; the rate shrinks with corpus size since only
+    ~per_anchor·safety survivors are needed) BEFORE the per-anchor
+    rank window, so no anchor partition ever holds the corpus. The
+    md5 pair hash doubles as both the thinning coin and the ranking
+    key — one expression, no RNG state."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    anchors = d.where(F.col("doc_id") < NEG_N_ANCHORS).select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("source").alias("a_source"),
+    )
+    h = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit(":"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    cand = (
+        d.select(F.col("doc_id").alias("neg_id"), "source")
+        .join(
+            F.broadcast(anchors), F.col("source") != F.col("a_source")
+        )
+        .select("anchor_id", "neg_id", h.alias("h"))
+        .where(
+            F.conv(F.substring(F.col("h"), 1, 2), 16, 10).cast("int")
+            < NEG_PREFILTER
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        cand.select(
+            "anchor_id", "neg_id", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= NEG_PER_ANCHOR)
+        .select("anchor_id", "neg_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -282,6 +282,8 @@ _TINY_BROADCAST_OK = {
     "corpus_temperature_mixture",
     # 1-row projected-query + query-vector broadcasts
     "similarity_rp_topk",
+    # 10-row anchor broadcast with a non-equi (source<>source) guard
+    "corpus_negative_samples",
 }
 
 
