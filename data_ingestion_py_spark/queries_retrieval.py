@@ -1079,3 +1079,146 @@ def q_corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= NEG_PER_ANCHOR)
         .select("anchor_id", "neg_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality gate
+# ---------------------------------------------------------------------------
+
+ENTROPY_BOTTOM_N = 20
+
+
+@register(
+    "text_char_entropy",
+    f"""
+WITH chars AS (
+    SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+    FROM documents WHERE len(text) > 0
+), cc AS (
+    SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+    FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+), n AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cc GROUP BY doc_id
+), terms AS (
+    SELECT cc.doc_id,
+           CAST(round(-((cc.c * 1.0) / n.n) * ln((cc.c * 1.0) / n.n)
+                      * 1000000.0) AS BIGINT) AS t_micro
+    FROM cc JOIN n USING (doc_id)
+)
+SELECT doc_id, CAST(sum(t_micro) AS BIGINT) AS entropy_micro
+FROM terms GROUP BY doc_id
+ORDER BY entropy_micro ASC, doc_id ASC LIMIT {ENTROPY_BOTTOM_N}
+""",
+    tags=("text", "quality"),
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-20 documents by character-level Shannon entropy — the
+    cheap repetitive-garbage detector (low entropy = few distinct
+    chars dominating, e.g. padding/boilerplate runs) that complements
+    the token-level Gopher gates in text_repetition_filters.
+
+    Per-(doc,char) entropy terms are micro-nat quantized before the
+    exact integer per-doc sum. Shape at scale: one (doc,char) keyed
+    agg (≤ |alphabet| rows per doc), a doc-keyed total join, narrow
+    term math, one per-doc sum — all keyed shuffles at
+    corpus-character cardinality upper-bounded by doc×alphabet."""
+    d = load_table(spark, sf_dir, "documents")
+    cc = (
+        d.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), ""), lambda c: c != ""
+                )
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = cc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = (F.col("c") * 1.0) / F.col("n")
+    terms = cc.join(n, "doc_id").select(
+        "doc_id",
+        F.round(-p * F.log(p) * 1000000.0).cast("long").alias("t_micro"),
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.sum("t_micro").cast("long").alias("entropy_micro"))
+        .orderBy(F.asc("entropy_micro"), F.asc("doc_id"))
+        .limit(ENTROPY_BOTTOM_N)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitor (unigram KL divergence between snapshots)
+# ---------------------------------------------------------------------------
+
+DRIFT_TOP_N = 15
+
+
+@register(
+    "corpus_drift_terms",
+    f"""
+WITH inst AS (
+    SELECT doc_id % 2 = 1 AS is_cur, unnest({_SQL_TOKS}) AS term
+    FROM documents
+), counts AS (
+    SELECT term,
+           sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS cc,
+           sum(CASE WHEN is_cur THEN 0 ELSE 1 END) AS cp
+    FROM inst GROUP BY term
+), totals AS (
+    SELECT sum(cc) AS tc, sum(cp) AS tp, count(*) AS v FROM counts
+)
+SELECT term, CAST(cc AS BIGINT) AS c_cur, CAST(cp AS BIGINT) AS c_prev,
+       CAST(round((((cc + 1.0) / (tc + v))
+                   * ln(((cc + 1.0) / (tc + v)) / ((cp + 1.0) / (tp + v))))
+                  * 1000000000.0) AS BIGINT) AS contrib_nano
+FROM counts, totals
+ORDER BY contrib_nano DESC, term LIMIT {DRIFT_TOP_N}
+""",
+    tags=("dq", "drift"),
+)
+def q_corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the terms contributing most to
+    KL(current ‖ previous) between two corpus snapshots (stand-in
+    split: odd/even doc_id), with add-one smoothing over the union
+    vocabulary — the check a recurring ingestion pipeline runs to
+    catch a source going off the rails between builds.
+
+    Per-term KL contributions are nano-nat quantized (contributions
+    are tiny — micro would truncate to 0); the full-divergence rollup
+    is the exact integer sum of the SAME contrib column, so one query
+    serves both the alert metric and its explanation. Shape at scale:
+    both snapshots counted in ONE pass (conditional sums keyed on
+    term), 1-row totals broadcast, TakeOrdered head."""
+    d = load_table(spark, sf_dir, "documents")
+    inst = d.select(
+        (F.col("doc_id") % 2 == 1).alias("is_cur"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    counts = inst.groupBy("term").agg(
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("cc"),
+        F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).alias("cp"),
+    )
+    totals = counts.agg(
+        F.sum("cc").alias("tc"),
+        F.sum("cp").alias("tp"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pc = (F.col("cc") + 1.0) / (F.col("tc") + F.col("v"))
+    pp = (F.col("cp") + 1.0) / (F.col("tp") + F.col("v"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.col("cc").cast("long").alias("c_cur"),
+            F.col("cp").cast("long").alias("c_prev"),
+            F.round((pc * F.log(pc / pp)) * 1000000000.0)
+            .cast("long")
+            .alias("contrib_nano"),
+        )
+        .orderBy(F.desc("contrib_nano"), F.asc("term"))
+        .limit(DRIFT_TOP_N)
+    )

@@ -284,6 +284,8 @@ _TINY_BROADCAST_OK = {
     "similarity_rp_topk",
     # 10-row anchor broadcast with a non-equi (source<>source) guard
     "corpus_negative_samples",
+    # 1-row snapshot-totals broadcast
+    "corpus_drift_terms",
 }
 
 
