@@ -412,3 +412,63 @@ def q_multimodal_av_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return mm.probe_metadata(media).select("media_id", "kind", "duration_ms")
+
+
+@register(
+    "multimodal_wav_pcm_stats",
+    """
+WITH waves AS (
+    SELECT doc_id AS media_id,
+           list_transform(generate_series(0, 63),
+               i -> (doc_id * 37 + i * 13) % 2001 - 1000) AS v
+    FROM documents WHERE doc_id % 5 = 0
+)
+SELECT media_id,
+       CAST(64 AS INT) AS n_samples,
+       CAST(list_max(list_transform(v, x -> abs(x))) AS INT) AS peak_abs,
+       CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy
+FROM waves
+""",
+    tags=("multimodal", "decode", "audio"),
+)
+def q_multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-LEVEL audio decode end-to-end (the waveform sibling of
+    multimodal_phash_dedup's pixel decode): build complete valid PCM
+    WAV files in column algebra — RIFF/fmt/data chunks plus 64
+    doc_id-seeded little-endian int16 SAMPLES (range ±1000, signed
+    two's-complement bytes) — push the binary through the Arrow
+    mapInPandas stage, decode the actual waveform with the pure-byte
+    kernel (sources/multimodal.decode_wav_pcm), and emit integer
+    sample stats (count, peak, exact Σv² energy). The oracle
+    recomputes the stats arithmetically from the planted waveform
+    formula — it never sees the bytes, so any fmt-gate, endianness,
+    sign-extension, or chunk-offset bug in the decoder mismatches
+    immediately. No shuffle at all: plant → decode → project is one
+    narrow Arrow stage."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    v = lambda i: (F.col("doc_id") * 37 + i * 13) % 2001 - 1000  # noqa: E731
+    u16 = lambda i: (v(i) + 65536) % 65536  # noqa: E731  two's complement
+    data_hex = F.concat_ws(
+        "",
+        F.transform(F.sequence(F.lit(0), F.lit(63)), lambda i: _le_hex(u16(i), 2)),
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        _le_hex(F.lit(128 + 36), 4),  # riff size
+        F.lit("57415645"),            # 'WAVE'
+        F.lit("666D7420"),            # 'fmt '
+        _le_hex(F.lit(16), 4),        # fmt chunk size
+        _le_hex(F.lit(1), 2),         # PCM
+        _le_hex(F.lit(1), 2),         # mono
+        _le_hex(F.lit(8000), 4),      # sample rate
+        _le_hex(F.lit(16000), 4),     # byte rate
+        _le_hex(F.lit(2), 2),         # block align
+        _le_hex(F.lit(16), 2),        # bits/sample
+        F.lit("64617461"),            # 'data'
+        _le_hex(F.lit(128), 4),       # data size = 64 int16 samples
+        data_hex,
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(wav_hex).alias("payload")
+    )
+    return mm.pcm_stats(media)

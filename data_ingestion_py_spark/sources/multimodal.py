@@ -516,3 +516,85 @@ def resize_plan(
             )
 
     return media.mapInPandas(_go, RESIZE_SCHEMA)
+
+
+def decode_wav_pcm(payload: bytes | None) -> tuple[int, int, int] | None:
+    """REAL sample-level decode kernel: parse a PCM WAV payload down to
+    its int16 samples and return (n_samples, peak_abs, energy) — the
+    audio sibling of ``decode_pnm``'s pixel raster (header walk done by
+    the same RIFF rules as ``media_duration_ms``, then the actual
+    waveform bytes are decoded, not just measured).
+
+    Strict by design: requires uncompressed PCM (audio_format=1),
+    mono, 16-bit — anything else returns None (compressed codecs are
+    the honest out-of-container seam). Samples are little-endian
+    signed int16; ``energy`` is the exact integer Σ v² (bounded by
+    n·2³⁰, no float), ``peak_abs`` handles the −32768 asymmetry.
+    """
+    if payload is None:
+        return None
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt_ok = False
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        csz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            audio_format = int.from_bytes(payload[i + 8 : i + 10], "little")
+            channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+            fmt_ok = audio_format == 1 and channels == 1 and bits == 16
+        elif cid == b"data":
+            if not fmt_ok:
+                return None
+            data = payload[i + 8 : min(i + 8 + csz, n)]
+            m = len(data) // 2
+            if m == 0:
+                return None
+            peak = 0
+            energy = 0
+            for k in range(m):
+                v = int.from_bytes(
+                    data[2 * k : 2 * k + 2], "little", signed=True
+                )
+                a = -v if v < 0 else v
+                if a > peak:
+                    peak = a
+                energy += v * v
+            return (m, peak, energy)
+        i += 8 + csz + (csz & 1)  # word-aligned RIFF chunks
+    return None
+
+
+PCM_SCHEMA = "media_id long, n_samples int, peak_abs int, energy long"
+
+
+def pcm_stats(media: DataFrame) -> DataFrame:
+    """(media_id, n_samples, peak_abs, energy) via the real PCM sample
+    decode, Arrow-batched ``mapInPandas`` — same seam as
+    ``perceptual_hashes``; payloads never reach the driver."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [
+                decode_wav_pcm(bytes(p) if p is not None else None)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": pd.array(
+                        [s[0] if s else None for s in stats], dtype="Int32"
+                    ),
+                    "peak_abs": pd.array(
+                        [s[1] if s else None for s in stats], dtype="Int32"
+                    ),
+                    "energy": pd.array(
+                        [s[2] if s else None for s in stats], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_go, PCM_SCHEMA)

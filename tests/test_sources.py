@@ -311,3 +311,52 @@ def test_perceptual_hashes_spark_matches_kernel(spark):
     for mid, payload in rows:
         assert got[mid] == average_hash(payload)
     assert got[99] is None
+
+
+def _wav(samples, *, channels=1, bits=16, audio_format=1):
+    import struct
+
+    data = b"".join(
+        struct.pack("<h", s) if bits == 16 else bytes([s & 0xFF])
+        for s in samples
+    )
+    fmt = struct.pack(
+        "<HHIIHH", audio_format, channels, 8000, 16000, 2, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_pcm_known_samples():
+    from data_ingestion_py_spark.sources.multimodal import decode_wav_pcm
+
+    out = decode_wav_pcm(_wav([0, 1000, -1000, 5]))
+    assert out == (4, 1000, 0 + 1000000 + 1000000 + 25)
+
+
+def test_decode_wav_pcm_int16_min_peak():
+    from data_ingestion_py_spark.sources.multimodal import decode_wav_pcm
+
+    n, peak, energy = decode_wav_pcm(_wav([-32768, 100]))
+    assert (n, peak) == (2, 32768)
+    assert energy == 32768 * 32768 + 10000
+
+
+def test_decode_wav_pcm_rejects_non_mono_non_pcm():
+    from data_ingestion_py_spark.sources.multimodal import decode_wav_pcm
+
+    assert decode_wav_pcm(_wav([1, 2], channels=2)) is None
+    assert decode_wav_pcm(_wav([1, 2], audio_format=3)) is None
+    assert decode_wav_pcm(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert decode_wav_pcm(None) is None
+    assert decode_wav_pcm(b"\x00" * 4) is None
+
+
+def test_decode_wav_pcm_truncated_data_chunk():
+    from data_ingestion_py_spark.sources.multimodal import decode_wav_pcm
+
+    full = _wav([7, -7, 300])
+    # cut mid-sample: only the complete samples are decoded
+    out = decode_wav_pcm(full[:-1])
+    assert out == (2, 7, 98)
