@@ -1222,3 +1222,67 @@ def q_corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("contrib_nano"), F.asc("term"))
         .limit(DRIFT_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis priorities)
+# ---------------------------------------------------------------------------
+
+WS_SAMPLE_N = 50
+
+
+@register(
+    "corpus_weighted_sample",
+    f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           CAST(round(
+               -ln(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16777216.0
+                    + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 1048576.0
+                    + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 65536.0
+                    + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 4096.0
+                    + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 256.0
+                    + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 16.0
+                    + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 1.0
+                    + 0.5) / 268435456.0)
+               / n_chars * 1000000000.0) AS BIGINT) AS priority_nano
+    FROM (SELECT doc_id, n_chars,
+                 md5('ws|' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents WHERE n_chars > 0)
+)
+SELECT doc_id, CAST(n_chars AS INT) AS n_chars, priority_nano
+FROM keyed ORDER BY priority_nano ASC, doc_id ASC LIMIT {WS_SAMPLE_N}
+""",
+    tags=("curation", "sampling", "weighted"),
+)
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement at corpus scale
+    (Efraimidis & Spirakis 2006 A-Res): each doc draws a deterministic
+    uniform u from md5, gets priority −ln(u)/w (weight = n_chars), and
+    the sample is the global top-n by SMALLEST priority — equivalent
+    to sequential weighted draws, but expressed as one TakeOrdered
+    over a narrow map (no RNG state, no sequential pass, reproducible
+    across engines/retries/partitionings).
+
+    The uniform is built from the first 7 md5 hex digits as exact
+    dyadic arithmetic ((h28 + 0.5) / 2²⁸) so Spark and the oracle
+    compute bit-identical doubles before the single ln/÷; priorities
+    are nano-quantized for the hash gate."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h28 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("double")
+    u = (h28 + 0.5) / 268435456.0
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("int").alias("n_chars"),
+            F.round(-F.log(u) / F.col("n_chars") * 1000000000.0)
+            .cast("long")
+            .alias("priority_nano"),
+        )
+        .orderBy(F.asc("priority_nano"), F.asc("doc_id"))
+        .limit(WS_SAMPLE_N)
+    )

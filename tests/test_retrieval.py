@@ -235,3 +235,16 @@ def test_rp_topk_recall_vs_brute_force(spark):
     # floor at d_out=32 with a 20% shortlist. Clustered real
     # embeddings do far better at the same settings.
     assert len(truth & approx) >= 5, (truth, approx)
+
+
+def test_weighted_sample_prefers_heavy_docs(spark):
+    """A-Res with weight = n_chars must overrepresent long docs: the
+    sampled mean length should exceed the corpus mean."""
+    from data_ingestion_py_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    sample = QUERIES["corpus_weighted_sample"].spark(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    corpus_mean = sum(r.n_chars for r in docs) / len(docs)
+    sample_mean = sum(r.n_chars for r in sample) / len(sample)
+    assert sample_mean > corpus_mean
