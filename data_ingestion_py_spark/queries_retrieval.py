@@ -1286,3 +1286,94 @@ def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("priority_nano"), F.asc("doc_id"))
         .limit(WS_SAMPLE_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (algebraic partial-state merge)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_incremental_rollup",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS min_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS max_cents
+FROM events GROUP BY event_type
+""",
+    tags=("rollup", "incremental"),
+)
+def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, proven against a full
+    recompute: the events table is split into a PRIOR state half and a
+    NEW batch half (event_id parity standing in for yesterday/today);
+    each is rolled up independently into algebraic partial states
+    (count/sum/min/max over cent-exact integers), and the two states
+    are MERGED with a full-outer key join + combine — the operation an
+    incremental pipeline runs so a daily batch never rescans the
+    100 TB history. The oracle aggregates the whole table in one pass,
+    so any non-algebraic merge bug (lost group, double count, wrong
+    null handling on groups present in only one half)
+    hash-mismatches.
+
+    Shape at scale: two keyed rollups at partial-state cardinality
+    (|event_type|), one co-keyed outer join of state-sized tables —
+    the batch side is the only thing proportional to new data."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    prior = rollup(e.where(F.col("event_id") % 2 == 0))
+    batch = rollup(e.where(F.col("event_id") % 2 == 1))
+    p = prior.select(
+        "event_type",
+        F.col("n").alias("pn"),
+        F.col("sum_cents").alias("ps"),
+        F.col("min_cents").alias("pmin"),
+        F.col("max_cents").alias("pmax"),
+    )
+    b = batch.select(
+        "event_type",
+        F.col("n").alias("bn"),
+        F.col("sum_cents").alias("bs"),
+        F.col("min_cents").alias("bmin"),
+        F.col("max_cents").alias("bmax"),
+    )
+    merged = p.join(b, "event_type", "full_outer")
+    z = F.lit(0).cast("long")
+    return merged.select(
+        "event_type",
+        (F.coalesce(F.col("pn"), z) + F.coalesce(F.col("bn"), z))
+        .cast("long")
+        .alias("n"),
+        (F.coalesce(F.col("ps"), z) + F.coalesce(F.col("bs"), z))
+        .cast("long")
+        .alias("sum_cents"),
+        F.least(
+            F.coalesce(F.col("pmin"), F.col("bmin")),
+            F.coalesce(F.col("bmin"), F.col("pmin")),
+        )
+        .cast("long")
+        .alias("min_cents"),
+        F.greatest(
+            F.coalesce(F.col("pmax"), F.col("bmax")),
+            F.coalesce(F.col("bmax"), F.col("pmax")),
+        )
+        .cast("long")
+        .alias("max_cents"),
+    )
