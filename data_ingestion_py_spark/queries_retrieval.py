@@ -1,8 +1,8 @@
-"""Retrieval & statistical-LM scoring queries over the documents table.
+"""Retrieval, statistical-LM, and corpus-statistics queries.
 
 The reference (data_ingestion.py:229-252) stops at "store snippets so a
-retriever can search them"; this module supplies the retrieval side a
-training-data pipeline actually runs at corpus scale:
+retriever can search them"; this module supplies the retrieval and
+corpus-statistics side a training-data pipeline actually runs at scale:
 
 - BM25 ranked search (Robertson/Sparck-Jones; the Lucene idf form) —
   the lexical-retrieval baseline next to the vector stack in
@@ -14,6 +14,15 @@ training-data pipeline actually runs at corpus scale:
   between a target subset and the raw corpus; Xie et al. 2023,
   "Data Selection for Language Models via Importance Resampling") —
   selects raw docs that look like the target distribution.
+- BPE merge learning + application (Sennrich et al. 2016) — tokenizer
+  induction and the per-language subword token budget.
+- MMR diversified top-k / JL random projection + projected ANN — the
+  diversity- and dimensionality-reduction sides of the vector stack.
+- PMI co-occurrence pairs, char-entropy quality gate, unigram-KL
+  corpus drift monitoring.
+- Temperature mixture quotas (UniMax-style), deterministic negative
+  sampling, Efraimidis-Spirakis weighted sampling, incremental rollup
+  maintenance.
 
 Determinism contract (same as operators/kmeans.py): every per-item
 float score is quantized to integer micro-units (round(x*1e6) as

@@ -1,0 +1,140 @@
+"""Property tests: the distributed BM25 and bigram-LM operators must
+equal clean-room sequential Python models on hypothesis-generated
+corpora (the SURVEY §5.2 strategy applied to the retrieval module)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_ingestion_py_spark.queries_retrieval import (
+    BM25_B,
+    BM25_K1,
+    LM_MIN_BIGRAMS,
+    bigram_lm_scores,
+    bm25_topk,
+)
+
+_WORDS = ["a", "bb", "ccc", "dog", "cat", "merge", "window"]
+
+
+def _mk_docs(spark, docs: list[list[str]]):
+    return spark.createDataFrame(
+        [
+            (i, " ".join(ws), "en", "src0", len(" ".join(ws)))
+            for i, ws in enumerate(docs)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+
+
+def model_bm25(
+    docs: list[list[str]], terms: tuple[str, ...]
+) -> dict[int, int]:
+    """Sequential BM25 → {doc_id: score_micro} for matching docs."""
+    n = len(docs)
+    dls = [len(d) for d in docs]
+    avgdl = sum(dls) / n
+    df = Counter()
+    for d in docs:
+        for t in set(d) & set(terms):
+            df[t] += 1
+    out: dict[int, int] = {}
+    for i, d in enumerate(docs):
+        tf = Counter(t for t in d if t in terms)
+        if not tf:
+            continue
+        total = 0
+        for t, f in tf.items():
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s = (
+                idf
+                * (f * (BM25_K1 + 1.0))
+                / (
+                    f
+                    + BM25_K1
+                    * ((1.0 - BM25_B) + BM25_B * dls[i] / avgdl)
+                )
+            )
+            total += round(s * 1_000_000)
+        out[i] = total
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_equals_sequential_model(spark, docs):
+    terms = ("merge", "dog")
+    expected = model_bm25(docs, terms)
+    got = {
+        r.doc_id: r.score_micro
+        for r in bm25_topk(_mk_docs(spark, docs), terms, k=1000).collect()
+    }
+    assert got == expected
+
+
+def model_bigram_lm(docs: list[list[str]]) -> dict[int, float]:
+    """Sequential add-one bigram LM → {doc_id: avg_nll} (floored)."""
+    c2: Counter = Counter()
+    for d in docs:
+        for a, b in zip(d, d[1:]):
+            c2[(a, b)] += 1
+    c1: Counter = Counter()
+    for (a, _), c in c2.items():
+        c1[a] += c
+    vocab = len({t for d in docs for t in d})
+    out = {}
+    for i, d in enumerate(docs):
+        grams = list(zip(d, d[1:]))
+        if len(grams) < LM_MIN_BIGRAMS:
+            continue
+        tot = 0
+        for g in grams:
+            p = (c2[g] + 1.0) / (c1[g[0]] + vocab)
+            tot += round(-math.log(p) * 1_000_000)
+        # engines round HALF-UP on the SHORTEST decimal repr of the
+        # double (Spark BigDecimal.valueOf / DuckDB round) — neither
+        # banker's like Python round() nor exact-binary Decimal(x)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        x = tot / len(grams) / 1_000_000
+        out[i] = float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=15),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bigram_lm_equals_sequential_model(spark, docs):
+    expected = model_bigram_lm(docs)
+    got = {
+        r.doc_id: r.avg_nll
+        for r in bigram_lm_scores(_mk_docs(spark, docs)).collect()
+    }
+    assert got == expected
