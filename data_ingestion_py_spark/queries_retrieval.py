@@ -1386,3 +1386,100 @@ def q_events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (asymmetric doc-in-doc / quote detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment_pairs",
+    """
+WITH frags AS (
+    SELECT doc_id + 2000000 AS doc_id, doc_id AS orig_id,
+           array_to_string(toks[6:21], ' ') AS text
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents)
+    WHERE len(toks) >= 25 AND doc_id % 7 = 0
+), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(0, len(toks) - 3),
+               i -> array_to_string(toks[i+1 : i+3], ' '))) AS s
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                     AS toks
+          FROM documents
+          UNION ALL
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+                     AS toks
+          FROM frags)
+    WHERE len(toks) >= 3
+)
+SELECT f.doc_id AS frag_id, f.orig_id,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(a.s), 6) AS containment,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.9
+           AS is_quote
+FROM frags f
+JOIN sh a ON a.doc_id = f.doc_id
+JOIN sh b ON b.doc_id = f.orig_id
+""",
+    tags=("dedup", "containment"),
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup verification: shingle containment
+    C(A,B) = |A∩B| / |A| next to symmetric Jaccard, on planted
+    fragment→original pairs (each fragment is a 16-token middle slice
+    of its source doc). Containment ≈ 1 flags doc-in-doc duplication —
+    quotes, excerpts, chunk re-ingestion — exactly the cases whole-doc
+    Jaccard scores LOW because the union is dominated by the longer
+    side (Broder 1997 distinguishes resemblance vs containment; both
+    pinned here so the difference is visible in one result).
+
+    Shape at scale: fragments derive in a narrow map; the pair join is
+    keyed on the planted (frag → orig) candidate ids — in production
+    the candidate set comes from the same LSH banding the resemblance
+    path uses, so this adds only the per-candidate containment
+    arithmetic."""
+    from data_ingestion_py_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    frags = (
+        d.where((F.size(toks) >= 25) & (F.col("doc_id") % 7 == 0))
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.col("doc_id").alias("orig_id"),
+            F.array_join(F.slice(toks, 6, 16), " ").alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(
+        frags.select("doc_id", "text")
+    )
+    sh = (
+        dedup.with_shingles(corpus)
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.array_distinct("shingles").alias("s"))
+    )
+    a = sh.select(F.col("doc_id").alias("frag_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("orig_id"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.array_distinct(F.concat(F.col("sa"), F.col("sb"))))
+    cont = inter.cast("double") / F.size("sa")
+    return (
+        frags.select("doc_id", "orig_id")
+        .withColumnRenamed("doc_id", "frag_id")
+        .join(a, "frag_id")
+        .join(b, "orig_id")
+        .select(
+            "frag_id",
+            "orig_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            F.round(cont, 6).alias("containment"),
+            (cont >= 0.9).alias("is_quote"),
+        )
+    )
