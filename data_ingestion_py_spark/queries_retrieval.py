@@ -1483,3 +1483,69 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cont >= 0.9).alias("is_quote"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 over the snippets view (the reference's search surface, lexical)
+# ---------------------------------------------------------------------------
+
+
+def _snippets_bm25_oracle() -> str:
+    from data_ingestion_py_spark.queries import SNIPPET_CTE
+
+    inner = _bm25_oracle(BM25_QUERY_TERMS, 10)
+    # rebase the doc-level oracle onto the snippet view: snippets get a
+    # synthetic unique id and their text becomes the scored field
+    inner = inner.replace("WITH per_doc AS (", ", per_doc AS (", 1)
+    inner = inner.replace(
+        "FROM (SELECT doc_id, "
+        + _SQL_TOKS
+        + " AS toks FROM documents)",
+        "FROM (SELECT doc_id * 1000 + snippet_id AS doc_id, "
+        + "list_filter(string_split(snippet_text, ' '), x -> x <> '') "
+        + "AS toks FROM snippets)",
+    )
+    final = SNIPPET_CTE + inner
+    return final.replace(
+        "SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro",
+        "SELECT doc_id // 1000 AS doc_id, "
+        "CAST(doc_id % 1000 AS INT) AS snippet_id, "
+        "CAST(sum(s_micro) AS BIGINT) AS score_micro",
+    ).replace(
+        "FROM scored GROUP BY doc_id",
+        "FROM scored GROUP BY doc_id // 1000, doc_id % 1000",
+    ).replace(
+        "ORDER BY score_micro DESC, doc_id ASC LIMIT 10",
+        "ORDER BY score_micro DESC, doc_id ASC, snippet_id ASC LIMIT 10",
+    )
+
+
+@register(
+    "snippets_bm25_search",
+    _snippets_bm25_oracle(),
+    tags=("text", "retrieval", "snippets"),
+)
+def q_snippets_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked search over the SNIPPETS derived view — the lexical
+    realization of the reference's declared capability ('active
+    snippets … used by a similarity search', README.md:3): snippetize
+    exactly as snippets_flat does, then rank windows for the fixed
+    query, returning the top snippet hits with their (doc, snippet)
+    coordinates. Composes the oracle-verified snippetize algebra with
+    the oracle-verified BM25 scorer in one hash-gated query; snippet
+    identity rides through the scorer as a synthetic doc_id*1000+id
+    key and is unpacked at the end."""
+    from data_ingestion_py_spark.operators.snippetize import snippetize
+
+    d = load_table(spark, sf_dir, "documents")
+    snips = snippetize(d).select(
+        (F.col("doc_id") * 1000 + F.col("snippet_id")).alias("doc_id"),
+        F.col("snippet_text").alias("text"),
+    )
+    ranked = bm25_topk(snips, BM25_QUERY_TERMS, k=10)
+    return ranked.select(
+        F.expr("doc_id DIV 1000").alias("doc_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("snippet_id"),
+        "score_micro",
+        "n_terms",
+    )
