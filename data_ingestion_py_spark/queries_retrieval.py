@@ -1549,3 +1549,56 @@ def q_snippets_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_micro",
         "n_terms",
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation (confusion matrix vs ground-truth labels)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+WITH t AS (
+    SELECT doc_id, lang AS lang_label, {_SQL_TOKS} AS toks FROM documents
+), s AS (
+    SELECT doc_id, lang_label,
+           len(list_filter(toks, t -> list_contains(['the','a','of','and'], t)))
+               / len(toks) AS score_en,
+           len(list_filter(toks, t -> list_contains(['el','la','de','que'], t)))
+               / len(toks) AS score_es,
+           len(list_filter(toks, t -> list_contains(['der','die','das','und'], t)))
+               / len(toks) AS score_de
+    FROM t WHERE len(toks) > 0
+), g AS (
+    SELECT lang_label,
+           CASE WHEN greatest(score_en, score_es, score_de) < 0.02 THEN 'und'
+                WHEN score_en = greatest(score_en, score_es, score_de) THEN 'en'
+                WHEN score_es = greatest(score_en, score_es, score_de) THEN 'es'
+                ELSE 'de' END AS lang_guess
+    FROM s
+)
+SELECT lang_label, lang_guess,
+       CAST(count(*) AS BIGINT) AS n,
+       lang_label = lang_guess AS is_correct
+FROM g GROUP BY lang_label, lang_guess
+""",
+    tags=("text", "langid", "eval"),
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the lang-ID heuristic's
+    confusion matrix against the fixture's ground-truth labels (one
+    cell per label×guess with counts and a correctness flag) — the
+    eval rollup any in-pipeline classifier needs before its output
+    gates a filter. Composes the oracle-verified language_id operator
+    with one tiny keyed agg; at 100 TB the matrix is |langs|² rows."""
+    from data_ingestion_py_spark.operators import text_analysis
+
+    d = load_table(spark, sf_dir, "documents")
+    g = text_analysis.language_id(d).select("lang_label", "lang_guess")
+    return g.groupBy("lang_label", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first(F.col("lang_label") == F.col("lang_guess")).alias(
+            "is_correct"
+        ),
+    )
