@@ -395,3 +395,110 @@ def durable_lsh_batch_processor(index, threshold: float = 0.5):
         index.append_batch(fresh, batch_id)
 
     return _process
+
+
+# ---------------------------------------------------------------------------
+# Durable incremental rollup (append-only partial-agg log, merge-on-read)
+# ---------------------------------------------------------------------------
+
+ROLLUP_STATE_SCHEMA = (
+    "event_type string, n long, sum_cents long, min_cents long, "
+    "max_cents long, batch_id long"
+)
+
+
+def _batch_rollup(batch_df: DataFrame) -> DataFrame:
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        batch_df.select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
+def rollup_batch_processor(state_path: str):
+    """foreachBatch handler: append THIS batch's algebraic partial
+    rollup (count/sum/min/max per event_type, cent-exact) to the
+    at-rest state log, tagged with batch_id. Idempotent under
+    re-delivery: a batch whose partials already landed is skipped
+    (the check survives restarts because the marker IS the data).
+
+    The state is an append-only partial-agg LOG, not a mutable table —
+    the streaming twin of ``events_incremental_rollup``'s merge: each
+    micro-batch costs one batch-sized agg + one tiny append (no
+    read-modify-write of the full state), and the current rollup is
+    merge-on-read (``read_rollup_state``). At scale the log compacts
+    periodically by rewriting merged partials under a new batch id
+    range — same algebra, applied lazily."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.schema(ROLLUP_STATE_SCHEMA).parquet(
+                state_path
+            )
+            if (
+                existing.where(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+                > 0
+            ):
+                return  # re-delivered after restart
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            pass
+        (
+            _batch_rollup(batch_df)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    return _process
+
+
+def read_rollup_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the partial-agg log: combine per-batch partials
+    into the current rollup (the same algebraic merge the batch query
+    proves against a full recompute)."""
+    return (
+        spark.read.schema(ROLLUP_STATE_SCHEMA)
+        .parquet(state_path)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+
+
+def run_rollup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """events file stream → durable incremental rollup state (see
+    rollup_batch_processor). Restart-safe: re-opening the same state
+    path + checkpoint resumes exactly; re-delivered batches no-op."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(rollup_batch_processor(state_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

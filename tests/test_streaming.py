@@ -551,3 +551,65 @@ def test_foreach_batch_redelivery_is_idempotent(spark):
     # every doc against its own first delivery and duplicate state
     assert len(lsh.admitted) == n_admitted
     assert lsh.corpus_sigs.count() == n_corpus
+
+
+def test_durable_rollup_stream_matches_batch_and_survives_restart(
+    spark, tmp_path
+):
+    """The streamed merge-on-read rollup must equal a one-pass batch
+    rollup of everything ingested, across two process lifetimes, and
+    re-delivered batches must not double-count."""
+    from data_ingestion_py_spark.streaming.pipeline import (
+        _batch_rollup,
+        read_rollup_state,
+        rollup_batch_processor,
+        run_rollup_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    # lifetime 1
+    q = run_rollup_stream(spark, src, state, ckpt)
+    q.awaitTermination(240)
+    got1 = {
+        r.event_type: (r.n, r.sum_cents, r.min_cents, r.max_cents)
+        for r in read_rollup_state(spark, state).collect()
+    }
+    want1 = {
+        r.event_type: (r.n, r.sum_cents, r.min_cents, r.max_cents)
+        for r in _batch_rollup(half1).collect()
+    }
+    assert got1 == want1
+
+    # lifetime 2: more data arrives, same state + checkpoint
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtime => stable file-batch order
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    q = run_rollup_stream(spark, src, state, ckpt)
+    q.awaitTermination(240)
+    got2 = {
+        r.event_type: (r.n, r.sum_cents, r.min_cents, r.max_cents)
+        for r in read_rollup_state(spark, state).collect()
+    }
+    want2 = {
+        r.event_type: (r.n, r.sum_cents, r.min_cents, r.max_cents)
+        for r in _batch_rollup(events).collect()
+    }
+    assert got2 == want2
+
+    # re-delivery of an already-committed batch id is a no-op
+    proc = rollup_batch_processor(state)
+    proc(half1, 0)
+    got3 = {
+        r.event_type: (r.n, r.sum_cents, r.min_cents, r.max_cents)
+        for r in read_rollup_state(spark, state).collect()
+    }
+    assert got3 == want2
