@@ -442,12 +442,12 @@ def rollup_batch_processor(state_path: str):
             existing = spark.read.schema(ROLLUP_STATE_SCHEMA).parquet(
                 state_path
             )
-            if (
-                existing.where(F.col("batch_id") == batch_id)
-                .limit(1)
-                .count()
-                > 0
-            ):
+            # foreachBatch ids are monotonic per checkpoint, so
+            # "already at or past this id" is the restart-safe guard —
+            # and it stays correct after compaction rewrites the log
+            # under the max compacted id.
+            hi = existing.agg(F.max("batch_id").alias("m")).collect()[0].m
+            if hi is not None and batch_id <= hi:
                 return  # re-delivered after restart
         except Exception:  # noqa: BLE001 — first batch: no state yet
             pass
@@ -502,3 +502,28 @@ def run_rollup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_rollup_state(
+    spark: SparkSession, state_path: str, out_path: str
+) -> None:
+    """Compact the partial-agg log: rewrite all partials as ONE merged
+    partial per event_type under the max committed batch_id. The
+    merge-on-read result is identical (same algebra, applied eagerly)
+    and the monotonic re-delivery guard still rejects every batch id
+    the log had committed. At scale this runs periodically so the log
+    stays O(|groups|) instead of O(batches·|groups|)."""
+    log = spark.read.schema(ROLLUP_STATE_SCHEMA).parquet(state_path)
+    hi = log.agg(F.max("batch_id").alias("m")).collect()[0].m
+    (
+        log.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .withColumn("batch_id", F.lit(hi).cast("long"))
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

@@ -613,3 +613,42 @@ def test_durable_rollup_stream_matches_batch_and_survives_restart(
         for r in read_rollup_state(spark, state).collect()
     }
     assert got3 == want2
+
+
+def test_rollup_state_compaction_preserves_merge_and_guard(spark, tmp_path):
+    """Compacted log: identical merge-on-read result, fewer rows, and
+    the re-delivery guard still rejects previously-committed ids."""
+    from data_ingestion_py_spark.streaming.pipeline import (
+        _batch_rollup,
+        compact_rollup_state,
+        read_rollup_state,
+        rollup_batch_processor,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    state = str(tmp_path / "state")
+    state2 = str(tmp_path / "state2")
+    proc = rollup_batch_processor(state)
+    for b in range(3):
+        proc(events.where(F.col("event_id") % 3 == b), b)
+    before = {
+        r.event_type: (r.n, r.sum_cents, r.min_cents, r.max_cents)
+        for r in read_rollup_state(spark, state).collect()
+    }
+    compact_rollup_state(spark, state, state2)
+    after = {
+        r.event_type: (r.n, r.sum_cents, r.min_cents, r.max_cents)
+        for r in read_rollup_state(spark, state2).collect()
+    }
+    assert after == before
+    assert (
+        spark.read.parquet(state2).count()
+        < spark.read.parquet(state).count()
+    )
+    # guard: re-delivering batch 1 into the compacted log is a no-op
+    proc2 = rollup_batch_processor(state2)
+    proc2(events.where(F.col("event_id") % 3 == 1), 1)
+    assert {
+        r.event_type: (r.n, r.sum_cents, r.min_cents, r.max_cents)
+        for r in read_rollup_state(spark, state2).collect()
+    } == before
