@@ -286,6 +286,9 @@ _TINY_BROADCAST_OK = {
     "corpus_negative_samples",
     # 1-row snapshot-totals broadcast
     "corpus_drift_terms",
+    # BM25 over snippets: same 1-row corpus-stats broadcast as
+    # text_bm25_topk
+    "snippets_bm25_search",
 }
 
 
