@@ -1602,3 +1602,77 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_correct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-wise linear regression (per-type value trend)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_trend",
+    """
+WITH pts AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x,
+           CAST(round(value * 100) AS BIGINT) AS y
+    FROM events
+), sums AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(round((n * sxy - sx * sy) * 1000000.0
+                  / (n * sxx - sx * sx)) AS BIGINT)
+           AS slope_cents_per_day_micro
+FROM sums WHERE n * sxx - sx * sx <> 0
+""",
+    tags=("analytics", "regression"),
+)
+def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: the slope of event value
+    (cents) against time (epoch days) for every event_type — drift /
+    trend detection as ONE keyed aggregation. The closed-form slope
+    (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) runs on EXACT integer sums (x = whole
+    days, y = cents), so partial-aggregation order cannot move the
+    result; the only float op is the final division, identical on both
+    engines. At 100 TB the integer sums outgrow int64 for microsecond
+    x or large n — the swap is DECIMAL(38,0) sums, same algebra.
+
+    Shape at scale: one narrow map + one keyed hash agg; the
+    regression itself is free."""
+    from data_ingestion_py_spark.functions.time import ts_us
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        (ts_us(F.col("ts")) / F.lit(86400000000)).cast("long").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        sums.where(det != 0)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * 1000000.0
+                / det
+            )
+            .cast("long")
+            .alias("slope_cents_per_day_micro"),
+        )
+    )
