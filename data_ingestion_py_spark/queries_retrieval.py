@@ -1676,3 +1676,88 @@ def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_cents_per_day_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-size power-law fit (corpus length distribution diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_length_powerlaw",
+    """
+WITH ranked AS (
+    SELECT n_chars,
+           row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+    FROM documents WHERE n_chars > 0
+), pts AS (
+    SELECT CAST(round(ln(rk) * 1000000.0) AS BIGINT) AS x,
+           CAST(round(ln(n_chars) * 1000000.0) AS BIGINT) AS y
+    FROM ranked
+), sums AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM pts
+)
+SELECT n,
+       CAST(round((n * sxy - sx * sy) * 1000000.0
+                  / (n * sxx - sx * sx)) AS BIGINT) AS slope_micro,
+       CAST(round((sy - (n * sxy - sx * sy) * 1.0
+                        / (n * sxx - sx * sx) * sx) * 1.0 / n)
+            AS BIGINT) AS intercept_micro
+FROM sums
+""",
+    tags=("analytics", "regression", "profile"),
+)
+def q_corpus_length_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf/power-law diagnostic of the corpus length distribution:
+    OLS fit of ln(length) against ln(rank) — slope ≈ the rank-size
+    exponent, the one-number summary of how heavy-tailed the corpus is
+    (drives packing/skew planning). Composes the scalable two-phase
+    global rank (operators/ranking.py — NO single-partition sort over
+    the corpus) with the exact-integer-sums regression shape of
+    events_value_trend: ln() per row is quantized to micro-nats, the
+    five sufficient statistics are exact integer sums, the fit is two
+    final float ops. The oracle uses a naive global window (the
+    independent-algorithm pattern).
+
+    Note sxx/sxy reach ~n·(ln n ·1e6)² — int64-safe past 10⁸ rows;
+    beyond that the documented swap is DECIMAL(38,0) sums."""
+    from data_ingestion_py_spark.operators.ranking import with_global_rank
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    ranked = with_global_rank(
+        d.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        rank_col="rk",
+        total_col="_n",
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rk").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n_chars").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num * 1000000.0 / det).cast("long").alias("slope_micro"),
+        F.round(
+            (F.col("sy") - num * 1.0 / det * F.col("sx")) * 1.0 / F.col("n")
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )

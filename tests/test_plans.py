@@ -421,6 +421,7 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # two-phase global rank: offsets window runs over the bounded
     # per-partition-count aggregate (operators/ranking.py:94-98)
     "corpus_global_shuffle": 1,
+    "corpus_length_powerlaw": 1,
 }
 
 
