@@ -1761,3 +1761,108 @@ def q_corpus_length_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("intercept_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association mining (market-basket brand pairs with lift)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_PAIR = 5
+BASKET_TOP_N = 20
+
+
+@register(
+    "orders_brand_basket_pairs",
+    f"""
+WITH items AS (
+    SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), nb AS (
+    SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_baskets FROM items
+), brand_n AS (
+    SELECT brand, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY brand
+), pairs AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(count(*) AS BIGINT) AS c_ab
+    FROM items a JOIN items b
+      ON a.okey = b.okey AND a.brand < b.brand
+    GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, c_ab,
+       CAST(round((c_ab * 1.0 / n_baskets)
+                  / ((ca.c * 1.0 / n_baskets) * (cb.c * 1.0 / n_baskets))
+                  * 1000000.0) AS BIGINT) AS lift_micro
+FROM pairs
+JOIN brand_n ca ON ca.brand = pairs.brand_a
+JOIN brand_n cb ON cb.brand = pairs.brand_b, nb
+WHERE c_ab >= {BASKET_MIN_PAIR}
+ORDER BY lift_micro DESC, brand_a, brand_b LIMIT {BASKET_TOP_N}
+""",
+    tags=("analytics", "association"),
+)
+def q_orders_brand_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining: top brand pairs by LIFT across order
+    baskets — support(a,b) / (support(a)·support(b)), the a-priori
+    first rung (which brands co-occur beyond chance). Distinct
+    (order, brand) items first (multi-line orders don't inflate
+    support), then a basket-keyed self-join with the a<b canonical
+    guard bounds candidate pairs by Σ(basket size²) — the same
+    bounded-pair discipline as SemDeDup, here keyed on the natural
+    basket id. Brand marginals and the basket count broadcast; the
+    frequency floor prunes before the marginal joins.
+
+    At 100 TB basket sizes are bounded (orders have ≤7 lines here),
+    so the self-join stays linear in baskets; hot-basket skew would
+    use the salting operator."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_partkey"
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    items = li.join(parts, "l_partkey").select("okey", "brand").distinct()
+    nb = items.agg(F.countDistinct("okey").alias("n_baskets"))
+    brand_n = items.groupBy("brand").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select("okey", F.col("brand").alias("brand_a"))
+    b = items.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= BASKET_MIN_PAIR)
+    )
+    lift = (
+        (F.col("c_ab") * 1.0 / F.col("n_baskets"))
+        / (
+            (F.col("ca") * 1.0 / F.col("n_baskets"))
+            * (F.col("cb") * 1.0 / F.col("n_baskets"))
+        )
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                brand_n.select(
+                    F.col("brand").alias("brand_a"), F.col("c").alias("ca")
+                )
+            ),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(
+                brand_n.select(
+                    F.col("brand").alias("brand_b"), F.col("c").alias("cb")
+                )
+            ),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(lift * 1000000.0).cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(BASKET_TOP_N)
+    )

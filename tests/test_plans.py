@@ -289,6 +289,8 @@ _TINY_BROADCAST_OK = {
     # BM25 over snippets: same 1-row corpus-stats broadcast as
     # text_bm25_topk
     "snippets_bm25_search",
+    # 1-row basket-count broadcast
+    "orders_brand_basket_pairs",
 }
 
 
