@@ -1866,3 +1866,87 @@ def q_orders_brand_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_micro"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(BASKET_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier gate (median absolute deviation, all-integer compare)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_mad_outliers",
+    """
+WITH q AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events
+), med AS (
+    SELECT event_type,
+           CAST(round(2 * quantile_cont(vc, 0.5)) AS BIGINT) AS med2
+    FROM q GROUP BY event_type
+), dev AS (
+    SELECT q.event_type, abs(2 * vc - med2) AS dev2
+    FROM q JOIN med ON q.event_type = med.event_type
+), mad AS (
+    SELECT event_type,
+           CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+    FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(any_value(med2) AS BIGINT) AS med_halfcents,
+       CAST(any_value(mad4) AS BIGINT) AS mad_quartercents,
+       CAST(sum(CASE WHEN 13490 * dev2 > 35000 * mad4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev
+JOIN mad ON dev.event_type = mad.event_type
+JOIN med ON dev.event_type = med.event_type
+GROUP BY dev.event_type
+""",
+    tags=("timeseries", "quality", "robust"),
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier gate via median absolute deviation
+    (Iglewicz-Hoaglin modified z-score, threshold 3.5) — the
+    heavy-tail-safe sibling of events_zscore_outliers: one extreme
+    value shifts a mean/stddev gate but not a median/MAD gate.
+
+    Entirely integer-deterministic: medians of integer cents land on
+    halves, so doubling gives exact ints (med2 = 2·median,
+    mad4 = 4·MAD) and the outlier test becomes the integer comparison
+    13490·dev2 > 35000·mad4 (≡ 0.6745·|x−med|/MAD > 3.5) — no float
+    boundary anywhere, including the mad=0 degenerate case (any
+    deviation flags). Shape at scale: two exact-median aggs + two
+    broadcast joins of the type-sized stats; the scale swap is
+    approx_percentile for the medians, same algebra."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    med = q.groupBy("event_type").agg(
+        F.round(2 * F.percentile("vc", F.lit(0.5)))
+        .cast("long")
+        .alias("med2")
+    )
+    dev = q.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("vc") - F.col("med2")).alias("dev2")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(2 * F.percentile("dev2", F.lit(0.5)))
+        .cast("long")
+        .alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("med2").cast("long").alias("med_halfcents"),
+            F.first("mad4").cast("long").alias("mad_quartercents"),
+            F.sum(
+                (13490 * F.col("dev2") > 35000 * F.col("mad4")).cast("int")
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
