@@ -1457,3 +1457,88 @@ def q_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_punct"),
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    NEAR_DUP_CORPUS_CTE
+    + _sql_shingles()
+    + _sql_minhash_sig()
+    + _sql_band_keys()
+    + """
+, verified AS (
+    SELECT doc_a, doc_b,
+           round(CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.dsh, sb.dsh))), 6)
+               AS jaccard
+    FROM cand
+    JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM shingled) sa
+         ON cand.doc_a = sa.doc_id
+    JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM shingled) sb
+         ON cand.doc_b = sb.doc_id
+), srcmap AS (
+    SELECT c.doc_id,
+           d.source
+    FROM corpus c
+    JOIN documents d ON d.doc_id = c.doc_id % 1000000
+), per_src AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM srcmap
+    GROUP BY source
+), pair_src AS (
+    SELECT m.source, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM verified v JOIN srcmap m ON v.doc_a = m.doc_id
+    WHERE v.jaccard >= 0.5
+    GROUP BY m.source
+)
+SELECT p.source, p.n_docs,
+       COALESCE(q.n_dup_pairs, 0) AS n_dup_pairs,
+       round(CAST(COALESCE(q.n_dup_pairs, 0) AS DOUBLE) / p.n_docs, 6)
+           AS dup_rate
+FROM per_src p LEFT JOIN pair_src q ON p.source = q.source
+""",
+    tags=("dedup", "provenance"),
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: per-SOURCE near-duplicate rates from the
+    flagship MinHash+LSH pipeline output — the provenance report a
+    corpus operator reads to find which feeds are flooding the build
+    with copies (and to set per-source sampling rates). Composes the
+    oracle-verified pair detector with a source-attribution join
+    (variant ids map back to their original's source via the planted
+    id offset) and two tiny source-keyed rollups. At scale the pair
+    table is candidate-bounded (LSH) and the source map is a narrow
+    projection of the corpus — one extra keyed join over the pair
+    cardinality."""
+    d = _docs(spark, sf_dir)
+    corpus = _corpus_with_near_dups(d)
+    pairs = dedup.near_duplicates_minhash(corpus, threshold=0.5)
+    srcmap = corpus.select(
+        "doc_id", (F.col("doc_id") % 1000000).alias("_orig")
+    ).join(
+        d.select(F.col("doc_id").alias("_orig"), "source"), "_orig"
+    ).select("doc_id", "source")
+    per_src = srcmap.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    pair_src = (
+        pairs.join(
+            srcmap.select(F.col("doc_id").alias("doc_a"), "source"), "doc_a"
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
+    return (
+        per_src.join(pair_src, "source", "left_outer")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_pairs"),
+            F.round(
+                F.coalesce(F.col("n_dup_pairs"), F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
