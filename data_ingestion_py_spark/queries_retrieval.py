@@ -1950,3 +1950,85 @@ def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Burst detection (hourly rate spikes vs trailing baseline)
+# ---------------------------------------------------------------------------
+
+BURST_TRAIL_H = 24
+BURST_FACTOR = 3
+
+
+@register(
+    "events_burst_hours",
+    f"""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+), w AS (
+    SELECT event_type, h, c,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY h
+                             RANGE BETWEEN {BURST_TRAIL_H} PRECEDING
+                                       AND 1 PRECEDING) AS BIGINT)
+               AS trail_c,
+           CAST(count(*) OVER (PARTITION BY event_type ORDER BY h
+                               RANGE BETWEEN {BURST_TRAIL_H} PRECEDING
+                                         AND 1 PRECEDING) AS BIGINT)
+               AS trail_n
+    FROM hourly
+)
+SELECT event_type, h, c, trail_c, trail_n
+FROM w
+WHERE trail_n >= 12 AND c * trail_n > {BURST_FACTOR} * trail_c
+ORDER BY event_type, h
+""",
+    tags=("timeseries", "anomaly"),
+)
+def q_events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst detection: hours where a type's event count exceeds
+    {BURST_FACTOR}× its trailing-{BURST_TRAIL_H}h average (needing ≥12
+    trailing hours of baseline) — the ingestion-monitor alarm for a
+    feed suddenly flooding the pipeline. The test is the exact integer
+    cross-multiplication c·trail_n > {BURST_FACTOR}·trail_c — no float
+    division, no boundary ambiguity.
+
+    Shape at scale: one (type, hour) keyed agg collapses the event
+    table to hour grain, then a RANGE window over the integer hour
+    index runs per type on the HOURLY table (bounded per key, tiny) —
+    never over raw events."""
+    from data_ingestion_py_spark.functions.time import ts_us
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            (ts_us(F.col("ts")) / F.lit(3600000000))
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-BURST_TRAIL_H, -1)
+    )
+    flagged = hourly.select(
+        "event_type",
+        "h",
+        F.col("c").cast("long").alias("c"),
+        F.sum("c").over(w).cast("long").alias("trail_c"),
+        F.count(F.lit(1)).over(w).cast("long").alias("trail_n"),
+    )
+    return (
+        flagged.where(
+            (F.col("trail_n") >= 12)
+            & (F.col("c") * F.col("trail_n") > BURST_FACTOR * F.col("trail_c"))
+        )
+        .orderBy("event_type", "h")
+    )
