@@ -619,6 +619,7 @@ WITH v0 AS (
     "text_bpe_merges",
     _bpe_oracle(BPE_ROUNDS),
     tags=("text", "tokenizer"),
+    bench=True,
 )
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 3 learned BPE merges over the documents corpus (see
@@ -988,6 +989,7 @@ FROM base b JOIN short s ON b.vec_id = s.vec_id, q
 ORDER BY cosine_micro DESC, b.vec_id LIMIT 10
 """,
     tags=("similarity", "ann"),
+    bench=True,
 )
 def q_similarity_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL-projection ANN: integer coarse top-100 in the 32-dim projected
