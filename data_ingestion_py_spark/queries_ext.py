@@ -1542,3 +1542,9 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+# Registered LAST on purpose: the driver's sample rotation
+# (__spark_entry__._sample_order) front-loads never-yet-verified names
+# in registry order, so new modules must append, never insert.
+import data_ingestion_py_spark.queries_linkage  # noqa: E402,F401

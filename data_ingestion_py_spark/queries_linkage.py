@@ -1,0 +1,440 @@
+"""Corpus-relationship queries: record linkage, cross-source overlap,
+feature standardization, and leakage-safe splitting.
+
+Four capabilities a training-data pipeline needs once it has more than
+one corpus and more than one model run (none exist in the reference —
+egorji/data_ingestion.py stops at single-collection CRUD):
+
+- ``parts_fuzzy_matches``     — blocked record linkage (entity
+  resolution): block on a cheap key, verify Levenshtein only within
+  blocks, and verify over DISTINCT values so the edit-distance cost is
+  bounded by distinct-value pairs, never record pairs.
+- ``corpus_source_overlap``   — pairwise 8-gram Jaccard between
+  sources: one gram-keyed shuffle, never a corpus×corpus join.
+- ``embedding_standardize``   — feature-wise z-scores in the repo's
+  exact-integer style: micro-unit quantization → integer sums → z as a
+  deterministic float function of exact integers (same device as
+  ``embedding_label_centroids``), so the hash gate holds across
+  engines and partial-aggregation orders.
+- ``dataset_split_leakage_safe`` — the split every dedup-aware corpus
+  build needs: near-dup CLUSTERS (LSH pairs → connected components)
+  are assigned to train/val/test atomically, so no near-duplicate pair
+  ever straddles a split boundary (eval contamination by construction
+  zero; the query PROVES it with a leaked-pairs counter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.operators import dedup
+from data_ingestion_py_spark.queries import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked fuzzy matching over part names
+# ---------------------------------------------------------------------------
+
+_LEV_MAX = 3  # unit-cost edit distance; identical in Spark and DuckDB
+
+
+@register(
+    "parts_fuzzy_matches",
+    f"""
+WITH recs AS (
+    SELECT p_partkey, p_name,
+           string_split(p_name, ' ')[-1] AS block
+    FROM part
+), names AS (
+    SELECT block, p_name, count(*) AS cnt
+    FROM recs GROUP BY block, p_name
+), blocks AS (
+    SELECT block, sum(cnt) AS n_parts,
+           sum(cnt * (cnt - 1) // 2) AS same_name_pairs
+    FROM names GROUP BY block
+), xmatch AS (
+    SELECT a.block, sum(a.cnt * b.cnt) AS cross_pairs
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+    GROUP BY a.block
+)
+SELECT b.block,
+       CAST(b.n_parts AS BIGINT) AS n_parts,
+       CAST(b.n_parts * (b.n_parts - 1) // 2 AS BIGINT) AS n_pairs,
+       CAST(b.same_name_pairs + coalesce(x.cross_pairs, 0) AS BIGINT)
+           AS n_matches
+FROM blocks b LEFT JOIN xmatch x ON b.block = x.block
+""",
+    tags=("linkage", "fuzzy"),
+)
+def q_parts_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage over part names: block = last name token,
+    candidate pairs exist only within a block, match = Levenshtein ≤ 3.
+
+    Scale shape: the expensive verify (edit distance) runs over
+    DISTINCT (block, name) pairs, not record pairs — records collapse
+    to (name, cnt) first, matched name pairs expand back by cnt·cnt
+    arithmetic. With V distinct values per block the cost is O(V²) per
+    block regardless of how many records share a name, and the whole
+    query is one shuffle on the block key (a skewed block wants the
+    same salting as any hot join key — operators/skew.py). The
+    reference's only matching is exact name equality
+    (data_ingestion.py:302-315); this is the fuzzy generalization.
+    """
+    recs = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    names = recs.groupBy("block", "p_name").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    blocks = names.groupBy("block").agg(
+        F.sum("cnt").cast("long").alias("n_parts"),
+        F.sum(
+            (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long")
+        ).alias("same_name_pairs"),
+    )
+    a, b = names.alias("a"), names.alias("b")
+    xmatch = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= _LEV_MAX
+        )
+        .groupBy(F.col("a.block").alias("block"))
+        .agg((F.sum(F.col("a.cnt") * F.col("b.cnt"))).alias("cross_pairs"))
+    )
+    return (
+        blocks.join(xmatch, "block", "left")
+        .select(
+            "block",
+            F.col("n_parts").cast("long").alias("n_parts"),
+            (F.col("n_parts") * (F.col("n_parts") - 1) / 2)
+            .cast("long")
+            .alias("n_pairs"),
+            (
+                F.col("same_name_pairs")
+                + F.coalesce(F.col("cross_pairs"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_matches"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source n-gram overlap matrix
+# ---------------------------------------------------------------------------
+
+_OVERLAP_K = 8  # same gram order as the contamination / repeated-gram suite
+
+
+@register(
+    "corpus_source_overlap",
+    f"""
+WITH toks AS (
+    SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+), grams AS (
+    SELECT DISTINCT source,
+           unnest(list_distinct(list_transform(
+               generate_series(0, len(t) - {_OVERLAP_K}),
+               i -> array_to_string(t[i+1 : i+{_OVERLAP_K}], ' ')))) AS g
+    FROM toks WHERE len(t) >= {_OVERLAP_K}
+), per_src AS (
+    SELECT source, count(*) AS n_grams FROM grams GROUP BY source
+), inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_common
+    FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE)
+             / (pa.n_grams + pb.n_grams - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN per_src pa ON i.source_a = pa.source
+JOIN per_src pb ON i.source_b = pb.source
+""",
+    tags=("dedup", "overlap", "provenance"),
+)
+def q_corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 8-gram Jaccard between SOURCES — the corpus-level
+    companion to per-document dedup: which crawls/feeds are rehashing
+    each other's content (and should be down-weighted or dropped
+    before training).
+
+    Scale shape: per-source distinct grams (one keyed agg), then a
+    self-join ON THE GRAM — each gram contributes |sources(g)|² pair
+    rows, so cost is Σ_g s(g)², never corpus². Boilerplate grams that
+    appear in nearly every source are the skew term; the production
+    swap (documented, not applied — this query is exact) drops grams
+    with s(g) > cap first, which only affects pairs already known to
+    overlap everywhere. Jaccard is a ratio of exact integer counts
+    rounded at 6 dp — deterministic across engines and partial-agg
+    orders."""
+    from data_ingestion_py_spark.functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    t = tokens(F.col("text"))
+    grams = (
+        d.select("source", t.alias("t"))
+        .where(F.size("t") >= _OVERLAP_K)
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.size("t") - F.lit(_OVERLAP_K)
+                        ),
+                        lambda i: F.array_join(
+                            F.slice("t", i + 1, _OVERLAP_K), " "
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    per_src = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("na")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("nb")
+    )
+    return (
+        inter.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature-wise embedding standardization (exact-integer z-scores)
+# ---------------------------------------------------------------------------
+
+_STD_Q = 10000  # micro-unit scale; q² sums stay far inside BIGINT
+
+
+@register(
+    "embedding_standardize",
+    f"""
+WITH ex AS (
+    SELECT vec_id, s.pos AS pos, s.q AS q
+    FROM (SELECT vec_id,
+                 unnest(list_transform(
+                     generate_series(1, len(embedding)),
+                     i -> {{'pos': i - 1,
+                           'q': CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                           * {_STD_Q}) AS BIGINT)}}))
+                     AS s
+          FROM embeddings)
+), st AS (
+    SELECT pos, count(*) AS n, sum(q) AS s1, sum(q * q) AS s2
+    FROM ex GROUP BY pos
+)
+SELECT ex.vec_id, CAST(ex.pos AS INT) AS pos,
+       CASE WHEN st.n * st.s2 = st.s1 * st.s1 THEN 0.0
+            ELSE round((st.n * ex.q - st.s1)
+                       / sqrt(CAST(st.n * st.s2 - st.s1 * st.s1
+                                   AS DOUBLE)), 4)
+       END AS z
+FROM ex JOIN st ON ex.pos = st.pos
+""",
+    tags=("similarity", "normalize"),
+)
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-wise z-score standardization of the embedding matrix —
+    the preprocessing step before cosine/k-means when features have
+    unequal scales (and the whitening primitive PCA/JL pipelines start
+    from).
+
+    Exact-integer device (same as embedding_label_centroids): elements
+    quantize to integer micro-units q = floor(x·1e4); per-dimension
+    count/Σq/Σq² are EXACT integer aggregates, immune to partial-agg
+    order; z = (n·q − Σq) / √(n·Σq² − (Σq)²) is then a deterministic
+    float function of exact integers, so round(z, 4) is bit-identical
+    in Spark and DuckDB. With |q| ≤ 1e4·|x| and dims ≤ 64, n·Σq² fits
+    BIGINT up to ~10¹⁰ rows per dimension — scale headroom documented
+    rather than hoped.
+
+    Scale shape: posexplode → one keyed agg on pos (≤ dim rows) →
+    broadcast the dim-row stats back over the exploded table (narrow
+    map). No data-sized shuffle except the explode itself."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * _STD_Q)
+        .cast("long")
+        .alias("q"),
+    )
+    st = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    return ex.join(F.broadcast(st), "pos").select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.when(
+            F.col("n") * F.col("s2") == F.col("s1") * F.col("s1"), F.lit(0.0)
+        )
+        .otherwise(
+            F.round(
+                (F.col("n") * F.col("q") - F.col("s1"))
+                / F.sqrt(
+                    (
+                        F.col("n") * F.col("s2")
+                        - F.col("s1") * F.col("s1")
+                    ).cast("double")
+                ),
+                4,
+            )
+        )
+        .alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split (near-dup clusters stay together)
+# ---------------------------------------------------------------------------
+
+
+def _leakage_oracle_sql() -> str:
+    from data_ingestion_py_spark.queries_pipeline import _cc_chain_sql
+
+    bucket = (
+        "(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4))::BIGINT"
+        " % 100)"
+    )
+    return (
+        _cc_chain_sql()
+        + f"""
+, grouped AS (
+    SELECT c.doc_id, coalesce(comp.cluster_id, c.doc_id) AS group_id
+    FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id
+), sp AS (
+    SELECT doc_id, group_id,
+           CASE WHEN {bucket} < 80 THEN 'train'
+                WHEN {bucket} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM grouped
+), rep AS (
+    SELECT split, count(*) AS n_docs, count(DISTINCT group_id) AS n_groups
+    FROM sp GROUP BY split
+), leaks AS (
+    SELECT count(*) AS leaked_pairs
+    FROM verified v
+    JOIN sp a ON v.doc_a = a.doc_id
+    JOIN sp b ON v.doc_b = b.doc_id
+    WHERE a.split <> b.split
+)
+SELECT rep.split, rep.n_docs, rep.n_groups, leaks.leaked_pairs
+FROM rep CROSS JOIN leaks
+"""
+    )
+
+
+@register(
+    "dataset_split_leakage_safe",
+    _leakage_oracle_sql(),
+    tags=("sampling", "split", "dedup"),
+)
+def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split: near-duplicate CLUSTERS (LSH
+    pairs → connected components), not documents, are the unit of
+    assignment — hash the cluster representative, and every member
+    follows it. A plain per-doc split leaks eval answers into training
+    whenever a near-dup pair straddles the boundary; here that count
+    is ZERO by construction, and the query returns it (``leaked_pairs``)
+    so the guarantee is measured, not asserted.
+
+    Composition: _corpus_with_near_dups → near_duplicates_minhash →
+    connected_components → md5-bucket split on the component id →
+    per-split rollup + a 1-row leak counter broadcast onto the 3-row
+    report (deliberate tiny-broadcast, allow-listed in test_plans).
+    All stages are the already-linted operators; the only new work is
+    one left join (docs × components) and one 3-row crossJoin.
+
+    Scale shape: identical to dedup_connected_components plus a narrow
+    map — the split adds no data-sized shuffle. The oracle replays the
+    same pipeline with DuckDB's recursive transitive closure."""
+    from data_ingestion_py_spark.operators.components import (
+        connected_components,
+    )
+    from data_ingestion_py_spark.queries_ext import _corpus_with_near_dups
+    from data_ingestion_py_spark.queries_pipeline import assign_split
+
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    pairs = dedup.near_duplicates_minhash(corpus, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs)  # (node, component)
+    grouped = (
+        corpus.select("doc_id")
+        .join(cc, corpus["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("group_id"),
+        )
+    )
+    sp = grouped.select(
+        "doc_id", "group_id", assign_split(F.col("group_id")).alias("split")
+    )
+    rep = sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("group_id").alias("n_groups"),
+    )
+    sa = sp.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    leaks = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).alias("leaked_pairs"))
+    )
+    return rep.crossJoin(F.broadcast(leaks)).select(
+        "split", "n_docs", "n_groups", "leaked_pairs"
+    )

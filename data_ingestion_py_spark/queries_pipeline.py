@@ -547,11 +547,12 @@ def q_dedup_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _cc_oracle_sql() -> str:
-    """LSH-pairs CTE chain (same fragments as dedup_minhash_lsh_pairs)
-    + a recursive min-label fixpoint — an INDEPENDENT clustering
-    algorithm (transitive closure per node) against Spark's iterative
-    label propagation: different algorithm, same components."""
+def _cc_chain_sql() -> str:
+    """CTE chain ending at ``comp (doc_id, cluster_id)``: the LSH-pairs
+    fragments (same as dedup_minhash_lsh_pairs) + a recursive min-label
+    fixpoint. Shared by the connected-components oracle below and the
+    leakage-safe split oracle (queries_linkage.py), which both need the
+    component assignment mid-query."""
     from data_ingestion_py_spark.queries_ext import (
         NEAR_DUP_CORPUS_CTE,
         _sql_band_keys,
@@ -585,6 +586,18 @@ def _cc_oracle_sql() -> str:
 ), comp AS (
     SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
 )
+"""
+    )
+
+
+def _cc_oracle_sql() -> str:
+    """LSH-pairs CTE chain + recursive min-label fixpoint — an
+    INDEPENDENT clustering algorithm (transitive closure per node)
+    against Spark's iterative label propagation: different algorithm,
+    same components."""
+    return (
+        _cc_chain_sql()
+        + """
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM comp

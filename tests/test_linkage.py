@@ -1,0 +1,163 @@
+"""Planted-case semantics for queries_linkage (fuzzy match, source
+overlap, standardization, leakage-safe split).
+
+The oracle-parity mirror proves Spark == DuckDB; these tests prove
+both are RIGHT, on inputs small enough to verify by hand. Planted
+tables are written as ``{tmp}/part.parquet`` etc. so the registry
+query functions run unmodified against the temp dir."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.queries import QUERIES
+import data_ingestion_py_spark.queries_ext  # noqa: F401  (extends QUERIES)
+from tests.conftest import SF_SMOKE
+
+
+def _write(spark, tmp_path, table: str, rows: list[Row]) -> str:
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/{table}.parquet"
+    )
+    return sf_dir
+
+
+def test_fuzzy_matches_planted(spark, tmp_path):
+    """One 'ring' block: 2×'red ring' + 1×'rad ring' (lev = 1 ≤ 3 →
+    all 3 pairs match) and 1×'chartreuse ring' (lev > 3 to both
+    others → candidate but not match); a lone 'bolt' block with a
+    single record (0 pairs)."""
+    rows = [
+        Row(p_partkey=1, p_name="red ring"),
+        Row(p_partkey=2, p_name="red ring"),
+        Row(p_partkey=3, p_name="rad ring"),
+        Row(p_partkey=4, p_name="chartreuse ring"),
+        Row(p_partkey=5, p_name="small bolt"),
+    ]
+    sf_dir = _write(spark, tmp_path, "part", rows)
+    out = {
+        r["block"]: r
+        for r in QUERIES["parts_fuzzy_matches"].spark(spark, sf_dir).collect()
+    }
+    ring = out["ring"]
+    assert ring["n_parts"] == 4
+    assert ring["n_pairs"] == 6
+    # same-name (1,2) + cross-name red×rad (1,3),(2,3); chartreuse out
+    assert ring["n_matches"] == 3
+    bolt = out["bolt"]
+    assert (bolt["n_parts"], bolt["n_pairs"], bolt["n_matches"]) == (1, 0, 0)
+
+
+def test_source_overlap_planted(spark, tmp_path):
+    """Two sources sharing exactly one 8-gram out of 16+16 distinct
+    grams; a third source with no overlap emits no pair row."""
+    shared = " ".join(f"w{i}" for i in range(8))  # 8 tokens → 1 gram
+    a_extra = " ".join(f"a{i}" for i in range(15))  # + bridge grams
+    b_extra = " ".join(f"b{i}" for i in range(15))
+    rows = [
+        Row(doc_id=1, text=f"{shared} {a_extra}", source="sA"),
+        Row(doc_id=2, text=f"{shared} {b_extra}", source="sB"),
+        Row(doc_id=3, text=" ".join(f"c{i}" for i in range(20)), source="sC"),
+    ]
+    sf_dir = _write(spark, tmp_path, "documents", rows)
+    out = QUERIES["corpus_source_overlap"].spark(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("sA", "sB")
+    # each doc has 23 tokens → 23-8+1 = 16 distinct grams; the bridge
+    # grams (mixing shared + per-source tokens) differ between the two
+    # sources, so the intersection is exactly the 1 pure shared gram
+    assert r["n_common"] == 1
+    assert r["jaccard"] == round(1 / (16 + 16 - 1), 6)
+
+
+def test_standardize_planted(spark, tmp_path):
+    """Two 2-dim vectors {1.0, 3.0} per dimension → z = ∓1 exactly
+    (integer math: q = {10000, 30000}, n·q−S1 = ∓20000, √(n·S2−S1²)
+    = 20000)."""
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 3.0]),
+        Row(vec_id=2, embedding=[3.0, 1.0]),
+    ]
+    sf_dir = _write(spark, tmp_path, "embeddings", rows)
+    out = QUERIES["embedding_standardize"].spark(spark, sf_dir).collect()
+    z = {(r["vec_id"], r["pos"]): r["z"] for r in out}
+    assert z == {
+        (1, 0): -1.0,
+        (1, 1): 1.0,
+        (2, 0): 1.0,
+        (2, 1): -1.0,
+    }
+
+
+def test_standardize_constant_dimension(spark, tmp_path):
+    """A zero-variance dimension standardizes to 0.0, not NaN/inf."""
+    rows = [
+        Row(vec_id=1, embedding=[5.0, 1.0]),
+        Row(vec_id=2, embedding=[5.0, 2.0]),
+    ]
+    sf_dir = _write(spark, tmp_path, "embeddings", rows)
+    out = QUERIES["embedding_standardize"].spark(spark, sf_dir).collect()
+    z0 = [r["z"] for r in out if r["pos"] == 0]
+    assert z0 == [0.0, 0.0]
+
+
+@pytest.fixture(scope="module")
+def leakage_rows(spark):
+    return (
+        QUERIES["dataset_split_leakage_safe"].spark(spark, SF_SMOKE).collect()
+    )
+
+
+def test_leakage_safe_split_no_leaks(leakage_rows):
+    """The guarantee the query exists for: zero near-dup pairs straddle
+    a split boundary (components are assigned atomically)."""
+    assert leakage_rows
+    assert all(r["leaked_pairs"] == 0 for r in leakage_rows)
+
+
+def test_leakage_safe_split_covers_corpus(spark, leakage_rows):
+    """Every corpus doc lands in exactly one split, and groups ≤ docs."""
+    from data_ingestion_py_spark.queries_ext import _corpus_with_near_dups
+    from data_ingestion_py_spark.io import load_table
+
+    n = _corpus_with_near_dups(
+        load_table(spark, SF_SMOKE, "documents")
+    ).count()
+    assert sum(r["n_docs"] for r in leakage_rows) == n
+    assert all(r["n_groups"] <= r["n_docs"] for r in leakage_rows)
+
+
+def test_leakage_safe_split_agrees_with_components(spark):
+    """Cross-check the atomic-assignment invariant directly: every
+    member of every connected component gets the SAME split as its
+    component representative would."""
+    from data_ingestion_py_spark.operators import dedup
+    from data_ingestion_py_spark.operators.components import (
+        connected_components,
+    )
+    from data_ingestion_py_spark.queries_ext import _corpus_with_near_dups
+    from data_ingestion_py_spark.queries_pipeline import assign_split
+    from data_ingestion_py_spark.io import load_table
+
+    corpus = _corpus_with_near_dups(load_table(spark, SF_SMOKE, "documents"))
+    pairs = dedup.near_duplicates_minhash(corpus, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs)
+    n_mixed = (
+        cc.select(
+            "component", assign_split(F.col("node")).alias("naive_split")
+        )
+        .groupBy("component")
+        .agg(F.countDistinct("naive_split").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    # the naive per-doc split DOES break up components on this corpus —
+    # i.e. the leakage-safe variant is not vacuously equal to it
+    assert n_mixed > 0

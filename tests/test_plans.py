@@ -291,6 +291,8 @@ _TINY_BROADCAST_OK = {
     "snippets_bm25_search",
     # 1-row basket-count broadcast
     "orders_brand_basket_pairs",
+    # 1-row leaked-pairs counter broadcast onto the 3-row split report
+    "dataset_split_leakage_safe",
 }
 
 
