@@ -682,7 +682,13 @@ def random_projection(
     """
     import math
 
-    v = _to_double(F.col(vec_col))
+    # Bind the double-cast vector as a real column first — inlining the
+    # cast-transform into all d_out components re-runs it per component
+    # (no CSE across higher-order functions; see rp_topk).
+    embeddings = embeddings.select(
+        "vec_id", _to_double(F.col(vec_col)).alias("_vd")
+    )
+    v = F.col("_vd")
     scale = 1.0 / math.sqrt(d_out)
     comps = [
         F.round(
@@ -742,7 +748,18 @@ def rp_topk(
     import math
 
     scale = 1.0 / math.sqrt(d_out)
-    vn = F.transform(F.col("v"), lambda x: x / l2_norm(F.col("v")))
+    # Materialize the norm and the normalized vector as REAL columns
+    # before fanning out into d_out projection components: inlining the
+    # `transform(v, x/l2_norm(v))` expression into every component made
+    # each row recompute the norm-aggregate d_out×d_in times (no CSE
+    # across higher-order functions — the same blowup the single-pass
+    # minhash fix removed), which dominated the whole bench at sf0.1.
+    normed = base.select(
+        "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
+    ).select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
+    )
 
     def proj(col):
         return F.array(
@@ -770,7 +787,7 @@ def rp_topk(
             ]
         )
 
-    projected = base.select("vec_id", proj(vn).alias("p"))
+    projected = normed.select("vec_id", proj(F.col("vn")).alias("p"))
     qp = projected.where(F.col("vec_id") == query_vec_id).select(
         F.col("p").alias("qp")
     )

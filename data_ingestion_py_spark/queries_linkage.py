@@ -438,3 +438,116 @@ def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.crossJoin(F.broadcast(leaks)).select(
         "split", "n_docs", "n_groups", "leaked_pairs"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-cut dedup: WHERE to cut, not just how duplicated
+# ---------------------------------------------------------------------------
+
+_CUT_K = 8  # same gram order as corpus_repeated_ngrams / contamination
+
+
+def _substring_cuts_oracle_sql() -> str:
+    from data_ingestion_py_spark.queries_ext import NEAR_DUP_CORPUS_CTE
+
+    k = _CUT_K
+    return (
+        NEAR_DUP_CORPUS_CTE
+        + f"""
+, toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM corpus
+), posg AS (
+    SELECT doc_id, s.i AS i, s.g AS g
+    FROM (SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(0, len(t) - {k}),
+                     i -> {{'i': i,
+                           'g': array_to_string(t[i+1 : i+{k}], ' ')}}))
+                     AS s
+          FROM toks WHERE len(t) >= {k})
+), gdocs AS (
+    SELECT g, count(*) AS nd
+    FROM (SELECT DISTINCT doc_id, g FROM posg) GROUP BY g
+), flagged AS (
+    SELECT posg.doc_id, posg.i
+    FROM posg JOIN gdocs USING (g) WHERE gdocs.nd >= 2
+), lagged AS (
+    SELECT doc_id, i,
+           lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev_i
+    FROM flagged
+), isl AS (
+    SELECT doc_id, i,
+           sum(CASE WHEN prev_i IS NULL OR i > prev_i + {k}
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS island
+    FROM lagged
+)
+SELECT doc_id, min(i) AS cut_start, max(i) + {k} - 1 AS cut_end,
+       count(*) AS n_flagged_grams
+FROM isl GROUP BY doc_id, island
+"""
+    )
+
+
+@register(
+    "corpus_substring_cuts",
+    _substring_cuts_oracle_sql(),
+    tags=("dedup", "ngram", "cuts"),
+)
+def q_corpus_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup that answers WHERE to cut, not just how
+    duplicated a document is (the actionable half of Lee et al.'s
+    ExactSubstr: the pipeline removes the duplicated SPANS and keeps
+    the rest). Every token position whose 8-gram occurs in ≥ 2
+    distinct documents is flagged; overlapping/adjacent flagged
+    windows merge into maximal cut intervals [cut_start, cut_end]
+    (token indices) via gaps-and-islands.
+
+    Scale shape: positional gram explode (narrow), distinct (doc,
+    gram) → one gram-keyed count, one gram-keyed join back, then a
+    PER-DOCUMENT window (partitioned by doc_id — never a global
+    sort) for the interval merge. The gram table is corpus-sized and
+    never broadcast, same posture as corpus_repeated_ngrams; runs on
+    the seeded near-dup corpus so planted clone spans provably merge
+    into document-scale cuts."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_py_spark.functions.text import shingles, tokens
+    from data_ingestion_py_spark.queries_ext import _corpus_with_near_dups
+
+    k = _CUT_K
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= k
+    )
+    posg = toks.select(
+        "doc_id", F.posexplode(shingles(F.col("t"), k)).alias("i", "g")
+    )
+    gdocs = (
+        posg.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    flagged = (
+        posg.join(gdocs.where(F.col("nd") >= 2).select("g"), "g")
+        .select("doc_id", F.col("i").cast("long").alias("i"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    lagged = flagged.withColumn("prev_i", F.lag("i").over(w))
+    isl = lagged.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_i").isNull() | (F.col("i") > F.col("prev_i") + k),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("cut_start"),
+        (F.max("i") + k - 1).alias("cut_end"),
+        F.count(F.lit(1)).alias("n_flagged_grams"),
+    ).drop("island").select("doc_id", "cut_start", "cut_end", "n_flagged_grams")

@@ -161,3 +161,29 @@ def test_leakage_safe_split_agrees_with_components(spark):
     # the naive per-doc split DOES break up components on this corpus —
     # i.e. the leakage-safe variant is not vacuously equal to it
     assert n_mixed > 0
+
+
+def test_substring_cuts_planted(spark, tmp_path):
+    """Two docs share a 10-token span; only the 3 pure-shared 8-grams
+    per doc are flagged and they merge into ONE cut covering exactly
+    the shared token range. doc 4 (mod-5 clone source) is avoided by
+    using ids 1-3; doc 3 has no repeats → no cut rows.
+
+    Note: the query seeds clones for doc_id % 5 == 0, so ids are
+    chosen non-multiples of 5 to keep the planted corpus exact."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    ua = " ".join(f"a{i}" for i in range(5))
+    ua2 = " ".join(f"x{i}" for i in range(5))
+    ub = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        Row(doc_id=1, text=f"{ua} {shared} {ua2}"),   # shared = tokens 5..14
+        Row(doc_id=2, text=f"{shared} {ub}"),          # shared = tokens 0..9
+        Row(doc_id=3, text=" ".join(f"c{i}" for i in range(20))),
+    ]
+    sf_dir = _write(spark, tmp_path, "documents", rows)
+    out = QUERIES["corpus_substring_cuts"].spark(spark, sf_dir).collect()
+    cuts = {r["doc_id"]: (r["cut_start"], r["cut_end"], r["n_flagged_grams"])
+            for r in out}
+    assert set(cuts) == {1, 2}
+    assert cuts[1] == (5, 14, 3)
+    assert cuts[2] == (0, 9, 3)
