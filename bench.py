@@ -76,6 +76,7 @@ def main() -> None:
         ("quantile_swap", _quantile_swap_bench),
         ("distinct_swap", _distinct_swap_bench),
         ("dedup_slope", _dedup_slope_bench),
+        ("ann_swap", _ann_swap_bench),
     ):
         try:
             probes[key] = fn(spark, sf_dir)
@@ -299,6 +300,59 @@ def _dedup_slope_bench(spark, sf_dir: str) -> dict:
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def _ann_swap_bench(spark, sf_dir: str) -> dict:
+    """Brute-force exact cosine top-10 vs IVF ANN (nprobe=2 of k=10
+    clusters) — the documented scale swap for similarity search, with
+    the recall actually observed.
+
+    Runs on a deterministically CLUSTERED corpus (each fixture vector
+    pulled toward one of 10 arithmetic centers, 10% of its original
+    self as noise) because that is the regime IVF exists for: on the
+    raw fixture's isotropic vectors recall ≈ nprobe/k by construction
+    (measured 0.3 — no cluster structure to exploit), which says
+    nothing about the swap. The number that carries to 100 TB is the
+    fraction of the corpus scanned (nprobe/k) at the measured recall,
+    not the absolute times at this SF."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_py_spark.io import load_table
+    from data_ingestion_py_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, j: (
+                ((F.col("label") * 37 + j * 11) % 13 - 6).cast("double")
+                / 6.0
+                + 0.1 * x.cast("double")
+            ),
+        ).alias("embedding"),
+    ).localCheckpoint()
+    exact_ids, ann_ids = {}, {}
+
+    def _run_exact():
+        exact_ids["r"] = [
+            r.vec_id for r in cosine_topk(emb, 0, k=10).collect()
+        ]
+
+    def _run_ann():
+        ann_ids["r"] = [r.vec_id for r in ivf_topk(emb, 0, k=10).collect()]
+
+    out = {
+        "brute_sec": _best_of(3, _run_exact),
+        "ivf_sec": _best_of(3, _run_ann),
+    }
+    out["recall_at_10"] = round(
+        len(set(exact_ids["r"]) & set(ann_ids["r"])) / 10, 2
+    )
+    return out
 
 
 if __name__ == "__main__":

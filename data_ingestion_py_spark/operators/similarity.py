@@ -762,6 +762,11 @@ def rp_topk(
     )
 
     def proj(col):
+        # NOTE(perf): unrolling these into ±getItem add-chains (signs
+        # are exactly ±1) was tried and is 5× SLOWER — the d_out·d_in
+        # flat expression blows janino's 64 KB method limit, codegen
+        # falls back to interpreted eval, and interpreted per-term
+        # expression trees lose to the zip_with/aggregate loop below.
         return F.array(
             *[
                 F.round(

@@ -551,3 +551,277 @@ def q_corpus_substring_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("i") + k - 1).alias("cut_end"),
         F.count(F.lit(1)).alias("n_flagged_grams"),
     ).drop("island").select("doc_id", "cut_start", "cut_end", "n_flagged_grams")
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+_PF_T = 0.5  # same Jaccard threshold as the MinHash-LSH pair query
+
+
+def _prefix_filter_oracle_sql() -> str:
+    from data_ingestion_py_spark.operators.dedup import SHINGLE_K
+    from data_ingestion_py_spark.queries_ext import (
+        NEAR_DUP_CORPUS_CTE,
+        _sql_shingles,
+    )
+
+    t = _PF_T
+    return (
+        NEAR_DUP_CORPUS_CTE
+        + _sql_shingles(SHINGLE_K)
+        + f"""
+, shset AS (
+    SELECT doc_id, list_distinct(sh) AS s FROM shingled
+), sh1 AS (
+    SELECT doc_id, unnest(s) AS sh FROM shset
+), dfreq AS (
+    SELECT sh, count(*) AS df FROM sh1 GROUP BY sh
+), keyed AS (
+    SELECT sh1.doc_id,
+           lpad(CAST(df AS VARCHAR), 10, '0') || ':' || sh AS k
+    FROM sh1 JOIN dfreq USING (sh)
+), lists AS (
+    SELECT doc_id, list_sort(list(k)) AS ks, count(*) AS n
+    FROM keyed GROUP BY doc_id
+), pref AS (
+    SELECT doc_id,
+           unnest(ks[1 : CAST(n - ceil({t} * n) + 1 AS BIGINT)]) AS k
+    FROM lists
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pref a JOIN pref b ON a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+FROM cand
+JOIN shset sa ON cand.doc_a = sa.doc_id
+JOIN shset sb ON cand.doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.s, sb.s))) >= {t}
+"""
+    )
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    _prefix_filter_oracle_sql(),
+    tags=("dedup", "exact", "prefix-filter"),
+)
+def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard ≥ 0.5 over 3-gram
+    shingle sets — prefix filtering (PPJoin family: Chaudhuri et al.
+    SSJoin, Xiao et al. PPJoin): order each doc's shingles globally by
+    ascending document frequency (rarest first, ties by shingle), and
+    two sets with J ≥ t MUST share a token inside each other's first
+    n − ⌈t·n⌉ + 1 tokens — so candidates are pairs colliding on a
+    PREFIX token, verified with exact Jaccard. No hashing, no recall
+    loss: this is the exact complement to dedup_minhash_lsh_pairs
+    (identical output schema and threshold), and the LSH result is
+    provably a subset (pinned by test — measuring LSH recall against
+    exact truth instead of assuming it).
+
+    Scale shape: one shingle-keyed shuffle for document frequencies,
+    one keyed join back, per-doc sort of its OWN shingle list (narrow),
+    prefix explode (≈ half the shingles, and the RAREST half, so
+    collisions are skewed toward true near-dups), one prefix-token
+    keyed self-join, verify at candidate cardinality. The frequency
+    order is the whole trick: frequent/boilerplate shingles never
+    enter a prefix, which is what keeps the candidate count near the
+    true-pair count instead of Σ_g df(g)². The global order string
+    (zero-padded df + shingle) is engine-portable, so DuckDB replays
+    the identical prefix choice."""
+    from data_ingestion_py_spark.functions.text import shingles, tokens
+    from data_ingestion_py_spark.operators.dedup import SHINGLE_K
+    from data_ingestion_py_spark.queries_ext import _corpus_with_near_dups
+
+    t = _PF_T
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    sh1 = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_K))
+        ).alias("sh"),
+    )
+    dfreq = sh1.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    keyed = sh1.join(dfreq, "sh").select(
+        "doc_id",
+        F.concat(
+            F.lpad(F.col("df").cast("string"), 10, "0"), F.lit(":"), F.col("sh")
+        ).alias("k"),
+    )
+    lists = keyed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("k")).alias("ks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    pref = lists.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.col("ks"),
+                1,
+                (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int"),
+            )
+        ).alias("k"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    shset = sh1.groupBy("doc_id").agg(F.collect_set("sh").alias("s"))
+    sa = shset.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = shset.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= t)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood record linkage (the complement to blocking)
+# ---------------------------------------------------------------------------
+
+_SNM_W = 10  # neighborhood width (rank distance < W compares)
+
+
+@register(
+    "parts_sorted_neighborhood",
+    f"""
+WITH ranked AS (
+    SELECT p_partkey, p_name,
+           row_number() OVER (ORDER BY p_name, p_partkey) AS rnk
+    FROM part
+)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS lev
+FROM ranked a JOIN ranked b
+  ON b.rnk - a.rnk BETWEEN 1 AND {_SNM_W - 1}
+WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+""",
+    tags=("linkage", "fuzzy", "snm"),
+)
+def q_parts_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernández-Stolfo): sort all
+    records by a key (name, id tie-break), compare only records whose
+    GLOBAL rank differs by < W — the classic complement to blocking
+    when no clean blocking key exists (typos at the block key's
+    position break blocking but barely move the sort position).
+
+    Scale shape: the global sort position comes from
+    operators/ranking.with_global_rank (two-phase range shuffle —
+    never a single-partition window), then the W-neighborhood is an
+    EQUI-join: each record re-keys to bucket ⌊(rnk−1)/W⌋, the right
+    side explodes to its own and previous bucket, and the rank-distance
+    filter runs after the bucket join — candidates per record are
+    bounded by W by construction, so the whole pass is O(n·W) verifies
+    behind two keyed shuffles. The oracle replays with a plain
+    row_number window + range join (fine at oracle scale, the exact
+    plan Spark must NOT use)."""
+    from data_ingestion_py_spark.operators.ranking import with_global_rank
+
+    recs = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ranked = with_global_rank(
+        recs, [F.col("p_name"), F.col("p_partkey")], rank_col="rnk"
+    ).select(
+        "p_partkey",
+        "p_name",
+        "rnk",
+        ((F.col("rnk") - 1) / _SNM_W).cast("long").alias("b"),
+    )
+    left = ranked.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.col("b").alias("jb"),
+    )
+    right = ranked.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.explode(F.array(F.col("b"), F.col("b") - 1)).alias("jb"),
+    )
+    return (
+        left.join(right, "jb")
+        .where(
+            (F.col("rnk_b") - F.col("rnk_a") >= 1)
+            & (F.col("rnk_b") - F.col("rnk_a") <= _SNM_W - 1)
+        )
+        .where(F.levenshtein("name_a", "name_b") <= _LEV_MAX)
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("lev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10  # groups smaller than k are re-identification risks
+_LDIV_L = 2  # sensitive attr must take ≥ l values per group
+
+
+@register(
+    "dq_k_anonymity",
+    f"""
+WITH g AS (
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS n,
+           count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                               ELSE 'nonneg' END) AS l_div
+    FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT c_nationkey, c_mktsegment, n, CAST(l_div AS BIGINT) AS l_div,
+       (n < {_KANON_K}) AS k_violation,
+       (l_div < {_LDIV_L}) AS l_violation
+FROM g WHERE n < {_KANON_K} OR l_div < {_LDIV_L}
+""",
+    tags=("dq", "privacy"),
+)
+def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a dataset release: quasi-identifier groups
+    (nation × market segment) violating k-anonymity (fewer than k=10
+    members — re-identifiable) or l-diversity (the sensitive attribute,
+    account-balance sign, takes < 2 values — attribute disclosure even
+    when k holds). One keyed agg; the release pipeline suppresses or
+    generalizes exactly the rows this report lists.
+
+    Scale shape: a single hash agg on the quasi-identifier tuple —
+    combiner-friendly counts, no shuffle beyond the one keyed exchange;
+    output is bounded by the quasi-identifier domain, not the data."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(
+            F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg")
+        )
+        .cast("long")
+        .alias("l_div"),
+    )
+    return g.where(
+        (F.col("n") < _KANON_K) | (F.col("l_div") < _LDIV_L)
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        "l_div",
+        (F.col("n") < _KANON_K).alias("k_violation"),
+        (F.col("l_div") < _LDIV_L).alias("l_violation"),
+    )

@@ -187,3 +187,72 @@ def test_substring_cuts_planted(spark, tmp_path):
     assert set(cuts) == {1, 2}
     assert cuts[1] == (5, 14, 3)
     assert cuts[2] == (0, 9, 3)
+
+
+def test_prefix_filter_is_exact_superset_of_lsh(spark):
+    """Ground truth: the prefix-filter join is EXACT (no recall loss),
+    so every LSH-found pair at the same threshold must appear in it —
+    and the measured LSH recall against exact truth stays ≥ 0.9 (the
+    property the banded-LSH design promises probabilistically)."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_prefix_filter_pairs"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh_pairs"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    assert lsh <= exact, f"LSH invented pairs: {sorted(lsh - exact)[:5]}"
+    assert exact, "exact join found nothing — fixture broken"
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_sorted_neighborhood_planted(spark, tmp_path):
+    """Names that blocking-on-last-token would separate ('blue bolt' vs
+    'blue bolts') sit adjacent in sort order and match; a name more
+    than W ranks away is never compared. Expected sort order: 'blue
+    bolt'(1), 'blue bolts'(2), 'blue colt'(3), then 'zz...' names."""
+    rows = [
+        Row(p_partkey=1, p_name="blue bolt"),
+        Row(p_partkey=2, p_name="blue bolts"),
+        Row(p_partkey=3, p_name="blue colt"),
+    ] + [Row(p_partkey=10 + i, p_name=f"zz{i:03d} widget") for i in range(20)]
+    sf_dir = _write(spark, tmp_path, "part", rows)
+    out = {
+        (r["key_a"], r["key_b"]): r["lev"]
+        for r in QUERIES["parts_sorted_neighborhood"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    # lev('blue bolt','blue bolts')=1, ('blue bolt','blue colt')=1,
+    # ('blue bolts','blue colt')=2; zz-names differ by their 3-digit
+    # index (lev<=3 within the W-neighborhood) — assert the planted
+    # trio exactly and that no zz-name ever pairs with a blue-name
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 1 and out[(2, 3)] == 2
+    assert not any((a < 10) != (b < 10) for a, b in out)
+
+
+def test_k_anonymity_planted(spark, tmp_path):
+    """A 2-member group violates k; a 12-member all-positive-balance
+    group violates l only; a 12-member mixed group is absent."""
+    rows = (
+        [Row(c_custkey=i, c_nationkey=1, c_mktsegment="A",
+             c_acctbal=float(i)) for i in range(2)]
+        + [Row(c_custkey=100 + i, c_nationkey=2, c_mktsegment="B",
+               c_acctbal=50.0 + i) for i in range(12)]
+        + [Row(c_custkey=200 + i, c_nationkey=3, c_mktsegment="C",
+               c_acctbal=(-1.0 if i % 2 else 1.0) * (1 + i)) for i in range(12)]
+    )
+    sf_dir = _write(spark, tmp_path, "customer", rows)
+    out = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in QUERIES["dq_k_anonymity"].spark(spark, sf_dir).collect()
+    }
+    assert set(out) == {(1, "A"), (2, "B")}
+    assert out[(1, "A")]["k_violation"] is True
+    assert out[(2, "B")]["k_violation"] is False
+    assert out[(2, "B")]["l_violation"] is True

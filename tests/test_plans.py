@@ -426,6 +426,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # per-partition-count aggregate (operators/ranking.py:94-98)
     "corpus_global_shuffle": 1,
     "corpus_length_powerlaw": 1,
+    # sorted-neighborhood linkage: one with_global_rank whose offsets
+    # table surfaces both its prefix and total windows in this plan —
+    # both run over the #partitions-row aggregate
+    "parts_sorted_neighborhood": 2,
 }
 
 
