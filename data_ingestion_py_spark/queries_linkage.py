@@ -825,3 +825,126 @@ def q_dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") < _KANON_K).alias("k_violation"),
         (F.col("l_div") < _LDIV_L).alias("l_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer-Wilkerson-Aiken / MOSS)
+# ---------------------------------------------------------------------------
+
+_WIN_K = 3  # gram order under each fingerprint
+_WIN_W = 4  # winnowing window: any shared run of >= w+k-1 tokens MUST match
+_WIN_M = 3  # report doc pairs sharing >= m distinct fingerprints
+_WIN_POS = 1 << 20  # position packing radix (docs < 1M grams)
+
+
+def _winnow_oracle_sql() -> str:
+    from data_ingestion_py_spark.queries_ext import NEAR_DUP_CORPUS_CTE
+
+    k, w, m, P = _WIN_K, _WIN_W, _WIN_M, _WIN_POS
+    return (
+        NEAR_DUP_CORPUS_CTE
+        + f"""
+, toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM corpus
+), posg AS (
+    SELECT doc_id, s.i AS i,
+           ('0x' || substr(md5(s.g), 1, 8))::BIGINT AS h
+    FROM (SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(0, len(t) - {k}),
+                     i -> {{'i': i,
+                           'g': array_to_string(t[i+1 : i+{k}], ' ')}}))
+                     AS s
+          FROM toks WHERE len(t) >= {k})
+), keyed AS (
+    SELECT doc_id, i, h * {P} + ({P - 1} - i) AS key,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM posg
+), sel AS (
+    SELECT DISTINCT doc_id,
+           min(key) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {w - 1} FOLLOWING) // {P} AS fph
+    FROM keyed WHERE i <= n - {w}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM sel a JOIN sel b ON a.fph = b.fph AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {m}
+"""
+    )
+
+
+@register(
+    "text_winnowing_matches",
+    _winnow_oracle_sql(),
+    tags=("dedup", "fingerprint", "winnowing"),
+)
+def q_text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
+    SIGMOD'03 — the MOSS plagiarism detector): hash every 3-gram, and
+    in each window of 4 consecutive hashes select the minimum (ties →
+    rightmost). The selected ~n/w fingerprints carry a GUARANTEE no
+    random sampling has: any shared token run of length ≥ w+k−1 = 6
+    produces at least one shared fingerprint. Doc pairs sharing ≥ 3
+    distinct fingerprints are reported — local-similarity detection
+    that catches shared passages whole-doc MinHash dilutes away.
+
+    The tie rule and the window minimum are made engine-exact by
+    packing (hash, position) into one BIGINT — h·2²⁰ + (2²⁰−1−i) —
+    so min() alone implements "smallest hash, rightmost position";
+    both engines then agree bit-for-bit with no min_by/struct-order
+    semantics in play.
+
+    Scale shape: narrow gram hash, PER-DOCUMENT sliding-window min
+    (doc-partitioned window, never global), distinct → the join runs
+    on the 1/w-sampled fingerprint table, shuffled on the fingerprint
+    hash — the same Σ collisions² bound as every other candidate join
+    here, on a table w× smaller than the gram table."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_py_spark.functions.text import shingles, tokens
+    from data_ingestion_py_spark.queries_ext import _corpus_with_near_dups
+
+    k, w, m, P = _WIN_K, _WIN_W, _WIN_M, _WIN_POS
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    toks = corpus.select("doc_id", tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= k
+    )
+    posg = toks.select(
+        "doc_id", F.posexplode(shingles(F.col("t"), k)).alias("i", "g")
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("i"),
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    keyed = posg.select(
+        "doc_id",
+        "i",
+        (F.col("h") * P + (F.lit(P - 1) - F.col("i"))).alias("key"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    sel = (
+        keyed.where(F.col("i") <= F.col("n") - w)
+        .select(
+            "doc_id", (F.min("key").over(wmin) / P).cast("long").alias("fph")
+        )
+        .distinct()
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fph") == F.col("b.fph"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= m)
+    )

@@ -256,3 +256,25 @@ def test_k_anonymity_planted(spark, tmp_path):
     assert out[(1, "A")]["k_violation"] is True
     assert out[(2, "B")]["k_violation"] is False
     assert out[(2, "B")]["l_violation"] is True
+
+
+def test_winnowing_planted_shared_passage(spark, tmp_path):
+    """Two docs embed the same 30-token passage at different offsets
+    (surrounded by unique text); winnowing's guarantee — any shared
+    run ≥ w+k−1 tokens yields a shared fingerprint — must fire well
+    past the m=3 reporting floor. The all-unique doc matches nobody.
+    (ids avoid multiples of 5 — the query seeds clones for those.)"""
+    passage = " ".join(f"p{i}" for i in range(30))
+    rows = [
+        Row(doc_id=1, text=" ".join(f"a{i}" for i in range(10))
+            + f" {passage} " + " ".join(f"x{i}" for i in range(10))),
+        Row(doc_id=2, text=f"{passage} " + " ".join(f"b{i}" for i in range(20))),
+        Row(doc_id=3, text=" ".join(f"c{i}" for i in range(40))),
+    ]
+    sf_dir = _write(spark, tmp_path, "documents", rows)
+    out = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in QUERIES["text_winnowing_matches"].spark(spark, sf_dir).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] >= 3
+    assert not any(3 in p for p in out)
