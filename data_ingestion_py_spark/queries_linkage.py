@@ -948,3 +948,154 @@ def q_text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= m)
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end-to-end: candidates → clusters → golden records
+# ---------------------------------------------------------------------------
+
+
+def _er_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE recs AS (
+    SELECT p_partkey, p_name,
+           string_split(p_name, ' ')[-1] AS block
+    FROM part
+), names AS (
+    SELECT block, p_name, count(*) AS cnt, min(p_partkey) AS min_key
+    FROM recs GROUP BY block, p_name
+), pairs AS (
+    SELECT a.p_name AS src, b.p_name AS dst
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+), edges AS (
+    SELECT src, dst FROM pairs
+    UNION
+    SELECT dst AS src, src AS dst FROM pairs
+), reach AS (
+    SELECT src, src AS node FROM edges
+    UNION
+    SELECT r.src, e.dst AS node FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+    SELECT src AS p_name, min(node) AS canonical FROM reach GROUP BY src
+), grouped AS (
+    SELECT coalesce(comp.canonical, names.p_name) AS canonical_name,
+           names.cnt, names.min_key
+    FROM names LEFT JOIN comp ON names.p_name = comp.p_name
+)
+SELECT canonical_name,
+       count(*) AS n_names,
+       CAST(sum(cnt) AS BIGINT) AS n_records,
+       min(min_key) AS golden_key
+FROM grouped GROUP BY canonical_name
+HAVING count(*) > 1
+"""
+
+
+@register(
+    "parts_entity_resolution",
+    _er_oracle_sql(),
+    tags=("linkage", "fuzzy", "clusters"),
+)
+def q_parts_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END: blocked fuzzy candidates (the
+    parts_fuzzy_matches stage, at distinct-name grain) → connected
+    components over the name-match graph (operators/components.py —
+    string node ids, min = lexicographic canonical) → one GOLDEN
+    RECORD per resolved entity: canonical name, member-name count,
+    total record count, and the surviving key (min p_partkey). Only
+    multi-name entities are reported — the rows a master-data system
+    would actually merge. Same composition pattern as SemDeDup e2e:
+    every stage is an already-linted operator, chained in one
+    oracle-gated query (DuckDB replays clustering with a recursive
+    transitive closure).
+
+    Scale shape: candidate generation is the distinct-value blocked
+    join (cost ∝ V² per block); CC runs at name-graph cardinality
+    (vastly smaller than records); the final rollup is one keyed agg.
+    """
+    from data_ingestion_py_spark.operators.components import (
+        connected_components,
+    )
+
+    recs = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    names = recs.groupBy("block", "p_name").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("p_partkey").alias("min_key")
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block") == F.col("b.block"))
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    ).where(
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= _LEV_MAX
+    ).select(
+        F.col("a.p_name").alias("src"), F.col("b.p_name").alias("dst")
+    )
+    cc = connected_components(pairs, src="src", dst="dst")
+    grouped = (
+        names.join(cc, names["p_name"] == cc["node"], "left")
+        .select(
+            F.coalesce(F.col("component"), F.col("p_name")).alias(
+                "canonical_name"
+            ),
+            "cnt",
+            "min_key",
+        )
+    )
+    return (
+        grouped.groupBy("canonical_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.sum("cnt").cast("long").alias("n_records"),
+            F.min("min_key").alias("golden_key"),
+        )
+        .where(F.col("n_names") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Numeric correlation matrix (single-pass Pearson over the fact table)
+# ---------------------------------------------------------------------------
+
+_CORR_PAIRS = [
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_extendedprice", "l_discount"),
+    ("l_extendedprice", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+
+@register(
+    "lineitem_corr_matrix",
+    "SELECT "
+    + ", ".join(
+        f"round(corr({a}, {b}), 4) AS r_{a[2:]}_{b[2:]}"
+        for a, b in _CORR_PAIRS
+    )
+    + " FROM lineitem",
+    tags=("analytics", "profile"),
+)
+def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the fact table's numeric
+    columns in ONE aggregation pass — the feature-screening /
+    data-profiling step before any modeling on warehouse facts. All
+    six pairs ride the same partial-aggregate shuffle (each corr is
+    five combiner-friendly sufficient statistics); rounded at 4 dp so
+    partial-aggregation order cannot flip the hash (the float-agg
+    rounding contract from queries.py's module header — sub-1e-10
+    relative drift vs a 1e-4 bucket)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"r_{a[2:]}_{b[2:]}")
+            for a, b in _CORR_PAIRS
+        ]
+    )

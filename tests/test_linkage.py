@@ -278,3 +278,29 @@ def test_winnowing_planted_shared_passage(spark, tmp_path):
     }
     assert (1, 2) in out and out[(1, 2)] >= 3
     assert not any(3 in p for p in out)
+
+
+def test_entity_resolution_planted(spark, tmp_path):
+    """'red ring' ↔ 'rad ring' ↔ 'rad rang'? No — chain within one
+    block: red ring ~ rad ring (lev 1); 'chartreuse ring' too far from
+    both; 'small bolt'/'smell bolt' (lev 1) a second entity. Golden
+    key = min p_partkey in each cluster; record counts sum the
+    duplicate rows."""
+    rows = [
+        Row(p_partkey=7, p_name="red ring"),
+        Row(p_partkey=2, p_name="red ring"),
+        Row(p_partkey=3, p_name="rad ring"),
+        Row(p_partkey=4, p_name="chartreuse ring"),
+        Row(p_partkey=5, p_name="small bolt"),
+        Row(p_partkey=6, p_name="smell bolt"),
+    ]
+    sf_dir = _write(spark, tmp_path, "part", rows)
+    out = {
+        r["canonical_name"]: r
+        for r in QUERIES["parts_entity_resolution"].spark(spark, sf_dir).collect()
+    }
+    assert set(out) == {"rad ring", "small bolt"}
+    ring = out["rad ring"]  # min("red ring", "rad ring") lexicographic
+    assert (ring["n_names"], ring["n_records"], ring["golden_key"]) == (2, 3, 2)
+    bolt = out["small bolt"]
+    assert (bolt["n_names"], bolt["n_records"], bolt["golden_key"]) == (2, 2, 5)
