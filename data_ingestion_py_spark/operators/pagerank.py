@@ -48,13 +48,20 @@ def pagerank_integer(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    seeds: list | None = None,
 ) -> DataFrame:
     """(node, rank_micro) after ``n_iter`` integer power iterations.
 
     ``edges`` is a weighted directed edge list; multi-edges should be
     pre-aggregated. ``rank_micro`` is the PageRank in micro-units
     (all-node sum ≈ 1e6, minus dangling leakage).
-    """
+
+    ``seeds`` switches to PERSONALIZED PageRank: the (1−d) teleport
+    mass and the dangling redistribution go only to the seed set
+    (split evenly), and the walk starts there — ``rank_micro`` is then
+    proximity to the seeds, not global authority. Seeds are driver-side
+    literals (a seed set is query-sized, never data-sized), so the
+    per-node teleport term stays a narrow CASE, no extra join."""
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
     ).localCheckpoint()
@@ -65,7 +72,17 @@ def pagerank_integer(
         .localCheckpoint()
     )
     n = nodes.count()
-    base = (SCALE * (100 - damping_pct)) // (100 * n)
+    n_tele = len(seeds) if seeds else n
+    base_unit = (SCALE * (100 - damping_pct)) // (100 * n_tele)
+    if seeds:
+        in_seeds = F.col("node").isin(list(seeds))
+        base_col = F.when(in_seeds, F.lit(base_unit)).otherwise(F.lit(0))
+        init_col = F.when(
+            in_seeds, F.lit(SCALE // n_tele).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    else:
+        base_col = F.lit(base_unit)
+        init_col = F.lit(SCALE // n).cast("long")
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # out-weight is static across rounds: attach it to the edge once
     e = e.join(out_w, "src").localCheckpoint()
@@ -78,7 +95,7 @@ def pagerank_integer(
         "left_anti",
     ).localCheckpoint()
     has_dangling = dangling.limit(1).count() > 0
-    ranks = nodes.withColumn("rank_micro", F.lit(SCALE // n).cast("long"))
+    ranks = nodes.withColumn("rank_micro", init_col)
     for _ in range(n_iter):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
@@ -102,13 +119,22 @@ def pagerank_integer(
                 )
             )
             updated = updated.crossJoin(F.broadcast(dang))
-            share = F.expr(f"_dang * {damping_pct} div (100 * {n})")
+            share_unit = F.expr(
+                f"_dang * {damping_pct} div (100 * {n_tele})"
+            )
+            share = (
+                F.when(
+                    F.col("node").isin(list(seeds)), share_unit
+                ).otherwise(F.lit(0))
+                if seeds
+                else share_unit
+            )
         else:
             share = F.lit(0)
         ranks = (
             updated.select(
                 "node",
-                (F.lit(base) + dampened + share)
+                (base_col + dampened + share)
                 .cast("long")
                 .alias("rank_micro"),
             )
@@ -121,24 +147,44 @@ def pagerank_oracle_sql(
     edges_cte: str,
     n_iter: int = 5,
     damping_pct: int = 85,
+    seeds: list | None = None,
 ) -> str:
     """DuckDB SQL replaying ``pagerank_integer`` exactly: the same
     integer iteration unrolled as chained CTEs over an ``edges(src,
     dst, w)`` CTE body. Used by the registry oracle so the iterative
-    algorithm sits under the hard hash gate like everything else."""
+    algorithm sits under the hard hash gate like everything else.
+    ``seeds`` mirrors the personalized variant — teleport/init/
+    dangling terms gated by a seed-membership CASE, ÷|seeds|."""
+    if seeds:
+        seed_list = ", ".join(str(s) for s in seeds)
+        tele_div = str(len(seeds))
+        base_term = (
+            f"(CASE WHEN n.node IN ({seed_list})"
+            f" THEN (SELECT base FROM consts) ELSE 0 END)"
+        )
+        dang_gate = f"(CASE WHEN n.node IN ({seed_list}) THEN 1 ELSE 0 END) *"
+        r0_expr = (
+            f"CASE WHEN node IN ({seed_list})"
+            f" THEN (SELECT r_init FROM consts) ELSE 0 END"
+        )
+    else:
+        tele_div = "(SELECT n_nodes FROM consts)"
+        base_term = "(SELECT base FROM consts)"
+        dang_gate = ""
+        r0_expr = "(SELECT r_init FROM consts)"
     its = []
     prev = "r0"
     for i in range(1, n_iter + 1):
         its.append(
             f"""it{i} AS (
     SELECT n.node,
-           (SELECT base FROM consts) +
+           {base_term} +
            (coalesce(sum({prev}.rank_micro * e.w // e.out_w), 0)
                 * {damping_pct} // 100) +
-           ((SELECT coalesce(sum(r.rank_micro), 0) FROM {prev} r
+           {dang_gate}((SELECT coalesce(sum(r.rank_micro), 0) FROM {prev} r
              WHERE r.node NOT IN (SELECT src FROM edges))
                 * {damping_pct}
-                // (100 * (SELECT n_nodes FROM consts))) AS rank_micro
+                // (100 * {tele_div})) AS rank_micro
     FROM nodes n
     LEFT JOIN ew e ON e.dst = n.node
     LEFT JOIN {prev} ON {prev}.node = e.src
@@ -147,6 +193,7 @@ def pagerank_oracle_sql(
         )
         prev = f"it{i}"
     joined = ",\n".join(its)
+    n_tele_sql = tele_div if seeds else "count(*)"
     return f"""
 WITH edges AS ({edges_cte}),
 nodes AS (
@@ -155,14 +202,14 @@ nodes AS (
 ),
 consts AS (
     SELECT CAST(1000000 * {100 - damping_pct} AS BIGINT)
-               // (100 * count(*)) AS base,
-           CAST(1000000 AS BIGINT) // count(*) AS r_init,
+               // (100 * {n_tele_sql}) AS base,
+           CAST(1000000 AS BIGINT) // {n_tele_sql} AS r_init,
            count(*) AS n_nodes
     FROM nodes
 ),
 outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
 ew AS (SELECT e.src, e.dst, e.w, o.out_w FROM edges e JOIN outw o USING (src)),
-r0 AS (SELECT node, (SELECT r_init FROM consts) AS rank_micro FROM nodes),
+r0 AS (SELECT node, {r0_expr} AS rank_micro FROM nodes),
 {joined}
 SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro FROM {prev}
 """

@@ -1099,3 +1099,62 @@ def q_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for a, b in _CORR_PAIRS
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (proximity to a seed set, not global authority)
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = [0]  # nation 0 — single-seed proximity ranking
+
+
+def _ppr_oracle_sql() -> str:
+    from data_ingestion_py_spark.operators.pagerank import pagerank_oracle_sql
+    from data_ingestion_py_spark.queries_graph import _TRADE_EDGES_CTE
+
+    return f"""
+SELECT n.n_name AS nation, pr.rank_micro
+FROM (
+{pagerank_oracle_sql(_TRADE_EDGES_CTE, n_iter=5, damping_pct=85,
+                     seeds=_PPR_SEEDS)}
+) pr
+JOIN nation n ON n.n_nationkey = pr.node
+"""
+
+
+@register(
+    "graph_ppr_nation",
+    _ppr_oracle_sql(),
+    tags=("graph", "iterative", "personalized"),
+)
+def q_graph_ppr_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank over the nation trade graph: all teleport
+    mass (and dangling redistribution) returns to the seed nation, so
+    ``rank_micro`` measures trade-flow PROXIMITY to the seed rather
+    than global authority — the related-entities / graph-similarity
+    primitive (recommendations, source-affinity weighting) that plain
+    PageRank cannot express. Same integer fixed-point iteration and
+    unrolled-CTE oracle as graph_pagerank; the only new plan content
+    is a per-node seed-membership CASE (driver literals, no join)."""
+    from data_ingestion_py_spark.operators.pagerank import pagerank_integer
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            s["s_nationkey"].alias("src"), c["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    ranks = pagerank_integer(
+        edges, n_iter=5, damping_pct=85, seeds=_PPR_SEEDS
+    )
+    return ranks.join(
+        F.broadcast(n), ranks["node"] == F.col("n_nationkey")
+    ).select(F.col("n_name").alias("nation"), "rank_micro")

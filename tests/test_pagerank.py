@@ -83,3 +83,33 @@ def test_dangling_mass_redistributed(spark):
     assert abs(total - SCALE) <= 50, got
     # the sink still accumulates rank (it has in-edges)
     assert got[4] > 0
+
+
+def test_personalized_proximity_ordering(spark):
+    # chain 1→2→3→4 with a back-edge 4→1; seeding at 1 must rank nodes
+    # by walk distance from the seed: 1 > 2 > 3 > 4
+    rows = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 1, 1)]
+    ranks = pagerank_integer(_edges(spark, rows), n_iter=8, seeds=[1])
+    got = {r.node: r.rank_micro for r in ranks.collect()}
+    assert got[1] > got[2] > got[3] > got[4] > 0
+    # global PageRank on this symmetric cycle is uniform — the seed is
+    # what breaks the tie, i.e. the personalization actually acts
+    plain = {
+        r.node: r.rank_micro
+        for r in pagerank_integer(_edges(spark, rows), n_iter=8).collect()
+    }
+    assert len(set(plain.values())) == 1
+
+
+def test_personalized_matches_oracle(spark):
+    rows = [(1, 2, 2), (2, 3, 1), (3, 1, 1), (1, 4, 1)]  # 4 dangling
+    ranks = pagerank_integer(_edges(spark, rows), n_iter=4, seeds=[1, 3])
+    got = sorted((r.node, r.rank_micro) for r in ranks.collect())
+    cte = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS src, CAST({d} AS BIGINT) AS dst,"
+        f" CAST({w} AS BIGINT) AS w"
+        for s, d, w in rows
+    )
+    sql = pagerank_oracle_sql(cte, n_iter=4, seeds=[1, 3])
+    want = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == want
