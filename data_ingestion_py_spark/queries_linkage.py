@@ -1158,3 +1158,70 @@ def q_graph_ppr_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(n), ranks["node"] == F.col("n_nationkey")
     ).select(F.col("n_name").alias("nation"), "rank_micro")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: PNG chunk inventory (container walk, not just the header)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_png_chunks",
+    """
+WITH base AS (
+    SELECT doc_id,
+           CAST(doc_id % 7 + 3 AS INT) AS txt_len,
+           CAST(doc_id % 11 + 1 AS INT) AS idat_len
+    FROM documents
+)
+SELECT doc_id AS media_id, 0 AS ord, 'IHDR' AS chunk_type,
+       13 AS chunk_len FROM base
+UNION ALL
+SELECT doc_id, 1, 'tEXt', txt_len FROM base
+UNION ALL
+SELECT doc_id, 2, 'IDAT', idat_len FROM base
+UNION ALL
+SELECT doc_id, 3, 'IEND', 0 FROM base
+""",
+    tags=("multimodal", "decode"),
+)
+def q_multimodal_png_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG CONTAINER WALK end-to-end: construct complete multi-chunk
+    PNGs in column algebra (signature, IHDR, a tEXt metadata chunk and
+    an IDAT pixel stream with doc_id-derived lengths, IEND), push the
+    binary through the Arrow ``mapInPandas`` seam, and enumerate every
+    chunk back with the byte-level walker
+    (sources/multimodal.png_chunks) — the media-inventory profile
+    (which ancillary metadata exists, how large the pixel stream is) a
+    lake runs before committing to pixel decode. The oracle recomputes
+    the planted chunk table arithmetically, so a walker that misreads
+    big-endian lengths, skips CRCs wrong, or misses the IEND stop
+    hash-mismatches immediately. Row-EXPANDING kernel: one input
+    payload yields one row per chunk (the shape frame extraction and
+    page splitting share)."""
+    d = load_table(spark, sf_dir, "documents")
+    txt_len = (F.col("doc_id") % 7 + 3).cast("int")
+    idat_len = (F.col("doc_id") % 11 + 1).cast("int")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),  # signature
+        F.lit("0000000D49484452"),  # IHDR len 13 + type
+        F.lit("00000010000000100806000000"),  # 16x16 RGBA8 IHDR data
+        F.lit("DEADBEEF"),  # IHDR CRC filler (inventory, not integrity)
+        F.lpad(F.hex(txt_len), 8, "0"),
+        F.lit("74455874"),  # tEXt
+        F.lit("4300"),  # key "C" + NUL
+        F.expr("repeat('41', cast(doc_id % 7 + 1 as int))"),  # value
+        F.lit("DEADBEEF"),
+        F.lpad(F.hex(idat_len), 8, "0"),
+        F.lit("49444154"),  # IDAT
+        F.expr("repeat('00', cast(doc_id % 11 + 1 as int))"),
+        F.lit("DEADBEEF"),
+        F.lit("0000000049454E44AE426082"),  # IEND + real CRC
+    )
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(png_hex).alias("payload"),
+    )
+    return mm.chunk_inventory(media)

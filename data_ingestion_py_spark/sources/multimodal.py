@@ -598,3 +598,65 @@ def pcm_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_go, PCM_SCHEMA)
+
+
+def png_chunks(payload: bytes | None) -> list[tuple[int, str, int]] | None:
+    """REAL container-walk kernel: enumerate every chunk of a PNG
+    payload as (ordinal, type, data_length) — the media-inventory
+    primitive (which ancillary metadata exists, how big is the pixel
+    stream) a lake profiler runs before any pixel decode. Walks the
+    spec layout exactly: 8-byte signature, then per chunk a 4-byte
+    big-endian length, 4-byte ASCII type, ``length`` data bytes and a
+    4-byte CRC (CRCs are not validated — inventory, not integrity).
+    Stops at IEND or a truncated chunk; returns None for non-PNGs.
+    """
+    if payload is None or len(payload) < 8:
+        return None
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    out: list[tuple[int, str, int]] = []
+    i, n, ordinal = 8, len(payload), 0
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8].decode("ascii", errors="replace")
+        out.append((ordinal, ctype, clen))
+        ordinal += 1
+        if ctype == "IEND":
+            break
+        i += 12 + clen
+    return out
+
+
+CHUNK_SCHEMA = "media_id long, ord int, chunk_type string, chunk_len int"
+
+
+def chunk_inventory(media: DataFrame) -> DataFrame:
+    """(media_id, ord, chunk_type, chunk_len) — one row per PNG chunk,
+    Arrow-batched ``mapInPandas`` that EXPANDS rows (a batch of m
+    payloads yields Σ chunks rows); non-PNG payloads contribute no
+    rows. Same seam as ``pcm_stats``; payloads never reach the driver.
+    """
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            ords: list[int] = []
+            types: list[str] = []
+            lens: list[int] = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                chunks = png_chunks(bytes(p) if p is not None else None)
+                for o, t, ln in chunks or []:
+                    ids.append(mid)
+                    ords.append(o)
+                    types.append(t)
+                    lens.append(ln)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "ord": pd.array(ords, dtype="Int32"),
+                    "chunk_type": pd.array(types, dtype="string"),
+                    "chunk_len": pd.array(lens, dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(_go, CHUNK_SCHEMA)

@@ -360,3 +360,34 @@ def test_decode_wav_pcm_truncated_data_chunk():
     # cut mid-sample: only the complete samples are decoded
     out = decode_wav_pcm(full[:-1])
     assert out == (2, 7, 98)
+
+
+def _png_multi(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    out = b"\x89PNG\r\n\x1a\n"
+    for ctype, data in chunks:
+        out += len(data).to_bytes(4, "big") + ctype + data + b"\x00" * 4
+    return out
+
+
+def test_png_chunks_walk_and_iend_stop():
+    from data_ingestion_py_spark.sources.multimodal import png_chunks
+
+    payload = _png_multi(
+        [(b"IHDR", b"\x00" * 13), (b"tEXt", b"C\x00AA"),
+         (b"IDAT", b"\x00" * 5), (b"IEND", b""), (b"JUNK", b"xx")]
+    )
+    # walk stops AT IEND — trailing garbage after it is never read
+    assert png_chunks(payload) == [
+        (0, "IHDR", 13), (1, "tEXt", 4), (2, "IDAT", 5), (3, "IEND", 0)
+    ]
+
+
+def test_png_chunks_rejects_and_truncates():
+    from data_ingestion_py_spark.sources.multimodal import png_chunks
+
+    assert png_chunks(None) is None
+    assert png_chunks(b"\xff\xd8\xff\xe0 not a png") is None
+    assert png_chunks(b"\x89PNG\r\n\x1a\n") == []
+    # truncated mid-chunk-header: only complete chunk headers listed
+    full = _png_multi([(b"IHDR", b"\x00" * 13), (b"IDAT", b"\x00" * 9)])
+    assert png_chunks(full[:-15]) == [(0, "IHDR", 13)]
