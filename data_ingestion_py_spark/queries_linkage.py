@@ -1225,3 +1225,186 @@ def q_multimodal_png_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(png_hex).alias("payload"),
     )
     return mm.chunk_inventory(media)
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view (delta joins, no recompute)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_view_incremental_maintenance",
+    """
+SELECT o.o_orderkey, o.o_custkey,
+       round(CASE WHEN c.c_custkey % 20 = 0
+                  THEN c.c_acctbal + 100 ELSE c.c_acctbal END, 2)
+           AS acctbal,
+       round(o.o_totalprice, 2) AS totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+    tags=("warehouse", "ivm", "incremental"),
+)
+def q_orders_view_incremental_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of a denormalized JOIN view under
+    deltas on BOTH inputs — new orders (keys ≡ 0 mod 10) arrive and a
+    slice of customers (keys ≡ 0 mod 20) changes balance. Instead of
+    re-joining the world, the maintained view is assembled from three
+    delta terms:
+
+        V' = (V_old ⊳ Δcust)            -- untouched rows, anti join
+           ∪ (orders_base ⋈ Δcust)      -- rows whose DIM side changed
+           ∪ (Δorders ⋈ cust_new)       -- newly arrived FACT rows
+
+    The ORACLE is the full recompute (new orders ⋈ new customers) —
+    an independent evaluation strategy, so the hash gate proves the
+    incremental plan reaches exactly the recomputed view, the property
+    every IVM deployment needs audited. Same family as
+    events_incremental_rollup (algebraic-partial aggregates); this is
+    the JOIN-view sibling.
+
+    Scale shape: every term is keyed on the join key; the anti join
+    and affected-key recompute touch |Δ|-proportional state on the
+    delta side (the whole point — a daily batch costs Δ-sized joins
+    against indexed/bucketed tables, never a full view rebuild)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    c_new = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 20 == 0, F.col("c_acctbal") + 100
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    delta_c = c_new.where(F.col("c_custkey") % 20 == 0)
+    o_base = o.where(F.col("o_orderkey") % 10 != 0)
+    delta_o = o.where(F.col("o_orderkey") % 10 == 0)
+
+    def view(orders_df, cust_df):
+        return orders_df.join(
+            cust_df, orders_df["o_custkey"] == cust_df["c_custkey"]
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+
+    old_view = view(o_base, c)  # what the warehouse already has
+    untouched = old_view.join(
+        delta_c.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_anti",
+    ).select("o_orderkey", "o_custkey", "acctbal", "totalprice")
+    dim_changed = view(o_base, delta_c)
+    fact_new = view(delta_o, c_new)
+    return untouched.unionByName(dim_changed).unionByName(fact_new)
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution: first/last-touch click per purchase (7d lookback)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "events_purchase_attribution",
+    f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+), marked AS (
+    SELECT event_id, user_id, event_type, tsu,
+           max(CASE WHEN event_type = 'click' THEN tsu END)
+               OVER (PARTITION BY user_id ORDER BY tsu
+                     RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                           AND 1 PRECEDING) AS last_ts,
+           min(CASE WHEN event_type = 'click' THEN tsu END)
+               OVER (PARTITION BY user_id ORDER BY tsu
+                     RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                           AND 1 PRECEDING) AS first_ts,
+           count(CASE WHEN event_type = 'click' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY tsu
+                     RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING
+                           AND 1 PRECEDING) AS n_clicks_7d
+    FROM ev
+), clicks AS (
+    SELECT user_id, tsu, max(event_id) AS click_id
+    FROM ev WHERE event_type = 'click' GROUP BY user_id, tsu
+)
+SELECT m.event_id, m.user_id, CAST(m.n_clicks_7d AS BIGINT) AS n_clicks_7d,
+       f.click_id AS first_click_id, l.click_id AS last_click_id
+FROM marked m
+LEFT JOIN clicks f ON m.user_id = f.user_id AND m.first_ts = f.tsu
+LEFT JOIN clicks l ON m.user_id = l.user_id AND m.last_ts = l.tsu
+WHERE m.event_type = 'purchase'
+""",
+    tags=("analytics", "attribution"),
+)
+def q_events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: every purchase is linked
+    to the earliest and latest click by the same user in a strict
+    7-day lookback (exclusive of the purchase instant), plus the click
+    count — the marketing-warehouse query behind every conversion
+    report. Two engine-portable passes: a per-user RANGE window over
+    microsecond timestamps finds the first/last click TIME (no
+    struct-ordering semantics in play), then a (user, ts) lookup join
+    resolves ids, same-instant ties broken by max(event_id) on both
+    engines.
+
+    Scale shape: per-user windows (partitioned, never global), one
+    keyed self-join at click cardinality. The 7-day RANGE frame is
+    resolved inside the window operator — no self-join on the
+    inequality, which is what keeps this linear instead of events²."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_py_spark.functions.time import ts_us
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", ts_us(F.col("ts")).alias("tsu")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("tsu"))
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.max(click_ts).over(w).alias("last_ts"),
+        F.min(click_ts).over(w).alias("first_ts"),
+        F.count(click_ts).over(w).alias("n_clicks_7d"),
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "tsu")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    first = clicks.select(
+        "user_id",
+        F.col("tsu").alias("first_ts"),
+        F.col("click_id").alias("first_click_id"),
+    )
+    last = clicks.select(
+        "user_id",
+        F.col("tsu").alias("last_ts"),
+        F.col("click_id").alias("last_click_id"),
+    )
+    return (
+        marked.where(F.col("event_type") == "purchase")
+        .join(first, ["user_id", "first_ts"], "left")
+        .join(last, ["user_id", "last_ts"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("n_clicks_7d").cast("long").alias("n_clicks_7d"),
+            "first_click_id",
+            "last_click_id",
+        )
+    )
