@@ -652,3 +652,48 @@ def test_rollup_state_compaction_preserves_merge_and_guard(spark, tmp_path):
         r.event_type: (r.n, r.sum_cents, r.min_cents, r.max_cents)
         for r in read_rollup_state(spark, state2).collect()
     } == before
+
+
+def test_stream_static_broadcast_enrichment_matches_batch(spark, tmp_path):
+    """Stream-STATIC join: a micro-batched fact stream enriched against
+    a broadcast dimension snapshot (the lookup-table shape every
+    streaming pipeline has). availableNow replay must equal the batch
+    join, and the static side must enter as a BroadcastHashJoin — a
+    dim lookup that shuffles the stream would be the scale bug."""
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src = str(tmp_path / "ev_src")
+    events.coalesce(2).write.parquet(src)
+
+    dim = spark.createDataFrame(
+        [("click", 1), ("purchase", 5), ("signup", 2), ("view", 0),
+         ("error", -1)],
+        "event_type string, weight int",
+    )
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), "event_type").select(
+            "event_id", "user_id", (F.col("weight") * 10).alias("score")
+        )
+
+    static = spark.read.parquet(src)
+    expect = {(r.event_id, r.score) for r in enrich(static).collect()}
+    assert expect
+
+    # the static dim joins as a broadcast in the streaming plan too
+    from data_ingestion_py_spark.plans.explain import executed_plan
+
+    assert "BroadcastHashJoin" in executed_plan(enrich(static))
+
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    out = []
+    q = (
+        enrich(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r.event_id, r.score) for r in out} == expect
