@@ -1408,3 +1408,84 @@ def q_events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             "last_click_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join against SCD2 dimension history
+# ---------------------------------------------------------------------------
+
+_PIT_CUTOVER = "1998-01-01"
+
+
+@register(
+    "orders_point_in_time_segment",
+    f"""
+WITH versions AS (
+    SELECT c_custkey, c_mktsegment AS seg,
+           TIMESTAMP '1995-01-01' AS valid_from,
+           CASE WHEN c_custkey % 3 = 0
+                THEN TIMESTAMP '{_PIT_CUTOVER}' END AS valid_to
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'MIGRATED' AS seg,
+           TIMESTAMP '{_PIT_CUTOVER}' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT o.o_orderkey, o.o_custkey, v.seg AS seg_at_order
+FROM orders o
+JOIN versions v
+  ON o.o_custkey = v.c_custkey
+ AND o.o_orderdate >= v.valid_from
+ AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+""",
+    tags=("warehouse", "scd2", "temporal"),
+)
+def q_orders_point_in_time_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: every order resolves the
+    customer-dimension VERSION that was valid on its order date — the
+    query SCD2 history exists for (joining facts to the CURRENT dim
+    row silently rewrites history; this is the correct-as-of-then
+    lookup). A third of customers migrate segment at the cutover, so
+    orders before and after the same customer's cutover land in
+    different versions.
+
+    Scale shape: the version predicate rides ON TOP of the custkey
+    equi-join — Spark plans a hash/sort-merge join on the key with the
+    interval conditions as residual filters, never a nested loop
+    (pinned below); versions-per-key is small (≤2 here, bounded by
+    change frequency in general), so the residual fan-out is bounded.
+    The interval-bucketing swap for high-churn dimensions is
+    operators/rangejoin.py."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cut = F.to_timestamp(F.lit(_PIT_CUTOVER))
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.to_timestamp(F.lit("1995-01-01")).alias("valid_from"),
+        F.when(F.col("c_custkey") % 3 == 0, cut).alias("valid_to"),
+    )
+    v2 = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.lit("MIGRATED").alias("seg"),
+        cut.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    versions = v1.unionByName(v2)
+    return (
+        o.join(
+            versions,
+            (o["o_custkey"] == versions["c_custkey"])
+            & (o["o_orderdate"] >= versions["valid_from"])
+            & (
+                versions["valid_to"].isNull()
+                | (o["o_orderdate"] < versions["valid_to"])
+            ),
+        )
+        .select("o_orderkey", "o_custkey", F.col("seg").alias("seg_at_order"))
+    )
