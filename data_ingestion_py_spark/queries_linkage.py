@@ -1489,3 +1489,86 @@ def q_orders_point_in_time_segment(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("o_orderkey", "o_custkey", F.col("seg").alias("seg_at_order"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup observability: cluster-size histogram (incl. singletons)
+# ---------------------------------------------------------------------------
+
+_SIZE_BUCKET_SQL = """CASE WHEN sz = 1 THEN '1'
+                WHEN sz = 2 THEN '2'
+                WHEN sz <= 4 THEN '3-4'
+                WHEN sz <= 8 THEN '5-8'
+                WHEN sz <= 16 THEN '9-16'
+                ELSE '17+' END"""
+
+
+def _cluster_histogram_oracle_sql() -> str:
+    from data_ingestion_py_spark.queries_pipeline import _cc_chain_sql
+
+    return (
+        _cc_chain_sql()
+        + f"""
+, sizes AS (
+    SELECT cluster_id, count(*) AS sz FROM comp GROUP BY cluster_id
+    UNION ALL
+    SELECT c.doc_id AS cluster_id, 1 AS sz
+    FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id
+    WHERE comp.doc_id IS NULL
+)
+SELECT {_SIZE_BUCKET_SQL} AS size_bucket,
+       count(*) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+"""
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    _cluster_histogram_oracle_sql(),
+    tags=("dedup", "clusters", "observability"),
+)
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup run's shape report: near-dup cluster sizes (LSH pairs
+    → connected components) bucketed 1 / 2 / 3-4 / 5-8 / 9-16 / 17+,
+    singletons included — the distribution that tells an operator
+    whether dedup found the expected twin-heavy corpus (planted here:
+    a spike at 2) or a pathological mega-cluster (boilerplate/LSH
+    misconfiguration: mass at 17+), and how many docs survive
+    canonical-only retention. Buckets are a pure integer CASE — no
+    log2 float edge between engines. Cost on top of the CC pass: one
+    keyed count + a left-anti for singletons + a 6-row rollup."""
+    from data_ingestion_py_spark.operators.components import (
+        connected_components,
+    )
+    from data_ingestion_py_spark.queries_ext import _corpus_with_near_dups
+
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    pairs = dedup.near_duplicates_minhash(corpus, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs)  # (node, component)
+    clustered = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    singles = (
+        corpus.select("doc_id")
+        .join(cc, corpus["doc_id"] == cc["node"], "left_anti")
+        .select(F.lit(1).alias("sz"))
+    )
+    sizes = clustered.select("sz").unionByName(singles)
+    bucket = (
+        F.when(F.col("sz") == 1, "1")
+        .when(F.col("sz") == 2, "2")
+        .when(F.col("sz") <= 4, "3-4")
+        .when(F.col("sz") <= 8, "5-8")
+        .when(F.col("sz") <= 16, "9-16")
+        .otherwise("17+")
+    )
+    return (
+        sizes.select(bucket.alias("size_bucket"), "sz")
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+    )
