@@ -1572,3 +1572,71 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("sz").cast("long").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key fan-out profile (skew / cardinality input to join planning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_join_fanout_profile",
+    """
+WITH ol AS (
+    SELECT o.o_orderkey, count(l.l_orderkey) AS cnt
+    FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+), co AS (
+    SELECT c.c_custkey, count(o.o_orderkey) AS cnt
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+)
+SELECT 'orders->lineitem' AS edge,
+       count(*) AS n_parents,
+       CAST(sum(cnt) AS BIGINT) AS n_children,
+       CAST(count(*) FILTER (WHERE cnt = 0) AS BIGINT) AS n_childless,
+       max(cnt) AS max_fanout,
+       round(CAST(sum(cnt) AS DOUBLE) / count(*), 4) AS avg_fanout
+FROM ol
+UNION ALL
+SELECT 'customer->orders', count(*), CAST(sum(cnt) AS BIGINT),
+       CAST(count(*) FILTER (WHERE cnt = 0) AS BIGINT),
+       max(cnt), round(CAST(sum(cnt) AS DOUBLE) / count(*), 4)
+FROM co
+""",
+    tags=("dq", "profile", "join"),
+)
+def q_dq_join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FK-edge fan-out profile: parents, children, childless
+    parents, max and average fan-out — the cardinality facts that
+    drive join planning (a max/avg ratio far above 1 is the skewed-key
+    signal that sends a join to operators/skew.salted_join or AQE
+    skew-split; childless counts catch silent referential decay). One
+    keyed count per edge plus a 1-row rollup; ratios are exact-int
+    quotients rounded at 4 dp."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def profile(parent, pk, child, fk, edge):
+        cnts = (
+            parent.join(child, parent[pk] == child[fk], "left")
+            .groupBy(parent[pk])
+            .agg(F.count(child[fk]).alias("cnt"))
+        )
+        return cnts.agg(
+            F.lit(edge).alias("edge"),
+            F.count(F.lit(1)).alias("n_parents"),
+            F.sum("cnt").cast("long").alias("n_children"),
+            F.sum((F.col("cnt") == 0).cast("long"))
+            .cast("long")
+            .alias("n_childless"),
+            F.max("cnt").alias("max_fanout"),
+            F.round(
+                F.sum("cnt").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_fanout"),
+        )
+
+    return profile(o, "o_orderkey", li, "l_orderkey", "orders->lineitem").unionByName(
+        profile(c, "c_custkey", o, "o_custkey", "customer->orders")
+    )
