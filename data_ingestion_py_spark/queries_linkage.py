@@ -1640,3 +1640,231 @@ def q_dq_join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(o, "o_orderkey", li, "l_orderkey", "orders->lineitem").unionByName(
         profile(c, "c_custkey", o, "o_custkey", "customer->orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality calibration (percentile thresholds, not global)
+# ---------------------------------------------------------------------------
+
+_CAL_DROP_PCT = 0.2  # drop the bottom 20% of each source
+
+
+def _quality_calibration_oracle_sql() -> str:
+    from data_ingestion_py_spark.queries_ext import (
+        _SQL_STOP_LIST,
+        _SQL_TOKS,
+    )
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+), f AS (
+    SELECT doc_id, source,
+           len(toks) AS n,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, t -> list_contains({_SQL_STOP_LIST}, t)))
+               AS stop_hits
+    FROM t WHERE len(toks) > 0
+), scored AS (
+    SELECT doc_id, source,
+           round(least(n / 100.0, 1.0) * 0.4 + (n_uniq / n) * 0.4
+                 + (stop_hits / n) * 0.2, 6) AS quality_score
+    FROM f
+), ranked AS (
+    SELECT doc_id, source, quality_score,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY quality_score, doc_id) AS src_rank,
+           count(*) OVER (PARTITION BY source) AS src_n
+    FROM scored
+)
+SELECT doc_id, source, quality_score,
+       CAST(src_rank AS BIGINT) AS src_rank,
+       round(CAST(src_rank AS DOUBLE) / src_n, 6) AS src_pct,
+       (CAST(src_rank AS DOUBLE) / src_n > {_CAL_DROP_PCT}) AS keep
+FROM ranked
+"""
+
+
+@register(
+    "corpus_quality_percentile_by_source",
+    _quality_calibration_oracle_sql(),
+    tags=("curation", "quality", "calibration"),
+)
+def q_corpus_quality_percentile_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-SOURCE quality calibration: each document's composite
+    quality score becomes its percentile WITHIN ITS SOURCE, and the
+    keep gate drops the bottom 20% of every source — the fix for the
+    standard curation failure where a single global threshold wipes
+    out entire low-scoring-but-wanted sources (transcripts, forums)
+    while keeping all of an easy one. Rank is a source-PARTITIONED
+    window over a total order (score, doc_id) — never a global sort;
+    percentile = exact-int rank over exact-int count, rounded.
+
+    Cost on top of scoring: one shuffle on the source key. Skewed
+    mega-sources want the same two-phase rank swap as any global
+    order (operators/ranking.py, applied per source)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    scored = (
+        text_analysis_quality(d)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "quality_score")
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+        F.count(F.lit(1)).over(wn).alias("src_n"),
+    )
+    pct = F.col("src_rank").cast("double") / F.col("src_n")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        "src_rank",
+        F.round(pct, 6).alias("src_pct"),
+        (pct > _CAL_DROP_PCT).alias("keep"),
+    )
+
+
+def text_analysis_quality(d: DataFrame) -> DataFrame:
+    from data_ingestion_py_spark.operators import text_analysis
+
+    return text_analysis.quality_scores(d)
+
+
+# ---------------------------------------------------------------------------
+# Bitext candidate mining (cross-language parallel-document detection)
+# ---------------------------------------------------------------------------
+
+_BTX_DF_MAX = 4  # anchor tokens must be corpus-rare
+_BTX_MIN_ANCHORS = 2
+
+
+@register(
+    "corpus_bitext_candidates",
+    f"""
+WITH corpus AS (
+    SELECT doc_id, lang,
+           text || ' numa' || CAST(doc_id AS VARCHAR)
+                || ' numb' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, 'xx' AS lang,
+           array_to_string(list_transform(
+               list_filter(string_split(text, ' '), x -> x <> ''),
+               tok -> 'zz' || tok), ' ')
+               || ' numa' || CAST(doc_id AS VARCHAR)
+               || ' numb' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+    WHERE doc_id % 7 = 0
+), u AS (
+    SELECT DISTINCT doc_id, lang,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n,
+           unnest(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+    FROM corpus
+), df AS (
+    SELECT tok, count(*) AS df FROM u GROUP BY tok
+), rare AS (
+    SELECT u.doc_id, u.lang, u.n, u.tok
+    FROM u JOIN df USING (tok) WHERE df BETWEEN 2 AND {_BTX_DF_MAX}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.lang AS lang_a, b.lang AS lang_b,
+       count(*) AS n_anchors
+FROM rare a JOIN rare b
+  ON a.tok = b.tok AND a.doc_id < b.doc_id AND a.lang <> b.lang
+WHERE a.n <= 2 * b.n AND b.n <= 2 * a.n
+GROUP BY 1, 2, 3, 4
+HAVING count(*) >= {_BTX_MIN_ANCHORS}
+""",
+    tags=("curation", "bitext", "multilingual"),
+)
+def q_corpus_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext candidate mining: find cross-LANGUAGE document pairs
+    that are likely translations of each other by their shared RARE
+    anchor tokens (numbers, names, codes — the tokens translation
+    preserves), with a length-ratio sanity gate — the lexical-anchor
+    first pass of parallel-corpus pipelines (the cheap filter before
+    any embedding alignment). The fixture vocabulary has NO rare
+    tokens (every word is corpus-common, df ≫ 4 — probed; frequent
+    tokens can never be anchors), so the corpus plants the anchor
+    class real bitext carries: every document ends with two
+    doc-id-derived code tokens (the numbers/ids translation preserves
+    verbatim), and every 7th document gets an 'xx'-language twin whose
+    words are all rewritten but whose codes are inherited — true pairs
+    share exactly those rare codes.
+
+    Scale shape: anchors are tokens with 2 ≤ df ≤ 4 — the join key is
+    RARE BY CONSTRUCTION, so candidate fan-out per token is bounded by
+    df² ≤ 16; one token-keyed shuffle for df, one anchor-keyed
+    self-join, one pair rollup. The frequent tokens that would blow up
+    the join are excluded by the very definition of an anchor."""
+    from data_ingestion_py_spark.functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    codes = F.concat(
+        F.lit(" numa"),
+        F.col("doc_id").cast("string"),
+        F.lit(" numb"),
+        F.col("doc_id").cast("string"),
+    )
+    base = d.select(
+        "doc_id", "lang", F.concat(F.col("text"), codes).alias("text")
+    )
+    planted = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        F.concat(
+            F.array_join(
+                F.transform(
+                    tokens(F.col("text")),
+                    lambda tok: F.concat(F.lit("zz"), tok),
+                ),
+                " ",
+            ),
+            codes,
+        ).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    u = corpus.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).alias("n"),
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+    ).distinct()
+    df_tbl = u.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = u.join(
+        df_tbl.where(
+            (F.col("df") >= 2) & (F.col("df") <= _BTX_DF_MAX)
+        ).select("tok"),
+        "tok",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .where(
+            (F.col("a.n") <= 2 * F.col("b.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n"))
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_anchors"))
+        .where(F.col("n_anchors") >= _BTX_MIN_ANCHORS)
+    )
