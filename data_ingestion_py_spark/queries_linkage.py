@@ -586,12 +586,13 @@ def _prefix_filter_oracle_sql() -> str:
     SELECT doc_id, list_sort(list(k)) AS ks, count(*) AS n
     FROM keyed GROUP BY doc_id
 ), pref AS (
-    SELECT doc_id,
+    SELECT doc_id, n,
            unnest(ks[1 : CAST(n - ceil({t} * n) + 1 AS BIGINT)]) AS k
     FROM lists
 ), cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM pref a JOIN pref b ON a.k = b.k AND a.doc_id < b.doc_id
+    WHERE a.n * {t} <= b.n AND b.n * {t} <= a.n
 )
 SELECT doc_a, doc_b,
        round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
@@ -658,6 +659,7 @@ def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pref = lists.select(
         "doc_id",
+        "n",
         F.explode(
             F.slice(
                 F.col("ks"),
@@ -671,7 +673,11 @@ def q_dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter (J ≥ t ⇒ max(|x|,|y|) ≤ min(|x|,|y|)/t): prunes
+            # candidates whose set sizes alone already rule the pair out
+            & (F.col("a.n") * t <= F.col("b.n"))
+            & (F.col("b.n") * t <= F.col("a.n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -880,6 +886,7 @@ HAVING count(*) >= {m}
     "text_winnowing_matches",
     _winnow_oracle_sql(),
     tags=("dedup", "fingerprint", "winnowing"),
+    bench=True,
 )
 def q_text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken,
