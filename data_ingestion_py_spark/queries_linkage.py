@@ -1875,3 +1875,89 @@ def q_corpus_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_anchors"))
         .where(F.col("n_anchors") >= _BTX_MIN_ANCHORS)
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis (two-proportion z-test from exact counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ab_test",
+    """
+WITH users AS (
+    SELECT user_id, user_id % 2 AS variant,
+           CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                     >= 10 THEN 1 ELSE 0 END AS conv
+    FROM events GROUP BY user_id
+), v AS (
+    SELECT CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+           CAST(sum(conv) FILTER (WHERE variant = 0) AS BIGINT) AS c_a,
+           CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+           CAST(sum(conv) FILTER (WHERE variant = 1) AS BIGINT) AS c_b
+    FROM users
+)
+SELECT n_a, c_a, n_b, c_b,
+       round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+       round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+       CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+            ELSE round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4)
+       END AS z_score
+FROM v
+""",
+    tags=("analytics", "experiment"),
+)
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: per-variant user counts, conversion
+    rates (a user converts at ≥ 10 purchases — the every-user-buys
+    fixture needs a splitting threshold; a real platform logs a
+    conversion event), and the pooled two-proportion z-statistic — the experimentation-platform query
+    run at every checkpoint of every test. Every aggregate is an
+    exact integer (user-grain max + variant counts); the rates and z
+    are deterministic float functions of those integers, rounded, so
+    the hash gate holds.
+
+    Scale shape: one user-keyed agg (combiner-friendly max), one
+    4-value conditional rollup — a single row out regardless of event
+    volume. Variant assignment here is the id parity stand-in for the
+    experiment-assignment column a real platform logs."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)) >= 10
+        )
+        .cast("int")
+        .alias("conv")
+    ).select((F.col("user_id") % 2).alias("variant"), "conv")
+    v = users.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv"))).cast("long").alias("c_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv"))).cast("long").alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    p = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(
+        p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    conv_total = F.col("c_a") + F.col("c_b")
+    users_total = F.col("n_a") + F.col("n_b")
+    return v.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.when(
+            (conv_total == 0) | (conv_total == users_total), F.lit(0.0)
+        )
+        .otherwise(F.round(z, 4))
+        .alias("z_score"),
+    )
