@@ -1961,3 +1961,146 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(z, 4))
         .alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch mergeability: daily KMV synopses → weekly rollup ≡ direct sketch
+# ---------------------------------------------------------------------------
+
+
+def _kmv_merge_oracle_sql() -> str:
+    from data_ingestion_py_spark.queries_timeseries import _KMV_K, _SQL_H32
+
+    k = _KMV_K
+    est = (
+        f"round(CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)"
+        f" ELSE ({k} - 1) * 4294967296.0"
+        f" / max(CASE WHEN rn = {k} THEN h32 END) END, 2)"
+    )
+    return f"""
+WITH h AS (
+    SELECT DISTINCT event_type,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           {_SQL_H32} AS h32
+    FROM events
+), daily_kmin AS (
+    SELECT event_type, week, day, h32
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type, day
+                                       ORDER BY h32) AS rn FROM h)
+    WHERE rn <= {k}
+), merged AS (
+    SELECT event_type, week, {est} AS kmv_merged
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type, week
+                                       ORDER BY h32) AS rn
+          FROM (SELECT DISTINCT event_type, week, h32 FROM daily_kmin))
+    WHERE rn <= {k} GROUP BY event_type, week
+), direct AS (
+    SELECT event_type, week, {est} AS kmv_direct,
+           CAST(max(n_exact) AS BIGINT) AS exact_distinct
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type, week
+                                       ORDER BY h32) AS rn,
+                 count(*) OVER (PARTITION BY event_type, week) AS n_exact
+          FROM (SELECT DISTINCT event_type, week, h32 FROM h))
+    WHERE rn <= {k} GROUP BY event_type, week
+)
+SELECT d.event_type, d.week, d.exact_distinct, d.kmv_direct, m.kmv_merged,
+       (d.kmv_direct = m.kmv_merged) AS merge_lossless
+FROM direct d JOIN merged m
+  ON d.event_type = m.event_type AND d.week = m.week
+"""
+
+
+@register(
+    "events_kmv_rollup_merge",
+    _kmv_merge_oracle_sql(),
+    tags=("sketch", "cardinality", "mergeable"),
+)
+def q_events_kmv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY, demonstrated rather than claimed: per-day
+    KMV k-min synopses union into a weekly sketch whose estimate is
+    BIT-IDENTICAL to the sketch built directly from the week's raw
+    data (``merge_lossless`` is computed in-row and is true by the
+    k-min-of-union theorem: the week's k smallest hashes each survive
+    their own day's k-min cut). This is the property that lets 100 TB
+    pipelines keep tiny per-partition synopses and roll them up
+    arbitrarily — daily → weekly → yearly — without ever re-touching
+    raw data; exact weekly distincts ride alongside for the error
+    band.
+
+    Scale shape: everything is (type, period)-keyed windows over
+    DISTINCT 32-bit hashes — at production the daily k-min sets (k·8
+    bytes each) are the only state crossing days."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_py_spark.queries_timeseries import _KMV_K
+
+    k = _KMV_K
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h32"),
+    ).distinct()
+
+    def est(df, keys):
+        w = Window.partitionBy(*keys).orderBy("h32")
+        wc = Window.partitionBy(*keys)
+        ranked = df.select(
+            *keys,
+            "h32",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_exact"),
+        ).where(F.col("rn") <= k)
+        return ranked.groupBy(*keys).agg(
+            F.max("n_exact").cast("long").alias("exact_distinct"),
+            F.round(
+                F.when(
+                    F.max("n_exact") < k,
+                    F.max("n_exact").cast("double"),
+                ).otherwise(
+                    (k - 1)
+                    * 4294967296.0
+                    / F.max(F.when(F.col("rn") == k, F.col("h32")))
+                ),
+                2,
+            ).alias("kmv"),
+        )
+
+    daily_kmin = (
+        h.select(
+            "event_type",
+            "week",
+            "day",
+            "h32",
+            F.row_number()
+            .over(Window.partitionBy("event_type", "day").orderBy("h32"))
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= k)
+        .select("event_type", "week", "h32")
+        .distinct()
+    )
+    merged = est(daily_kmin, ["event_type", "week"]).select(
+        "event_type", "week", F.col("kmv").alias("kmv_merged")
+    )
+    direct = est(
+        h.select("event_type", "week", "h32").distinct(),
+        ["event_type", "week"],
+    ).select(
+        "event_type",
+        "week",
+        "exact_distinct",
+        F.col("kmv").alias("kmv_direct"),
+    )
+    return direct.join(merged, ["event_type", "week"]).select(
+        "event_type",
+        "week",
+        "exact_distinct",
+        "kmv_direct",
+        "kmv_merged",
+        (F.col("kmv_direct") == F.col("kmv_merged")).alias("merge_lossless"),
+    )
