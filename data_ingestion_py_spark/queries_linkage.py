@@ -2104,3 +2104,91 @@ def q_events_kmv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kmv_merged",
         (F.col("kmv_direct") == F.col("kmv_merged")).alias("merge_lossless"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtesting: seasonal-naive baseline with exact-integer errors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_seasonal_backtest",
+    """
+WITH daily AS (
+    SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+           date_trunc('day', o_orderdate) AS d,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders GROUP BY 1, 2
+), paired AS (
+    SELECT a.day, a.rev_cents AS actual, f.rev_cents AS forecast,
+           abs(a.rev_cents - f.rev_cents) AS abs_err,
+           CAST(floor(1000000.0 * abs(a.rev_cents - f.rev_cents)
+                      / a.rev_cents) AS BIGINT) AS ape_micro
+    FROM daily a JOIN daily f ON a.d = f.d + INTERVAL 7 DAY
+    WHERE a.rev_cents > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(abs_err) AS DOUBLE) / count(*) / 100.0, 2)
+           AS mae_dollars,
+       round(CAST(sum(ape_micro) AS DOUBLE) / count(*) / 1000000.0, 6)
+           AS mape
+FROM paired
+""",
+    tags=("timeseries", "forecast", "backtest"),
+)
+def q_orders_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST for the seasonal-naive baseline — forecast(t)
+    = revenue(t − 7 days) — the yardstick every real forecasting model
+    must beat before deploying, evaluated over the whole history: MAE
+    and MAPE across all days with a 7-day-old ancestor. The week-lag
+    pairing is a self-EQUI-join of the day-grain rollup on shifted
+    dates (no global window, no allowlist entry); errors are exact
+    integer cents and per-day APE quantizes to integer micro-units
+    BEFORE averaging, so both metrics are engine-deterministic.
+
+    Scale shape: one day-keyed rollup (combiner-friendly integer
+    sums), one calendar-sized self-join, one scalar rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.date_trunc("day", "o_orderdate").alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    a = daily.select("day", "d", F.col("rev_cents").alias("actual"))
+    f = daily.select(
+        F.expr("d + INTERVAL 7 DAY").alias("d"),
+        F.col("rev_cents").alias("forecast"),
+    )
+    paired = (
+        a.join(f, "d")
+        .where(F.col("actual") > 0)
+        .select(
+            "day",
+            "actual",
+            "forecast",
+            F.abs(F.col("actual") - F.col("forecast")).alias("abs_err"),
+            F.floor(
+                1000000.0
+                * F.abs(F.col("actual") - F.col("forecast"))
+                / F.col("actual")
+            )
+            .cast("long")
+            .alias("ape_micro"),
+        )
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum("abs_err").cast("double") / F.count(F.lit(1)) / 100.0, 2
+        ).alias("mae_dollars"),
+        F.round(
+            F.sum("ape_micro").cast("double") / F.count(F.lit(1)) / 1000000.0,
+            6,
+        ).alias("mape"),
+    )
