@@ -2192,3 +2192,70 @@ def q_orders_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional inverted index + phrase search (adjacency join, not regex scan)
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("table", "hash")  # a phrase the fixture corpus actually contains
+
+
+@register(
+    "snippets_phrase_search",
+    f"""
+WITH pos AS (
+    SELECT doc_id, s.p AS p, s.w AS w
+    FROM (SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, len(toks)),
+                     i -> {{'p': i - 1, 'w': toks[i]}})) AS s
+          FROM (SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                           AS toks
+                FROM documents))
+)
+SELECT a.doc_id, count(*) AS n_hits,
+       min(a.p) AS first_pos
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+WHERE a.w = '{_PHRASE[0]}' AND b.w = '{_PHRASE[1]}'
+GROUP BY a.doc_id
+""",
+    tags=("text", "search", "index"),
+)
+def q_snippets_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE search the index-backed way: a positional inverted index
+    (term → (doc, position) postings) answers "table hash" by joining
+    the two terms' postings on doc and POSITION ADJACENCY — the
+    classic IR phrase-query plan, touching only the two terms'
+    postings instead of regex-scanning every document (the plan
+    ``sql_keyword_search``'s LIKE scan cannot avoid). Output: per-doc
+    hit count and first occurrence.
+
+    Scale shape: term filters cut the postings BEFORE the join (two
+    selective scans of an at-rest postings table, term-partitioned at
+    100 TB so each query prunes to its terms' partitions); the
+    adjacency join is keyed on (doc, position) — never a text scan.
+    Both engines build identical postings from the same tokenizer."""
+    from data_ingestion_py_spark.functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    pos = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p", "w")
+    )
+    a = pos.where(F.col("w") == _PHRASE[0]).select(
+        "doc_id", F.col("p").alias("pa")
+    )
+    b = pos.where(F.col("w") == _PHRASE[1]).select(
+        "doc_id", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pa").cast("long").alias("first_pos"),
+        )
+    )
