@@ -2259,3 +2259,72 @@ def q_snippets_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pa").cast("long").alias("first_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity coverage periods (interval merge over per-customer order dates)
+# ---------------------------------------------------------------------------
+
+_ACT_HALF_WINDOW = 15  # each order marks the customer active ±15 days
+
+
+@register(
+    "customer_activity_periods",
+    f"""
+WITH iv AS (
+    SELECT o_custkey AS k,
+           date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+               - {_ACT_HALF_WINDOW} AS s,
+           date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+               + {_ACT_HALF_WINDOW} AS e
+    FROM orders
+), lagd AS (
+    SELECT k, s, e,
+           max(e) OVER (PARTITION BY k ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pme
+    FROM iv
+), isl AS (
+    SELECT k, s, e,
+           sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+    FROM lagd
+), per AS (
+    SELECT k, island, min(s) AS s, max(e) AS e FROM isl GROUP BY k, island
+)
+SELECT k AS o_custkey,
+       CAST(count(*) AS BIGINT) AS n_periods,
+       CAST(sum(e - s + 1) AS BIGINT) AS covered_days
+FROM per GROUP BY k
+""",
+    tags=("analytics", "intervals", "coverage"),
+)
+def q_customer_activity_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity COVERAGE per customer: every order marks ±15 days of
+    activity; overlapping/nested marks merge into maximal periods
+    (operators/intervals.merge_intervals — running-max
+    gaps-and-islands, per-key windows only), reported as period count
+    and total covered days. The lifecycle view behind churn/dormancy
+    scoring — 'how many distinct active stretches, how long' — which a
+    plain first/last-order range overstates whenever activity pauses.
+
+    Scale shape: a narrow map to integer day intervals, then the
+    interval-merge operator's per-customer windows + one keyed rollup;
+    nothing global anywhere."""
+    from data_ingestion_py_spark.operators.intervals import merge_intervals
+
+    o = load_table(spark, sf_dir, "orders")
+    d = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    iv = o.select(
+        F.col("o_custkey").alias("k"),
+        (d - _ACT_HALF_WINDOW).cast("long").alias("start"),
+        (d + _ACT_HALF_WINDOW).cast("long").alias("end"),
+    )
+    per = merge_intervals(iv, ["k"], merge_gap=0)
+    return per.groupBy(F.col("k").alias("o_custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.sum(F.col("end") - F.col("start") + 1)
+        .cast("long")
+        .alias("covered_days"),
+    )
