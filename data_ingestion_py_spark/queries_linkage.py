@@ -2328,3 +2328,96 @@ def q_customer_activity_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("covered_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling) over the trade graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6  # fixed unroll; rounds after the fixpoint are no-ops
+_KCORE_W_MIN = 110  # weight floor thins the dense trade graph first
+
+
+def _kcore_oracle_sql() -> str:
+    from data_ingestion_py_spark.queries_graph import _TRADE_EDGES_CTE
+
+    k, r = _KCORE_K, _KCORE_ROUNDS
+    parts = [
+        f"""
+WITH edges0 AS ({_TRADE_EDGES_CTE}),
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges0 WHERE src <> dst AND w >= {_KCORE_W_MIN}
+),
+sym AS (
+    SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
+),
+alive0 AS (SELECT DISTINCT u AS node FROM sym)"""
+    ]
+    prev = "alive0"
+    for i in range(1, r + 1):
+        parts.append(
+            f""",
+alive{i} AS (
+    SELECT u AS node FROM sym
+    WHERE u IN (SELECT node FROM {prev})
+      AND v IN (SELECT node FROM {prev})
+    GROUP BY u HAVING count(*) >= {k}
+)"""
+        )
+        prev = f"alive{i}"
+    parts.append(
+        f"""
+SELECT s.u AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM sym s
+WHERE s.u IN (SELECT node FROM {prev})
+  AND s.v IN (SELECT node FROM {prev})
+GROUP BY s.u"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_kcore_nations",
+    _kcore_oracle_sql(),
+    tags=("graph", "iterative", "kcore"),
+)
+def q_graph_kcore_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition (k=3) of the thinned trade graph:
+    iteratively peel nodes with degree < k until the fixpoint — what
+    survives is the maximal subgraph where everyone has ≥ k strong
+    partners, the standard dense-community/spam-farm detector (and the
+    graph-curation filter for seed quality). Peeling is unrolled a
+    FIXED 6 rounds on both engines: rounds past the fixpoint are
+    no-ops, so a fixed unroll replays exactly without a convergence
+    flag (cheaper than the driver-side convergence count PageRank
+    needs, because the peel is monotone).
+
+    Scale shape per round: one semi-join of the symmetric edge list
+    against the alive set on EACH endpoint + one degree agg — keyed
+    shuffles at edge cardinality, lineage truncated per round
+    (localCheckpoint), the components/pagerank posture."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    w_edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            s["s_nationkey"].alias("src"), c["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .where((F.col("src") != F.col("dst")) & (F.col("w") >= _KCORE_W_MIN))
+    )
+    from data_ingestion_py_spark.operators.kcore import kcore_degrees
+
+    und = w_edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    return kcore_degrees(sym, k=_KCORE_K, rounds=_KCORE_ROUNDS)
