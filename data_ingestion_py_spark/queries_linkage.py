@@ -2421,3 +2421,106 @@ def q_graph_kcore_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     return kcore_degrees(sym, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Clustering coefficient (triangles over wedge capacity, per node)
+# ---------------------------------------------------------------------------
+
+
+def _clustering_oracle_sql() -> str:
+    from data_ingestion_py_spark.queries_graph import _TRADE_EDGES_CTE
+
+    return f"""
+WITH edges AS ({_TRADE_EDGES_CTE}),
+und AS (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+deg AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+    GROUP BY node
+),
+tri AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+    SELECT node, count(*) AS n_tri
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY node
+)
+SELECT deg.node, CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(tcnt.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d < 2 THEN 0.0
+            ELSE round(2.0 * coalesce(tcnt.n_tri, 0)
+                       / (deg.d * (deg.d - 1)), 6)
+       END AS clustering_coef
+FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+"""
+
+
+@register(
+    "graph_clustering_coefficient",
+    _clustering_oracle_sql(),
+    tags=("graph", "triangles"),
+)
+def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node — triangles through the
+    node over its wedge capacity d(d−1)/2: how much each nation's
+    trade neighborhood closes into cliques (1.0 = my partners all
+    trade with each other; ~0 = hub-and-spoke). Composes the
+    degree-oriented triangle operator with the degree table; the
+    ratio is a deterministic float of exact integers, rounded, with
+    the d < 2 degenerate case pinned to 0.
+
+    Scale shape: identical to graph_triangle_count (the O(√m)-bounded
+    wedge joins dominate) plus one node-keyed degree agg and join."""
+    from data_ingestion_py_spark.operators.triangles import (
+        triangle_counts,
+        undirected_edges,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            s["s_nationkey"].alias("src"), c["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    und = undirected_edges(edges)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(und, orient="degree").withColumnRenamed(
+        "n_triangles", "n_tri"
+    )
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            )
+        )
+        .alias("clustering_coef"),
+    )
