@@ -174,9 +174,13 @@ def pagerank_oracle_sql(
         r0_expr = "(SELECT r_init FROM consts)"
     its = []
     prev = "r0"
+    # AS MATERIALIZED: each round references the previous round's CTE
+    # up to three times (join, dangling subquery), so default CTE
+    # inlining regrows the whole upstream edge build 3^n times — the
+    # SQL twin of why the Spark side localCheckpoints per round.
     for i in range(1, n_iter + 1):
         its.append(
-            f"""it{i} AS (
+            f"""it{i} AS MATERIALIZED (
     SELECT n.node,
            {base_term} +
            (coalesce(sum({prev}.rank_micro * e.w // e.out_w), 0)
@@ -195,7 +199,7 @@ def pagerank_oracle_sql(
     joined = ",\n".join(its)
     n_tele_sql = tele_div if seeds else "count(*)"
     return f"""
-WITH edges AS ({edges_cte}),
+WITH edges AS MATERIALIZED ({edges_cte}),
 nodes AS (
     SELECT DISTINCT src AS node FROM edges
     UNION SELECT DISTINCT dst FROM edges

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestion_py_spark.io import load_table
+from data_ingestion_py_spark.operators.bfs import bellman_ford_oracle_sql
 from data_ingestion_py_spark.operators.pagerank import (
     pagerank_integer,
     pagerank_oracle_sql,
@@ -141,3 +142,166 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(n), ranks["node"] == F.col("n_nationkey")
     ).select(F.col("n_name").alias("nation"), "rank_micro")
+
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE edges AS ({_TRADE_EDGES_CTE}),
+pp AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM edges WHERE src <> dst
+    ) WHERE rn <= 3
+),
+und AS (SELECT src AS u, dst AS v FROM pp UNION SELECT dst, src FROM pp),
+bfs(node, d) AS (
+    SELECT (SELECT min(u) FROM und), 0
+    UNION
+    SELECT und.v, bfs.d + 1 FROM bfs JOIN und ON und.u = bfs.node
+    WHERE bfs.d < 30
+)
+SELECT n.n_name AS nation, CAST(min(d) AS BIGINT) AS dist
+FROM bfs JOIN nation n ON n.n_nationkey = bfs.node
+GROUP BY 1
+"""
+
+
+@register(
+    "graph_bfs_distances",
+    _BFS_ORACLE,
+    tags=("graph", "iterative"),
+)
+def q_graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the lowest-id nation over the "primary trade
+    partners" graph (each nation keeps its top-3 heaviest partners,
+    ties → lower key — a sparse, deterministic subgraph of the dense
+    trade matrix). Level-synchronous BFS (``operators/bfs.py``):
+    frontier ⋈ edges + anti-join vs settled per round, frontier-sized
+    state, empty-frontier stop. The third iterative-graph shape next
+    to fixpoint labeling (components) and diffusion (PageRank); at
+    corpus scale the same operator scores link-distance from a trusted
+    seed set as a document-quality prior. The DuckDB oracle replays it
+    as a recursive CTE — hop counts are exact integers, no float
+    drift. Unreachable nations are absent on both sides."""
+    from data_ingestion_py_spark.operators.bfs import bfs_distances
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            s["s_nationkey"].alias("src"), c["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    pp = (
+        edges.where(F.col("src") != F.col("dst"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    und = (
+        pp.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(pp.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    seed = und.agg(F.min("u").alias("node"))
+    dist = bfs_distances(und, seed)
+    return dist.join(
+        F.broadcast(n), dist["node"] == F.col("n_nationkey")
+    ).select(F.col("n_name").alias("nation"), "dist")
+
+
+_WEIGHTED_EDGES_CTE = f"""
+    WITH edges AS ({_TRADE_EDGES_CTE}),
+    pp AS (
+        SELECT src, dst, rn AS cost FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src ORDER BY w DESC, dst)
+                       AS rn
+            FROM edges WHERE src <> dst
+        ) WHERE rn <= 3
+    ),
+    undc AS (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+               CAST(min(cost) AS BIGINT) AS cost
+        FROM pp GROUP BY 1, 2
+    )
+    SELECT a AS u, b AS v, cost FROM undc
+    UNION ALL
+    SELECT b, a, cost FROM undc
+"""
+
+_BF_ROUNDS = 10
+
+
+@register(
+    "graph_weighted_distances",
+    f"""
+WITH dd AS (
+{bellman_ford_oracle_sql(_WEIGHTED_EDGES_CTE, "SELECT min(u) AS node FROM e", _BF_ROUNDS)}
+)
+SELECT n.n_name AS nation, dd.dist
+FROM dd JOIN nation n ON n.n_nationkey = dd.node
+""",
+    tags=("graph", "iterative"),
+)
+def q_graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (min-plus Bellman-Ford, 10 fixed
+    rounds) from the lowest-id nation over the primary-partner graph,
+    with edge cost = the partner's preference rank (1 = heaviest
+    partner, 3 = tertiary; an undirected edge takes the cheaper
+    orientation). Cheap multi-hop detours can beat expensive direct
+    edges, so this is NOT hop count — it exercises the min-plus
+    relaxation ``graph_bfs_distances``'s anti-join shortcut cannot
+    express. Fixed round count on both engines (pagerank pattern)
+    keeps the hash gate exact even pre-convergence; integer costs, no
+    float drift. Per round: settled ⋈ edges + keyed min — node-sized
+    state, lineage truncated (``operators/bfs.py``)."""
+    from data_ingestion_py_spark.operators.bfs import bellman_ford_rounds
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            s["s_nationkey"].alias("src"), c["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    pp = (
+        edges.where(F.col("src") != F.col("dst"))
+        .withColumn("cost", F.row_number().over(w))
+        .where(F.col("cost") <= 3)
+        .select("src", "dst", "cost")
+    )
+    undc = (
+        pp.groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.min("cost").cast("long").alias("cost"))
+    )
+    e = undc.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "cost"
+    ).unionByName(
+        undc.select(F.col("b").alias("u"), F.col("a").alias("v"), "cost")
+    )
+    seed = e.agg(F.min("u").alias("node"))
+    dist = bellman_ford_rounds(e, seed, _BF_ROUNDS)
+    return dist.join(
+        F.broadcast(n), dist["node"] == F.col("n_nationkey")
+    ).select(F.col("n_name").alias("nation"), "dist")

@@ -1095,3 +1095,131 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (broadcast bit-set probe, no corpus shuffle)
+# ---------------------------------------------------------------------------
+
+_BLOOM_P = "(('0x' || substr(md5(g || '|' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 65536)"
+
+
+@register(
+    "corpus_bloom_decontaminate",
+    f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+), ev AS (
+    SELECT doc_id, t FROM toks
+    WHERE {_SQL_BUCKET} >= 95 AND len(t) >= {_CONTAM_K}
+), evg AS (
+    SELECT DISTINCT unnest(list_distinct(list_transform(
+        generate_series(0, len(t) - {_CONTAM_K}),
+        i -> array_to_string(t[i+1 : i+{_CONTAM_K}], ' ')))) AS g
+    FROM ev
+), filt AS (
+    SELECT p // 32 AS word,
+           bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+    FROM (SELECT {_BLOOM_P} AS p
+          FROM evg, generate_series(0, 3) AS js(j))
+    GROUP BY 1
+), probe_docs AS (
+    SELECT doc_id, t FROM toks WHERE {_SQL_BUCKET} < 80
+    UNION ALL
+    SELECT doc_id + 5000000 AS doc_id, t[3:] AS t
+    FROM toks WHERE {_SQL_BUCKET} >= 95 AND doc_id % 2 = 0
+), pg AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(0, len(t) - {_CONTAM_K}),
+        i -> array_to_string(t[i+1 : i+{_CONTAM_K}], ' ')))) AS g
+    FROM probe_docs WHERE len(t) >= {_CONTAM_K}
+), need AS (
+    SELECT doc_id, g, {_BLOOM_P} // 32 AS word,
+           bit_or(1::BIGINT << CAST({_BLOOM_P} % 32 AS INT)) AS need
+    FROM pg, generate_series(0, 3) AS js(j)
+    GROUP BY 1, 2, 3
+), hits AS (
+    SELECT n.doc_id, n.g,
+           bool_and(f.bits IS NOT NULL AND (f.bits & n.need) = n.need)
+               AS bloom_hit
+    FROM need n LEFT JOIN filt f ON n.word = f.word
+    GROUP BY 1, 2
+), ex AS (SELECT g, 1 AS x FROM evg)
+SELECT h.doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom,
+       CAST(sum(CASE WHEN ex.x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+       CAST(sum(CASE WHEN h.bloom_hit AND ex.x IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(CASE WHEN sum(CASE WHEN h.bloom_hit THEN 1 ELSE 0 END) * 2
+                      >= count(*)
+                 THEN 1 ELSE 0 END AS INT) AS flagged
+FROM hits h LEFT JOIN ex ON h.g = ex.g AND h.bloom_hit
+GROUP BY 1
+""",
+    tags=("contamination", "bloom", "sketch"),
+)
+def q_corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the plan you'd run at 100 TB: build a
+    65,536-bit / 4-hash Bloom filter over the EVAL suite's distinct
+    8-grams (the small side — ≤2,048 words ≈ 16 KiB), broadcast it,
+    and probe every TRAIN doc's grams in the scan's map stage; only
+    bloom-POSITIVE grams continue to the exact verify join, so the
+    ~98% negative gram mass never shuffles on the gram string at all
+    (contrast ``contamination_eval_overlap``, which shuffles every
+    gram). Planted clones of eval docs (ids +5M, first 2 tokens
+    dropped) must flag; ``n_false_pos`` surfaces the filter's actual
+    FP count next to its ~2% design rate — no false negatives by
+    construction (``n_exact`` ≤ ``n_bloom`` always, per-gram verified
+    in ``operators/bloom.py``). Filter build, probe, and verify are
+    all md5 column algebra, so DuckDB replays the exact bits."""
+    from data_ingestion_py_spark.functions.text import shingles, tokens
+    from data_ingestion_py_spark.operators.bloom import bloom_build, bloom_probe
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        tokens(F.col("text")).alias("t"),
+        split_bucket(F.col("doc_id")).alias("b"),
+    )
+    ev = toks.where((F.col("b") >= 95) & (F.size("t") >= _CONTAM_K))
+    evg = (
+        ev.select(
+            F.explode(F.array_distinct(shingles(F.col("t"), _CONTAM_K))).alias("g")
+        )
+        .distinct()
+    )
+    filt = bloom_build(evg)
+    probe_docs = toks.where(F.col("b") < 80).select("doc_id", "t").unionByName(
+        ev.where(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.slice(F.col("t"), 3, F.greatest(F.size("t") - 2, F.lit(0))).alias("t"),
+        )
+    )
+    pg = probe_docs.where(F.size("t") >= _CONTAM_K).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("t"), _CONTAM_K))).alias("g"),
+    )
+    hits = bloom_probe(pg, filt, ["doc_id"])
+    ex = evg.withColumn("x", F.lit(1))
+    n_bloom = F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+    return (
+        hits.join(ex, (hits["g"] == ex["g"]) & hits["bloom_hit"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            n_bloom.cast("long").alias("n_bloom"),
+            F.sum(F.when(F.col("x").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact"),
+            F.sum(
+                F.when(F.col("bloom_hit") & F.col("x").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+            (n_bloom * 2 >= F.count(F.lit(1))).cast("int").alias("flagged"),
+        )
+    )

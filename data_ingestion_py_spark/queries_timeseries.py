@@ -454,3 +454,98 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("kmv_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_W = 256  # width (buckets per depth): over-estimate ≤ e·N/w w.h.p.
+_CMS_D = 3  # depth (independent hash rows): error bound holds w.p. 1-e^-d
+
+_SQL_CMS_KEY = "(CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR))"
+
+
+def _sql_cms_bucket(key: str, j: str) -> str:
+    return (
+        f"(('0x' || substr(md5({key} || '#' || CAST({j} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {_CMS_W})"
+    )
+
+
+@register(
+    "events_cms_heavy_hitters",
+    f"""
+WITH cnts AS (
+    SELECT {_SQL_CMS_KEY} AS k, count(*) AS c FROM events GROUP BY 1
+), sketch AS (
+    SELECT j, {_sql_cms_bucket('k', 'j')} AS bucket, sum(c) AS cell
+    FROM cnts CROSS JOIN generate_series(0, {_CMS_D - 1}) AS js(j)
+    GROUP BY 1, 2
+), top AS (
+    SELECT k, c FROM cnts ORDER BY c DESC, k LIMIT 10
+), probe AS (
+    SELECT t.k, t.c, j, {_sql_cms_bucket('t.k', 'j')} AS bucket
+    FROM top t CROSS JOIN generate_series(0, {_CMS_D - 1}) AS js(j)
+)
+SELECT p.k AS activity_key,
+       CAST(max(p.c) AS BIGINT) AS exact_cnt,
+       CAST(min(s.cell) AS BIGINT) AS cms_estimate,
+       CAST(min(s.cell) - max(p.c) AS BIGINT) AS overcount
+FROM probe p
+JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+GROUP BY 1
+""",
+    tags=("sketch", "heavy-hitters"),
+)
+def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over (user, day) activity keys: d=3 hash rows ×
+    w=256 counters — a fixed 768-cell table that answers "how often did
+    key x occur?" with one-sided error ≤ e·N/w (never an undercount;
+    ``overcount`` surfaces the realized error next to the bound). The
+    KMV sibling sketches cardinality; this sketches FREQUENCY.
+
+    Scale shape: the build is one groupBy over a FIXED 768-key space —
+    map-side partials collapse each partition to ≤768 rows before the
+    shuffle, so the shuffle is O(partitions·d·w) regardless of corpus
+    size (vs a corpus-keyed groupBy whose shuffle grows with distinct
+    keys). Sketches over shards/days MERGE by cell-wise sum, the same
+    synopsis property ``events_kmv_rollup_merge`` demonstrates for
+    distinct counts. Probing broadcasts the 768-row sketch. Exact
+    counts ride alongside only to exhibit the error; at 100 TB you keep
+    the sketch and drop the exact pass. md5 bucket arithmetic replays
+    bit-identically in the DuckDB oracle (house style: no native
+    salted sketch state, unlike ``approx_count_distinct``/CountMinSketch
+    in Spark, which cannot be oracle-checked)."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    cnts = e.select(key.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+
+    def bucket(k: F.Column, j: F.Column) -> F.Column:
+        h = F.md5(F.concat(k, F.lit("#"), j.cast("string")))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CMS_W
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
+    sketch = (
+        cnts.select("k", "c", js)
+        .select("c", "j", bucket(F.col("k"), F.col("j")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("cell"))
+    )
+    top = cnts.orderBy(F.col("c").desc(), "k").limit(10)
+    probe = top.select("k", "c", js).select(
+        "k", "c", "j", bucket(F.col("k"), F.col("j")).alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(F.col("k").alias("activity_key"))
+        .agg(
+            F.max("c").cast("long").alias("exact_cnt"),
+            F.min("cell").cast("long").alias("cms_estimate"),
+            (F.min("cell") - F.max("c")).cast("long").alias("overcount"),
+        )
+    )
