@@ -151,3 +151,39 @@ def compact(
         df.coalesce(target_files).write.mode("overwrite").parquet(out)
     else:
         df.repartition(target_files).write.mode("overwrite").parquet(out)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Write a catalog table hash-bucketed (and per-file sorted) on the
+    join key — the shuffle-elimination layout for repeated big joins.
+
+    Two tables bucketed on the same key with the same bucket count
+    join WITHOUT either side exchanging: Spark trusts the on-disk
+    hash partitioning (``HashPartitioning(key, n)``) and plans a
+    sort-merge join whose sort is also satisfied by ``sortBy``. At
+    100 TB this converts every fact⋈fact join on the bucket key from
+    two full-table shuffles into a zero-shuffle zip of co-numbered
+    buckets — the single biggest repeated-join win there is; pinned by
+    ``tests/test_bucketing.py`` (zero Exchange operators in the
+    executed plan, results equal to the plain join).
+
+    Requires ``saveAsTable`` (bucket metadata lives in the session
+    catalog, not in parquet files), hence ``table`` + explicit
+    ``path``. The catalog entry is session-scoped here; a real
+    deployment points this at a shared metastore.
+    """
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .saveAsTable(table)
+    )

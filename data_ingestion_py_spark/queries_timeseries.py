@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from data_ingestion_py_spark.functions.ints import half_up_mean_sql
+from data_ingestion_py_spark.functions.ints import half_up_mean_sql, trunc_div_sql
 from data_ingestion_py_spark.functions.time import ts_us
 from data_ingestion_py_spark.io import load_table
 from data_ingestion_py_spark.queries import register
@@ -548,4 +548,119 @@ def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cell").cast("long").alias("cms_estimate"),
             (F.min("cell") - F.max("c")).cast("long").alias("overcount"),
         )
+    )
+
+
+@register(
+    "events_gap_fill_interp",
+    """
+WITH e AS (
+    SELECT to_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600) AS bin,
+           value
+    FROM events WHERE event_type = 'error'
+), binned AS (
+    SELECT bin, count(*) AS n_events,
+           ((2 * sum(CAST(round(value * 100) AS BIGINT)) * 100 + count(*))
+               // (2 * count(*))) AS avg_u
+    FROM e GROUP BY bin
+), spine AS (
+    SELECT unnest(generate_series(
+        (SELECT min(bin) FROM binned),
+        (SELECT max(bin) FROM binned),
+        INTERVAL 10 MINUTE)) AS bin
+), j AS (
+    SELECT s.bin, CAST(epoch(s.bin) AS BIGINT) // 600 AS idx,
+           coalesce(b.n_events, 0) AS n_events, b.avg_u
+    FROM spine s LEFT JOIN binned b ON s.bin = b.bin
+), w AS (
+    SELECT bin, idx, n_events,
+           last_value(avg_u IGNORE NULLS) OVER
+               (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS pv,
+           last_value(CASE WHEN avg_u IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS pi,
+           first_value(avg_u IGNORE NULLS) OVER
+               (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS nv,
+           first_value(CASE WHEN avg_u IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS ni
+    FROM j
+)
+SELECT strftime(bin AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS bin,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events = 0 AS BOOLEAN) AS is_gap,
+       (CASE WHEN ni = pi THEN pv
+             ELSE pv + ((2 * ((nv - pv) * (idx - pi)) + (ni - pi))
+                        // (2 * (ni - pi))) END) / 10000.0 AS interp_avg
+FROM w
+""",
+    tags=("timeseries", "gapfill"),
+)
+def q_events_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 10-minute rollup with LINEAR interpolation — the
+    ``time_bucket_gapfill`` + ``interpolate`` sibling of
+    ``events_gap_fill_locf`` (LOCF holds the last level; interpolation
+    draws the line to the next observation — the right fill for
+    continuous gauges vs stepwise counters). Same scale shape: the
+    events table shuffles once into the bin rollup, the spine is
+    calendar-bounded, and the four neighbor windows run over the
+    SPINE-sized table (partition by series key at 100 TB). The
+    interpolation is exact integer arithmetic in 1e-4 units —
+    ``pv + trunc_div(2*(nv-pv)*(k) + n, 2*n)`` with both engines
+    truncating toward zero (``functions/ints.py``) — so the hash gate
+    is drift-free; interior gaps always have both neighbors because
+    the spine is bounded by observed bins (ni=pi only on known bins,
+    where the value passes through untouched)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    bin_col = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp("ts") / 600)).cast("long") * 600
+    )
+    binned = (
+        e.select(bin_col.alias("bin"), "value")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_sum_c"),
+        )
+        .select(
+            "bin",
+            "n_events",
+            F.expr(half_up_mean_sql("_sum_c", "n_events")).alias("avg_u"),
+        )
+    )
+    bounds = binned.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 10 MINUTES"))).alias(
+            "bin"
+        )
+    )
+    j = spine.join(binned, "bin", "left").select(
+        "bin",
+        (F.unix_timestamp("bin").cast("long") / 600).cast("long").alias("idx"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "avg_u",
+    )
+    wp = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("idx").rowsBetween(0, Window.unboundedFollowing)
+    known_idx = F.when(F.col("avg_u").isNotNull(), F.col("idx"))
+    w = j.select(
+        "bin",
+        "idx",
+        "n_events",
+        F.last("avg_u", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_idx, ignorenulls=True).over(wp).alias("pi"),
+        F.first("avg_u", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_idx, ignorenulls=True).over(wn).alias("ni"),
+    )
+    interp_u = F.when(F.col("ni") == F.col("pi"), F.col("pv")).otherwise(
+        F.col("pv")
+        + F.expr(
+            trunc_div_sql("2 * ((nv - pv) * (idx - pi)) + (ni - pi)", "2 * (ni - pi)")
+        )
+    )
+    return w.select(
+        F.date_format("bin", "yyyy-MM-dd HH:mm:ss").alias("bin"),
+        "n_events",
+        (F.col("n_events") == 0).alias("is_gap"),
+        (interp_u / 10000.0).alias("interp_avg"),
     )
