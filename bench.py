@@ -77,6 +77,7 @@ def main() -> None:
         ("distinct_swap", _distinct_swap_bench),
         ("dedup_slope", _dedup_slope_bench),
         ("ann_swap", _ann_swap_bench),
+        ("bucket_join_swap", _bucket_join_bench),
     ):
         try:
             probes[key] = fn(spark, sf_dir)
@@ -357,3 +358,53 @@ def _ann_swap_bench(spark, sf_dir: str) -> dict:
 
 if __name__ == "__main__":
     main()
+
+
+def _bucket_join_bench(spark, sf_dir: str) -> dict:
+    """Bucketed vs plain sort-merge join on the customer key (broadcast
+    off so both plans are SMJ): the measured number behind
+    `io.write_bucketed` / SCALE.md "Bucketing". The one-time bucket
+    write is reported separately — it amortizes over every repeated
+    join, which is the whole point of the layout."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_py_spark.io import load_table, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+
+        def _join(lo, lc):
+            (
+                lo.join(lc, lo["o_custkey"] == lc["c_custkey"])
+                .groupBy("c_nationkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+
+        plain = _best_of(3, lambda: _join(o, c))
+        base = tempfile.mkdtemp(prefix="bench_buckets_")
+        t0 = time.perf_counter()
+        write_bucketed(o, "bench_orders_b", ["o_custkey"], 16, base + "/o")
+        write_bucketed(c, "bench_customer_b", ["c_custkey"], 16, base + "/c")
+        write_sec = round(time.perf_counter() - t0, 3)
+        ob = spark.table("bench_orders_b")
+        cb = spark.table("bench_customer_b")
+        bucketed = _best_of(3, lambda: _join(ob, cb))
+        return {
+            "plain_join_sec": plain,
+            "bucketed_join_sec": bucketed,
+            "bucket_write_once_sec": write_sec,
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.sql("DROP TABLE IF EXISTS bench_orders_b")
+        spark.sql("DROP TABLE IF EXISTS bench_customer_b")

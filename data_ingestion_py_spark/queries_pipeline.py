@@ -1223,3 +1223,87 @@ def q_corpus_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_bloom * 2 >= F.count(F.lit(1))).cast("int").alias("flagged"),
         )
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_heaps_law",
+    """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+), doc_stats AS (
+    SELECT doc_id, len(t) AS n_tokens FROM toks
+), firsts AS (
+    SELECT term, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks
+    ) GROUP BY term
+), new_terms AS (
+    SELECT first_doc AS doc_id, count(*) AS n_new FROM firsts GROUP BY 1
+), per_doc AS (
+    SELECT d.doc_id, d.n_tokens, coalesce(n.n_new, 0) AS n_new
+    FROM doc_stats d LEFT JOIN new_terms n ON d.doc_id = n.doc_id
+), cum AS (
+    SELECT doc_id,
+           sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+           sum(n_new) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_vocab
+    FROM per_doc
+)
+SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_vocab AS BIGINT) AS cum_vocab
+FROM cum WHERE doc_id % 50 = 0
+""",
+    tags=("text", "corpus-stats"),
+)
+def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law curve: cumulative vocabulary size vs cumulative token
+    count in doc_id order, sampled every 50th doc — the V(n) = K*n^b
+    sublinear growth every tokenizer-budget / vocab-size decision reads
+    off. The interesting scale move is the CUMULATIVE DISTINCT: a
+    naive running countDistinct window is unshufflable (and Spark
+    refuses it); instead each term contributes at its FIRST document
+    (one groupBy min per term — the same first-touch trick
+    ``dedup_exact`` uses for keeper election), turning running-distinct
+    into a running SUM of per-doc first-touch counts, which
+    ``with_global_rank``'s two-phase cumsum machinery handles with a
+    range shuffle + partition-offset broadcast — no single-partition
+    window over the corpus-sized table (lint-enforced)."""
+    from data_ingestion_py_spark.functions.text import tokens
+    from data_ingestion_py_spark.operators.ranking import with_global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    doc_stats = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    firsts = (
+        toks.select("doc_id", F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_terms = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    per_doc = doc_stats.join(new_terms, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    cum = with_global_rank(
+        per_doc,
+        order_by=[F.col("doc_id")],
+        cumsum={
+            "cum_tokens": F.col("n_tokens"),
+            "cum_vocab": F.col("n_new"),
+        },
+    )
+    return cum.where(F.col("doc_id") % 50 == 0).select(
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+    )

@@ -460,8 +460,10 @@ def q_events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Count-min sketch heavy hitters
 # ---------------------------------------------------------------------------
 
-_CMS_W = 256  # width (buckets per depth): over-estimate ≤ e·N/w w.h.p.
-_CMS_D = 3  # depth (independent hash rows): error bound holds w.p. 1-e^-d
+# geometry lives in functions/sketch.py (shared with the streaming
+# maintainer); the oracle below inlines the same numbers
+from data_ingestion_py_spark.functions.sketch import CMS_D as _CMS_D
+from data_ingestion_py_spark.functions.sketch import CMS_W as _CMS_W
 
 _SQL_CMS_KEY = "(CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR))"
 
@@ -516,29 +518,27 @@ def q_events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch and drop the exact pass. md5 bucket arithmetic replays
     bit-identically in the DuckDB oracle (house style: no native
     salted sketch state, unlike ``approx_count_distinct``/CountMinSketch
-    in Spark, which cannot be oracle-checked)."""
+    in Spark, which cannot be oracle-checked). Cell construction is
+    shared with the STREAMING maintainer (``functions/sketch.py``,
+    ``streaming.pipeline.run_cms_stream``) so the streamed state is
+    cell-identical to a batch rebuild."""
+    from data_ingestion_py_spark.functions.sketch import (
+        cms_bucket,
+        cms_cells,
+        cms_key,
+    )
+
     e = load_table(spark, sf_dir, "events")
-    key = F.concat(
-        F.col("user_id").cast("string"),
-        F.lit("@"),
-        F.date_format("ts", "yyyy-MM-dd"),
+    cnts = (
+        e.select(cms_key(F.col("user_id"), F.col("ts")).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    cnts = e.select(key.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("c"))
-
-    def bucket(k: F.Column, j: F.Column) -> F.Column:
-        h = F.md5(F.concat(k, F.lit("#"), j.cast("string")))
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _CMS_W
-
+    sketch = cms_cells(e)
     js = F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j")
-    sketch = (
-        cnts.select("k", "c", js)
-        .select("c", "j", bucket(F.col("k"), F.col("j")).alias("bucket"))
-        .groupBy("j", "bucket")
-        .agg(F.sum("c").alias("cell"))
-    )
     top = cnts.orderBy(F.col("c").desc(), "k").limit(10)
     probe = top.select("k", "c", js).select(
-        "k", "c", "j", bucket(F.col("k"), F.col("j")).alias("bucket")
+        "k", "c", "j", cms_bucket(F.col("k"), F.col("j")).alias("bucket")
     )
     return (
         probe.join(F.broadcast(sketch), ["j", "bucket"])

@@ -527,3 +527,80 @@ def compact_rollup_state(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch maintenance
+# ---------------------------------------------------------------------------
+
+CMS_STATE_SCHEMA = "j INT, bucket BIGINT, cell BIGINT, batch_id BIGINT"
+
+
+def cms_batch_processor(state_path: str):
+    """foreachBatch handler: append THIS batch's count-min cells
+    (``functions/sketch.cms_cells`` — the same definition the batch
+    query uses) to the at-rest cell log, tagged with batch_id. The
+    rollup-log pattern applied to a SKETCH: cells merge by sum, so
+    each micro-batch costs one batch-sized fixed-key agg + a ≤ d·w-row
+    append, and the live sketch is merge-on-read
+    (``read_cms_state``). Idempotent under re-delivery via the same
+    monotonic-batch-id guard as ``rollup_batch_processor``."""
+    from data_ingestion_py_spark.functions.sketch import cms_cells
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.schema(CMS_STATE_SCHEMA).parquet(state_path)
+            hi = existing.agg(F.max("batch_id").alias("m")).collect()[0].m
+            if hi is not None and batch_id <= hi:
+                return  # re-delivered after restart
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            pass
+        (
+            cms_cells(batch_df)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    return _process
+
+
+def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the cell log: (j, bucket, cell) summed across
+    batches — cell-identical to ``cms_cells`` over everything ingested
+    (the mergeability theorem, pinned by ``tests/test_streaming.py``)."""
+    return (
+        spark.read.schema(CMS_STATE_SCHEMA)
+        .parquet(state_path)
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell").cast("long").alias("cell"))
+    )
+
+
+def run_cms_stream(
+    spark: SparkSession,
+    events_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """events file stream → durable count-min sketch state. Restart-
+    safe: same state path + checkpoint resumes; re-delivered batches
+    no-op. At 100 TB the appended cells are O(d·w) per batch regardless
+    of event volume — the sketch IS the bounded-state answer to
+    "streaming heavy hitters without per-key state"."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(cms_batch_processor(state_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

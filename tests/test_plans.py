@@ -426,6 +426,9 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # per-partition-count aggregate (operators/ranking.py:94-98)
     "corpus_global_shuffle": 1,
     "corpus_length_powerlaw": 1,
+    # Heaps-law: with_global_rank's offsets window over the
+    # #partitions-row aggregate (two cumsums ride one window spec)
+    "corpus_heaps_law": 1,
     # sorted-neighborhood linkage: one with_global_rank whose offsets
     # table surfaces both its prefix and total windows in this plan —
     # both run over the #partitions-row aggregate

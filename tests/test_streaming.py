@@ -697,3 +697,56 @@ def test_stream_static_broadcast_enrichment_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {(r.event_id, r.score) for r in out} == expect
+
+
+def test_durable_cms_stream_matches_batch_and_survives_restart(
+    spark, tmp_path
+):
+    """The streamed count-min cell log, merged on read, must be
+    CELL-IDENTICAL to a one-pass batch sketch of everything ingested —
+    across two process lifetimes — and re-delivered batches must not
+    double-count. This is the mergeability theorem (cells sum) made a
+    restart-safe streaming contract."""
+    from data_ingestion_py_spark.functions.sketch import cms_cells
+    from data_ingestion_py_spark.streaming.pipeline import (
+        cms_batch_processor,
+        read_cms_state,
+        run_cms_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_cms_stream(spark, src, state, ckpt)
+    q.awaitTermination(240)
+    got1 = {
+        (r.j, r.bucket): r.cell for r in read_cms_state(spark, state).collect()
+    }
+    want1 = {(r.j, r.bucket): r.cell for r in cms_cells(half1).collect()}
+    assert got1 == want1
+
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtime => stable file-batch order
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    q = run_cms_stream(spark, src, state, ckpt)
+    q.awaitTermination(240)
+    got2 = {
+        (r.j, r.bucket): r.cell for r in read_cms_state(spark, state).collect()
+    }
+    want2 = {(r.j, r.bucket): r.cell for r in cms_cells(events).collect()}
+    assert got2 == want2
+
+    # re-delivery of an already-committed batch id is a no-op
+    proc = cms_batch_processor(state)
+    proc(half1, 0)
+    got3 = {
+        (r.j, r.bucket): r.cell for r in read_cms_state(spark, state).collect()
+    }
+    assert got3 == want2
