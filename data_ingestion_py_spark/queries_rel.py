@@ -935,3 +935,69 @@ def q_lang_doc_rollcall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents")
+
+
+@register(
+    "events_asof_nearest",
+    """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+b AS (
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           cb.ts AS b_ts, cb.value AS b_value
+    FROM p ASOF LEFT JOIN c cb
+      ON p.user_id = cb.user_id AND p.ts >= cb.ts
+),
+f AS (
+    SELECT p.event_id, cf.ts AS f_ts, cf.value AS f_value
+    FROM p ASOF LEFT JOIN c cf
+      ON p.user_id = cf.user_id AND p.ts <= cf.ts
+)
+SELECT b.event_id, b.user_id, b.ts, b.value,
+       CASE WHEN f.f_ts IS NULL
+                 OR (b.b_ts IS NOT NULL
+                     AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts))
+            THEN b.b_ts ELSE f.f_ts END AS near_ts,
+       CASE WHEN f.f_ts IS NULL
+                 OR (b.b_ts IS NOT NULL
+                     AND epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts))
+            THEN b.b_value ELSE f.f_value END AS near_value
+FROM b JOIN f USING (event_id)
+""",
+    tags=("asof", "window"),
+)
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join: each purchase gets the closest
+    click of the same user in EITHER direction (ties → backward) —
+    polars' ``strategy="nearest"``, which neither Spark nor plain SQL
+    has built-in. One union + one sort + two frames over the same
+    per-key ordering (``operators/asof.py``): still exactly ONE
+    shuffle, no range crossJoin, no Python. The oracle composes two
+    native DuckDB ASOF joins (backward + forward) and picks the
+    closer — an independent algorithm agreeing on every row."""
+    from data_ingestion_py_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["value"],
+        direction="nearest",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("asof_ts").alias("near_ts"),
+        F.col("asof_value").alias("near_value"),
+    )

@@ -88,3 +88,64 @@ def test_range_join_matches_bruteforce(spark, synth):
         for r in time_proximity_pairs(sdf, max_gap_seconds=120).collect()
     }
     assert got == brute
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_directions_match_pandas(spark, synth, direction):
+    """forward / nearest directions vs pandas merge_asof on the same
+    adversarial synth (dup timestamps, right-less keys). pandas
+    'nearest' breaks ties toward... either side; our contract is
+    ties → backward, so nearest is checked against an explicit
+    two-pass pick instead of pandas' tie rule."""
+    sdf, pdf = synth
+    left_p = pdf[pdf["side"] == "L"].sort_values("ts")
+    right_p = pdf[pdf["side"] == "R"].sort_values("ts")
+    rren = right_p[["user_id", "ts", "value"]].rename(
+        columns={"ts": "asof_ts", "value": "asof_value"}
+    )
+
+    if direction == "forward":
+        expected = pd.merge_asof(
+            left_p, rren, left_on="ts", right_on="asof_ts",
+            by="user_id", direction="forward",
+        ).set_index("event_id")[["asof_ts", "asof_value"]]
+    else:
+        back = pd.merge_asof(
+            left_p, rren.rename(columns={"asof_ts": "b_ts", "asof_value": "b_v"}),
+            left_on="ts", right_on="b_ts", by="user_id", direction="backward",
+        )
+        fwd = pd.merge_asof(
+            left_p, rren.rename(columns={"asof_ts": "f_ts", "asof_value": "f_v"}),
+            left_on="ts", right_on="f_ts", by="user_id", direction="forward",
+        )
+        m = back.merge(fwd[["event_id", "f_ts", "f_v"]], on="event_id")
+        # ties → backward; forward-at-equal-ts can't win because the
+        # backward match at distance 0 always satisfies <=
+        pick_b = m["f_ts"].isna() | (
+            m["b_ts"].notna() & ((m["ts"] - m["b_ts"]) <= (m["f_ts"] - m["ts"]))
+        )
+        expected = pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "asof_ts": m["b_ts"].where(pick_b, m["f_ts"]),
+                "asof_value": m["b_v"].where(pick_b, m["f_v"]),
+            }
+        ).set_index("event_id")
+
+    left_s = sdf.where(F.col("side") == "L").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right_s = sdf.where(F.col("side") == "R").select("user_id", "ts", "value")
+    got = (
+        asof_join(
+            left_s, right_s, on=["user_id"], ts_col="ts",
+            payload_cols=["value"], direction=direction,
+        )
+        .select("event_id", "asof_ts", "asof_value")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    exp = expected.sort_index()
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
