@@ -305,3 +305,79 @@ def q_graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.join(
         F.broadcast(n), dist["node"] == F.col("n_nationkey")
     ).select(F.col("n_name").alias("nation"), "dist")
+
+
+from data_ingestion_py_spark.operators.labelprop import (  # noqa: E402
+    label_propagation,
+    label_propagation_oracle_sql,
+)
+
+# LPA runs on the SPARSE top-3 primary-partner subgraph (same as BFS):
+# on the dense full trade matrix one hub label floods everything in two
+# rounds — correct but a single community; the sparse cut exposes the
+# actual trade blocs.
+_PP_EDGES_CTE = f"""
+    WITH te AS ({_TRADE_EDGES_CTE})
+    SELECT src, dst, w FROM (
+        SELECT src, dst, w,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst)
+                   AS rn
+        FROM te WHERE src <> dst
+    ) WHERE rn <= 3
+"""
+
+_LPA_ORACLE = f"""
+WITH lp AS (
+{label_propagation_oracle_sql(_PP_EDGES_CTE, n_rounds=5)}
+)
+SELECT n.n_name AS nation, lp.label AS community
+FROM lp JOIN nation n ON n.n_nationkey = lp.node
+"""
+
+
+@register(
+    "graph_label_propagation",
+    _LPA_ORACLE,
+    tags=("graph", "iterative", "community"),
+)
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the weighted trade graph: 5 rounds of
+    SYNCHRONOUS label propagation (``operators/labelprop.py``) — each
+    nation adopts the label with the greatest incident trade weight
+    over the sparse top-3 primary-partner subgraph (dense graphs flood
+    to one label — see _PP_EDGES_CTE note),
+    ties → lower label, self-vote weight 1. The deterministic,
+    oracle-replayable variant of LPA (async/randomized LPA cannot be
+    hash-gated); MODE aggregation per round, distinct from the kit's
+    min-fixpoint (components), sum-diffusion (PageRank), and min-plus
+    (Bellman-Ford) iterations. At corpus scale the same operator
+    groups domains/sources into communities as a mixture-balancing
+    prior. Per round: one keyed edge⋈label join + two keyed aggs,
+    lineage truncated."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            s["s_nationkey"].alias("src"), c["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    from pyspark.sql.window import Window
+
+    wtop = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    pp = (
+        edges.where(F.col("src") != F.col("dst"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") <= 3)
+        .select("src", "dst", "w")
+    )
+    labels = label_propagation(pp, n_rounds=5)
+    return labels.join(
+        F.broadcast(n), labels["node"] == F.col("n_nationkey")
+    ).select(F.col("n_name").alias("nation"), F.col("label").alias("community"))

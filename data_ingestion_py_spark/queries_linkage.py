@@ -2524,3 +2524,113 @@ def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .alias("clustering_coef"),
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch (linear) attribution
+# ---------------------------------------------------------------------------
+
+_MT_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+@register(
+    "events_multitouch_attribution",
+    f"""
+WITH p AS (
+    SELECT event_id AS pid, user_id, epoch_us(ts) AS ptsu,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT event_id AS click_id, user_id, epoch_us(ts) AS ctsu
+    FROM events WHERE event_type = 'click'
+), pairs AS (
+    SELECT p.pid, p.cents, c.click_id, c.ctsu,
+           count(*) OVER (PARTITION BY p.pid) AS n,
+           row_number() OVER (PARTITION BY p.pid
+                              ORDER BY c.ctsu DESC, c.click_id DESC) AS rn
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.ctsu BETWEEN p.ptsu - {_MT_WINDOW_US} AND p.ptsu - 1
+), credited AS (
+    SELECT click_id,
+           cents * 10000 // n
+           + CASE WHEN rn = 1
+                  THEN cents * 10000 - n * (cents * 10000 // n)
+                  ELSE 0 END AS credit
+    FROM pairs
+)
+SELECT click_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(credit) AS BIGINT) AS credit_micro
+FROM credited GROUP BY 1
+""",
+    tags=("analytics", "attribution"),
+)
+def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every click in a purchase's
+    strict 7-day lookback shares the revenue equally (micro-cent
+    integer split; the division remainder goes to the LAST touch so
+    per-purchase credit sums exactly to the revenue — deterministic,
+    no float leakage). Complements ``events_purchase_attribution``
+    (first/last-touch): that one links ids, this one splits money.
+
+    Scale shape: the purchase×click pairing is the BANDED range join
+    (operators/rangejoin trick — purchases probe 2 window-sized time
+    bins per user, clicks build), never an unbounded inequality join;
+    the per-purchase share windows partition by purchase id (bounded
+    by clicks-per-purchase-window); final rollup is one keyed agg at
+    click cardinality. The oracle uses DuckDB's native IEJoin for the
+    same pairs — independent join algorithm, same credit ledger."""
+    from data_ingestion_py_spark.functions.time import ts_us
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        ts_us(F.col("ts")).alias("ptsu"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        ts_us(F.col("ts")).alias("ctsu"),
+        F.floor(ts_us(F.col("ts")) / _MT_WINDOW_US).alias("_bin"),
+    )
+    probe = p.select(
+        "pid",
+        "user_id",
+        "ptsu",
+        "cents",
+        F.explode(
+            F.array(
+                F.floor(F.col("ptsu") / _MT_WINDOW_US) - 1,
+                F.floor(F.col("ptsu") / _MT_WINDOW_US),
+            )
+        ).alias("_bin"),
+    )
+    pairs = probe.join(c, ["user_id", "_bin"]).where(
+        (F.col("ctsu") >= F.col("ptsu") - _MT_WINDOW_US)
+        & (F.col("ctsu") <= F.col("ptsu") - 1)
+    )
+    wn = Window.partitionBy("pid")
+    wr = Window.partitionBy("pid").orderBy(
+        F.col("ctsu").desc(), F.col("click_id").desc()
+    )
+    shared = pairs.select(
+        "click_id",
+        "cents",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    share = F.expr("cents * 10000 div n")
+    credit = share + F.when(
+        F.col("rn") == 1, F.col("cents") * 10000 - F.col("n") * share
+    ).otherwise(F.lit(0))
+    return (
+        shared.select("click_id", credit.alias("credit"))
+        .groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("credit").cast("long").alias("credit_micro"),
+        )
+    )
