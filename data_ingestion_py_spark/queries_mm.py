@@ -472,3 +472,73 @@ def q_multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.unhex(wav_hex).alias("payload")
     )
     return mm.pcm_stats(media)
+
+
+
+@register(
+    "multimodal_tiff_meta",
+    """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+       CAST(doc_id % 640 + 16 AS INT) AS width,
+       CAST(doc_id % 480 + 16 AS INT) AS height
+FROM documents
+""",
+    tags=("multimodal", "decode"),
+)
+def q_multimodal_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF IFD walk end-to-end: construct valid TIFF files in
+    BOTH byte orders in column algebra (even docs little-endian "II",
+    odd big-endian "MM"; ImageWidth as a left-justified SHORT entry,
+    ImageLength as a LONG — the two typed-value paths), push through
+    the Arrow mapInPandas stage, and parse dimensions back with the
+    directory-walking kernel (sources/multimodal.tiff_dimensions).
+    The oracle recomputes the planted dimensions arithmetically —
+    independent ground truth, so byte-order, left-justification, or
+    entry-stride bugs hash-mismatch immediately."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 640 + 16).cast("int")
+    h = (F.col("doc_id") % 480 + 16).cast("int")
+
+    def swap16(c):  # big-endian hex -> little-endian byte order
+        x = F.lpad(F.hex(c), 4, "0")
+        return F.concat(F.substring(x, 3, 2), F.substring(x, 1, 2))
+
+    def swap32(c):
+        x = F.lpad(F.hex(c), 8, "0")
+        return F.concat(
+            F.substring(x, 7, 2), F.substring(x, 5, 2),
+            F.substring(x, 3, 2), F.substring(x, 1, 2),
+        )
+
+    le = F.concat(
+        F.lit("49492A00" + "08000000" + "0200"),
+        F.lit("0001" + "0300" + "01000000"), swap16(w), F.lit("0000"),
+        F.lit("0101" + "0400" + "01000000"), swap32(h),
+        F.lit("00000000"),
+    )
+    be = F.concat(
+        F.lit("4D4D002A" + "00000008" + "0002"),
+        F.lit("0100" + "0003" + "00000001"),
+        F.lpad(F.hex(w), 4, "0"), F.lit("0000"),
+        F.lit("0101" + "0004" + "00000001"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("00000000"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(F.when(F.col("doc_id") % 2 == 0, le).otherwise(be)).alias(
+            "payload"
+        ),
+        F.struct(
+            F.lit("image/tiff").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    bo = F.when(F.col("media_id") % 2 == 0, "II").otherwise("MM")
+    return mm.extract_features(media).select(
+        "media_id", bo.alias("byte_order"), "width", "height"
+    )

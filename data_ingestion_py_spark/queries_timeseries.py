@@ -664,3 +664,223 @@ def q_events_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events") == 0).alias("is_gap"),
         (interp_u / 10000.0).alias("interp_avg"),
     )
+
+
+@register(
+    "events_cusum_changepoints",
+    """
+WITH hourly AS (
+    SELECT event_type,
+           to_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600)
+               AS hr,
+           count(*) AS x
+    FROM events GROUP BY 1, 2
+), base AS (
+    SELECT event_type,
+           ((2 * sum(x) * 10000 + count(*)) // (2 * count(*))) AS mu_u
+    FROM hourly GROUP BY 1
+), dev AS (
+    SELECT h.event_type, h.hr, h.x, b.mu_u, (h.x * 10000 - b.mu_u) AS d
+    FROM hourly h JOIN base b USING (event_type)
+), pre AS (
+    SELECT event_type, hr, x, mu_u,
+           sum(d) OVER (PARTITION BY event_type ORDER BY hr
+                        ROWS UNBOUNDED PRECEDING) AS p
+    FROM dev
+), cusum AS (
+    SELECT event_type, hr, x, mu_u,
+           p - least(min(p) OVER (PARTITION BY event_type ORDER BY hr
+                                  ROWS UNBOUNDED PRECEDING), 0) AS s
+    FROM pre
+)
+SELECT event_type,
+       strftime(hr AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(x AS BIGINT) AS n_events,
+       CAST(s AS BIGINT) AS cusum_u
+FROM cusum WHERE s > 5 * mu_u
+""",
+    tags=("timeseries", "changepoint"),
+)
+def q_events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift detection per event type: hours
+    where the cumulative positive deviation from the type's mean rate
+    exceeds 5 baseline-hours — the sequential-detection complement of
+    ``events_burst_hours`` (burst = single-hour spike vs trailing
+    window; CUSUM accumulates SMALL sustained shifts a spike test
+    misses). The reset-at-zero recursion S_t = max(0, S_{t-1} + d_t)
+    is deliberately rewritten as the prefix identity
+    ``S_t = P_t − min(0, min_{i≤t} P_i)`` so it runs as two per-key
+    windows over the hour-grain rollup — no recursive/sequential
+    operator, both engines replay it exactly. All integer 1e-4 units
+    (half-up mean, cent-free counts): no float drift. Computed over
+    OBSERVED hours; a production monitor gap-fills the spine first
+    (``events_gap_fill_locf``). Scale: windows partition by event
+    type over the calendar-bounded rollup — never row-proportional."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 3600)).cast("long") * 3600
+            ).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    base = hourly.groupBy("event_type").agg(
+        F.expr(half_up_mean_sql("sum(x)", "count(1)", scale=10000)).alias(
+            "mu_u"
+        )
+    )
+    dev = hourly.join(base, "event_type").withColumn(
+        "d", F.col("x") * 10000 - F.col("mu_u")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = dev.withColumn("p", F.sum("d").over(wcum))
+    cusum = pre.withColumn(
+        "s", F.col("p") - F.least(F.min("p").over(wcum), F.lit(0).cast("long"))
+    )
+    return cusum.where(F.col("s") > 5 * F.col("mu_u")).select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("x").cast("long").alias("n_events"),
+        F.col("s").cast("long").alias("cusum_u"),
+    )
+
+
+_KMV_KEY_SQL = (
+    "(CAST(user_id AS VARCHAR) || '@' || CAST(CAST(ts AS DATE) AS VARCHAR))"
+)
+_KMV_H32_SQL = f"(('0x' || substr(md5({_KMV_KEY_SQL}), 1, 8))::BIGINT)"
+
+
+@register(
+    "events_kmv_set_overlap",
+    f"""
+WITH h AS (
+    SELECT DISTINCT event_type, {_KMV_H32_SQL} AS h32 FROM events
+), pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM (SELECT DISTINCT event_type FROM h) a
+    JOIN (SELECT DISTINCT event_type FROM h) b
+      ON a.event_type < b.event_type
+), uh AS (
+    SELECT p.type_a, p.type_b, h.h32,
+           max(CASE WHEN h.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN h.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+    FROM pairs p JOIN h ON h.event_type IN (p.type_a, p.type_b)
+    GROUP BY 1, 2, 3
+), ranked AS (
+    SELECT type_a, type_b, h32, in_a, in_b,
+           row_number() OVER (PARTITION BY type_a, type_b ORDER BY h32)
+               AS rn,
+           count(*) OVER (PARTITION BY type_a, type_b) AS n_union,
+           sum(in_a * in_b) OVER (PARTITION BY type_a, type_b)
+               AS n_overlap
+    FROM uh
+)
+SELECT type_a, type_b,
+       CAST(max(n_union) AS BIGINT) AS exact_union,
+       round(CAST(max(n_overlap) AS DOUBLE) / max(n_union), 6)
+           AS exact_jaccard,
+       round(CASE WHEN max(n_union) < {_KMV_K}
+                  THEN CAST(max(n_union) AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) * 4294967296.0 /
+                       max(CASE WHEN rn = {_KMV_K} THEN h32 END) END, 2)
+           AS kmv_union,
+       round(CAST(sum(in_a * in_b) AS DOUBLE)
+             / least(max(n_union), {_KMV_K}), 6) AS kmv_jaccard
+FROM ranked WHERE rn <= {_KMV_K}
+GROUP BY 1, 2
+""",
+    tags=("sketch", "cardinality", "set-algebra"),
+)
+def q_events_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV SET ALGEBRA — the join-size estimator: for every event-type
+    pair, estimate |A∪B| from the union's k-th minimum hash and
+    Jaccard(A,B) from the fraction of the union's k smallest hashes
+    present in BOTH sets (Beyer et al.'s KMV intersection estimator);
+    |A∩B| ≈ J·|A∪B| prices a join before running it. Sets are (user,
+    day) activity keys per type. Exact union/Jaccard ride alongside to
+    exhibit the ~1/√k error — at 100 TB you keep only the per-type
+    k-min synopses (mergeable, `events_kmv_rollup_merge`) and estimate
+    any pair's overlap WITHOUT touching raw data: the same trick a
+    CBO uses to order joins. Membership flags make the union sketch a
+    one-pass window over per-pair distinct hashes; at scale the
+    synopses are k-row tables and the pair join is synopsis×synopsis,
+    never data×data. md5 hashing replays exactly in DuckDB."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("@"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    h = (
+        e.select(
+            "event_type",
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h32"),
+        )
+        .distinct()
+    )
+    types = h.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    uh = (
+        pairs.join(
+            h,
+            (h["event_type"] == F.col("type_a"))
+            | (h["event_type"] == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h32")
+        .agg(
+            F.max(
+                (F.col("event_type") == F.col("type_a")).cast("int")
+            ).alias("in_a"),
+            F.max(
+                (F.col("event_type") == F.col("type_b")).cast("int")
+            ).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("type_a", "type_b")
+    ranked = uh.select(
+        "type_a",
+        "type_b",
+        "h32",
+        "in_a",
+        "in_b",
+        F.row_number().over(wp.orderBy("h32")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).over(wp).alias("n_overlap"),
+    ).filter(F.col("rn") <= _KMV_K)
+    return ranked.groupBy("type_a", "type_b").agg(
+        F.max("n_union").cast("long").alias("exact_union"),
+        F.round(
+            F.max("n_overlap").cast("double") / F.max("n_union"), 6
+        ).alias("exact_jaccard"),
+        F.round(
+            F.when(
+                F.max("n_union") < _KMV_K, F.max("n_union").cast("double")
+            ).otherwise(
+                (_KMV_K - 1)
+                * 4294967296.0
+                / F.max(F.when(F.col("rn") == _KMV_K, F.col("h32")))
+            ),
+            2,
+        ).alias("kmv_union"),
+        F.round(
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.least(F.max("n_union"), F.lit(_KMV_K)),
+            6,
+        ).alias("kmv_jaccard"),
+    )

@@ -84,6 +84,8 @@ def image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
             int.from_bytes(payload[16:20], "big"),
             int.from_bytes(payload[20:24], "big"),
         )
+    if payload[:2] in (b"II", b"MM"):
+        return tiff_dimensions(payload)
     if payload[:2] == b"\xff\xd8":
         i, n = 2, len(payload)
         while i + 4 <= n:
@@ -117,6 +119,54 @@ def image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
             int.from_bytes(payload[8:10], "little"),
         )
     return None
+
+def tiff_dimensions(payload: bytes | None) -> tuple[int, int] | None:
+    """(width, height) from a TIFF header via a REAL IFD walk — both
+    byte orders ("II" little / "MM" big), magic-42 check, 12-byte
+    entry scan for ImageWidth(256)/ImageLength(257), with the spec's
+    left-justified value rule for SHORT(3) vs full-field LONG(4)
+    reads (the classic endianness trap: a SHORT in a big-endian file
+    occupies the FIRST two bytes of the 4-byte value field). Unlike
+    the fixed-offset PNG/JPEG/GIF parses this walks a structured
+    directory — count, typed entries, next-IFD pointer — which is the
+    shape every EXIF/DNG/GeoTIFF metadata extractor needs."""
+    if payload is None or len(payload) < 8:
+        return None
+    order = payload[:2]
+    if order == b"II":
+        end = "little"
+    elif order == b"MM":
+        end = "big"
+    else:
+        return None
+    if int.from_bytes(payload[2:4], end) != 42:
+        return None
+    off = int.from_bytes(payload[4:8], end)
+    if off + 2 > len(payload):
+        return None
+    n = int.from_bytes(payload[off : off + 2], end)
+    w = h = None
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(payload):
+            return None
+        tag = int.from_bytes(payload[e : e + 2], end)
+        typ = int.from_bytes(payload[e + 2 : e + 4], end)
+        field = payload[e + 8 : e + 12]
+        if typ == 3:  # SHORT — left-justified in the value field
+            v = int.from_bytes(field[:2], end)
+        elif typ == 4:  # LONG — the whole field
+            v = int.from_bytes(field, end)
+        else:
+            continue
+        if tag == 256:
+            w = v
+        elif tag == 257:
+            h = v
+    if w is None or h is None:
+        return None
+    return (w, h)
+
 
 def decode_pnm(payload: bytes | None) -> tuple[int, int, list[int]] | None:
     """REAL pixel decode kernel for the uncompressed netpbm formats —

@@ -391,3 +391,44 @@ def test_png_chunks_rejects_and_truncates():
     # truncated mid-chunk-header: only complete chunk headers listed
     full = _png_multi([(b"IHDR", b"\x00" * 13), (b"IDAT", b"\x00" * 9)])
     assert png_chunks(full[:-15]) == [(0, "IHDR", 13)]
+
+
+def test_tiff_dimensions_kernel():
+    """Byte-level TIFF IFD walk: both endiannesses, the left-justified
+    SHORT rule, and malformed-input rejection."""
+    from data_ingestion_py_spark.sources.multimodal import tiff_dimensions
+
+    def le(v, n):
+        return v.to_bytes(n, "little")
+
+    def be(v, n):
+        return v.to_bytes(n, "big")
+
+    # little-endian: width SHORT 300, height LONG 200
+    tif_le = (
+        b"II" + le(42, 2) + le(8, 4)
+        + le(2, 2)
+        + le(256, 2) + le(3, 2) + le(1, 4) + le(300, 2) + b"\x00\x00"
+        + le(257, 2) + le(4, 2) + le(1, 4) + le(200, 4)
+        + le(0, 4)
+    )
+    assert tiff_dimensions(tif_le) == (300, 200)
+
+    # big-endian: SHORT value must be read from the FIRST two bytes
+    tif_be = (
+        b"MM" + be(42, 2) + be(8, 4)
+        + be(2, 2)
+        + be(256, 2) + be(3, 2) + be(1, 4) + be(300, 2) + b"\x00\x00"
+        + be(257, 2) + be(4, 2) + be(1, 4) + be(200, 4)
+        + be(0, 4)
+    )
+    assert tiff_dimensions(tif_be) == (300, 200)
+
+    assert tiff_dimensions(None) is None
+    assert tiff_dimensions(b"II") is None  # truncated
+    assert tiff_dimensions(b"XX" + le(42, 2) + le(8, 4)) is None  # order
+    assert tiff_dimensions(b"II" + le(41, 2) + le(8, 4)) is None  # magic
+    # IFD offset past the end
+    assert tiff_dimensions(b"II" + le(42, 2) + le(999, 4)) is None
+    # entries truncated mid-walk
+    assert tiff_dimensions(b"II" + le(42, 2) + le(8, 4) + le(5, 2)) is None
