@@ -607,3 +607,56 @@ def q_orders_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for label, num, den in _QUANTILES
     ]
     return agg.select(*outs)
+
+
+@register(
+    "customer_quantile_normalize",
+    """
+WITH c AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+    FROM customer
+)
+SELECT c_custkey, c_mktsegment,
+       round(bal_c / 100.0, 2) AS acctbal,
+       round(percent_rank() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY bal_c, c_custkey), 6) AS pctile
+FROM c
+""",
+    tags=("analytics", "feature-prep"),
+)
+def q_customer_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile transform (feature prep): each customer's
+    account balance → its percentile WITHIN its market segment —
+    uniform-margin normalization for downstream models. The scale
+    point: NO per-segment window. A partitioned window with 5 segment
+    keys means 5 corpus-sized tasks (low-cardinality partition skew);
+    instead ONE two-phase global rank over the total order (segment,
+    balance, custkey) (`operators/ranking.py` — range shuffle +
+    offset broadcast) and per-segment offsets (a 5-row broadcast)
+    convert the global rank into the within-segment percent_rank
+    arithmetically. Ties are impossible (custkey tiebreak), so
+    rank ≡ row_number and the percent_rank identity (r-1)/(n-1) is
+    exact integer arithmetic before one final rounded division."""
+    from data_ingestion_py_spark.operators.ranking import with_global_rank
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    ranked = with_global_rank(
+        c,
+        order_by=[F.col("c_mktsegment"), F.col("bal_c"), F.col("c_custkey")],
+        rank_col="rnk",
+    )
+    seg = ranked.groupBy("c_mktsegment").agg(
+        F.min("rnk").alias("off"), F.count(F.lit(1)).alias("n")
+    )
+    r = F.col("rnk") - F.col("off")  # 0-based within-segment rank
+    return ranked.join(F.broadcast(seg), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("bal_c") / 100.0, 2).alias("acctbal"),
+        F.round(r / (F.col("n") - 1), 6).alias("pctile"),
+    )

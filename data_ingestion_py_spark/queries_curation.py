@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_ingestion_py_spark.functions.text import STOPWORDS, tokens
+from data_ingestion_py_spark.functions.ints import half_up_mean_sql
 from data_ingestion_py_spark.io import load_table
 from data_ingestion_py_spark.queries import register
 from data_ingestion_py_spark.queries_pipeline import _SQL_BUCKET, split_bucket
@@ -573,4 +574,90 @@ def q_corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.select(
         "doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation (curriculum / mixture planning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_token_budget_allocation",
+    """
+WITH src AS (
+    SELECT source,
+           CAST(sum(len(list_filter(string_split(text, ' '),
+                                    x -> x <> ''))) AS BIGINT) AS toks,
+           ((2 * sum(len(list_filter(string_split(text, ' '),
+                                     x -> x <> ''))) * 100 + count(*))
+               // (2 * count(*))) AS prio
+    FROM documents GROUP BY source
+), budget AS (
+    SELECT (sum(toks) * 6) // 10 AS b FROM src
+), ranked AS (
+    SELECT source, toks, prio,
+           row_number() OVER (ORDER BY prio DESC, source) AS rnk,
+           sum(toks) OVER (ORDER BY prio DESC, source
+                           ROWS UNBOUNDED PRECEDING) AS cum
+    FROM src
+)
+SELECT r.source, CAST(r.rnk AS INT) AS rnk, r.toks, CAST(r.cum AS BIGINT)
+           AS cum_tokens,
+       CAST(CASE WHEN r.cum <= b.b THEN r.toks
+                 WHEN r.cum - r.toks < b.b THEN b.b - (r.cum - r.toks)
+                 ELSE 0 END AS BIGINT) AS alloc_tokens
+FROM ranked r, budget b
+""",
+    tags=("curation", "mixture", "budget"),
+)
+def q_corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget allocation: sources ranked by a quality
+    proxy (mean tokens/doc in integer 1e-2 units, ties → source name)
+    consume a 60%-of-corpus token budget in rank order — full
+    allocation while the budget lasts, a partial quota for the
+    boundary source, zero after. The planning step before
+    ``corpus_mixture_sample``/``corpus_temperature_mixture`` actually
+    samples: every number here is an exact integer (half-up priority,
+    integer cumsum, integer remainder), so the plan is reproducible
+    across engines and retries. Scale: everything after the one
+    per-source agg runs on the SOURCE-cardinality table (windows over
+    ~1e2-1e4 rows, the 1-row budget broadcast via crossJoin) — the
+    corpus is touched exactly once."""
+    from data_ingestion_py_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    src = (
+        d.select("source", F.size(tokens(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.sum("nt").cast("long").alias("toks"),
+            F.expr(half_up_mean_sql("sum(nt)", "count(1)")).alias("prio"),
+        )
+    )
+    budget = src.agg(
+        F.expr("(sum(toks) * 6) div 10").cast("long").alias("b")
+    )
+    w = Window.orderBy(F.col("prio").desc(), "source")
+    ranked = src.select(
+        "source",
+        "toks",
+        "prio",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("toks").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+    )
+    alloc = (
+        F.when(F.col("cum") <= F.col("b"), F.col("toks"))
+        .when(F.col("cum") - F.col("toks") < F.col("b"),
+              F.col("b") - (F.col("cum") - F.col("toks")))
+        .otherwise(F.lit(0))
+    )
+    return ranked.crossJoin(F.broadcast(budget)).select(
+        "source",
+        F.col("rnk").cast("int").alias("rnk"),
+        "toks",
+        F.col("cum").cast("long").alias("cum_tokens"),
+        alloc.cast("long").alias("alloc_tokens"),
     )

@@ -318,3 +318,69 @@ def q_layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zkey"
         ),
     )
+
+
+@register(
+    "dq_functional_dependencies",
+    """
+WITH cands AS (
+    SELECT 'p_partkey->p_name' AS fd, CAST(p_partkey AS VARCHAR) AS k,
+           p_name AS v FROM part
+    UNION ALL
+    SELECT 'p_type->p_size', p_type, CAST(p_size AS VARCHAR) FROM part
+    UNION ALL
+    SELECT 'p_brand->p_type', p_brand, p_type FROM part
+), s AS (
+    SELECT fd, k, count(DISTINCT v) AS nv FROM cands GROUP BY 1, 2
+)
+SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys,
+       CAST(max(nv) AS BIGINT) AS max_values_per_key,
+       CAST(CASE WHEN sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS INT) AS holds
+FROM s GROUP BY fd
+""",
+    tags=("dq", "profiling"),
+)
+def q_dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for candidate FDs over the part
+    dimension, count determinant keys mapping to >1 dependent value —
+    the schema-inference / normalization check every profiler runs
+    (p_brand→p_mfgr holds by TPC-H construction; the others are
+    expected to fail, so the report exercises both outcomes). Shape:
+    one union of narrow projections, a (fd, key) distinct-count agg,
+    and an fd-keyed rollup — two keyed shuffles at dimension
+    cardinality, no windows. At 100 TB candidate generation is the
+    quadratic part (profile column pairs on a SAMPLE first); the
+    verification pass shown here is linear per candidate."""
+    p = load_table(spark, sf_dir, "part")
+    cands = (
+        p.select(
+            F.lit("p_partkey->p_name").alias("fd"),
+            F.col("p_partkey").cast("string").alias("k"),
+            F.col("p_name").alias("v"),
+        )
+        .unionByName(
+            p.select(
+                F.lit("p_type->p_size").alias("fd"),
+                F.col("p_type").alias("k"),
+                F.col("p_size").cast("string").alias("v"),
+            )
+        )
+        .unionByName(
+            p.select(
+                F.lit("p_brand->p_type").alias("fd"),
+                F.col("p_brand").alias("k"),
+                F.col("p_type").alias("v"),
+            )
+        )
+    )
+    s = cands.groupBy("fd", "k").agg(F.countDistinct("v").alias("nv"))
+    viol = F.sum(F.when(F.col("nv") > 1, 1).otherwise(0))
+    return s.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        viol.cast("long").alias("n_violating_keys"),
+        F.max("nv").cast("long").alias("max_values_per_key"),
+        (viol == 0).cast("int").alias("holds"),
+    )

@@ -429,6 +429,12 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # Heaps-law: with_global_rank's offsets window over the
     # #partitions-row aggregate (two cumsums ride one window spec)
     "corpus_heaps_law": 1,
+    # budget planning: rank+cumsum over the SOURCE-cardinality
+    # aggregate (~1e2-1e4 rows at any corpus size)
+    "corpus_token_budget_allocation": 1,
+    # per-group quantile transform: with_global_rank offsets table
+    # surfaces its prefix and total windows (#partitions-row input)
+    "customer_quantile_normalize": 2,
     # sorted-neighborhood linkage: one with_global_rank whose offsets
     # table surfaces both its prefix and total windows in this plan —
     # both run over the #partitions-row aggregate
