@@ -150,3 +150,50 @@ r0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM srcs),
 {joined}
 SELECT node, CAST(dist AS BIGINT) AS dist FROM {prev}
 """
+
+
+def bfs_distances_per_seed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    seed: str = "seed",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(seed, node, dist) — independent BFS from EVERY seed in one
+    level-synchronous sweep (the all-sources generalization behind
+    closeness/harmonic centrality and landmark distance features).
+
+    State is keyed (seed, node): per round ONE join of the combined
+    frontier against the edge list on the node endpoint serves every
+    seed simultaneously — k BFS runs cost the same number of ROUNDS as
+    one (the graph diameter), with k× the per-round rows. That's the
+    right shape for a landmark set (k ≪ n); for ALL nodes as seeds on
+    a big graph the state is O(n²) and the honest swap is sampling
+    landmarks or HyperBall-style sketched neighborhoods (documented,
+    not implemented). Same empty-frontier stop + per-round
+    ``localCheckpoint`` as ``bfs_distances``.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    dist = (
+        seeds.select(F.col(seed).alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"))
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("seed", "node")
+    for i in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["u"])
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+            .join(dist, ["seed", "node"], "left_anti")
+            .withColumn("dist", F.lit(i).cast("long"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("seed", "node")
+    return dist

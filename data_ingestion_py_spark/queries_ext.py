@@ -1548,3 +1548,123 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (__spark_entry__._sample_order) front-loads never-yet-verified names
 # in registry order, so new modules must append, never insert.
 import data_ingestion_py_spark.queries_linkage  # noqa: E402,F401
+
+
+@register(
+    "dedup_lsh_quality_report",
+    NEAR_DUP_CORPUS_CTE
+    + _sql_shingles()
+    + _sql_minhash_sig()
+    + _sql_band_keys()
+    + """
+, verified AS (
+    SELECT doc_a, doc_b
+    FROM cand
+    JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM shingled) sa
+         ON cand.doc_a = sa.doc_id
+    JOIN (SELECT doc_id, list_distinct(sh) AS dsh FROM shingled) sb
+         ON cand.doc_b = sb.doc_id
+    WHERE round(CAST(len(list_intersect(sa.dsh, sb.dsh)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.dsh, sb.dsh))), 6) >= 0.5
+), dsh AS (
+    SELECT doc_id, list_distinct(sh) AS dsh FROM shingled
+    WHERE len(list_distinct(sh)) > 0
+), g AS (
+    SELECT doc_id, unnest(dsh) AS g FROM dsh
+), interx AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), truth AS (
+    SELECT i.doc_a, i.doc_b
+    FROM interx i
+    JOIN dsh sa ON i.doc_a = sa.doc_id
+    JOIN dsh sb ON i.doc_b = sb.doc_id
+    WHERE round(CAST(i.inter AS DOUBLE)
+                / (len(sa.dsh) + len(sb.dsh) - i.inter), 6) >= 0.5
+), lab AS (
+    SELECT CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_t,
+           CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_l
+    FROM truth t FULL OUTER JOIN verified v
+      ON t.doc_a = v.doc_a AND t.doc_b = v.doc_b
+)
+SELECT CAST(sum(is_t) AS BIGINT) AS n_truth,
+       CAST(sum(is_l) AS BIGINT) AS n_lsh,
+       CAST(sum(is_t * is_l) AS BIGINT) AS tp,
+       CAST(sum(is_t * (1 - is_l)) AS BIGINT) AS fn,
+       CAST(sum(is_l * (1 - is_t)) AS BIGINT) AS fp,
+       round(CAST(sum(is_t * is_l) AS DOUBLE) / sum(is_l), 6) AS prec,
+       round(CAST(sum(is_t * is_l) AS DOUBLE) / sum(is_t), 6) AS recall
+FROM lab
+""",
+    tags=("dedup", "minhash", "lsh", "evaluation"),
+)
+def q_dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED precision/recall of the MinHash+LSH pipeline against
+    exhaustive ground truth — the evaluation artifact behind the
+    "recall ≥ 0.9 at the threshold by S-curve construction" claim.
+    Ground truth = ALL pairs with exact shingle-Jaccard ≥ 0.5, found
+    via the inverted-index join (any pair with J > 0 shares a shingle,
+    so the gram-keyed join is EXHAUSTIVE without an all-pairs scan —
+    Σ_g s(g)² pair work, the corpus_source_overlap bound, never n²).
+    Expected shape: fp = 0 ALWAYS (the pipeline exact-verifies every
+    candidate), fn = banding misses near the threshold (the S-curve's
+    tail). At 100 TB you run this on a sampled slab as a canary —
+    both sides are the same shuffle-bounded joins."""
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    sh = (
+        dedup.with_shingles(corpus)
+        .select("doc_id", F.array_distinct("shingles").alias("dsh"))
+        .where(F.size("dsh") > 0)
+    )
+    grams = sh.select("doc_id", F.explode("dsh").alias("g"))
+    interx = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("dsh").alias("n"))
+    truth = (
+        interx.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .where(
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            )
+            >= 0.5
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("is_t"))
+    )
+    lsh = (
+        dedup.near_duplicates_minhash(corpus, threshold=0.5)
+        .select("doc_a", "doc_b", F.lit(1).alias("is_l"))
+    )
+    lab = truth.join(lsh, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("is_t", F.lit(0)).alias("is_t"),
+        F.coalesce("is_l", F.lit(0)).alias("is_l"),
+    )
+    tp = F.sum(F.col("is_t") * F.col("is_l"))
+    return lab.agg(
+        F.sum("is_t").cast("long").alias("n_truth"),
+        F.sum("is_l").cast("long").alias("n_lsh"),
+        tp.cast("long").alias("tp"),
+        F.sum(F.col("is_t") * (1 - F.col("is_l"))).cast("long").alias("fn"),
+        F.sum(F.col("is_l") * (1 - F.col("is_t"))).cast("long").alias("fp"),
+        F.round(tp.cast("double") / F.sum("is_l"), 6).alias("prec"),
+        F.round(tp.cast("double") / F.sum("is_t"), 6).alias("recall"),
+    )

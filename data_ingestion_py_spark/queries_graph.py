@@ -381,3 +381,98 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(
         F.broadcast(n), labels["node"] == F.col("n_nationkey")
     ).select(F.col("n_name").alias("nation"), F.col("label").alias("community"))
+
+
+_CLOSENESS_ORACLE = f"""
+WITH RECURSIVE te AS ({_TRADE_EDGES_CTE}),
+pp AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM te WHERE src <> dst
+    ) WHERE rn <= 3
+),
+und AS (SELECT src AS u, dst AS v FROM pp UNION SELECT dst, src FROM pp),
+bfs(seed, node, d) AS (
+    SELECT u, u, 0 FROM (SELECT DISTINCT u FROM und)
+    UNION
+    SELECT bfs.seed, und.v, bfs.d + 1
+    FROM bfs JOIN und ON und.u = bfs.node
+    WHERE bfs.d < 30
+),
+dists AS (
+    SELECT seed, node, min(d) AS dist FROM bfs GROUP BY 1, 2
+),
+cl AS (
+    SELECT seed, count(*) AS n_reached, sum(dist) AS sumd
+    FROM dists GROUP BY seed
+)
+SELECT n.n_name AS nation,
+       CAST(cl.n_reached AS BIGINT) AS n_reached,
+       CAST(CASE WHEN cl.sumd = 0 THEN 0
+                 ELSE (1000000 * (cl.n_reached - 1)) // cl.sumd END
+            AS BIGINT) AS closeness_micro
+FROM cl JOIN nation n ON n.n_nationkey = cl.seed
+"""
+
+
+@register(
+    "graph_closeness_centrality",
+    _CLOSENESS_ORACLE,
+    tags=("graph", "iterative", "centrality"),
+)
+def q_graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality over the top-3 primary-partner subgraph:
+    every nation seeds a BFS in ONE combined level-synchronous sweep
+    (``operators/bfs.py::bfs_distances_per_seed`` — (seed, node)-keyed
+    state, k seeds cost diameter rounds, not k×), then closeness =
+    (n_reached − 1) / Σdist in exact integer micro-units (0 for
+    isolated seeds; unreachable nodes simply don't contribute — the
+    disconnected-graph convention). All-nodes-as-seeds is O(n²) state,
+    honest only on dimension-sized graphs like this one; at web scale
+    the swap is landmark sampling or HyperBall sketches (documented in
+    the operator). Oracle: one recursive CTE carrying the seed
+    column."""
+    from data_ingestion_py_spark.operators.bfs import bfs_distances_per_seed
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            s["s_nationkey"].alias("src"), c["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    pp = (
+        edges.where(F.col("src") != F.col("dst"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    und = (
+        pp.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(pp.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    seeds = und.select(F.col("u").alias("seed")).distinct()
+    dists = bfs_distances_per_seed(und, seeds)
+    cl = dists.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum("dist").alias("sumd"),
+    )
+    closeness = F.when(F.col("sumd") == 0, F.lit(0)).otherwise(
+        F.expr("(1000000 * (n_reached - 1)) div sumd")
+    )
+    return cl.join(F.broadcast(n), cl["seed"] == F.col("n_nationkey")).select(
+        F.col("n_name").alias("nation"),
+        "n_reached",
+        closeness.cast("long").alias("closeness_micro"),
+    )
