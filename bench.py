@@ -356,10 +356,6 @@ def _ann_swap_bench(spark, sf_dir: str) -> dict:
     return out
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _bucket_join_bench(spark, sf_dir: str) -> dict:
     """Bucketed vs plain sort-merge join on the customer key (broadcast
     off so both plans are SMJ): the measured number behind
@@ -408,3 +404,7 @@ def _bucket_join_bench(spark, sf_dir: str) -> dict:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS bench_orders_b")
         spark.sql("DROP TABLE IF EXISTS bench_customer_b")
+
+
+if __name__ == "__main__":
+    main()
