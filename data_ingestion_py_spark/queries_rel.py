@@ -1001,3 +1001,64 @@ def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts").alias("near_ts"),
         F.col("asof_value").alias("near_value"),
     )
+
+
+@register(
+    "events_conversion_latency",
+    """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+m AS (
+    SELECT strftime(p.ts AT TIME ZONE 'UTC', '%Y-%m-%d') AS day,
+           CASE WHEN cb.ts IS NOT NULL
+                THEN (epoch_us(p.ts) - epoch_us(cb.ts)) // 1000000
+           END AS gap_s
+    FROM p ASOF LEFT JOIN c cb
+      ON p.user_id = cb.user_id AND p.ts >= cb.ts
+)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(gap_s) AS BIGINT) AS n_converted,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(gap_s, 0.95), 6) AS p95_s
+FROM m GROUP BY day
+""",
+    tags=("asof", "funnel", "quantile"),
+)
+def q_events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency report: per purchase day, how long after
+    their latest prior click users purchase — median and p95 of the
+    gap in whole seconds (integer-floored before the quantile, so
+    both engines interpolate over identical integers). Composes the
+    as-of operator (one union-sort-carry shuffle, no range crossJoin)
+    with per-group exact percentiles over the PURCHASE-sized rollup;
+    at 100 TB the percentile swaps to approx_percentile with the same
+    plan (documented in SCALE.md). Purchases with no prior click stay
+    in ``n_purchases`` but out of the latency quantiles — funnel
+    leakage is visible, not silently dropped."""
+    from data_ingestion_py_spark.functions.time import ts_us
+    from data_ingestion_py_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    j = asof_join(purchases, clicks, on=["user_id"], ts_col="ts")
+    gap_s = F.when(
+        F.col("asof_ts").isNotNull(),
+        F.expr("(unix_micros(ts) - unix_micros(asof_ts)) div 1000000"),
+    )
+    return (
+        j.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            gap_s.alias("gap_s"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.count("gap_s").cast("long").alias("n_converted"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
+            F.round(F.expr("percentile(gap_s, 0.95)"), 6).alias("p95_s"),
+        )
+    )
