@@ -78,6 +78,7 @@ def main() -> None:
         ("dedup_slope", _dedup_slope_bench),
         ("ann_swap", _ann_swap_bench),
         ("bucket_join_swap", _bucket_join_bench),
+        ("codec_swap", _codec_swap_bench),
     ):
         try:
             probes[key] = fn(spark, sf_dir)
@@ -352,6 +353,48 @@ def _ann_swap_bench(spark, sf_dir: str) -> dict:
     }
     out["recall_at_10"] = round(
         len(set(exact_ids["r"]) & set(ann_ids["r"])) / 10, 2
+    )
+    return out
+
+
+
+def _codec_swap_bench(spark, sf_dir: str) -> dict:
+    """Parquet codec tradeoff measured on the biggest fact table:
+    snappy (default, fast) vs zstd (denser) — write time, scan time,
+    and on-disk bytes. At 100 TB the ratio decides storage cost vs
+    CPU; the scan numbers show whether decompression is the
+    bottleneck at the local I/O profile."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_py_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = tempfile.mkdtemp(prefix="bench_codec_")
+    out = {}
+    for codec in ("snappy", "zstd"):
+        path = os.path.join(base, codec)
+        t0 = time.perf_counter()
+        li.write.mode("overwrite").option("compression", codec).parquet(path)
+        out[f"{codec}_write_sec"] = round(time.perf_counter() - t0, 3)
+        nbytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        out[f"{codec}_bytes"] = nbytes
+
+        def _scan(p=path):
+            spark.read.parquet(p).agg(
+                F.sum("l_extendedprice"), F.count(F.lit(1))
+            ).collect()
+
+        out[f"{codec}_scan_sec"] = _best_of(3, _scan)
+    out["zstd_size_ratio"] = round(
+        out["zstd_bytes"] / out["snappy_bytes"], 4
     )
     return out
 

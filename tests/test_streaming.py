@@ -750,3 +750,98 @@ def test_durable_cms_stream_matches_batch_and_survives_restart(
         (r.j, r.bucket): r.cell for r in read_cms_state(spark, state).collect()
     }
     assert got3 == want2
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """Native session_window UNDER A STREAM (watermark + availableNow
+    replay) must equal the batch session_window over the same events —
+    the merging-session stateful operator exercised through the real
+    streaming codepath (session state store + append-mode watermark
+    eviction), not just batch gap-merge algebra.
+
+    Append mode only EMITS a session once the watermark passes its
+    end, so two sentinel events far in the future arrive as two later
+    micro-batches (watermark is computed from the PREVIOUS batch's max
+    event time): the first advances the watermark past every real
+    session, the second flushes the ones finalized by the first. The
+    sentinel user is excluded from the comparison."""
+    import time as _t
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    events.coalesce(2).write.mode("append").parquet(src)
+    hi = events.agg(F.max("ts").alias("m")).first().m
+    for bump in ("366 days", "732 days"):
+        _t.sleep(1.1)  # later mtime => later micro-batch
+        spark.createDataFrame(
+            [(99999999, None, -1, "sentinel", 0.0, None)], events.schema
+        ).withColumn(
+            "ts", F.lit(hi) + F.expr(f"INTERVAL {bump}")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("ws"),
+            F.col("w.end").alias("we"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    got = {
+        (r.user_id, r.ws, r.we): r.n
+        for r in spark.read.parquet(out).collect()
+        if r.user_id >= 0
+    }
+    want = {
+        (r.user_id, r.ws, r.we): r.n
+        for r in (
+            events.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("ws"),
+                F.col("w.end").alias("we"),
+                "n",
+            )
+        ).collect()
+    }
+    assert got == want
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC as a second columnar source format: schema and contents
+    survive a write/read round trip (Spark-native, no extra package);
+    predicate pushdown reaches the ORC scan."""
+    from data_ingestion_py_spark.plans.explain import pushed_filters
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "docs_orc")
+    d.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == d.schema
+    assert back.count() == d.count()
+    filtered = back.where(F.col("doc_id") < 100).select("doc_id")
+    filtered.collect()
+    assert any("doc_id" in f for f in pushed_filters(filtered))
