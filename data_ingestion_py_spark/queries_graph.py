@@ -476,3 +476,91 @@ def q_graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_reached",
         closeness.cast("long").alias("closeness_micro"),
     )
+
+
+_HARMONIC_ORACLE = f"""
+WITH RECURSIVE te AS ({_TRADE_EDGES_CTE}),
+pp AS (
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM te WHERE src <> dst
+    ) WHERE rn <= 3
+),
+und AS (SELECT src AS u, dst AS v FROM pp UNION SELECT dst, src FROM pp),
+bfs(seed, node, d) AS (
+    SELECT u, u, 0 FROM (SELECT DISTINCT u FROM und)
+    UNION
+    SELECT bfs.seed, und.v, bfs.d + 1
+    FROM bfs JOIN und ON und.u = bfs.node
+    WHERE bfs.d < 30
+),
+dists AS (
+    SELECT seed, node, min(d) AS dist FROM bfs GROUP BY 1, 2
+),
+hc AS (
+    SELECT seed,
+           sum(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)
+               AS harmonic_micro
+    FROM dists GROUP BY seed
+)
+SELECT n.n_name AS nation, CAST(hc.harmonic_micro AS BIGINT)
+           AS harmonic_micro
+FROM hc JOIN nation n ON n.n_nationkey = hc.seed
+"""
+
+
+@register(
+    "graph_harmonic_centrality",
+    _HARMONIC_ORACLE,
+    tags=("graph", "iterative", "centrality"),
+)
+def q_graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality Σ 1/d over the same per-seed BFS sweep as
+    closeness — the disconnection-robust variant (unreachable nodes
+    contribute 0 instead of poisoning the mean, so it ranks sanely on
+    fragmented graphs where closeness needs a reachability convention).
+    Exact integer micro-units: Σ (10⁶ div d), truncating identically
+    in both engines. Same scale posture as closeness
+    (``bfs_distances_per_seed``: k seeds, diameter rounds)."""
+    from data_ingestion_py_spark.operators.bfs import bfs_distances_per_seed
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            s["s_nationkey"].alias("src"), c["c_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    pp = (
+        edges.where(F.col("src") != F.col("dst"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("src", "dst")
+    )
+    und = (
+        pp.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(pp.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    seeds = und.select(F.col("u").alias("seed")).distinct()
+    dists = bfs_distances_per_seed(und, seeds)
+    hc = dists.groupBy("seed").agg(
+        F.sum(
+            F.when(F.col("dist") > 0, F.expr("1000000 div dist")).otherwise(0)
+        )
+        .cast("long")
+        .alias("harmonic_micro")
+    )
+    return hc.join(F.broadcast(n), hc["seed"] == F.col("n_nationkey")).select(
+        F.col("n_name").alias("nation"), "harmonic_micro"
+    )

@@ -293,6 +293,12 @@ _TINY_BROADCAST_OK = {
     "orders_brand_basket_pairs",
     # 1-row leaked-pairs counter broadcast onto the 3-row split report
     "dataset_split_leakage_safe",
+    # 1-row token-budget scalar broadcast onto the source-sized plan
+    "corpus_token_budget_allocation",
+    # type-pair scaffolding: a types² (≤ ~10²-row) broadcast drives the
+    # a<b pair generation and the IN-(ta,tb) membership probe — the
+    # broadcast side is bounded by distinct types, never data-sized
+    "events_kmv_set_overlap",
 }
 
 
