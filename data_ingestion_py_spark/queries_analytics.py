@@ -660,3 +660,85 @@ def q_customer_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("bal_c") / 100.0, 2).alias("acctbal"),
         F.round(r / (F.col("n") - 1), 6).alias("pctile"),
     )
+
+
+@register(
+    "customer_decile_gains",
+    """
+WITH rev AS (
+    SELECT c.c_custkey,
+           coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+               AS rev_c
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+), ranked AS (
+    SELECT rev_c,
+           ntile(10) OVER (ORDER BY rev_c DESC, c_custkey) AS decile
+    FROM rev
+), d AS (
+    SELECT decile, count(*) AS n_customers, sum(rev_c) AS dec_rev
+    FROM ranked GROUP BY decile
+), t AS (SELECT sum(dec_rev) AS tot FROM d)
+SELECT CAST(d.decile AS INT) AS decile,
+       CAST(d.n_customers AS BIGINT) AS n_customers,
+       round(d.dec_rev / 100.0, 2) AS decile_revenue,
+       round(CAST(sum(d.dec_rev) OVER (ORDER BY d.decile
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.tot, 6)
+           AS cum_revenue_share
+FROM d, t
+""",
+    tags=("analytics", "gains"),
+)
+def q_customer_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains table: customers ranked by lifetime revenue, split
+    into 10 equal-count buckets, each bucket's revenue and the
+    cumulative share — the lift/gains curve every scoring-model
+    evaluation reads (top decile carrying ~x% of revenue is the
+    targeting headline). Exact SQL NTILE from the two-phase global
+    rank (``ranking.ntile_expr`` — no single-partition window over
+    the customer table; the only unpartitioned windows run over the
+    10-row decile rollup). Revenue in integer cents end-to-end; the
+    1-row total broadcasts into the share division."""
+    from data_ingestion_py_spark.operators.ranking import (
+        ntile_expr,
+        with_global_rank,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                F.lit(0),
+            ).alias("rev_c")
+        )
+    )
+    ranked = with_global_rank(
+        rev,
+        order_by=[F.col("rev_c").desc(), F.col("c_custkey")],
+        rank_col="rnk",
+        total_col="tot_n",
+    )
+    d = (
+        ranked.withColumn(
+            "decile", ntile_expr(F.col("rnk"), F.col("tot_n"), 10)
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev_c").alias("dec_rev"),
+        )
+    )
+    t = d.agg(F.sum("dec_rev").alias("tot"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return d.crossJoin(F.broadcast(t)).select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        F.round(F.col("dec_rev") / 100.0, 2).alias("decile_revenue"),
+        F.round(
+            F.sum("dec_rev").over(w).cast("double") / F.col("tot"), 6
+        ).alias("cum_revenue_share"),
+    )

@@ -295,6 +295,8 @@ _TINY_BROADCAST_OK = {
     "dataset_split_leakage_safe",
     # 1-row token-budget scalar broadcast onto the source-sized plan
     "corpus_token_budget_allocation",
+    # 1-row revenue-total broadcast onto the 10-row decile rollup
+    "customer_decile_gains",
     # type-pair scaffolding: a types² (≤ ~10²-row) broadcast drives the
     # a<b pair generation and the IN-(ta,tb) membership probe — the
     # broadcast side is bounded by distinct types, never data-sized
@@ -441,6 +443,9 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # per-group quantile transform: with_global_rank offsets table
     # surfaces its prefix and total windows (#partitions-row input)
     "customer_quantile_normalize": 2,
+    # decile gains: 2 offsets windows (with_global_rank) + the cumsum
+    # over the 10-row decile rollup
+    "customer_decile_gains": 3,
     # sorted-neighborhood linkage: one with_global_rank whose offsets
     # table surfaces both its prefix and total windows in this plan —
     # both run over the #partitions-row aggregate
