@@ -136,3 +136,24 @@ def test_bellman_ford_preconvergence_is_deterministic(spark):
         for r in bellman_ford_rounds(e, _sources(spark, [0]), 1).collect()
     }
     assert out == {0: 0, 1: 2}
+
+
+def test_bfs_per_seed_matches_independent_runs(spark):
+    """The combined (seed, node)-keyed sweep must equal running
+    bfs_distances independently from each seed — including a
+    disconnected component (seeds 0 and 10 never see each other)."""
+    from data_ingestion_py_spark.operators.bfs import bfs_distances_per_seed
+
+    pairs = [(0, 1), (1, 2), (10, 11)]
+    und = pairs + [(b, a) for a, b in pairs]
+    e = _edges(spark, und)
+    seeds = spark.createDataFrame([(0,), (2,), (10,)], "seed long")
+    got = {
+        (r.seed, r.node): r.dist
+        for r in bfs_distances_per_seed(e, seeds).collect()
+    }
+    want = {}
+    for s in (0, 2, 10):
+        for r in bfs_distances(e, _sources(spark, [s])).collect():
+            want[(s, r.node)] = r.dist
+    assert got == want
