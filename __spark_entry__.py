@@ -52,7 +52,31 @@ def _sample_order() -> list[str]:
         except Exception:
             continue
     names = list(QUERIES)
-    return [n for n in names if n not in seen] + [n for n in names if n in seen]
+    # Round-5 leftovers: registered before round 6 but never yet in a
+    # driver sample. Round-6 additions registered in earlier-imported
+    # modules would otherwise push some of these past the sample-size
+    # horizon AGAIN — pin them to the very front until their rows land.
+    legacy_first = [
+        n
+        for n in (
+            "q8_market_share", "q9_profit_by_nation_year",
+            "q16_supplier_variety", "q17_small_quantity_revenue",
+            "q21_sole_late_supplier", "q22_dormant_rich_customers",
+            "orders_analytic_functions", "events_pivot_by_type",
+            "supplier_set_ops", "lang_doc_rollcall", "events_multi_rollup",
+            "documents_profile", "text_regex_tokens", "events_gap_fill_locf",
+            "orders_rolling_7d_revenue", "events_time_weighted_avg",
+            "events_zscore_outliers", "orders_winsorized_stats",
+            "events_kmv_distinct",
+        )
+        if n in QUERIES and n not in seen
+    ]
+    front = set(legacy_first)
+    return (
+        legacy_first
+        + [n for n in names if n not in seen and n not in front]
+        + [n for n in names if n in seen]
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
