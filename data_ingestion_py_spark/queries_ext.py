@@ -290,7 +290,7 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_near_duplicates(new_batch, docs, threshold=0.5)
 
 
-def _sql_simhash(n_bits: int = 16) -> str:
+def _sql_simhash(n_bits: int = 16, as_cte: bool = False) -> str:
     sums = ",\n           ".join(
         "sum(CASE WHEN (instr('0123456789abcdef', substr(h, {pos}, 1)) - 1) "
         "// {shift} % 2 = 1 THEN 1 ELSE -1 END) AS s{b}".format(
@@ -301,6 +301,8 @@ def _sql_simhash(n_bits: int = 16) -> str:
     fp = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
     )
+    final = f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits"
+    tail = f", fp AS ({final})" if as_cte else final
     return f"""
 , tok AS (
     SELECT doc_id, md5(unnest(toks)) AS h
@@ -310,7 +312,7 @@ def _sql_simhash(n_bits: int = 16) -> str:
            {sums}
     FROM tok GROUP BY doc_id
 )
-SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+{tail}
 """
 
 
@@ -1667,4 +1669,69 @@ def q_dedup_lsh_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_l") * (1 - F.col("is_t"))).cast("long").alias("fp"),
         F.round(tp.cast("double") / F.sum("is_l"), 6).alias("prec"),
         F.round(tp.cast("double") / F.sum("is_t"), 6).alias("recall"),
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    NEAR_DUP_CORPUS_CTE
+    + _sql_simhash(63, as_cte=True)
+    + """
+, banded AS (
+    SELECT doc_id, simhash, j, (simhash >> (16 * j)) & 65535 AS band_val
+    FROM fp CROSS JOIN generate_series(0, 3) AS js(j)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a
+    JOIN banded b ON a.j = b.j AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= 3
+""",
+    tags=("dedup", "simhash", "lsh"),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRING (Manku et al.'s web-dedup shape): 63-bit
+    fingerprints (sign-bit-safe BIGINT), split into 4 disjoint bit
+    ranges — any pair within Hamming ≤ 3 has at least one range
+    untouched (pigeonhole), so the band-equality bucket join is an
+    EXACT-recall candidate generator for the ≤3 ball; popcount-verify
+    keeps true pairs only. One fingerprint shuffle + a 4×banded
+    equi-join at bucket-collision cardinality — never all-pairs, the
+    64-bit-per-doc index that dedups web corpora where minhash's
+    shingle sets are too heavy. Fixture observation (docstringed, not
+    asserted): short tiny-vocab docs give simhash LIMITED recall on
+    the planted clones (~43%) versus minhash's ≥0.9 at the same
+    corpus — exactly why `near_duplicates_minhash` is the primary path
+    for short documents and simhash the cheap web-scale pre-filter.
+    md5-bit voting replays exactly in DuckDB (the `dedup_simhash`
+    primitive, widened and banded)."""
+    corpus = _corpus_with_near_dups(_docs(spark, sf_dir))
+    fps = dedup.simhash_fingerprints(corpus, n_bits=63)
+    js = F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    banded = fps.select("doc_id", "simhash", js).select(
+        "doc_id",
+        "simhash",
+        "j",
+        F.expr("(simhash >> (16 * j)) & 65535").alias("band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= 3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
