@@ -884,3 +884,44 @@ def q_events_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kmv_jaccard"),
     )
+
+
+@register(
+    "events_weekly_seasonality",
+    """
+WITH e AS (
+    SELECT (CAST(strftime(ts AT TIME ZONE 'UTC', '%w') AS INT) * 24
+            + CAST(strftime(ts AT TIME ZONE 'UTC', '%H') AS INT)) AS how
+    FROM events
+), c AS (
+    SELECT how, count(*) AS n FROM e GROUP BY how
+), t AS (SELECT sum(n) AS tot FROM c)
+SELECT CAST(c.how AS INT) AS hour_of_week,
+       CAST(c.n AS BIGINT) AS n_events,
+       CAST(c.n * 168 * 1000000 // t.tot AS BIGINT) AS seasonality_micro
+FROM c, t
+""",
+    tags=("timeseries", "seasonality"),
+)
+def q_events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week load profile: each of the 168 weekly hours' share
+    of traffic as an index against uniform load (1e6 = average;
+    exact integer ``n·168·10⁶ div total``) — the seasonality baseline
+    the burst detector and capacity planner both divide by. One
+    fixed-168-key groupBy (map-side partials bound the shuffle like
+    the CMS build) + a 1-row total broadcast. Day-of-week arithmetic
+    pinned cross-engine: DuckDB ``%w`` (0 = Sunday) ≡ Spark
+    ``dayofweek − 1``."""
+    e = load_table(spark, sf_dir, "events")
+    how = (F.dayofweek("ts") - 1) * 24 + F.hour("ts")
+    c = e.select(how.alias("how")).groupBy("how").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("how").cast("int").alias("hour_of_week"),
+        F.col("n").cast("long").alias("n_events"),
+        F.expr("n * 168 * 1000000 div tot").cast("long").alias(
+            "seasonality_micro"
+        ),
+    )

@@ -297,6 +297,8 @@ _TINY_BROADCAST_OK = {
     "corpus_token_budget_allocation",
     # 1-row revenue-total broadcast onto the 10-row decile rollup
     "customer_decile_gains",
+    # 1-row traffic-total broadcast onto the 168-row weekly profile
+    "events_weekly_seasonality",
     # type-pair scaffolding: a types² (≤ ~10²-row) broadcast drives the
     # a<b pair generation and the IN-(ta,tb) membership probe — the
     # broadcast side is bounded by distinct types, never data-sized
