@@ -661,3 +661,62 @@ def q_corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("cum").cast("long").alias("cum_tokens"),
         alloc.cast("long").alias("alloc_tokens"),
     )
+
+
+@register(
+    "corpus_source_gini",
+    """
+WITH src AS (
+    SELECT source,
+           CAST(sum(len(list_filter(string_split(text, ' '),
+                                    x -> x <> ''))) AS BIGINT) AS toks
+    FROM documents GROUP BY source
+), r AS (
+    SELECT toks,
+           row_number() OVER (ORDER BY toks, source) AS i,
+           count(*) OVER () AS n,
+           sum(toks) OVER () AS tot
+    FROM src
+)
+SELECT CAST(max(n) AS BIGINT) AS n_sources,
+       CAST(max(tot) AS BIGINT) AS total_tokens,
+       CAST(sum((2 * i - n - 1) * toks) * 1000000 // (max(n) * max(tot))
+            AS BIGINT) AS gini_micro
+FROM r
+""",
+    tags=("curation", "mixture", "diagnostics"),
+)
+def q_corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across sources — the one-number
+    corpus-composition inequality dial (0 = perfectly balanced mixture,
+    →1 = one source dominates) that the temperature-mixture and budget
+    allocators exist to push down. Exact integer rank formula
+    ``Σ(2i−n−1)·x_i · 10⁶ div (n·Σx)`` over the sorted source rollup —
+    no floats until never. Windows run on the SOURCE-cardinality table
+    (~1e2-1e4 rows at any corpus size; lint-allowlisted as bounded);
+    the corpus is touched once by the token rollup."""
+    from data_ingestion_py_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    src = (
+        d.select("source", F.size(tokens(F.col("text"))).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("toks"))
+    )
+    w = Window.orderBy("toks", "source")
+    wall = Window.partitionBy()
+    r = src.select(
+        "toks",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("toks").over(wall).alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_sources"),
+        F.max("tot").cast("long").alias("total_tokens"),
+        F.expr(
+            "sum((2 * i - n - 1) * toks) * 1000000 div (max(n) * max(tot))"
+        )
+        .cast("long")
+        .alias("gini_micro"),
+    )

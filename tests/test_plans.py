@@ -442,6 +442,8 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
     # budget planning: rank+cumsum over the SOURCE-cardinality
     # aggregate (~1e2-1e4 rows at any corpus size)
     "corpus_token_budget_allocation": 1,
+    # Gini rank formula over the same source-cardinality rollup
+    "corpus_source_gini": 1,
     # per-group quantile transform: with_global_rank offsets table
     # surfaces its prefix and total windows (#partitions-row input)
     "customer_quantile_normalize": 2,
