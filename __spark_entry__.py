@@ -52,22 +52,39 @@ def _sample_order() -> list[str]:
         except Exception:
             continue
     names = list(QUERIES)
-    # Round-5 leftovers: registered before round 6 but never yet in a
-    # driver sample. Round-6 additions registered in earlier-imported
-    # modules would otherwise push some of these past the sample-size
-    # horizon AGAIN — pin them to the very front until their rows land.
+    # Ledger close-out (round 7): these 47 names are the only registry
+    # queries never yet sampled by any driver round (r1-r6 cumulative
+    # union = 161/208). The driver samples a 50-name prefix, so pinning
+    # exactly these to the very front lands ALL remaining rows in one
+    # round regardless of registry import order or new registrations.
     legacy_first = [
         n
         for n in (
-            "q8_market_share", "q9_profit_by_nation_year",
-            "q16_supplier_variety", "q17_small_quantity_revenue",
-            "q21_sole_late_supplier", "q22_dormant_rich_customers",
-            "orders_analytic_functions", "events_pivot_by_type",
-            "supplier_set_ops", "lang_doc_rollcall", "events_multi_rollup",
-            "documents_profile", "text_regex_tokens", "events_gap_fill_locf",
-            "orders_rolling_7d_revenue", "events_time_weighted_avg",
-            "events_zscore_outliers", "orders_winsorized_stats",
-            "events_kmv_distinct",
+            "corpus_drift_terms", "corpus_weighted_sample",
+            "events_incremental_rollup", "dedup_containment_pairs",
+            "snippets_bm25_search", "text_langid_confusion",
+            "events_value_trend", "corpus_length_powerlaw",
+            "orders_brand_basket_pairs", "events_mad_outliers",
+            "events_burst_hours", "events_cms_heavy_hitters",
+            "events_gap_fill_interp", "events_cusum_changepoints",
+            "events_kmv_set_overlap", "events_weekly_seasonality",
+            "dedup_rate_by_source", "parts_fuzzy_matches",
+            "corpus_source_overlap", "embedding_standardize",
+            "dataset_split_leakage_safe", "corpus_substring_cuts",
+            "dedup_prefix_filter_pairs", "parts_sorted_neighborhood",
+            "dq_k_anonymity", "text_winnowing_matches",
+            "parts_entity_resolution", "lineitem_corr_matrix",
+            "graph_ppr_nation", "multimodal_png_chunks",
+            "orders_view_incremental_maintenance",
+            "events_purchase_attribution", "orders_point_in_time_segment",
+            "dedup_cluster_size_histogram", "dq_join_fanout_profile",
+            "corpus_quality_percentile_by_source",
+            "corpus_bitext_candidates", "events_ab_test",
+            "events_kmv_rollup_merge", "orders_seasonal_backtest",
+            "snippets_phrase_search", "customer_activity_periods",
+            "graph_kcore_nations", "graph_clustering_coefficient",
+            "events_multitouch_attribution", "dedup_lsh_quality_report",
+            "dedup_simhash_pairs",
         )
         if n in QUERIES and n not in seen
     ]

@@ -371,32 +371,39 @@ def _codec_swap_bench(spark, sf_dir: str) -> dict:
 
     from data_ingestion_py_spark.io import load_table
 
+    import shutil
+
     li = load_table(spark, sf_dir, "lineitem")
     base = tempfile.mkdtemp(prefix="bench_codec_")
     out = {}
-    for codec in ("snappy", "zstd"):
-        path = os.path.join(base, codec)
-        t0 = time.perf_counter()
-        li.write.mode("overwrite").option("compression", codec).parquet(path)
-        out[f"{codec}_write_sec"] = round(time.perf_counter() - t0, 3)
-        nbytes = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(path)
-            for f in fs
-            if f.endswith(".parquet")
+    try:
+        for codec in ("snappy", "zstd"):
+            path = os.path.join(base, codec)
+            t0 = time.perf_counter()
+            li.write.mode("overwrite").option("compression", codec).parquet(
+                path
+            )
+            out[f"{codec}_write_sec"] = round(time.perf_counter() - t0, 3)
+            nbytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            out[f"{codec}_bytes"] = nbytes
+
+            def _scan(p=path):
+                spark.read.parquet(p).agg(
+                    F.sum("l_extendedprice"), F.count(F.lit(1))
+                ).collect()
+
+            out[f"{codec}_scan_sec"] = _best_of(3, _scan)
+        out["zstd_size_ratio"] = round(
+            out["zstd_bytes"] / out["snappy_bytes"], 4
         )
-        out[f"{codec}_bytes"] = nbytes
-
-        def _scan(p=path):
-            spark.read.parquet(p).agg(
-                F.sum("l_extendedprice"), F.count(F.lit(1))
-            ).collect()
-
-        out[f"{codec}_scan_sec"] = _best_of(3, _scan)
-    out["zstd_size_ratio"] = round(
-        out["zstd_bytes"] / out["snappy_bytes"], 4
-    )
-    return out
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _bucket_join_bench(spark, sf_dir: str) -> dict:
@@ -405,12 +412,14 @@ def _bucket_join_bench(spark, sf_dir: str) -> dict:
     `io.write_bucketed` / SCALE.md "Bucketing". The one-time bucket
     write is reported separately — it amortizes over every repeated
     join, which is the whole point of the layout."""
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from data_ingestion_py_spark.io import load_table, write_bucketed
 
+    bucket_base = None
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -430,7 +439,7 @@ def _bucket_join_bench(spark, sf_dir: str) -> dict:
             )
 
         plain = _best_of(3, lambda: _join(o, c))
-        base = tempfile.mkdtemp(prefix="bench_buckets_")
+        base = bucket_base = tempfile.mkdtemp(prefix="bench_buckets_")
         t0 = time.perf_counter()
         write_bucketed(o, "bench_orders_b", ["o_custkey"], 16, base + "/o")
         write_bucketed(c, "bench_customer_b", ["c_custkey"], 16, base + "/c")
@@ -447,6 +456,9 @@ def _bucket_join_bench(spark, sf_dir: str) -> dict:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         spark.sql("DROP TABLE IF EXISTS bench_orders_b")
         spark.sql("DROP TABLE IF EXISTS bench_customer_b")
+        # external-location tables: DROP TABLE leaves the files behind
+        if bucket_base is not None:
+            shutil.rmtree(bucket_base, ignore_errors=True)
 
 
 if __name__ == "__main__":

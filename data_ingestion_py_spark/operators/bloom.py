@@ -57,13 +57,16 @@ def _bit_pos(gram: Column, j: int) -> Column:
     )
 
 
-def _word_mask() -> Column:
-    """``1 << (p % WORD_BITS)`` as a BIGINT, from a ``p`` column.
+def _word_mask(pos: Column) -> Column:
+    """``1 << (pos % WORD_BITS)`` as a BIGINT, from the bit-position
+    Column the caller passes in (not a hardcoded column name — binding
+    by name would silently latch onto any unrelated ``p`` column).
 
     ``F.shiftleft`` takes only a literal shift amount, so the
-    column-shift goes through the SQL expression form.
+    column-shift goes through ``F.expr``-free arithmetic: 2^(pos%32)
+    is exact in the BIGINT domain for pos%32 in [0, 31].
     """
-    return F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {WORD_BITS} AS INT))")
+    return F.pow(F.lit(2.0), (pos % WORD_BITS).cast("double")).cast("long")
 
 
 def bloom_build(grams: DataFrame, gram_col: str = "g") -> DataFrame:
@@ -80,7 +83,7 @@ def bloom_build(grams: DataFrame, gram_col: str = "g") -> DataFrame:
     return (
         pos.select(
             (F.col("p") / WORD_BITS).cast("long").alias("word"),
-            _word_mask().alias("mask"),
+            _word_mask(F.col("p")).alias("mask"),
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
@@ -108,7 +111,7 @@ def bloom_probe(
         *key_cols,
         gram_col,
         (F.col("p") / WORD_BITS).cast("long").alias("word"),
-        _word_mask().alias("mask"),
+        _word_mask(F.col("p")).alias("mask"),
     )
     need = probes.groupBy(*key_cols, gram_col, "word").agg(
         F.bit_or("mask").alias("need")

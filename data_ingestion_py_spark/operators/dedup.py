@@ -99,19 +99,30 @@ def minhash_signatures(
     """
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
-    # Rebalance only when the input arrives under-partitioned (the
-    # fixture is ONE parquet file → 2 tasks); a multi-file corpus that
-    # already spans the cluster must not pay a gratuitous full shuffle.
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target)
     # Docs too short to shingle (size(tokens) < k → empty shingle array)
     # are dropped, matching the oracle's WHERE len(toks) >= k. Without
     # this they'd emit all-null signatures AND share identical band keys
     # ('0|','1|',...), forming one O(m²) candidate clique — a skew bomb
     # at corpus scale.
+    #
+    # The filter is phrased on the TOKEN count, before the repartition,
+    # NOT as ``size(shingles) > 0`` after it: Catalyst pushes any
+    # deterministic filter below the round-robin Exchange, and the
+    # shingle-sized form drags the whole shingle-construction subtree
+    # into the pre-shuffle stage — which is exactly the under-
+    # parallelized stage the repartition exists to escape (measured:
+    # the pushed-down shingle filter made the 2-task scan stage the
+    # bottleneck, ~1.8 s of a 2.2 s signature build at sf0.1; the
+    # token-count form costs one split per row there and leaves the
+    # shingle transform in the post-shuffle 32-task stage).
+    docs = docs.where(F.size(tokens(F.col(text_col))) >= k)
+    # Rebalance only when the input arrives under-partitioned (the
+    # fixture is ONE parquet file → 2 tasks); a multi-file corpus that
+    # already spans the cluster must not pay a gratuitous full shuffle.
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     return (
         with_shingles(docs, text_col, k)
-        .where(F.size("shingles") > 0)
         .select(
             "doc_id",
             minhash_signature(F.col("shingles"), n_hashes).alias("sig"),

@@ -66,6 +66,19 @@ def label_propagation(
         .localCheckpoint()
     )
     nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    # The scalar argmax key ``vote * label_bound - label`` is only a
+    # correct (vote DESC, label ASC) total order when every label sits
+    # in [0, label_bound). Labels are node ids, so validate the id
+    # domain up front (one cheap min/max agg) rather than silently
+    # mis-ranking votes on graphs with ids outside the bound.
+    lo, hi = nodes.agg(F.min("node"), F.max("node")).first()
+    if hi is not None and (lo < 0 or hi >= label_bound):
+        raise ValueError(
+            f"label_propagation: node ids must lie in [0, label_bound="
+            f"{label_bound}) for the scalar argmax key to order "
+            f"correctly; got id range [{lo}, {hi}]. Raise label_bound "
+            f"(and mirror it in the oracle SQL) or remap node ids."
+        )
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(n_rounds):
         votes = (

@@ -347,8 +347,9 @@ def q_dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency audit: for candidate FDs over the part
     dimension, count determinant keys mapping to >1 dependent value —
     the schema-inference / normalization check every profiler runs
-    (p_brand→p_mfgr holds by TPC-H construction; the others are
-    expected to fail, so the report exercises both outcomes). Shape:
+    (p_partkey→p_name holds — the key determines every attribute;
+    p_type→p_size and p_brand→p_type are expected to fail, so the
+    report exercises both outcomes). Shape:
     one union of narrow projections, a (fd, key) distinct-count agg,
     and an fd-keyed rollup — two keyed shuffles at dimension
     cardinality, no windows. At 100 TB candidate generation is the

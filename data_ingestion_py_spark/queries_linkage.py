@@ -2345,21 +2345,25 @@ def _kcore_oracle_sql() -> str:
     k, r = _KCORE_K, _KCORE_ROUNDS
     parts = [
         f"""
-WITH edges0 AS ({_TRADE_EDGES_CTE}),
-und AS (
+WITH edges0 AS MATERIALIZED ({_TRADE_EDGES_CTE}),
+und AS MATERIALIZED (
     SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
     FROM edges0 WHERE src <> dst AND w >= {_KCORE_W_MIN}
 ),
-sym AS (
+sym AS MATERIALIZED (
     SELECT a AS u, b AS v FROM und UNION ALL SELECT b AS u, a AS v FROM und
 ),
-alive0 AS (SELECT DISTINCT u AS node FROM sym)"""
+alive0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)"""
     ]
     prev = "alive0"
     for i in range(1, r + 1):
+        # MATERIALIZED is load-bearing: each alive{i} references the
+        # previous round THREE times (two IN-subqueries + the rollup's
+        # reuse); un-materialized, DuckDB re-inlines the whole chain —
+        # measured 179 s for this 25-node fixture vs ~1 s materialized.
         parts.append(
             f""",
-alive{i} AS (
+alive{i} AS MATERIALIZED (
     SELECT u AS node FROM sym
     WHERE u IN (SELECT node FROM {prev})
       AND v IN (SELECT node FROM {prev})

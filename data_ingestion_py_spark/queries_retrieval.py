@@ -1462,9 +1462,16 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.select("doc_id", "text").unionByName(
         frags.select("doc_id", "text")
     )
+    # Token-count form of the "too short to shingle" gate: filtering on
+    # size(shingles) would re-evaluate the whole shingle subtree inside
+    # the Filter operator (no subexpression sharing across Filter and
+    # Project) — same semantics, half the per-row work.
     sh = (
-        dedup.with_shingles(corpus)
-        .where(F.size("shingles") > 0)
+        dedup.with_shingles(
+            corpus.where(
+                F.size(tokens(F.col("text"))) >= dedup.SHINGLE_K
+            )
+        )
         .select("doc_id", F.array_distinct("shingles").alias("s"))
     )
     a = sh.select(F.col("doc_id").alias("frag_id"), F.col("s").alias("sa"))

@@ -23,9 +23,30 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.errors import AnalysisException
 
 from data_ingestion_py_spark.catalog.actions import apply_actions
 from data_ingestion_py_spark.catalog.state import ACTION_SCHEMA, CatalogState
+
+
+def _state_max_batch_id(
+    spark: SparkSession, state_path: str, schema: str
+) -> int | None:
+    """Max batch_id already landed in an at-rest state log, or None if
+    the log does not exist yet.
+
+    Only a missing path reads as "first batch" (AnalysisException /
+    PATH_NOT_FOUND). Any OTHER read failure propagates so foreachBatch
+    retries the batch: swallowing a transient read error here would
+    skip the monotonic-id idempotency guard and let a re-delivered
+    batch append its cells a second time — permanent double-count."""
+    try:
+        existing = spark.read.schema(schema).parquet(state_path)
+        return existing.agg(F.max("batch_id").alias("m")).collect()[0].m
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
 
 
 @dataclass
@@ -438,19 +459,13 @@ def rollup_batch_processor(state_path: str):
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.schema(ROLLUP_STATE_SCHEMA).parquet(
-                state_path
-            )
-            # foreachBatch ids are monotonic per checkpoint, so
-            # "already at or past this id" is the restart-safe guard —
-            # and it stays correct after compaction rewrites the log
-            # under the max compacted id.
-            hi = existing.agg(F.max("batch_id").alias("m")).collect()[0].m
-            if hi is not None and batch_id <= hi:
-                return  # re-delivered after restart
-        except Exception:  # noqa: BLE001 — first batch: no state yet
-            pass
+        # foreachBatch ids are monotonic per checkpoint, so
+        # "already at or past this id" is the restart-safe guard —
+        # and it stays correct after compaction rewrites the log
+        # under the max compacted id.
+        hi = _state_max_batch_id(spark, state_path, ROLLUP_STATE_SCHEMA)
+        if hi is not None and batch_id <= hi:
+            return  # re-delivered after restart
         (
             _batch_rollup(batch_df)
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
@@ -549,13 +564,9 @@ def cms_batch_processor(state_path: str):
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            existing = spark.read.schema(CMS_STATE_SCHEMA).parquet(state_path)
-            hi = existing.agg(F.max("batch_id").alias("m")).collect()[0].m
-            if hi is not None and batch_id <= hi:
-                return  # re-delivered after restart
-        except Exception:  # noqa: BLE001 — first batch: no state yet
-            pass
+        hi = _state_max_batch_id(spark, state_path, CMS_STATE_SCHEMA)
+        if hi is not None and batch_id <= hi:
+            return  # re-delivered after restart
         (
             cms_cells(batch_df)
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
