@@ -925,3 +925,143 @@ def q_events_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch
+# ---------------------------------------------------------------------------
+
+from data_ingestion_py_spark.functions.sketch import (  # noqa: E402
+    hll_estimate_cols,
+    hll_estimate_sql,
+    hll_registers,
+    hll_registers_sql,
+)
+
+_HLL_KEY_SQL = "CAST(user_id AS VARCHAR)"
+
+
+@register(
+    "events_hll_distinct",
+    f"""
+WITH regs AS (
+    {hll_registers_sql("SELECT event_type, user_id FROM events",
+                       _HLL_KEY_SQL, "event_type")}
+), est AS (
+    {hll_estimate_sql("regs", "event_type")}
+), ex AS (
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+    FROM events GROUP BY event_type
+)
+SELECT ex.event_type, ex.exact_distinct, est.hll_estimate,
+       round(100.0 * (est.hll_estimate - ex.exact_distinct)
+             / ex.exact_distinct, 2) AS err_pct
+FROM ex JOIN est ON ex.event_type = est.event_type
+""",
+    tags=("sketch", "cardinality"),
+    bench=True,
+)
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type — the md5
+    register algebra that replays EXACTLY in DuckDB (deterministic
+    stand-in for Spark's native ``approx_count_distinct``, whose salted
+    HLL++ state no second engine can reproduce). b=8 → 256 registers,
+    rank = leading-zero count of the next 40 hash bits; the harmonic
+    sum stays an exact scaled BIGINT so the only float op is one
+    literal/S division (see ``functions/sketch.py``). Scale shape: the
+    register build is one groupBy whose map-side partial max bounds
+    the shuffle at O(partitions · types · 256) rows regardless of user
+    cardinality — at 100 TB the register tables (256 rows/group) are
+    the ONLY thing that moves, and they merge by max across
+    files/days/streams (``events_hll_rollup_merge``). Exact distinct
+    rides alongside to exhibit the ~1.04/√m ≈ 6.5% error band."""
+    e = load_table(spark, sf_dir, "events")
+    regs = hll_registers(
+        e.select("event_type", "user_id"),
+        F.col("user_id").cast("string"),
+        ["event_type"],
+    )
+    est = hll_estimate_cols(regs, ["event_type"])
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return ex.join(est, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "hll_estimate",
+        F.round(
+            100.0
+            * (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            2,
+        ).alias("err_pct"),
+    )
+
+
+@register(
+    "events_hll_rollup_merge",
+    f"""
+WITH daily AS (
+    {hll_registers_sql(
+        "SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id "
+        "FROM events",
+        _HLL_KEY_SQL, "event_type, day")}
+), merged AS (
+    SELECT event_type, reg, CAST(max(r) AS INT) AS r
+    FROM daily GROUP BY event_type, reg
+), est_merged AS (
+    {hll_estimate_sql("merged", "event_type")}
+), direct AS (
+    {hll_registers_sql("SELECT event_type, user_id FROM events",
+                       _HLL_KEY_SQL, "event_type")}
+), est_direct AS (
+    {hll_estimate_sql("direct", "event_type")}
+)
+SELECT m.event_type,
+       m.hll_estimate AS merged_estimate,
+       d.hll_estimate AS direct_estimate,
+       (m.hll_estimate = d.hll_estimate) AS merge_consistent
+FROM est_merged m JOIN est_direct d ON m.event_type = d.event_type
+""",
+    tags=("sketch", "cardinality", "mergeable"),
+)
+def q_events_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY, exhibited: per-(type, day) register tables
+    merged by per-register max reproduce the direct whole-corpus
+    registers BIT-FOR-BIT — max-of-max ≡ max — so `merge_consistent`
+    is provably true for every row, and the 100 TB pattern (keep 256
+    small ints per partition/day/stream, never re-scan history to
+    re-count) is demonstrated rather than asserted. The merge shuffle
+    moves only ≤ types·days·256 register rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = hll_registers(
+        e.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        ),
+        F.col("user_id").cast("string"),
+        ["event_type", "day"],
+    )
+    merged = daily.groupBy("event_type", "reg").agg(
+        F.max("r").cast("int").alias("r")
+    )
+    est_merged = hll_estimate_cols(merged, ["event_type"]).withColumnRenamed(
+        "hll_estimate", "merged_estimate"
+    )
+    direct = hll_registers(
+        e.select("event_type", "user_id"),
+        F.col("user_id").cast("string"),
+        ["event_type"],
+    )
+    est_direct = hll_estimate_cols(direct, ["event_type"]).withColumnRenamed(
+        "hll_estimate", "direct_estimate"
+    )
+    return est_merged.join(est_direct, "event_type").select(
+        "event_type",
+        "merged_estimate",
+        "direct_estimate",
+        (F.col("merged_estimate") == F.col("direct_estimate")).alias(
+            "merge_consistent"
+        ),
+    )

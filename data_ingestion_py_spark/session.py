@@ -45,6 +45,13 @@ _DEFAULTS = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.shuffle.partitions": "64",
+    # local[32] is ONE JVM doing driver + all 32 executor threads; the
+    # 1g default heap starves 32 concurrent tasks' shuffle/broadcast
+    # buffers long before the box (128 GiB) is near full, and the
+    # failure mode is an executor heap OOM mid-job (seen at sf0.1×10
+    # in the iter_slope probe). On a real cluster this maps to
+    # per-executor memory instead and is sized by the deploy, not here.
+    "spark.driver.memory": "48g",
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Dio.netty.tryReflectionSetAccessible=true",
 }

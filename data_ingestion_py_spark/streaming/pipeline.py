@@ -615,3 +615,83 @@ def run_cms_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog maintenance
+# ---------------------------------------------------------------------------
+
+HLL_STATE_SCHEMA = "event_type STRING, reg INT, r INT, batch_id BIGINT"
+
+
+def hll_batch_processor(state_path: str):
+    """foreachBatch handler: append THIS batch's per-type HLL register
+    table (``functions/sketch.hll_registers`` — the same definition the
+    batch query uses) to the at-rest register log, tagged with
+    batch_id. Registers merge by MAX, which is idempotent — unlike the
+    sum-merged CMS cells a double-appended batch could not corrupt the
+    estimate — but the monotonic-id guard is kept anyway so the log
+    stays bounded and all three state logs share one re-delivery
+    contract. Each micro-batch appends ≤ types·256 rows regardless of
+    event volume."""
+    from data_ingestion_py_spark.functions.sketch import hll_registers
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hi = _state_max_batch_id(spark, state_path, HLL_STATE_SCHEMA)
+        if hi is not None and batch_id <= hi:
+            return  # re-delivered after restart
+        (
+            hll_registers(
+                batch_df.select("event_type", "user_id"),
+                F.col("user_id").cast("string"),
+                ["event_type"],
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    return _process
+
+
+def read_hll_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Merge-on-read of the register log: (event_type, reg, r) maxed
+    across batches — register-identical to ``hll_registers`` over
+    everything ingested (max-of-max ≡ max, pinned by
+    ``tests/test_streaming.py``). Feed to
+    ``functions/sketch.hll_estimate_cols`` for live estimates."""
+    return (
+        spark.read.schema(HLL_STATE_SCHEMA)
+        .parquet(state_path)
+        .groupBy("event_type", "reg")
+        .agg(F.max("r").cast("int").alias("r"))
+    )
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    events_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """events file stream → durable HLL register state. Restart-safe:
+    same state path + checkpoint resumes; re-delivered batches no-op.
+    The streaming face of ``events_hll_distinct``: live distinct-user
+    cardinality per event type from O(types·256) ints of state, no
+    per-key store."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(hll_batch_processor(state_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

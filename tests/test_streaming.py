@@ -845,3 +845,69 @@ def test_orc_round_trip(spark, tmp_path):
     filtered = back.where(F.col("doc_id") < 100).select("doc_id")
     filtered.collect()
     assert any("doc_id" in f for f in pushed_filters(filtered))
+
+
+def test_durable_hll_stream_matches_batch_and_survives_restart(
+    spark, tmp_path
+):
+    """The streamed HLL register log, merged on read, must be
+    REGISTER-IDENTICAL to a one-pass batch register build over
+    everything ingested — across two process lifetimes — and
+    re-delivered batches must not grow the log. Mergeability by max,
+    made a restart-safe streaming contract (the sketch sibling of the
+    CMS cell-log test)."""
+    from data_ingestion_py_spark.functions.sketch import hll_registers
+    from data_ingestion_py_spark.streaming.pipeline import (
+        hll_batch_processor,
+        read_hll_state,
+        run_hll_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+
+    def batch_regs(df):
+        return {
+            (r.event_type, r.reg): r.r
+            for r in hll_registers(
+                df.select("event_type", "user_id"),
+                F.col("user_id").cast("string"),
+                ["event_type"],
+            ).collect()
+        }
+
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    q = run_hll_stream(spark, src, state, ckpt)
+    q.awaitTermination(240)
+    got1 = {
+        (r.event_type, r.reg): r.r
+        for r in read_hll_state(spark, state).collect()
+    }
+    assert got1 == batch_regs(half1)
+
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtime => stable file-batch order
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    q = run_hll_stream(spark, src, state, ckpt)
+    q.awaitTermination(240)
+    got2 = {
+        (r.event_type, r.reg): r.r
+        for r in read_hll_state(spark, state).collect()
+    }
+    assert got2 == batch_regs(events)
+
+    # re-delivery of an already-committed batch id is a no-op
+    n_rows_before = spark.read.parquet(state).count()
+    hll_batch_processor(state)(half1, 0)
+    assert spark.read.parquet(state).count() == n_rows_before
+    got3 = {
+        (r.event_type, r.reg): r.r
+        for r in read_hll_state(spark, state).collect()
+    }
+    assert got3 == got2
