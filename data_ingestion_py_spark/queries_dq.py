@@ -385,3 +385,149 @@ def q_dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nv").cast("long").alias("max_values_per_key"),
         (viol == 0).cast("int").alias("holds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+#: round(log10(1 + 1/d) * 1e6) per digit — Python-evaluated integer
+#: literals so both engines compare against the identical expectation.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_PPM_SQL = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+
+@register(
+    "dq_benford_first_digit",
+    f"""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR),
+                       1, 1) AS INT) AS digit
+    FROM orders WHERE o_totalprice > 0
+), c AS (
+    SELECT digit, count(*) AS n FROM d GROUP BY digit
+), t AS (SELECT sum(n) AS tot FROM c)
+SELECT CAST(c.digit AS INT) AS digit,
+       CAST(c.n AS BIGINT) AS n_obs,
+       CAST(c.n * 1000000 // t.tot AS BIGINT) AS obs_ppm,
+       CAST(CASE c.digit {_BENFORD_PPM_SQL} END AS BIGINT) AS exp_ppm,
+       CAST(c.n * 1000000 // t.tot
+            - CASE c.digit {_BENFORD_PPM_SQL} END AS BIGINT) AS delta_ppm
+FROM c, t
+""",
+    tags=("dq", "fraud"),
+)
+def q_dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (synthetic or tampered monetary data
+    rarely matches the log distribution of real multiplicative
+    processes). Per digit 1-9: observed count, observed parts-per-
+    million (EXACT integer ``n·10⁶ div total``), the Benford
+    expectation as a shared integer literal, and the signed gap a
+    release gate thresholds on. Everything integer end-to-end — no
+    float in the compared output. TPC-H prices are uniform-ish, so the
+    big deltas HERE are themselves the demo: the audit flags this
+    synthetic table as non-Benford, which is correct.
+
+    Scale shape: first digit via integer→string prefix (no log10
+    float), one ≤9-key groupBy with map-side partials + a 1-row total
+    broadcast — output bounded by the digit domain, not the data."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("tot"))
+    exp_ppm = F.coalesce(
+        *[
+            F.when(F.col("digit") == d, F.lit(p))
+            for d, p in _BENFORD_PPM.items()
+        ]
+    ).cast("long")
+    return c.crossJoin(F.broadcast(t)).select(
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n").cast("long").alias("n_obs"),
+        F.expr("n * 1000000 div tot").cast("long").alias("obs_ppm"),
+        exp_ppm.alias("exp_ppm"),
+        (F.expr("n * 1000000 div tot").cast("long") - exp_ppm)
+        .cast("long")
+        .alias("delta_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (deterministic Laplace)
+# ---------------------------------------------------------------------------
+
+_DP_EPSILON = 1.0  # per-count budget; sensitivity of a count query is 1
+_DP_SALT = "dp-release-v1"  # version the salt to re-draw all noise
+
+
+@register(
+    "dp_noisy_counts",
+    f"""
+WITH g AS (
+    SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+), u AS (
+    SELECT lang, source, n,
+           ((('0x' || substr(md5(lang || '|' || source || '|{_DP_SALT}'),
+                      1, 8))::BIGINT + 0.5) / 4294967296.0) AS unif
+    FROM g
+)
+SELECT lang, source, CAST(n AS BIGINT) AS n_true,
+       round(n + (-1.0 / {_DP_EPSILON!r}) * sign(unif - 0.5)
+               * ln(1.0 - 2.0 * abs(unif - 0.5)), 3) AS n_noisy,
+       {_DP_EPSILON!r} AS epsilon
+FROM u
+""",
+    tags=("dq", "privacy"),
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-(lang, source) document counts via
+    the Laplace mechanism (sensitivity 1, ε=1) — the governance step
+    between a curated corpus and a publishable datasheet. The Laplace
+    draw is DETERMINISTIC: inverse-CDF applied to a uniform derived
+    from the md5 of the group key + a versioned salt, so releases are
+    reproducible, re-runs don't leak fresh noise draws (the classic
+    averaging attack on re-randomized releases), and DuckDB replays
+    the exact values. ``n_true`` rides along for the oracle gate and
+    the accuracy story; a real release drops that column and keeps
+    only the noisy view.
+
+    Scale shape: one keyed count agg (combiner-friendly), then per-row
+    scalar math on the group-domain-sized result — the noise step adds
+    zero shuffles at any corpus size. Float discipline: one division,
+    one ln, fixed multiply order, shared literals; round(3)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    h32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("lang"), F.col("source"), F.lit(_DP_SALT))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    unif = (h32 + F.lit(0.5)) / F.lit(4294967296.0)
+    noise = (
+        F.lit(-1.0 / _DP_EPSILON)
+        * F.signum(unif - 0.5)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(unif - 0.5))
+    )
+    return g.select(
+        "lang",
+        "source",
+        F.col("n").cast("long").alias("n_true"),
+        F.round(F.col("n") + noise, 3).alias("n_noisy"),
+        F.lit(_DP_EPSILON).alias("epsilon"),
+    )

@@ -1712,10 +1712,17 @@ WITH ranked AS (
     FROM pts
 )
 SELECT n,
-       CAST(round((n * sxy - sx * sy) * 1000000.0
-                  / (n * sxx - sx * sx)) AS BIGINT) AS slope_micro,
-       CAST(round((sy - (n * sxy - sx * sy) * 1.0
-                        / (n * sxx - sx * sx) * sx) * 1.0 / n)
+       CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) * 1000000.0
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            AS BIGINT) AS slope_micro,
+       CAST(round((CAST(sy AS DOUBLE)
+                   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
             AS BIGINT) AS intercept_micro
 FROM sums
 """,
@@ -1733,8 +1740,13 @@ def q_corpus_length_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     final float ops. The oracle uses a naive global window (the
     independent-algorithm pattern).
 
-    Note sxx/sxy reach ~n·(ln n ·1e6)² — int64-safe past 10⁸ rows;
-    beyond that the documented swap is DECIMAL(38,0) sums."""
+    The five SUMS stay exact int64 (sxx ≈ n·(ln n·1e6)² — safe past
+    10⁸ rows; beyond that the documented swap is DECIMAL(38,0) sums),
+    but the closing cross-products n·sxx / n·sxy overflow int64 from
+    ~5·10³ rows (caught by the round-7 sf0.1 sweep), so the final
+    ratio is computed in DOUBLE from the exact sums — one rounding per
+    operand, identical expression order both engines, slope error
+    ≤ 1e-8 micro-units at any corpus size."""
     from data_ingestion_py_spark.operators.ranking import with_global_rank
 
     d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
@@ -1759,14 +1771,17 @@ def q_corpus_length_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    det = n_d * sxx_d - sx_d * sx_d
+    num = n_d * sxy_d - sx_d * sy_d
     return sums.select(
         F.col("n").cast("long").alias("n"),
         F.round(num * 1000000.0 / det).cast("long").alias("slope_micro"),
-        F.round(
-            (F.col("sy") - num * 1.0 / det * F.col("sx")) * 1.0 / F.col("n")
-        )
+        F.round((sy_d - num / det * sx_d) / n_d)
         .cast("long")
         .alias("intercept_micro"),
     )
