@@ -33,6 +33,10 @@ if _REPO not in sys.path:
 
 
 def main() -> None:
+    # Bench box has 128 GiB; 32 concurrent local tasks (and the sf0.1×10
+    # iter_slope probes) OOM on the library's portable 4g default.
+    # Bench-specific tuning lives HERE, not in session._DEFAULTS.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0

@@ -211,7 +211,12 @@ class BandIndex:
         re-delivers batches before the last committed one. Band rows
         re-partition to one file per bucket; adjust file counts at
         cluster scale via a pre-write ``repartition`` if buckets grow
-        past single-file sizes."""
+        past single-file sizes.
+
+        Also the LAYOUT-MIGRATION path: an at-rest index written
+        before the ``doc_bucket`` partition column existed probes
+        correctly but unpruned (see ``probe``); compacting rewrites
+        sigs/ under the current (ingest_batch, doc_bucket) layout."""
         batches = self.committed_batches()
         if not batches:
             raise ValueError("cannot compact an empty index")
@@ -310,7 +315,14 @@ class BandIndex:
             return self.spark.createDataFrame(
                 [], "new_doc_id long, corpus_doc_id long, jaccard double"
             )
-        corp = self.corpus_sigs().where(F.col("doc_bucket").isin(buckets))
+        corp = self.corpus_sigs()
+        if "doc_bucket" in corp.columns:
+            corp = corp.where(F.col("doc_bucket").isin(buckets))
+        # else: at-rest index written before the doc_bucket partition
+        # column existed (sigs/ partitioned by ingest_batch only).
+        # Fall back to the unpruned verify scan — correct, just not
+        # partition-pruned. Migration path: ``compacted()`` rewrites
+        # sigs/ with the doc_bucket layout, restoring pruned probes.
         return dedup.verify_incremental_pairs(
             cands, new_sigs, corp, threshold
         )

@@ -66,6 +66,14 @@ def _word_mask(pos: Column) -> Column:
     column-shift goes through ``F.expr``-free arithmetic: 2^(pos%32)
     is exact in the BIGINT domain for pos%32 in [0, 31].
     """
+    # The pow-double trick is exact ONLY while every 2^k fits a double's
+    # 53-bit mantissa and the long domain; 2^63 is not representable, so
+    # a future WORD_BITS=64 would silently clamp/overflow on the cast.
+    # Enforce the precondition rather than just stating it.
+    assert WORD_BITS <= 32, (
+        "pow(2.0, k)-as-long is only exact for WORD_BITS <= 32; "
+        "use a literal-shift decomposition for wider words"
+    )
     return F.pow(F.lit(2.0), (pos % WORD_BITS).cast("double")).cast("long")
 
 

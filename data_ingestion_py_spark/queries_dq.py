@@ -463,11 +463,12 @@ def q_dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Differentially-private count release (deterministic Laplace)
+# Laplace-shaped noisy count release (deterministic pseudo-DP DEMO —
+# NOT a privacy mechanism; see docstring)
 # ---------------------------------------------------------------------------
 
-_DP_EPSILON = 1.0  # per-count budget; sensitivity of a count query is 1
-_DP_SALT = "dp-release-v1"  # version the salt to re-draw all noise
+_DP_EPSILON = 1.0  # noise-scale parameter of the demo (NOT a real DP budget)
+_DP_SALT = "dp-release-v1"  # PUBLIC salt, committed to the repo — see docstring
 
 
 @register(
@@ -484,22 +485,29 @@ WITH g AS (
 SELECT lang, source, CAST(n AS BIGINT) AS n_true,
        round(n + (-1.0 / {_DP_EPSILON!r}) * sign(unif - 0.5)
                * ln(1.0 - 2.0 * abs(unif - 0.5)), 3) AS n_noisy,
-       {_DP_EPSILON!r} AS epsilon
+       {_DP_EPSILON!r} AS noise_scale
 FROM u
 """,
-    tags=("dq", "privacy"),
+    tags=("dq", "noise-demo"),
 )
 def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private per-(lang, source) document counts via
-    the Laplace mechanism (sensitivity 1, ε=1) — the governance step
-    between a curated corpus and a publishable datasheet. The Laplace
-    draw is DETERMINISTIC: inverse-CDF applied to a uniform derived
-    from the md5 of the group key + a versioned salt, so releases are
-    reproducible, re-runs don't leak fresh noise draws (the classic
-    averaging attack on re-randomized releases), and DuckDB replays
-    the exact values. ``n_true`` rides along for the oracle gate and
-    the accuracy story; a real release drops that column and keeps
-    only the noisy view.
+    """Laplace-SHAPED noisy per-(lang, source) document counts — a
+    deterministic pseudo-DP DEMO, **NOT a privacy mechanism**.
+
+    The noise is a pure function of the PUBLIC group key plus a salt
+    committed to this repo, so anyone can recompute and subtract it
+    exactly: the release provides ZERO differential privacy. (That is
+    also why it is oracle-replayable — determinism from public inputs
+    is what makes the benchmark exact, and precisely what breaks the
+    privacy guarantee.) What this query demonstrates is the Spark
+    *shape* of a Laplace release — inverse-CDF transform of an md5-
+    derived uniform over the group-domain-sized aggregate. To turn it
+    into real DP you must (a) draw the uniform from a secret key held
+    OUT of the release (or true randomness plus a stored ledger), and
+    (b) calibrate scale = sensitivity/ε per the composition budget;
+    ``noise_scale`` here is just the demo's 1/λ parameter, not an ε
+    guarantee. ``n_true`` rides along for the oracle gate; any real
+    release drops it.
 
     Scale shape: one keyed count agg (combiner-friendly), then per-row
     scalar math on the group-domain-sized result — the noise step adds
@@ -529,5 +537,5 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n").cast("long").alias("n_true"),
         F.round(F.col("n") + noise, 3).alias("n_noisy"),
-        F.lit(_DP_EPSILON).alias("epsilon"),
+        F.lit(_DP_EPSILON).alias("noise_scale"),
     )

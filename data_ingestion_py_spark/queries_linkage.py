@@ -272,7 +272,7 @@ SELECT ex.vec_id, CAST(ex.pos AS INT) AS pos,
        CASE WHEN st.n * st.s2 = st.s1 * st.s1 THEN 0.0
             ELSE round((st.n * ex.q - st.s1)
                        / sqrt(CAST(st.n * st.s2 - st.s1 * st.s1
-                                   AS DOUBLE)), 4)
+                                   AS DOUBLE)), 4) + 0.0
        END AS z
 FROM ex JOIN st ON ex.pos = st.pos
 """,
@@ -289,7 +289,9 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     count/Σq/Σq² are EXACT integer aggregates, immune to partial-agg
     order; z = (n·q − Σq) / √(n·Σq² − (Σq)²) is then a deterministic
     float function of exact integers, so round(z, 4) is bit-identical
-    in Spark and DuckDB. With |q| ≤ 1e4·|x| and dims ≤ 64, n·Σq² fits
+    in Spark and DuckDB — EXCEPT the sign of zero: DuckDB's round of a
+    tiny negative yields -0.0, Spark's yields +0.0, hence the explicit
+    `+ 0.0` normalization on both sides. With |q| ≤ 1e4·|x| and dims ≤ 64, n·Σq² fits
     BIGINT up to ~10¹⁰ rows per dimension — scale headroom documented
     rather than hoped.
 
@@ -328,6 +330,10 @@ def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 4,
             )
+            # + 0.0 normalizes IEEE -0.0 → +0.0 (DuckDB's round keeps
+            # the sign of a tiny negative, Spark's BigDecimal round does
+            # not; the r07 driver hash caught exactly one such row).
+            + F.lit(0.0)
         )
         .alias("z"),
     )

@@ -45,13 +45,14 @@ _DEFAULTS = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.shuffle.partitions": "64",
-    # local[32] is ONE JVM doing driver + all 32 executor threads; the
-    # 1g default heap starves 32 concurrent tasks' shuffle/broadcast
-    # buffers long before the box (128 GiB) is near full, and the
-    # failure mode is an executor heap OOM mid-job (seen at sf0.1×10
-    # in the iter_slope probe). On a real cluster this maps to
-    # per-executor memory instead and is sized by the deploy, not here.
-    "spark.driver.memory": "48g",
+    # local[N] is ONE JVM doing driver + all N executor threads, so the
+    # heap must cover N concurrent tasks' shuffle/broadcast buffers —
+    # but the right size is host-specific (the bench box has 128 GiB;
+    # a laptop doesn't), so it is an ENV OVERRIDE, not a baked default:
+    # SPARK_GRAFT_DRIVER_MEM, default 4g. bench.py exports 48g for the
+    # sf0.1×10 iter_slope probes (1g default heap OOMs there). The
+    # setting is ignored anyway once a JVM/gateway exists.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Dio.netty.tryReflectionSetAccessible=true",
 }

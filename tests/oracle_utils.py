@@ -21,8 +21,13 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # kill -0.0 and representation noise after registry-side rounding
-        return repr(round(v, 9) + 0.0)
+        # EXACT repr — no rounding, no -0.0 masking.  The driver's
+        # value-hash is bit-exact (it flagged a single -0.0 vs +0.0 row
+        # in r07 that the old round(v,9)+0.0 normalization hid), so the
+        # local gate must be at least as strict.  Registry invariant:
+        # every float column is rounded identically on both sides AND
+        # normalized with `+ 0.0` when the value can be a tiny negative.
+        return repr(v)
     if isinstance(v, Decimal):
         return repr(float(v))
     if isinstance(v, (pd.Timestamp, datetime)):

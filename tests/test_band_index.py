@@ -108,6 +108,51 @@ def test_index_restart_resumes_and_skips_redelivery(spark, tmp_path):
     assert idx2.admitted_ids().count() == n_before
 
 
+def test_legacy_index_without_doc_bucket_probes_and_migrates(spark, tmp_path):
+    """An at-rest index written BEFORE the doc_bucket partition column
+    existed (sigs/ partitioned by ingest_batch only) must still probe
+    correctly — unpruned fallback — and ``compacted()`` must migrate it
+    to the pruned layout with identical results."""
+    import shutil
+
+    idx = BandIndex(spark, str(tmp_path / "idx"))
+    corpus = _docs(spark).where(F.col("doc_id") < 300)
+    idx.append_batch(dedup.minhash_signatures(corpus), batch_id=0)
+
+    # Fabricate the legacy layout: same bands/meta, sigs/ rewritten
+    # without doc_bucket, partitioned by ingest_batch only.
+    legacy_root = tmp_path / "idx_legacy"
+    shutil.copytree(tmp_path / "idx", legacy_root)
+    shutil.rmtree(legacy_root / "sigs")
+    spark.read.parquet(str(tmp_path / "idx" / "sigs")).drop(
+        "doc_bucket"
+    ).write.partitionBy("ingest_batch").parquet(str(legacy_root / "sigs"))
+
+    legacy = BandIndex(spark, str(legacy_root))
+    assert "doc_bucket" not in legacy.corpus_sigs().columns
+
+    probe_batch = dedup.minhash_signatures(
+        _near_dups_of(corpus.where(F.col("doc_id") < 100))
+    )
+    want = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in idx.probe(probe_batch, 0.5).collect()
+    }
+    got = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in legacy.probe(probe_batch, 0.5).collect()
+    }
+    assert got == want and want  # unpruned fallback, same pairs
+
+    migrated = legacy.compacted(str(tmp_path / "idx_migrated"))
+    assert "doc_bucket" in migrated.corpus_sigs().columns
+    got_m = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in migrated.probe(probe_batch, 0.5).collect()
+    }
+    assert got_m == want
+
+
 def test_compaction_preserves_dedup_state(spark, tmp_path):
     """Compacting into a new snapshot must preserve admissions, probe
     results, and the re-delivery marker for the LAST batch, while
