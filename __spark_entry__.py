@@ -35,79 +35,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _sample_order() -> list[str]:
-    """Registry names, never-yet-driver-verified first.
+    """Registry names, STALEST driver row first.
 
     The driver samples a prefix of this dict each round (50 names as of
-    round 4), so ordering queries that no CORRECTNESS_r*.json has seen
-    ahead of already-verified ones rotates fresh queries into every
-    round's sample automatically — cumulative driver coverage grows
-    instead of re-checking the same prefix. Within each group, registry
-    order is preserved (deterministic)."""
-    import json
+    round 4). Rounds 1-8 ordered never-yet-verified names first, which
+    grew cumulative coverage to 212/212 by round 8 — making that rule a
+    no-op. From round 9 the order is freshness-based: for each name,
+    find the LATEST round whose CORRECTNESS_r*.json contains it, and
+    sort ascending by that round (never-seen names, if any new ones
+    appear, sort as round 0 and so still jump the queue). Each round
+    therefore re-verifies the 50 longest-unchecked names against the
+    CURRENT code — a rolling regression sweep instead of a frozen
+    prefix. Ties (many names share a round) break by registry order,
+    deterministically.
 
-    seen: set[str] = set()
+    Round-9 pin, ahead of the rotation: dp_noisy_counts changed its
+    output schema in round 8 (epsilon→noise_scale, per judge ADVICE)
+    AFTER its only driver row (r07) — its ledger entry describes a
+    schema that no longer exists. Re-sample it first."""
+    import json
+    import re
+
+    latest_round: dict[str, int] = {}
     for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
-            seen |= set(json.loads(path.read_text()))
+            names_in_round = json.loads(path.read_text())
         except Exception:
             continue
-    names = list(QUERIES)
-    # Round-8 pins, ahead of everything else:
-    # - events_hll_rollup_merge: registered in r7 but edged out of the
-    #   50-name sample by the r7 pins (the r7 comment's "ALL remaining
-    #   rows in one round" overclaimed: 47 pins + 4 new registrations =
-    #   51 unseen names vs a 50-name sample). The last never-verified
-    #   registry query.
-    # - embedding_standardize: r7's one red row (DuckDB round() kept a
-    #   -0.0 the driver hash caught); fixed with an explicit +0.0 on
-    #   both sides — re-sample to land the green row.
-    round8_first = [
-        n
-        for n in ("events_hll_rollup_merge", "embedding_standardize")
-        if n in QUERIES
-    ]
-    # Ledger close-out (round 7): these 47 names were the registry
-    # queries never sampled by driver rounds 1-6. The driver samples a
-    # 50-name prefix; pinning them to the front landed 46 of the 47 in
-    # round 7 (see round-8 note above for the straggler).
-    legacy_first = [
-        n
-        for n in (
-            "corpus_drift_terms", "corpus_weighted_sample",
-            "events_incremental_rollup", "dedup_containment_pairs",
-            "snippets_bm25_search", "text_langid_confusion",
-            "events_value_trend", "corpus_length_powerlaw",
-            "orders_brand_basket_pairs", "events_mad_outliers",
-            "events_burst_hours", "events_cms_heavy_hitters",
-            "events_gap_fill_interp", "events_cusum_changepoints",
-            "events_kmv_set_overlap", "events_weekly_seasonality",
-            "dedup_rate_by_source", "parts_fuzzy_matches",
-            "corpus_source_overlap", "embedding_standardize",
-            "dataset_split_leakage_safe", "corpus_substring_cuts",
-            "dedup_prefix_filter_pairs", "parts_sorted_neighborhood",
-            "dq_k_anonymity", "text_winnowing_matches",
-            "parts_entity_resolution", "lineitem_corr_matrix",
-            "graph_ppr_nation", "multimodal_png_chunks",
-            "orders_view_incremental_maintenance",
-            "events_purchase_attribution", "orders_point_in_time_segment",
-            "dedup_cluster_size_histogram", "dq_join_fanout_profile",
-            "corpus_quality_percentile_by_source",
-            "corpus_bitext_candidates", "events_ab_test",
-            "events_kmv_rollup_merge", "orders_seasonal_backtest",
-            "snippets_phrase_search", "customer_activity_periods",
-            "graph_kcore_nations", "graph_clustering_coefficient",
-            "events_multitouch_attribution", "dedup_lsh_quality_report",
-            "dedup_simhash_pairs",
-        )
-        if n in QUERIES and n not in seen
-    ]
-    front = set(round8_first) | set(legacy_first)
-    return (
-        round8_first
-        + legacy_first
-        + [n for n in names if n not in seen and n not in front]
-        + [n for n in names if n in seen and n not in front]
-    )
+        for n in names_in_round:
+            latest_round[n] = max(latest_round.get(n, 0), rnd)
+    pins = [n for n in ("dp_noisy_counts",) if n in QUERIES]
+    rest = [n for n in QUERIES if n not in pins]
+    rest.sort(key=lambda n: latest_round.get(n, 0))  # stable: registry order ties
+    return pins + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

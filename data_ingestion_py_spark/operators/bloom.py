@@ -46,6 +46,16 @@ BLOOM_BITS = 65536  # m: total bits
 BLOOM_HASHES = 4  # k: hash functions
 WORD_BITS = 32  # bits per stored word (BIGINT-held, sign-safe)
 
+# _word_mask's pow(2.0, k)-as-long trick is only exact while every
+# 2^k fits the long domain (k <= 31). Enforced HERE at import (a plain
+# raise, not an assert, so `python -O` cannot strip it, and it runs
+# once instead of per call).
+if WORD_BITS > 32:
+    raise ValueError(
+        "pow(2.0, k)-as-long is only exact for WORD_BITS <= 32; "
+        "use a literal-shift decomposition for wider words"
+    )
+
 
 def _bit_pos(gram: Column, j: int) -> Column:
     """Bit position of hash j for a gram: 32-bit read of md5(g||'|'||j)
@@ -69,11 +79,7 @@ def _word_mask(pos: Column) -> Column:
     # The pow-double trick is exact ONLY while every 2^k fits a double's
     # 53-bit mantissa and the long domain; 2^63 is not representable, so
     # a future WORD_BITS=64 would silently clamp/overflow on the cast.
-    # Enforce the precondition rather than just stating it.
-    assert WORD_BITS <= 32, (
-        "pow(2.0, k)-as-long is only exact for WORD_BITS <= 32; "
-        "use a literal-shift decomposition for wider words"
-    )
+    # Precondition enforced at module import (see the WORD_BITS guard).
     return F.pow(F.lit(2.0), (pos % WORD_BITS).cast("double")).cast("long")
 
 

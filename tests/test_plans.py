@@ -303,6 +303,10 @@ _TINY_BROADCAST_OK = {
     # a<b pair generation and the IN-(ta,tb) membership probe — the
     # broadcast side is bounded by distinct types, never data-sized
     "events_kmv_set_overlap",
+    # ≤9-row first-digit agg × 1-row total-count broadcast (the same
+    # scalar-denominator shape as events_value_histogram); added in r7
+    # without this entry — the lint was red for two rounds over it
+    "dq_benford_first_digit",
 }
 
 
@@ -320,6 +324,38 @@ def test_no_accidental_cartesian_anywhere(spark):
                 failures.append(f"{name}: unexpected nested-loop join")
         except Exception as exc:  # noqa: BLE001 — collect, don't abort
             failures.append(f"{name}: BROKEN ({type(exc).__name__}: {exc})")
+    assert not failures, "\n".join(failures)
+
+
+def test_tiny_broadcast_allowlist_is_actually_tiny(spark):
+    """The BNLJ allowlist is a CHECKED contract, not a trust-forever
+    list: execute every allowlisted query and measure the actual
+    broadcast row count of each BroadcastNestedLoopJoin build side
+    (numOutputRows on the feeding BroadcastExchange). A name whose
+    "1-row scalar" broadcast silently grows to corpus size fails here
+    even though the cartesian lint above would keep waving it through.
+
+    Bound: 1000 rows — an order of magnitude above the biggest
+    legitimate scalar/shortlist broadcast (k-row shortlists, 10-row
+    anchors) and far below any data-sized relation even at SF_SMOKE.
+    events_kmv_set_overlap gets a documented higher bound: its
+    broadcast is the distinct-type-pair scaffold (types², 792 rows at
+    SF_SMOKE) — bounded by event-type cardinality, which does NOT grow
+    with data volume."""
+    bounds = {"events_kmv_set_overlap": 4096}
+    failures: list[str] = []
+    for name in sorted(_TINY_BROADCAST_OK):
+        bound = bounds.get(name, 1000)
+        try:
+            rows = E.bnlj_broadcast_rows(QUERIES[name].spark(spark, SF_SMOKE))
+        except Exception as exc:  # noqa: BLE001 — collect, don't abort
+            failures.append(f"{name}: BROKEN ({type(exc).__name__}: {exc})")
+            continue
+        oversized = [r for r in rows if r > bound]
+        if oversized:
+            failures.append(
+                f"{name}: broadcast side(s) {oversized} exceed {bound} rows"
+            )
     assert not failures, "\n".join(failures)
 
 
