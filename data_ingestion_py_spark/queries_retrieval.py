@@ -2056,3 +2056,175 @@ def q_events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion (BM25 ⊕ embedding cosine)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # Cormack/Clarke/Buettcher 2009 constant
+RRF_LEG_K = 20  # per-leg shortlist depth
+RRF_QUERY_VEC_ID = 0
+
+
+def rrf_hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: tuple[str, ...],
+    query_vec_id: int,
+    leg_k: int = RRF_LEG_K,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid retrieval: fuse the BM25 lexical
+    top-``leg_k`` with the embedding-cosine semantic top-``leg_k``
+    (vectors keyed by ``vec_id == doc_id``, the repo's standing
+    linkage), scoring each doc Σ_legs 1/(RRF_K + rank) — the standard
+    combiner for hybrid search (Cormack et al. 2009; what
+    Elasticsearch/Vespa/OpenSearch ship as "RRF"). The reference
+    stores snippets for a retriever but has no ranking at all
+    (data_ingestion.py:229-252); BM25 and cosine each exist here
+    already — this is the production glue between them.
+
+    Scale shape: each leg is the already-linted top-k pattern (BM25's
+    keyed term aggs + TakeOrderedAndProject; cosine's broadcast query
+    vector + narrow scan). Fusion then runs on two ≤leg_k-row
+    shortlists: the row_number windows and the full-outer join touch
+    ≤20 rows regardless of corpus size — nothing data-proportional
+    happens after the legs' own top-k cuts.
+
+    Determinism: ranks are integers, and the RRF score is computed in
+    integer micro-units via truncating div (1000000 div (K + r)), so
+    Spark and the DuckDB oracle agree bit-exactly; absent-leg ranks
+    surface as 0 (never NULL) to keep the hash layer away from
+    NaN-vs-None pandas mismatches."""
+    from pyspark.sql.window import Window
+
+    from data_ingestion_py_spark.operators.similarity import cosine_topk
+
+    lex = bm25_topk(docs, query_terms, k=leg_k).select(
+        "doc_id", "score_micro"
+    )
+    w_lex = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+    sem = cosine_topk(embeddings, query_vec_id, k=leg_k)
+    w_sem = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    sem_r = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_sem).alias("sem_rank"),
+    )
+    fused = (
+        lex_r.join(sem_r, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("long").alias("sem_rank"),
+        )
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (
+                F.when(
+                    F.col("lex_rank") > 0,
+                    F.expr(f"1000000 div ({RRF_K} + lex_rank)"),
+                ).otherwise(F.lit(0))
+                + F.when(
+                    F.col("sem_rank") > 0,
+                    F.expr(f"1000000 div ({RRF_K} + sem_rank)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_micro"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(k)
+
+
+def _rrf_oracle(
+    query_terms: tuple[str, ...], query_vec_id: int, leg_k: int, k: int
+) -> str:
+    terms_sql = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH per_doc AS (
+    SELECT doc_id, len(toks) AS dl,
+           list_filter(toks, t -> list_contains([{terms_sql}], t)) AS qtoks
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), tfc AS (
+    SELECT doc_id, dl, term, count(*) AS tf
+    FROM (SELECT doc_id, dl, unnest(qtoks) AS term
+          FROM per_doc WHERE len(qtoks) > 0)
+    GROUP BY 1, 2, 3
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tfc GROUP BY term
+), stats AS (
+    SELECT count(*) AS nd, sum(dl) AS sum_dl FROM per_doc
+), bm25 AS (
+    SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro
+    FROM (
+        SELECT doc_id,
+               CAST(round(
+                   ln(1.0 + (nd - df + 0.5) / (df + 0.5))
+                   * (tf * ({BM25_K1} + 1.0))
+                   / (tf + {BM25_K1} * ((1.0 - {BM25_B}) + {BM25_B} * dl
+                       / (CAST(sum_dl AS DOUBLE) / nd)))
+                   * 1000000.0) AS BIGINT) AS s_micro
+        FROM tfc JOIN dfreq USING (term), stats
+    ) GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id ASC LIMIT {leg_k}
+), lex_r AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score_micro DESC, doc_id)
+               AS lex_rank
+    FROM bm25
+), base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+), q AS (
+    SELECT v AS qvec FROM base WHERE vec_id = {query_vec_id}
+), cos AS (
+    SELECT c.vec_id,
+           round(list_dot_product(c.v, q.qvec)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.qvec, q.qvec))), 6)
+               AS cosine_sim
+    FROM base c, q
+    WHERE c.vec_id <> {query_vec_id}
+    ORDER BY cosine_sim DESC, vec_id LIMIT {leg_k}
+), sem_r AS (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY cosine_sim DESC, vec_id)
+               AS sem_rank
+    FROM cos
+), fused AS (
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank
+    FROM lex_r l FULL OUTER JOIN sem_r s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank,
+       CAST((CASE WHEN lex_rank > 0
+                  THEN 1000000 // ({RRF_K} + lex_rank) ELSE 0 END)
+            + (CASE WHEN sem_rank > 0
+                    THEN 1000000 // ({RRF_K} + sem_rank) ELSE 0 END)
+            AS BIGINT) AS rrf_micro
+FROM fused
+ORDER BY rrf_micro DESC, doc_id ASC LIMIT {k}
+"""
+
+
+@register(
+    "text_rrf_hybrid_search",
+    _rrf_oracle(BM25_QUERY_TERMS, RRF_QUERY_VEC_ID, RRF_LEG_K, 10),
+    tags=("text", "retrieval", "similarity"),
+)
+def q_text_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF top-10 fusing BM25 (fixed 3-term query) with cosine against
+    vec_id=0 (see rrf_hybrid_search)."""
+    return rrf_hybrid_search(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        BM25_QUERY_TERMS,
+        RRF_QUERY_VEC_ID,
+    )

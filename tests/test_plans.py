@@ -307,6 +307,9 @@ _TINY_BROADCAST_OK = {
     # scalar-denominator shape as events_value_histogram); added in r7
     # without this entry — the lint was red for two rounds over it
     "dq_benford_first_digit",
+    # inherits both legs' scalar broadcasts: BM25's 1-row corpus stats
+    # (as text_bm25_topk) + cosine's 1-row query vector
+    "text_rrf_hybrid_search",
 }
 
 
@@ -462,6 +465,9 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
 #   orders_pareto_revenue     1x ranking offsets table (same)
 # name -> max allowed count, so a regression that ADDS one still fails.
 _BOUNDED_GLOBAL_WINDOW_OK = {
+    # RRF fusion: two row_number windows, each over a ≤20-row LIMIT
+    # shortlist (per-leg top-k already cut) — bounded by construction
+    "text_rrf_hybrid_search": 2,
     "orders_yoy_revenue": 1,
     "orders_rolling_7d_revenue": 1,
     "corpus_pack_sequences": 1,

@@ -248,3 +248,42 @@ def test_weighted_sample_prefers_heavy_docs(spark):
     corpus_mean = sum(r.n_chars for r in docs) / len(docs)
     sample_mean = sum(r.n_chars for r in sample) / len(sample)
     assert sample_mean > corpus_mean
+
+
+def test_rrf_hybrid_fusion_hand_ranks(spark):
+    """RRF on a planted corpus: a doc ranked by BOTH legs must beat a
+    doc ranked #1 by only one leg (1/(60+2)+1/(60+2) > 1/(60+1)); the
+    integer micro-unit scores are hand-checkable."""
+    from data_ingestion_py_spark.queries_retrieval import rrf_hybrid_search
+
+    docs = _docs(
+        spark,
+        [
+            ("merge merge merge beta x", "en"),  # lex #1, no vector match
+            ("merge beta gamma delta x", "en"),  # lex #2 AND sem #2
+            ("alpha beta alpha beta alpha", "en"),  # no query terms
+            ("alpha gamma alpha beta alpha", "en"),  # no query terms
+        ],
+    )
+    # embeddings keyed vec_id == doc_id; vec_id=3 is the query. doc 1
+    # is closest to it, doc 0 orthogonal, doc 2 second-closest.
+    emb = spark.createDataFrame(
+        [
+            (0, 0, [0.0, 1.0]),
+            (1, 0, [1.0, 0.1]),
+            (2, 0, [1.0, 0.6]),
+            (3, 0, [1.0, 0.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = rrf_hybrid_search(docs, emb, ("merge",), 3, leg_k=3, k=10).collect()
+    got = {r.doc_id: r for r in out}
+    # legs: lex ranks {0:1, 1:2}; sem ranks {1:1, 2:2, 0:3}
+    assert (got[0].lex_rank, got[0].sem_rank) == (1, 3)
+    assert (got[1].lex_rank, got[1].sem_rank) == (2, 1)
+    assert (got[2].lex_rank, got[2].sem_rank) == (0, 2)
+    assert got[1].rrf_micro == 1000000 // 62 + 1000000 // 61
+    assert got[0].rrf_micro == 1000000 // 61 + 1000000 // 63
+    assert got[2].rrf_micro == 1000000 // 62
+    # both-legs doc wins overall
+    assert [r.doc_id for r in out][0] == 1
