@@ -85,6 +85,7 @@ def main() -> None:
         ("ann_swap", _ann_swap_bench),
         ("bucket_join_swap", _bucket_join_bench),
         ("codec_swap", _codec_swap_bench),
+        ("streaming_drain", _streaming_drain_bench),
     ):
         try:
             probes[key] = fn(spark, sf_dir)
@@ -720,6 +721,49 @@ def _bucket_join_bench(spark, sf_dir: str) -> dict:
         # external-location tables: DROP TABLE leaves the files behind
         if bucket_base is not None:
             shutil.rmtree(bucket_base, ignore_errors=True)
+
+
+def _streaming_drain_bench(spark, sf_dir: str) -> dict:
+    """Micro-batch drain throughput of the durable incremental rollup
+    stream (streaming/pipeline.run_rollup_stream): the sf events table
+    split into 10 files, drained one file per trigger under
+    availableNow — 10 foreachBatch rounds, each an algebraic partial
+    agg + idempotency probe + tiny state append. Streaming is
+    restart/idempotence-TESTED in tests/test_streaming.py; this
+    measures it, so 'the streaming path keeps up' is a number
+    (rows/sec through the maintained state), not a docstring. The
+    per-batch cost is what scales: at 100 TB the same handler runs the
+    same batch-sized agg per micro-batch regardless of total history,
+    because state is an append-only partial log, not read-modify-write."""
+    import shutil
+    import tempfile
+
+    from data_ingestion_py_spark.io import load_table
+    from data_ingestion_py_spark.streaming.pipeline import (
+        read_rollup_state,
+        run_rollup_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = ev.count()
+    base = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = base + "/events"
+        ev.repartition(10).write.parquet(src)
+        t0 = time.perf_counter()
+        q = run_rollup_stream(spark, src, base + "/state", base + "/ckpt")
+        q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        state_groups = read_rollup_state(spark, base + "/state").count()
+        return {
+            "rows": n_rows,
+            "micro_batches": 10,
+            "drain_sec": round(wall, 3),
+            "rows_per_sec": int(n_rows / wall),
+            "state_groups": state_groups,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":
