@@ -86,6 +86,7 @@ def main() -> None:
         ("bucket_join_swap", _bucket_join_bench),
         ("codec_swap", _codec_swap_bench),
         ("streaming_drain", _streaming_drain_bench),
+        ("ivf_index_probe", _ivf_index_probe_bench),
     ):
         try:
             probes[key] = fn(spark, sf_dir)
@@ -762,6 +763,67 @@ def _streaming_drain_bench(spark, sf_dir: str) -> dict:
             "rows_per_sec": int(n_rows / wall),
             "state_groups": state_groups,
         }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _ivf_index_probe_bench(spark, sf_dir: str) -> dict:
+    """band_index_probe's twin for the durable IVF similarity index
+    (operators/ivf_index): append the embeddings corpus in 5 batches
+    (shifted ids, so the index grows 5×), probe the SAME query after
+    batch 1 and after batch 5, then compact and probe again. The cid
+    partition pruning should keep probe cost governed by the probed
+    clusters' bytes + file count, not total index size; scanned-bytes
+    fraction is reported so a flat time with an unpruned scan would be
+    visible."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_py_spark.io import load_table
+    from data_ingestion_py_spark.operators.ivf_index import IvfIndex
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qv = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).first().embedding
+    ]
+    base = tempfile.mkdtemp(prefix="bench_ivfindex_")
+    try:
+        idx = IvfIndex(spark, base + "/idx", k=8)
+        out: dict = {}
+
+        def _probe():
+            idx.probe(qv, k=10, nprobe=2).collect()
+
+        for b in range(5):
+            idx.append_batch(
+                emb.withColumn(
+                    "vec_id", F.col("vec_id") + F.lit(b * 10_000_000)
+                ),
+                batch_id=b,
+            )
+            if b == 0:
+                _put_stats(out, "probe_after_1", _stats_of(3, _probe))
+        _put_stats(out, "probe_after_5", _stats_of(3, _probe))
+        out["growth"] = round(
+            out["probe_after_5_sec"] / out["probe_after_1_sec"], 2
+        )
+        probed = idx.probe_clusters(qv, 2)
+        n_all = idx.vectors().count()
+        n_probed = (
+            idx.vectors().where(F.col("cid").isin(probed)).count()
+        )
+        out["corpus_fraction_scanned"] = round(n_probed / n_all, 3)
+        idx = idx.compacted(base + "/idx_compacted")
+        _put_stats(out, "probe_after_5_compacted", _stats_of(3, _probe))
+        out["compaction_recovery"] = round(
+            out["probe_after_5_compacted_sec"] / out["probe_after_1_sec"], 2
+        )
+        return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

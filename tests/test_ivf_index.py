@@ -1,0 +1,164 @@
+"""Durable IVF index (operators/ivf_index): probe semantics vs an
+independent in-test model, partition pruning, restart/idempotency, and
+compaction equivalence — the test contract mirrored from
+tests/test_band_index.py for the similarity side."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_py_spark.operators.ivf_index import IvfIndex
+from data_ingestion_py_spark.operators.kmeans import SCALE
+from data_ingestion_py_spark.plans import explain as E
+
+SF = "/root/testdata/sf0.001"
+QUERY = None  # filled per test from the fixture
+
+
+def _emb(spark, lo=0, hi=10**9, id_shift=0):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        .select(
+            (F.col("vec_id") + id_shift).alias("vec_id"),
+            F.col("embedding"),
+        )
+    )
+
+
+def _query_vec(spark):
+    r = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .where(F.col("vec_id") == 0)
+        .first()
+    )
+    return [float(x) for x in r.embedding]
+
+
+def _model_probe(spark, idx: IvfIndex, qv, k, nprobe):
+    """Independent sequential model of probe(): quantize the query and
+    centroids in python ints, pick nprobe nearest clusters by exact
+    squared-L2 (ties → lower cid), then exact cosine top-k over the
+    stored vectors of those clusters only."""
+    qq = [math.floor(x * SCALE) for x in qv]
+    cents = sorted(
+        (
+            sum(
+                (a - int(b)) * (a - int(b))
+                for a, b in zip(qq, r.cvec)
+            ),
+            r.cid,
+        )
+        for r in idx.centroids().collect()
+    )
+    probed = {cid for _, cid in cents[:nprobe]}
+    rows = []
+    for r in idx.vectors().collect():
+        if r.cid not in probed:
+            continue
+        v = [float(x) for x in r.embedding]
+        d = 0.0
+        for a, b in zip(v, qv):
+            d = d + a * b
+        nv = math.sqrt(sum(a * a for a in v))
+        nq = math.sqrt(sum(b * b for b in qv))
+        rows.append((r.vec_id, r.cid, round(d / (nv * nq), 6)))
+    rows.sort(key=lambda t: (-t[2], t[0]))
+    return rows[:k]
+
+
+def test_probe_matches_sequential_model(spark, tmp_path):
+    idx = IvfIndex(spark, str(tmp_path / "idx"), k=4)
+    idx.append_batch(_emb(spark), batch_id=0)
+    qv = _query_vec(spark)
+    got = [
+        (r.vec_id, r.cid, r.cosine_sim)
+        for r in idx.probe(qv, k=10, nprobe=2).collect()
+    ]
+    assert got == _model_probe(spark, idx, qv, 10, 2)
+    # the probe really is partial: some vectors live outside the
+    # probed clusters (otherwise this test proves nothing)
+    n_all = idx.vectors().count()
+    n_probed = idx.vectors().where(
+        F.col("cid").isin(idx.probe_clusters(qv, 2))
+    ).count()
+    assert 0 < n_probed < n_all
+
+
+def test_probe_scan_prunes_cluster_partitions(spark, tmp_path):
+    """The probe's vectors scan must carry PartitionFilters on cid —
+    unprobed clusters' directories are never read."""
+    idx = IvfIndex(spark, str(tmp_path / "idx"), k=4)
+    idx.append_batch(_emb(spark), batch_id=0)
+    plan = E.formatted_plan(idx.probe(_query_vec(spark), k=5, nprobe=1))
+    assert "PartitionFilters" in plan
+    import re
+
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cid" in f for f in filters), plan
+
+
+def test_restart_freezes_centroids_and_skips_redelivery(spark, tmp_path):
+    """Two process lifetimes over the same path: the second opens a
+    FRESH handle (k restored from meta/), appends against the FROZEN
+    centroids (no retrain), and its commit markers reject re-delivered
+    batches. A vector identical to one admitted before the restart
+    must land in the same cluster after it."""
+    path = str(tmp_path / "idx")
+    idx1 = IvfIndex(spark, path, k=4)
+    idx1.append_batch(_emb(spark, lo=0, hi=250), batch_id=0)
+    cents1 = {
+        r.cid: tuple(r.cvec) for r in idx1.centroids().collect()
+    }
+
+    # lifetime 2: default-k handle must restore k=4 from meta
+    idx2 = IvfIndex(spark, path)
+    assert idx2.k == 4
+    assert idx2.has_batch(0) and not idx2.has_batch(1)
+    # batch 1 = the same vectors under shifted ids (identical
+    # embeddings → identical frozen-centroid assignment)
+    idx2.append_batch(
+        _emb(spark, lo=0, hi=250, id_shift=10_000), batch_id=1
+    )
+    cents2 = {r.cid: tuple(r.cvec) for r in idx2.centroids().collect()}
+    assert cents2 == cents1  # frozen, not retrained
+    a = {
+        r.vec_id: r.cid
+        for r in idx2.vectors().select("vec_id", "cid").collect()
+    }
+    for vid in list(a):
+        if vid < 10_000:
+            assert a[vid] == a[vid + 10_000]
+
+    # idempotent re-delivery: the stream-side guard is has_batch
+    assert idx2.has_batch(1)
+    n = idx2.vectors().count()
+    if not idx2.has_batch(2):
+        idx2.append_batch(
+            _emb(spark, lo=0, hi=50, id_shift=20_000), batch_id=2
+        )
+    assert idx2.vectors().count() == n + 50
+
+
+def test_compaction_preserves_probe_results(spark, tmp_path):
+    idx = IvfIndex(spark, str(tmp_path / "idx"), k=4)
+    for b in range(3):
+        idx.append_batch(
+            _emb(spark, lo=0, hi=10**9, id_shift=b * 10_000), batch_id=b
+        )
+    qv = _query_vec(spark)
+    before = [tuple(r) for r in idx.probe(qv, k=10, nprobe=2).collect()]
+    cidx = idx.compacted(str(tmp_path / "idx2"))
+    after = [tuple(r) for r in cidx.probe(qv, k=10, nprobe=2).collect()]
+    assert after == before
+    assert cidx.committed_batches() == [2]
+    assert cidx.has_batch(2) and not cidx.has_batch(0)
+
+
+def test_empty_index_compaction_rejected(spark, tmp_path):
+    idx = IvfIndex(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError):
+        idx.compacted(str(tmp_path / "out"))
