@@ -695,3 +695,56 @@ def run_hll_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Durable IVF ingestion (ANN corpus state at rest)
+# ---------------------------------------------------------------------------
+
+
+def run_durable_ivf_stream(
+    spark: SparkSession,
+    vectors_dir: str,
+    index,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream (vec_id, embedding) files into a durable
+    ``operators/ivf_index.IvfIndex`` — the similarity twin of
+    ``run_durable_lsh_stream``. The first micro-batch trains the
+    coarse quantizer (inside ``append_batch``); every later batch
+    assigns against the frozen centroids and lands under its own
+    commit marker, so restarting the process and re-opening the same
+    index path + checkpoint resumes ingestion exactly; re-delivered
+    batches are skipped by ``has_batch``. Queries probe the index
+    CONCURRENTLY with ingestion — each probe reads only committed
+    batch partitions of the probed clusters."""
+    schema = spark.read.parquet(vectors_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vectors_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(durable_ivf_batch_processor(index))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def durable_ivf_batch_processor(index):
+    """foreachBatch handler for ``run_durable_ivf_stream``: skip
+    re-delivered batches, append the rest (train-on-first-batch and
+    the commit-marker contract live in the index itself)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if index.has_batch(batch_id):  # re-delivered after restart
+            return
+        index.append_batch(
+            batch_df.select("vec_id", "embedding"), batch_id
+        )
+
+    return _process

@@ -911,3 +911,59 @@ def test_durable_hll_stream_matches_batch_and_survives_restart(
         for r in read_hll_state(spark, state).collect()
     }
     assert got3 == got2
+
+
+def test_durable_ivf_stream_resumes_and_skips_redelivery(spark, tmp_path):
+    """Streamed vector ingestion into the at-rest IVF index across two
+    process lifetimes: lifetime 2 opens a FRESH handle (k restored from
+    meta/), appends against the FROZEN quantizer, and re-delivered
+    batches no-op via the index's commit marker."""
+    from data_ingestion_py_spark.operators.ivf_index import IvfIndex
+    from data_ingestion_py_spark.streaming.pipeline import (
+        durable_ivf_batch_processor,
+        run_durable_ivf_stream,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    src = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    path = str(tmp_path / "idx")
+
+    half1 = emb.where(F.col("vec_id") % 2 == 0)
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    # lifetime 1 (trains the quantizer on the first micro-batch)
+    idx1 = IvfIndex(spark, path, k=4)
+    q = run_durable_ivf_stream(spark, src, idx1, ckpt)
+    q.awaitTermination(240)
+    assert idx1.vectors().count() == half1.count()
+    cents1 = {r.cid: tuple(r.cvec) for r in idx1.centroids().collect()}
+    n_before = idx1.vectors().count()
+
+    # lifetime 2: more vectors arrive, fresh handle on the same paths
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtime => stable file-batch order
+    half2 = emb.where(F.col("vec_id") % 2 == 1)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    idx2 = IvfIndex(spark, path)
+    assert idx2.k == 4  # restored from meta, not the default
+    q = run_durable_ivf_stream(spark, src, idx2, ckpt)
+    q.awaitTermination(240)
+    assert idx2.vectors().count() == emb.count()
+    cents2 = {r.cid: tuple(r.cvec) for r in idx2.centroids().collect()}
+    assert cents2 == cents1  # frozen, not retrained
+
+    # re-delivery of an already-committed batch id is a no-op
+    committed = idx2.committed_batches()
+    durable_ivf_batch_processor(idx2)(half1, committed[0])
+    assert idx2.vectors().count() == emb.count()
+
+    # the resumed index answers queries over BOTH lifetimes' vectors
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first().embedding]
+    got = idx2.probe(qv, k=10, nprobe=4)  # all clusters => exact
+    ids = [r.vec_id for r in got.collect()]
+    assert len(ids) == 10
+    assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)
