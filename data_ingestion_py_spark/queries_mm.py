@@ -542,3 +542,62 @@ def q_multimodal_tiff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.extract_features(media).select(
         "media_id", bo.alias("byte_order"), "width", "height"
     )
+
+
+@register(
+    "multimodal_resize_pixels",
+    """
+WITH corpus AS (
+    SELECT doc_id AS media_id, doc_id AS seed FROM documents
+), rp AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 15),
+               k -> (seed * 31 + ((k // 4) * 64 + (k % 4) * 4)
+                     * (7 + seed % 11)) % 240) AS p
+    FROM corpus
+)
+SELECT media_id, 4 AS width, 4 AS height,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 15),
+                k -> (k + 1) * p[k + 1])) AS BIGINT) AS px_wsum
+FROM rp
+""",
+    tags=("multimodal", "resize"),
+)
+def q_multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, end-to-end within container limits
+    (multimodal_phash_dedup's proof pattern applied to the resize
+    stage): valid 16×16 binary PGMs are built in column algebra
+    (doc_id-derived raster), REALLY resized to 4×4 by the
+    nearest-neighbor netpbm kernel (sources/multimodal.resize_pnm —
+    bytes in, valid PGM bytes out), then round-tripped through the
+    real decoder for position-weighted integer pixel checksums. The
+    oracle recomputes each resized pixel arithmetically from the
+    planted formula (target (r,c) samples source (4r, 4c), flat index
+    64r+4c) — it never sees the bytes, so a resize that picked wrong
+    source pixels, scrambled raster order, or emitted an invalid PGM
+    header hash-mismatches immediately. Two chained Arrow mapInPandas
+    stages, no shuffle anywhere (reference contrast: the ref's only
+    image work is the OCR temp-file write, data_ingestion.py:154-160).
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.select(
+        F.col("doc_id").alias("media_id"), F.col("doc_id").alias("seed")
+    )
+
+    def _pix_hex(i):  # 2-hex-char pixel byte, value in 0..239
+        return F.lpad(
+            F.hex(
+                (F.col("seed") * 31 + i * (7 + F.col("seed") % 11)) % 240
+            ),
+            2,
+            "0",
+        )
+
+    idx = F.sequence(F.lit(0), F.lit(255))
+    p5 = F.concat(
+        F.lit("50350A31362031360A3235350A"),  # "P5\n16 16\n255\n"
+        F.concat_ws("", F.transform(idx, _pix_hex)),
+    )
+    media = corpus.select("media_id", F.unhex(p5).alias("payload"))
+    return mm.pixel_checksums(mm.resize_images(media, 4, 4))

@@ -432,3 +432,48 @@ def test_tiff_dimensions_kernel():
     assert tiff_dimensions(b"II" + le(42, 2) + le(999, 4)) is None
     # entries truncated mid-walk
     assert tiff_dimensions(b"II" + le(42, 2) + le(8, 4) + le(5, 2)) is None
+
+
+def test_resize_pnm_nearest_neighbor_hand_values():
+    from data_ingestion_py_spark.sources.multimodal import (
+        decode_pnm,
+        resize_pnm,
+    )
+
+    # 4x2 gradient -> 2x1: target (0,c) samples source (0, 2c)
+    img = b"P5\n4 2\n255\n" + bytes(range(8))
+    out = resize_pnm(img, 2, 1)
+    assert out == b"P5\n2 1\n255\n" + bytes([0, 2])
+    assert decode_pnm(out) == (2, 1, [0, 2])  # valid PGM round-trip
+    # upscale replicates (2x1 -> 4x2: every target samples src row 0)
+    up = resize_pnm(b"P5\n2 1\n255\n" + bytes([9, 200]), 4, 2)
+    assert decode_pnm(up) == (4, 2, [9, 9, 200, 200] * 2)
+    # P6 input resizes through the grayscale mean
+    p6 = b"P6\n2 1\n255\n" + bytes([30, 60, 90, 10, 10, 10])
+    assert decode_pnm(resize_pnm(p6, 1, 1)) == (1, 1, [60])
+    # honest failures: undecodable payloads and bad targets
+    assert resize_pnm(b"\xff\xd8not-pnm", 2, 2) is None
+    assert resize_pnm(img, 0, 2) is None
+    assert resize_pnm(None, 2, 2) is None
+
+
+def test_resize_images_then_checksums_spark(spark):
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    rows = [
+        (1, b"P5\n4 2\n255\n" + bytes(range(8))),
+        (2, b"not an image"),
+        (3, None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    )
+    got = {
+        r.media_id: (r.width, r.height, r.px_sum, r.px_wsum)
+        for r in mm.pixel_checksums(
+            mm.resize_images(media, 2, 1)
+        ).collect()
+    }
+    assert got[1] == (2, 1, 2, 4)  # pixels [0, 2]: sum 2, 1*0+2*2
+    assert got[2] == (None, None, None, None)
+    assert got[3] == (None, None, None, None)
