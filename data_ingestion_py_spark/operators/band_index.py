@@ -55,13 +55,47 @@ from data_ingestion_py_spark.operators import dedup
 N_BUCKETS = 64
 
 
+def _fs(spark: SparkSession, path: str):
+    """(hadoop Path, FileSystem) for ``path`` — driver-side metadata
+    handles (work on local, HDFS, object stores)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
 def _fs_exists(spark: SparkSession, path: str) -> bool:
     """Hadoop-FS existence check (works on local, HDFS, object stores;
     driver-side metadata only — never touches data)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    p, fs = _fs(spark, path)
     return bool(fs.exists(p))
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete (no-op if absent) — the torn-batch repair
+    primitive: a re-delivered batch clears its partial partition
+    directory before rewriting."""
+    p, fs = _fs(spark, path)
+    fs.delete(p, True)
+
+
+def _fs_touch(spark: SparkSession, path: str) -> None:
+    """Atomically create an empty file — ONE filesystem create call
+    (a single rename/PUT on every store Spark runs against), which is
+    what makes it usable as a commit marker: unlike a parquet
+    partition write (many task files renamed into place one by one),
+    there is no observable partial state."""
+    p, fs = _fs(spark, path)
+    fs.create(p, True).close()
+
+
+def _fs_list_names(spark: SparkSession, path: str) -> list[str]:
+    """File names directly under ``path`` ([] if absent) — bounded by
+    construction where it's used (one marker file per committed
+    batch)."""
+    p, fs = _fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
 class BandIndex:

@@ -10,21 +10,32 @@ bytes. Layout:
 
 - ``centroids/`` — k rows (cid, cvec), the coarse quantizer. Trained
   ONCE on the first ingested batch with the deterministic integer
-  k-means (``operators/kmeans.kmeans_integer``) and frozen thereafter
-  — the standard IVF lifecycle (train once, assign forever; periodic
-  retrain = build a NEW index and swap the table pointer, exactly the
-  compaction pattern). cvec components are in kmeans' integer
-  micro-units, so assignment replays bit-identically across process
-  lifetimes.
+  k-means (``operators/kmeans.kmeans_integer_model`` — the trainer's
+  own final centroid table, so the k-row invariant holds even when the
+  final assignment leaves a cluster empty) and frozen thereafter — the
+  standard IVF lifecycle (train once, assign forever; periodic retrain
+  = build a NEW index and swap the table pointer, exactly the
+  compaction pattern — ``needs_retrain`` below is the trigger signal).
+  cvec components are in kmeans' integer micro-units, so assignment
+  replays bit-identically across process lifetimes.
 - ``vectors/`` — (vec_id, embedding) partitioned by ``ingest_batch``
   then ``cid``. The cid partition column is what makes a probe cheap:
   the scan filters ``cid IN (<nprobe ids>)`` and Spark prunes every
   other cluster's partition DIRECTORIES (``PartitionFilters``, pinned
   by ``tests/test_ivf_index.py``) — a query touches ~nprobe/k of the
-  corpus bytes no matter how big the corpus grows. Written LAST per
-  batch so its top-level batch directory doubles as the batch's
-  COMMIT MARKER (same crash/idempotency contract as band_index:
-  ``has_batch`` = marker exists, re-delivered batches no-op).
+  corpus bytes no matter how big the corpus grows.
+- ``markers/`` — one EMPTY file ``batch_<id>`` per committed batch,
+  created with a single atomic filesystem call AFTER that batch's
+  vectors land. This is the commit protocol: a parquet partition
+  write is NOT atomic (the job commit renames task files into
+  ``ingest_batch=N`` one by one, so a crash mid-commit leaves a
+  partial directory that LOOKS committed), which is why the batch
+  directory itself must never serve as its own marker. ``has_batch``
+  reads only the marker; every read (``vectors()``) filters to marked
+  batches (partition-pruned IN on ``ingest_batch``), so a torn batch
+  is INVISIBLE until its re-delivery deletes the partial directory and
+  rewrites it — read-committed semantics, crash-tested in
+  ``tests/test_ivf_index.py``.
 - ``meta/`` — one row (k, n_train_iter); re-opening restores the
   parameters so a restarted job cannot silently mis-assign.
 
@@ -33,6 +44,14 @@ training) goes through the SAME exact-integer argmin as the trainer
 (``kmeans._assign``: squared-L2 on micro-quantized components, ties to
 the lower cid), so "which cluster does this vector live in" has one
 answer everywhere — trainer, appender, test oracle.
+
+Retrain lifecycle: the frozen quantizer's flat-probe guarantee assumes
+cluster balance roughly holds as the corpus drifts. ``skew()``
+surfaces max/mean committed-cluster size (parquet-footer counts — no
+row scan) and ``needs_retrain`` turns it into the documented trigger:
+when it fires, train a NEW index at a new path on a current sample and
+swap the table pointer — never retrain in place (re-assigning the
+at-rest corpus would rewrite every partition under readers).
 
 Reference contrast: egorji/data_ingestion.py stubs vector search
 entirely (``data_ingestion.py:283-289`` — a FAISS import that is never
@@ -43,12 +62,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from data_ingestion_py_spark.operators.band_index import _fs_exists
+from data_ingestion_py_spark.operators.band_index import (
+    _fs_delete,
+    _fs_exists,
+    _fs_list_names,
+    _fs_touch,
+)
 from data_ingestion_py_spark.operators.kmeans import (
     SCALE,
     _assign,
     _centroid_array,
-    kmeans_integer,
+    kmeans_integer_model,
 )
 from data_ingestion_py_spark.operators.similarity import (
     _to_double,
@@ -106,33 +130,56 @@ class IvfIndex:
     def _meta_path(self) -> str:
         return f"{self.path}/meta"
 
+    @property
+    def _markers_path(self) -> str:
+        return f"{self.path}/markers"
+
+    def _marker_path(self, batch_id: int) -> str:
+        return f"{self._markers_path}/batch_{batch_id}"
+
+    def _batch_dir(self, batch_id: int) -> str:
+        return f"{self._vectors_path}/ingest_batch={batch_id}"
+
     # -- state inspection ------------------------------------------------
     def is_empty(self) -> bool:
-        return not _fs_exists(self.spark, self._vectors_path)
+        """No COMMITTED batches (a torn first batch still counts as
+        empty — its data is unreadable until repaired)."""
+        return not self.committed_batches()
 
     def has_batch(self, batch_id: int) -> bool:
-        """True iff ``batch_id``'s vectors commit marker exists — the
-        restart-safe re-delivery guard."""
-        return _fs_exists(
-            self.spark, f"{self._vectors_path}/ingest_batch={batch_id}"
-        )
+        """True iff ``batch_id``'s commit marker exists — the
+        restart-safe re-delivery guard. The marker is a separate
+        atomically-created file, NOT the batch's partition directory:
+        a crash during the (multi-file) vectors job commit leaves a
+        partial directory, and treating that as committed would make
+        the re-delivered batch skip itself — silent vector loss."""
+        return _fs_exists(self.spark, self._marker_path(batch_id))
 
     def committed_batches(self) -> list[int]:
-        if self.is_empty():
-            return []
+        """Sorted committed batch ids from the marker listing — driver
+        metadata only (one empty file per batch), never a data scan."""
         return sorted(
-            r.ingest_batch
-            for r in self.vectors()
-            .select("ingest_batch")
-            .distinct()
-            .collect()
+            int(name.removeprefix("batch_"))
+            for name in _fs_list_names(self.spark, self._markers_path)
+            if name.startswith("batch_")
         )
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self._centroids_path)
 
     def vectors(self) -> DataFrame:
-        return self.spark.read.parquet(self._vectors_path)
+        """READ-COMMITTED corpus view: only batches whose marker
+        exists. ``ingest_batch`` is a partition column, so the IN
+        filter prunes torn-batch directories at planning time — a
+        crash between data and marker is invisible to every probe
+        until the re-delivered batch repairs it."""
+        committed = self.committed_batches()
+        df = self.spark.read.parquet(self._vectors_path)
+        return df.where(
+            F.col("ingest_batch").isin(committed)
+            if committed
+            else F.lit(False)
+        )
 
     # -- writes ----------------------------------------------------------
     def append_batch(
@@ -141,40 +188,45 @@ class IvfIndex:
         """Admit a batch of (vec_id, embedding) rows. First batch ever:
         train the coarse quantizer on it (deterministic integer
         k-means), persist centroids, then assign + write. Later
-        batches assign against the FROZEN centroids. Centroids and
-        meta land before any vectors, vectors land last (commit
-        marker) — a crash in between leaves a trained-but-empty index
-        that the re-delivered batch completes idempotently."""
+        batches assign against the FROZEN centroids.
+
+        Commit protocol per batch: (1) clear any torn partition
+        directory a previous crash left for this batch id, (2) write
+        the vectors, (3) atomically create the marker file LAST. A
+        crash anywhere before (3) leaves the batch unmarked — unread
+        by ``vectors()`` and repaired by this very method when the
+        checkpoint re-delivers it. Already-marked batches no-op, so
+        re-delivery is idempotent from either side of the crash."""
+        if self.has_batch(batch_id):
+            return
+        # torn-batch repair: a partial directory without a marker is
+        # leftover from a crashed commit of THIS batch — replace it
+        if _fs_exists(self.spark, self._batch_dir(batch_id)):
+            _fs_delete(self.spark, self._batch_dir(batch_id))
         vecs = vectors.select("vec_id", vec_col)
-        if not _fs_exists(self.spark, self._centroids_path):
-            assigned = kmeans_integer(
-                vecs, k=self.k, n_iter=self.n_train_iter, vec_col=vec_col
+        # schema guard: later batches must store the SAME embedding
+        # element type the first batch established — a float corpus
+        # appended with double batches leaves mixed parquet schemas
+        # that fail at read time (footer metadata check, no data scan)
+        if _fs_exists(self.spark, self._vectors_path):
+            want = self.spark.read.parquet(self._vectors_path).schema[
+                "embedding"
+            ].dataType
+            vecs = vecs.select(
+                "vec_id", F.col(vec_col).cast(want).alias(vec_col)
             )
-            vq = _quantized(vecs, vec_col)
-            n = F.count(F.lit(1))
-            s = F.sum("val").cast("long")
-            cents = (
-                vq.join(assigned, "vec_id")
-                .select("cid", F.posexplode("v").alias("pos", "val"))
-                .groupBy("cid", "pos")
-                .agg(
-                    ((s - F.pmod(s, n)) / n)
-                    .cast("long")
-                    .cast("double")
-                    .alias("m")
-                )
-                .groupBy("cid")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                        lambda st: st["m"],
-                    ).alias("cvec")
-                )
+        if not _fs_exists(self.spark, self._centroids_path):
+            _, cents = kmeans_integer_model(
+                vecs, k=self.k, n_iter=self.n_train_iter, vec_col=vec_col
             )
             if not _fs_exists(self.spark, self._meta_path):
                 self.spark.createDataFrame(
                     [(self.k, self.n_train_iter)], "k int, n_train_iter int"
                 ).write.mode("overwrite").parquet(self._meta_path)
+            # the trainer's own final k-row centroid table — persisting
+            # recomputed per-cid means instead would drop clusters the
+            # final assignment left empty (k centroids is the invariant
+            # probe_clusters/nprobe are specified against)
             cents.write.mode("overwrite").parquet(self._centroids_path)
         assigned = _assign(
             _quantized(vecs, vec_col), _centroid_array(self.centroids())
@@ -187,6 +239,7 @@ class IvfIndex:
             .partitionBy("ingest_batch", "cid")
             .parquet(self._vectors_path)
         )
+        _fs_touch(self.spark, self._marker_path(batch_id))
 
     # -- probe -----------------------------------------------------------
     def probe_clusters(
@@ -232,15 +285,55 @@ class IvfIndex:
         )
 
     # -- maintenance -----------------------------------------------------
+    def cluster_sizes(self) -> DataFrame:
+        """(cid, n_vectors) over the committed corpus — a count-only
+        aggregate over the partitioned parquet (row counts come from
+        footers/partition metadata, no embedding bytes are read)."""
+        return self.vectors().groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n_vectors")
+        )
+
+    def skew(self) -> dict:
+        """{"max_size", "mean_size", "ratio"} of committed cluster
+        sizes, with every trained cluster counted (an unused cluster
+        is size 0 — absence from the vectors listing must DRIVE the
+        ratio up, not hide). Bounded driver collect: k rows."""
+        sizes = {r.cid: r.n_vectors for r in self.cluster_sizes().collect()}
+        per_cluster = [
+            sizes.get(r.cid, 0) for r in self.centroids().collect()
+        ]
+        mx = max(per_cluster) if per_cluster else 0
+        mean = (
+            sum(per_cluster) / len(per_cluster) if per_cluster else 0.0
+        )
+        return {
+            "max_size": mx,
+            "mean_size": round(mean, 3),
+            "ratio": round(mx / mean, 3) if mean else 0.0,
+        }
+
+    def needs_retrain(self, max_over_mean: float = 4.0) -> bool:
+        """The retrain trigger the frozen-quantizer design promises:
+        True when the largest cluster exceeds ``max_over_mean`` × the
+        mean cluster size. A drifted corpus piles new vectors into few
+        clusters; probes that land there scan ~max_size rows instead
+        of ~corpus/k, eroding the flat-probe guarantee. Remedy is
+        NEVER in-place: train a fresh index at a new path on a current
+        sample (`IvfIndex(spark, new_path, k).append_batch(sample, 0)`
+        then re-append the corpus) and swap the serving pointer — the
+        same swap discipline as ``compacted``."""
+        return self.skew()["ratio"] > max_over_mean
+
     def compacted(self, new_path: str) -> "IvfIndex":
         """Rewrite as a consolidated snapshot at ``new_path`` (same
-        frozen centroids, all vectors under the MAX committed batch id,
-        one file set per cluster) and return a handle. Streaming
-        appends fragment vectors/ into one file set per batch per
-        cluster; probe cost at scale is file-count-bound, so the
+        frozen centroids, all committed vectors under the MAX committed
+        batch id, one file set per cluster) and return a handle.
+        Streaming appends fragment vectors/ into one file set per batch
+        per cluster; probe cost at scale is file-count-bound, so the
         maintenance pattern is compact-to-new-path + atomic pointer
-        swap — never rewrite in place. ``has_batch`` stays true for
-        the only batch a restarted stream can re-deliver (the last)."""
+        swap — never rewrite in place. The snapshot commits under the
+        same marker-last protocol, keeping ``has_batch`` true for the
+        only batch a restarted stream can re-deliver (the last)."""
         batches = self.committed_batches()
         if not batches:
             raise ValueError("cannot compact an empty index")
@@ -261,4 +354,5 @@ class IvfIndex:
             .partitionBy("ingest_batch", "cid")
             .parquet(out._vectors_path)
         )
+        _fs_touch(self.spark, out._marker_path(hi))
         return out

@@ -136,6 +136,31 @@ def kmeans_integer(
     integer Lloyd's k-means. ``cid`` is 0..k−1 by seed order —
     selection order for ``seeding="farthest"`` (default), vec_id order
     of the k lowest ids for the legacy ``seeding="lowid"``."""
+    assigned, _ = kmeans_integer_model(
+        embeddings, k, n_iter, vec_col, id_col, storage_level, seeding
+    )
+    return assigned
+
+
+def kmeans_integer_model(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    storage_level: str | None = None,
+    seeding: str = "farthest",
+) -> tuple[DataFrame, DataFrame]:
+    """``kmeans_integer`` plus the trained quantizer itself:
+    (assignment (vec_id, cid), final centroids (cid, cvec)). The
+    centroid table is the one the FINAL assignment ran against, so it
+    always holds exactly k rows (empty clusters keep their previous
+    centroid — the standard Lloyd's guard) and re-assigning any input
+    vector against it replays its assignment bit-identically. This is
+    the handle a durable index (``operators/ivf_index``) persists:
+    recomputing means from the final assignment instead would DROP any
+    cluster that assignment left empty, silently shrinking the
+    quantizer below k."""
     vq = pin(
         embeddings.select(
             F.col(id_col).alias("vec_id"),
@@ -195,7 +220,7 @@ def kmeans_integer(
             .localCheckpoint(eager=True)
         )
         assigned = _assign(vq, _centroid_array(cents))
-    return assigned.select("vec_id", "cid")
+    return assigned.select("vec_id", "cid"), cents
 
 
 def kmeans_ctes(

@@ -6,6 +6,9 @@ tests/test_band_index.py for the similarity side."""
 from __future__ import annotations
 
 import math
+import os
+import shutil
+from decimal import ROUND_HALF_UP, Decimal
 
 import pytest
 from pyspark.sql import functions as F
@@ -65,7 +68,16 @@ def _model_probe(spark, idx: IvfIndex, qv, k, nprobe):
             d = d + a * b
         nv = math.sqrt(sum(a * a for a in v))
         nq = math.sqrt(sum(b * b for b in qv))
-        rows.append((r.vec_id, r.cid, round(d / (nv * nq), 6)))
+        # HALF_UP on the shortest decimal repr — what Spark's F.round
+        # does; python round() is half-to-even and diverges on exact
+        # .5 boundaries (same model-rounding rule as model_rrf in
+        # test_retrieval_props.py)
+        sim = float(
+            Decimal(repr(d / (nv * nq))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        rows.append((r.vec_id, r.cid, sim))
     rows.sort(key=lambda t: (-t[2], t[0]))
     return rows[:k]
 
@@ -162,3 +174,93 @@ def test_empty_index_compaction_rejected(spark, tmp_path):
     idx = IvfIndex(spark, str(tmp_path / "empty"))
     with pytest.raises(ValueError):
         idx.compacted(str(tmp_path / "out"))
+
+
+def test_torn_batch_is_invisible_and_repaired(spark, tmp_path):
+    """Crash simulation for the marker-last commit protocol: a batch
+    whose vectors landed (even COMPLETELY) but whose marker never got
+    created must read as uncommitted — invisible to vectors()/probe —
+    and the re-delivered append must repair it to exactly one copy.
+    This is the failure the old data-dir-as-marker design lost vectors
+    on: the partial directory read as committed and the re-delivery
+    skipped itself."""
+    path = str(tmp_path / "idx")
+    idx = IvfIndex(spark, path, k=4)
+    idx.append_batch(_emb(spark, lo=0, hi=300), batch_id=0)
+    n0 = idx.vectors().count()
+
+    idx.append_batch(
+        _emb(spark, lo=0, hi=300, id_shift=10_000), batch_id=1
+    )
+    n_full = idx.vectors().count()
+    assert n_full == 2 * n0
+
+    # simulate the crash: batch 1's job commit ran (data present, in
+    # this worst case fully) but the process died before the marker
+    os.remove(os.path.join(path, "markers", "batch_1"))
+    # ... and make the directory actually PARTIAL: drop one cid dir
+    batch_dir = os.path.join(path, "vectors", "ingest_batch=1")
+    cid_dirs = sorted(
+        d for d in os.listdir(batch_dir) if d.startswith("cid=")
+    )
+    shutil.rmtree(os.path.join(batch_dir, cid_dirs[0]))
+
+    # torn batch: unmarked => uncommitted, and its rows are invisible
+    assert not idx.has_batch(1)
+    assert idx.committed_batches() == [0]
+    assert idx.vectors().count() == n0
+    assert idx.vectors().where(F.col("ingest_batch") == 1).count() == 0
+
+    # re-delivery repairs: partial dir replaced, exactly one copy lands
+    idx.append_batch(
+        _emb(spark, lo=0, hi=300, id_shift=10_000), batch_id=1
+    )
+    assert idx.has_batch(1)
+    assert idx.vectors().count() == n_full
+    assert (
+        idx.vectors()
+        .groupBy("vec_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    # ... and a second re-delivery after success no-ops
+    idx.append_batch(
+        _emb(spark, lo=0, hi=300, id_shift=10_000), batch_id=1
+    )
+    assert idx.vectors().count() == n_full
+
+
+def test_skew_metric_and_retrain_signal(spark, tmp_path):
+    """The frozen quantizer's drift alarm: a balanced corpus reads
+    ratio ≈ 1 and needs_retrain False; piling drifted batches into one
+    cluster (constant vectors sit in exactly one argmin cell) drives
+    max/mean up until the signal fires."""
+    idx = IvfIndex(spark, str(tmp_path / "idx"), k=4)
+    idx.append_batch(_emb(spark), batch_id=0)
+    s0 = idx.skew()
+    assert s0["max_size"] >= s0["mean_size"] > 0
+    # k=4 trained clusters: ratio is bounded by k even if unbalanced
+    assert 1.0 <= s0["ratio"] <= 4.0
+    assert not idx.needs_retrain(max_over_mean=4.0)
+
+    # drift: every new vector identical => all land in ONE cluster
+    dim = len(_query_vec(spark))
+    n0 = idx.vectors().count()
+    drifted = spark.range(5 * n0).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.array(*[F.lit(0.123)] * dim).alias("embedding"),
+    )
+    idx.append_batch(drifted, batch_id=1)
+    s1 = idx.skew()
+    # one cluster now holds >= 5/6 of the corpus; mean = corpus/4
+    assert s1["ratio"] > 3.0
+    assert idx.needs_retrain(max_over_mean=3.0)
+    # the documented remedy is a NEW index trained on current data —
+    # verify the swap target comes up balanced again
+    re_idx = IvfIndex(spark, str(tmp_path / "idx_v2"), k=4)
+    re_idx.append_batch(
+        idx.vectors().select("vec_id", "embedding"), batch_id=0
+    )
+    assert re_idx.skew()["ratio"] < s1["ratio"]
