@@ -49,10 +49,9 @@ def _sample_order() -> list[str]:
     prefix. Ties (many names share a round) break by registry order,
     deterministically.
 
-    Round-9 pin, ahead of the rotation: dp_noisy_counts changed its
-    output schema in round 8 (epsilon→noise_scale, per judge ADVICE)
-    AFTER its only driver row (r07) — its ledger entry describes a
-    schema that no longer exists. Re-sample it first."""
+    (The round-9 pin on dp_noisy_counts is retired: its r09 driver row
+    verified the post-rename schema, so plain freshness ordering now
+    covers it like everything else.)"""
     import json
     import re
 
@@ -68,10 +67,9 @@ def _sample_order() -> list[str]:
             continue
         for n in names_in_round:
             latest_round[n] = max(latest_round.get(n, 0), rnd)
-    pins = [n for n in ("dp_noisy_counts",) if n in QUERIES]
-    rest = [n for n in QUERIES if n not in pins]
+    rest = list(QUERIES)
     rest.sort(key=lambda n: latest_round.get(n, 0))  # stable: registry order ties
-    return pins + rest
+    return rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

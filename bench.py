@@ -9,8 +9,18 @@ Runs the headline queries (``bench=True`` in the registry) at
      "queries": {"q": sec, ...}, "sf": 0.1}
 
 Each query is fully materialized through the ``noop`` sink (measures
-engine compute, not driver-side pandas conversion). Best of three runs
-per query (first run pays JVM/codegen warmup).
+engine compute, not driver-side pandas conversion). Per query the
+published number is the MEDIAN of three runs, with the min..max spread
+published alongside (``queries_spread``) — round 8 proved best-of-N
+without a spread publishes phantom regressions on a contended box, and
+round 9's fix covered only the probes; headline queries get the same
+treatment now.
+
+Output-ordering contract (round-9 lesson): the driver records only the
+LAST 2000 characters of stdout, so the single JSON line is ordered
+probes-first, ``queries``/``value`` LAST — the headline numbers must be
+the part that survives the tail cut (round 9's probe growth evicted
+every headline timing from BENCH_r09.json).
 
 Also reports a skewed-key join micro-bench (90% of fact rows on one
 key, broadcast + AQE skew handling disabled) comparing a plain
@@ -61,16 +71,19 @@ def main() -> None:
     # entire round's perf signal): each query's build+run is wrapped;
     # failures land in `errors` and the run keeps going.
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name, q in bench_queries.items():
-        best = float("inf")
         try:
-            for _ in range(3):
-                t0 = time.perf_counter()
-                df = q.spark(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+
+            def _run(q=q):
+                q.spark(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+
+            st = _stats_of(3, _run)
+            timings[name] = st["med"]
+            spreads[name] = [st["min"], st["max"]]
         except Exception as exc:  # noqa: BLE001 — bench must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -94,16 +107,21 @@ def main() -> None:
             probes[key] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
 
     total = round(sum(timings.values()), 3)
+    # ORDER MATTERS: the driver keeps the last 2000 chars of stdout.
+    # Everything auxiliary (probes, spreads, errors) goes FIRST; the
+    # headline per-query medians + total go LAST so they always land
+    # inside the recorded tail.
     result = {
         "metric": "headline_queries_total_sec",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": sf,
         **probes,
+        "queries_spread": spreads,
     }
     if errors:
         result["errors"] = errors
+    result["sf"] = sf
+    result["queries"] = timings
+    result["value"] = total
     print(json.dumps(result))
     spark.stop()
 
@@ -440,6 +458,10 @@ def _iter_slope_bench(spark, sf_dir: str) -> dict:
         )
 
     try:
+        # 5 repeats, not 3: the r9 driver run's components_x1 spread
+        # [8.97, 29.82] swallowed its own slope at 3 — the slope is a
+        # ratio of medians, so each median needs enough samples to sit
+        # inside the quiet-box band on a contended box.
         out: dict[str, float] = {}
         for label, m in (("x1", 1), ("x10", 10)):
             e = edges(m)
@@ -447,7 +469,7 @@ def _iter_slope_bench(spark, sf_dir: str) -> dict:
                 out,
                 f"pagerank_{label}",
                 _stats_of(
-                    3,
+                    5,
                     lambda: pagerank_integer(e, n_iter=5)
                     .write.mode("overwrite")
                     .format("noop")
@@ -458,7 +480,7 @@ def _iter_slope_bench(spark, sf_dir: str) -> dict:
                 out,
                 f"components_{label}",
                 _stats_of(
-                    3,
+                    5,
                     lambda: connected_components(
                         e.select("src", "dst"), "src", "dst", method="star"
                     )
@@ -467,7 +489,7 @@ def _iter_slope_bench(spark, sf_dir: str) -> dict:
                     .save(),
                 ),
             )
-            _put_stats(out, f"rank_{label}", _stats_of(3, lambda: run_rank(m)))
+            _put_stats(out, f"rank_{label}", _stats_of(5, lambda: run_rank(m)))
         for k in ("pagerank", "components", "rank"):
             out[f"{k}_slope"] = round(
                 out[f"{k}_x10_sec"] / out[f"{k}_x1_sec"], 2
@@ -727,15 +749,22 @@ def _bucket_join_bench(spark, sf_dir: str) -> dict:
 def _streaming_drain_bench(spark, sf_dir: str) -> dict:
     """Micro-batch drain throughput of the durable incremental rollup
     stream (streaming/pipeline.run_rollup_stream): the sf events table
-    split into 10 files, drained one file per trigger under
-    availableNow — 10 foreachBatch rounds, each an algebraic partial
+    split into N files, drained one file per trigger under
+    availableNow — N foreachBatch rounds, each an algebraic partial
     agg + idempotency probe + tiny state append. Streaming is
     restart/idempotence-TESTED in tests/test_streaming.py; this
     measures it, so 'the streaming path keeps up' is a number
-    (rows/sec through the maintained state), not a docstring. The
-    per-batch cost is what scales: at 100 TB the same handler runs the
-    same batch-sized agg per micro-batch regardless of total history,
-    because state is an append-only partial log, not read-modify-write."""
+    (rows/sec through the maintained state), not a docstring.
+
+    TWO points (10 and 100 micro-batches over the SAME rows) so the
+    per-batch fixed cost gets a slope like every other scale claim:
+    the handler's work per batch is batch-sized and state is an
+    append-only partial log (not read-modify-write), so drain time at
+    10× the batch count for the same data should grow by the per-batch
+    overhead only — ``batch_overhead_sec`` = (drain_100 − drain_10)/90
+    is the measured cost of one more micro-batch. An incomplete drain
+    (awaitTermination timeout) is flagged, never silently published as
+    throughput."""
     import shutil
     import tempfile
 
@@ -747,24 +776,33 @@ def _streaming_drain_bench(spark, sf_dir: str) -> dict:
 
     ev = load_table(spark, sf_dir, "events")
     n_rows = ev.count()
-    base = tempfile.mkdtemp(prefix="bench_stream_")
-    try:
-        src = base + "/events"
-        ev.repartition(10).write.parquet(src)
-        t0 = time.perf_counter()
-        q = run_rollup_stream(spark, src, base + "/state", base + "/ckpt")
-        q.awaitTermination(600)
-        wall = time.perf_counter() - t0
-        state_groups = read_rollup_state(spark, base + "/state").count()
-        return {
-            "rows": n_rows,
-            "micro_batches": 10,
-            "drain_sec": round(wall, 3),
-            "rows_per_sec": int(n_rows / wall),
-            "state_groups": state_groups,
-        }
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    out: dict = {"rows": n_rows}
+    for n_batches in (10, 100):
+        base = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            src = base + "/events"
+            ev.repartition(n_batches).write.parquet(src)
+            t0 = time.perf_counter()
+            q = run_rollup_stream(spark, src, base + "/state", base + "/ckpt")
+            finished = q.awaitTermination(600)
+            wall = time.perf_counter() - t0
+            if not finished:
+                q.stop()
+                out[f"b{n_batches}_timed_out"] = True
+                continue
+            out[f"b{n_batches}_drain_sec"] = round(wall, 3)
+            out[f"b{n_batches}_rows_per_sec"] = int(n_rows / wall)
+            if n_batches == 10:
+                out["state_groups"] = read_rollup_state(
+                    spark, base + "/state"
+                ).count()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    if "b10_drain_sec" in out and "b100_drain_sec" in out:
+        out["batch_overhead_sec"] = round(
+            (out["b100_drain_sec"] - out["b10_drain_sec"]) / 90, 4
+        )
+    return out
 
 
 def _ivf_index_probe_bench(spark, sf_dir: str) -> dict:

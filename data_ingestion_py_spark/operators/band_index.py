@@ -16,28 +16,41 @@ as pinned DataFrames; THIS module is the promised at-rest form:
   pinned by ``tests/test_plans.py``).
 - ``sigs/``   — (doc_id, sig, shingles) per admitted doc, partitioned
   by ``ingest_batch`` then ``doc_bucket = pmod(xxhash64(doc_id), B)``.
-  Written LAST per batch, so its top-level partition directory doubles
-  as the batch's COMMIT MARKER: a crash between the two writes leaves
-  orphan band rows, which are harmless (duplicate candidates collapse
-  in the probe's ``distinct``) and are re-written idempotently when
-  the batch re-delivers. The doc bucket exists for the probe's VERIFY
-  stage: candidates name specific corpus docs, so the shingle
-  rehydration scan prunes to the candidates' bucket set instead of
-  re-reading the whole corpus signature table per batch (measured 4.4×
-  probe-time growth over 10 appended batches without it — i.e. probe
-  cost tracked corpus size, exactly what an at-rest index must avoid).
+  The doc bucket exists for the probe's VERIFY stage: candidates name
+  specific corpus docs, so the shingle rehydration scan prunes to the
+  candidates' bucket set instead of re-reading the whole corpus
+  signature table per batch (measured 4.4× probe-time growth over 10
+  appended batches without it — i.e. probe cost tracked corpus size,
+  exactly what an at-rest index must avoid).
+- ``markers/`` — one EMPTY file ``batch_<id>`` per committed batch,
+  created with a single atomic filesystem call AFTER both data writes.
+  Earlier layouts used the sigs batch directory itself as the commit
+  marker; that is NOT crash-safe — a parquet partition write commits
+  task files into ``ingest_batch=N`` one rename at a time, so a crash
+  mid-commit leaves a partial directory that LOOKS committed and the
+  re-delivered batch skips itself (silent signature loss). Under the
+  marker protocol a torn batch is unmarked: invisible to reads
+  (``corpus_sigs`` filters to marked batches) and repaired by the
+  re-delivered append (partial dirs deleted, rewritten, marked LAST).
+  Orphan band rows from a crash between the two data writes were
+  always harmless (candidates collapse in ``distinct`` and die in the
+  committed-only verify join); the marker closes the case that wasn't.
 - ``flagged/`` — (new_doc_id, corpus_doc_id, jaccard) near-dup pairs
   per batch, partitioned by ``ingest_batch`` (the audit trail).
-- ``meta/``   — one row (bands, rows, n_buckets), written once;
-  re-opening the index restores the banding parameters so a restarted
-  job cannot silently probe with mismatched bands.
+- ``meta/``   — one row (bands, rows, n_buckets, marker_protocol),
+  written once; re-opening the index restores the banding parameters
+  so a restarted job cannot silently probe with mismatched bands.
 
-Restart contract: ``has_batch(batch_id)`` = "does the sigs commit
+Restart contract: ``has_batch(batch_id)`` = "does the batch's commit
 marker exist" — the idempotency check lives in the INDEX, not in any
 driver-side holder, so it survives process restarts (the weaker
 in-session guard in ``LshDedupState.last_batch_id`` does not).
 Batch ids come from the stream checkpoint, so an index is tied to one
-checkpoint lineage.
+checkpoint lineage. An index written by the pre-marker layout (meta
+row lacks ``marker_protocol``) reads under legacy semantics and is
+UPGRADED on its next append: markers are backfilled from the legacy
+batch record, then the marker protocol applies — one code path from
+then on.
 
 Reference contrast: egorji/data_ingestion.py has no dedup state at all
 (its only dedup is the whole-collection name scan at :302-315); this
@@ -116,13 +129,18 @@ class BandIndex:
         self.spark = spark
         self.path = path.rstrip("/")
         self.bands, self.rows, self.n_buckets = bands, rows, n_buckets
+        # new indexes speak the marker protocol; a pre-marker layout
+        # (meta without the field) reads legacy until its next append
+        # backfills markers (_ensure_marker_protocol)
+        self.marker_proto = True
         if _fs_exists(spark, self._meta_path):
-            m = spark.read.parquet(self._meta_path).first()
+            m = spark.read.parquet(self._meta_path).first().asDict()
             self.bands, self.rows, self.n_buckets = (
-                m.bands,
-                m.rows,
-                m.n_buckets,
+                m["bands"],
+                m["rows"],
+                m["n_buckets"],
             )
+            self.marker_proto = bool(m.get("marker_protocol", False))
 
     # -- layout ----------------------------------------------------------
     @property
@@ -141,19 +159,49 @@ class BandIndex:
     def _meta_path(self) -> str:
         return f"{self.path}/meta"
 
+    @property
+    def _markers_path(self) -> str:
+        return f"{self.path}/markers"
+
+    def _marker_path(self, batch_id: int) -> str:
+        return f"{self._markers_path}/batch_{batch_id}"
+
     # -- state inspection ------------------------------------------------
     def is_empty(self) -> bool:
+        """No COMMITTED batches (under the marker protocol a torn
+        first batch still counts as empty — unreadable until
+        repaired)."""
+        if self.marker_proto:
+            return not self.committed_batches()
         return not _fs_exists(self.spark, self._sigs_path)
 
     def has_batch(self, batch_id: int) -> bool:
-        """True iff ``batch_id``'s sigs commit marker exists — the
-        restart-safe re-delivery guard."""
+        """True iff ``batch_id``'s commit marker exists — the
+        restart-safe re-delivery guard. The marker is a separate
+        atomically-created file, never the batch's own (multi-file,
+        non-atomic) partition directory; legacy pre-marker indexes
+        fall back to the directory check until their next append
+        upgrades them."""
+        if self.marker_proto:
+            return _fs_exists(self.spark, self._marker_path(batch_id))
         return _fs_exists(
             self.spark, f"{self._sigs_path}/ingest_batch={batch_id}"
         )
 
     def corpus_sigs(self) -> DataFrame:
-        return self.spark.read.parquet(self._sigs_path)
+        """READ-COMMITTED corpus signatures: under the marker protocol
+        only marked batches are visible (``ingest_batch`` is a
+        partition column — the IN filter prunes torn-batch directories
+        at planning time)."""
+        df = self.spark.read.parquet(self._sigs_path)
+        if self.marker_proto:
+            committed = self.committed_batches()
+            df = df.where(
+                F.col("ingest_batch").isin(committed)
+                if committed
+                else F.lit(False)
+            )
+        return df
 
     def admitted_ids(self) -> DataFrame:
         return self.corpus_sigs().select("doc_id")
@@ -187,14 +235,42 @@ class BandIndex:
         )
 
     # -- writes ----------------------------------------------------------
+    def _write_meta(self, path: str) -> None:
+        self.spark.createDataFrame(
+            [(self.bands, self.rows, self.n_buckets, True)],
+            "bands int, rows int, n_buckets int, marker_protocol boolean",
+        ).write.mode("overwrite").parquet(path)
+
+    def _ensure_marker_protocol(self) -> None:
+        """Upgrade a pre-marker index in place: backfill one marker per
+        batch the legacy record (sigs batch directories) shows, then
+        rewrite meta with ``marker_protocol`` — from here on markers
+        are authoritative. A batch that was torn BEFORE the upgrade
+        gets wrongly marked, but the legacy layout had no record that
+        could tell it apart; the upgrade is no worse than legacy and
+        every later batch gets the real contract."""
+        if self.marker_proto:
+            return
+        for b in self.committed_batches():
+            _fs_touch(self.spark, self._marker_path(b))
+        self._write_meta(self._meta_path)
+        self.marker_proto = True
+
     def append_batch(self, sigs: DataFrame, batch_id: int) -> None:
-        """Admit a batch of signed docs (doc_id, sig, shingles):
-        band rows first, sigs commit marker last (see module doc)."""
+        """Admit a batch of signed docs (doc_id, sig, shingles): band
+        rows, then sig rows, then the atomic commit marker LAST (see
+        module doc). Already-marked batches no-op; a torn batch's
+        partial partition directories are deleted and rewritten, so
+        re-delivery is idempotent from either side of a crash."""
+        self._ensure_marker_protocol()
+        if self.has_batch(batch_id):
+            return
+        for base in (self._bands_path, self._sigs_path):
+            d = f"{base}/ingest_batch={batch_id}"
+            if _fs_exists(self.spark, d):
+                _fs_delete(self.spark, d)
         if not _fs_exists(self.spark, self._meta_path):
-            self.spark.createDataFrame(
-                [(self.bands, self.rows, self.n_buckets)],
-                "bands int, rows int, n_buckets int",
-            ).write.mode("overwrite").parquet(self._meta_path)
+            self._write_meta(self._meta_path)
         (
             self._banded(sigs, "doc_id")
             .withColumn("ingest_batch", F.lit(batch_id))
@@ -210,6 +286,7 @@ class BandIndex:
             .partitionBy("ingest_batch", "doc_bucket")
             .parquet(self._sigs_path)
         )
+        _fs_touch(self.spark, self._marker_path(batch_id))
 
     def append_flagged(self, pairs: DataFrame, batch_id: int) -> None:
         (
@@ -222,11 +299,24 @@ class BandIndex:
 
     # -- maintenance -----------------------------------------------------
     def committed_batches(self) -> list[int]:
+        """Sorted committed batch ids — a driver metadata listing of
+        the marker files (one empty file per batch, never a data
+        scan); legacy pre-marker indexes fall back to the distinct
+        scan of their sigs record."""
+        if self.marker_proto:
+            return sorted(
+                int(name.removeprefix("batch_"))
+                for name in _fs_list_names(self.spark, self._markers_path)
+                if name.startswith("batch_")
+            )
         if self.is_empty():
             return []
         return sorted(
             r.ingest_batch
-            for r in self.corpus_sigs().select("ingest_batch").distinct().collect()
+            for r in self.spark.read.parquet(self._sigs_path)
+            .select("ingest_batch")
+            .distinct()
+            .collect()
         )
 
     def compacted(self, new_path: str) -> "BandIndex":
@@ -258,13 +348,14 @@ class BandIndex:
         out = BandIndex(
             self.spark, new_path, self.bands, self.rows, self.n_buckets
         )
-        self.spark.createDataFrame(
-            [(self.bands, self.rows, self.n_buckets)],
-            "bands int, rows int, n_buckets int",
-        ).write.mode("overwrite").parquet(out._meta_path)
+        out._write_meta(out._meta_path)
+        bands_df = self.spark.read.parquet(self._bands_path)
+        if self.marker_proto:
+            # drop any torn batch's orphan band rows with the
+            # fragmentation — the snapshot holds committed data only
+            bands_df = bands_df.where(F.col("ingest_batch").isin(batches))
         (
-            self.spark.read.parquet(self._bands_path)
-            .select("doc_id", "band_key", "band_bucket")
+            bands_df.select("doc_id", "band_key", "band_bucket")
             .withColumn("ingest_batch", F.lit(hi))
             .repartition("band_bucket")
             .write.mode("overwrite")
@@ -291,6 +382,10 @@ class BandIndex:
                 .partitionBy("ingest_batch")
                 .parquet(out._flagged_path)
             )
+        # snapshot commits under the same marker-last protocol, keeping
+        # has_batch true for the only batch a restarted stream can
+        # re-deliver (the last)
+        _fs_touch(self.spark, out._marker_path(hi))
         return out
 
     # -- probe -----------------------------------------------------------
@@ -309,6 +404,16 @@ class BandIndex:
         idx = self.spark.read.parquet(self._bands_path).where(
             F.col("band_bucket").isin(buckets)
         )
+        if self.marker_proto:
+            # read-committed band rows too: a torn batch's orphans
+            # would only die later in the verify join — pruning them
+            # here keeps the candidate set (and its shuffle) honest
+            committed = self.committed_batches()
+            idx = idx.where(
+                F.col("ingest_batch").isin(committed)
+                if committed
+                else F.lit(False)
+            )
         return (
             new_banded.join(
                 idx.select(F.col("doc_id").alias("corpus_doc_id"), "band_key"),

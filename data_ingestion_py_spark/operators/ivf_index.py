@@ -284,6 +284,104 @@ class IvfIndex:
             .limit(k)
         )
 
+    def probe_batch(
+        self, queries: DataFrame, k: int = 10, nprobe: int = 2
+    ) -> DataFrame:
+        """(query_id, vec_id, cid, cosine_sim, rank) — top-k for a
+        whole BATCH of query vectors in one pruned scan, the serving
+        shape for bulk retrieval (nightly re-embedding joins, eval
+        sweeps): per-query driver loops re-open the index once per
+        query, this opens it once per batch.
+
+        Fully distributed: cluster assignment of each query runs the
+        trainer's exact integer argmin column-side against the
+        broadcast k-row centroid array (``kmeans._assign`` — no
+        per-query driver work beyond ONE bounded collect of the probed
+        cid union, ≤ k ints, which feeds the partition IN filter), the
+        query×cluster fan-out (nprobe rows per query) joins the pruned
+        vectors scan on the cid partition column, and per-query top-k
+        is a two-key window over (query, candidate) pairs. Probe bytes
+        stay ~|probed cids|/k of the corpus regardless of batch size;
+        the candidate set is Σ probed-cluster sizes — the same bound
+        as ``nprobe`` sequential probes, shuffled once instead of
+        scanned n_queries times.
+
+        ``queries`` needs (query_id, embedding). Ties rank by lower
+        vec_id, matching ``probe``; ``probe_batch`` over a single
+        query replays ``probe`` exactly (pinned in tests). Join
+        strategy is left to the optimizer on purpose: a small query
+        batch auto-broadcasts, a bulk batch shuffles on cid/query_id —
+        forcing broadcast here would be the very scale bug the
+        registry lints exist to catch."""
+        from pyspark.sql import Window
+
+        # nprobe nearest centroids per query: exact integer squared-L2
+        # against the broadcast k-row centroid array (k per query),
+        # keep the nprobe best — array_sort on (d2, cid) structs
+        # replays the ties-to-lower-cid rule of probe_clusters/_assign
+        qq = _quantized(
+            queries.select(
+                F.col("query_id").alias("vec_id"), "embedding"
+            ),
+            "embedding",
+        ).select(F.col("vec_id").alias("query_id"), "v")
+        vv = dot(F.col("v"), F.col("v"))
+        probed = (
+            qq.crossJoin(F.broadcast(_centroid_array(self.centroids())))
+            .select(
+                "query_id",
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("cents"),
+                            lambda c: F.struct(
+                                (
+                                    vv - 2 * dot(F.col("v"), c["cvec"]) + c["cc"]
+                                ).alias("d"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                ).alias("near"),
+            )
+            .select(
+                "query_id", F.explode(F.col("near")["cid"]).alias("cid")
+            )
+        )
+        probed = probed.localCheckpoint()  # read twice: cid union + join
+        # bounded driver collect (≤ k ints): the partition IN filter
+        cids = sorted(
+            r.cid for r in probed.select("cid").distinct().collect()
+        )
+        qvecs = queries.select(
+            "query_id", _to_double(F.col("embedding")).alias("qvec")
+        )
+        cand = (
+            self.vectors()
+            .where(F.col("cid").isin(cids))
+            .join(probed, "cid")
+            .join(qvecs, "query_id")
+        )
+        vec = _to_double(F.col("embedding"))
+        sim = dot(vec, F.col("qvec")) / (
+            l2_norm(vec) * l2_norm(F.col("qvec"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine_sim"), F.asc("vec_id")
+        )
+        return (
+            cand.select(
+                "query_id",
+                "vec_id",
+                "cid",
+                F.round(sim, 6).alias("cosine_sim"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
     # -- maintenance -----------------------------------------------------
     def cluster_sizes(self) -> DataFrame:
         """(cid, n_vectors) over the committed corpus — a count-only

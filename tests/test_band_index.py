@@ -185,3 +185,115 @@ def test_compaction_preserves_dedup_state(spark, tmp_path):
     assert _n_parquet(tmp_path / "idx2" / "bands") < _n_parquet(
         tmp_path / "idx" / "bands"
     )
+
+
+def test_torn_batch_is_invisible_and_repaired(spark, tmp_path):
+    """Crash simulation for the marker-last commit protocol: a batch
+    whose data landed (bands and sigs, even completely) but whose
+    marker never got created must read as uncommitted — invisible to
+    corpus_sigs()/probe() — and the re-delivered append must repair it
+    to exactly one copy. This is the failure the sigs-dir-as-marker
+    design lost signatures on."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "idx")
+    idx = BandIndex(spark, path)
+    docs = _docs(spark)
+    sigs0 = dedup.minhash_signatures(docs.where(F.col("doc_id") < 150))
+    sigs1 = dedup.minhash_signatures(
+        docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+    )
+    idx.append_batch(sigs0, batch_id=0)
+    n0 = idx.admitted_ids().count()
+    idx.append_batch(sigs1, batch_id=1)
+    n_full = idx.admitted_ids().count()
+    assert n_full > n0
+
+    # the crash: data committed, marker never created; make the sigs
+    # directory actually PARTIAL too (drop one doc_bucket dir)
+    os.remove(os.path.join(path, "markers", "batch_1"))
+    sig_dir = os.path.join(path, "sigs", "ingest_batch=1")
+    bucket_dirs = sorted(
+        d for d in os.listdir(sig_dir) if d.startswith("doc_bucket=")
+    )
+    shutil.rmtree(os.path.join(sig_dir, bucket_dirs[0]))
+
+    assert not idx.has_batch(1)
+    assert idx.committed_batches() == [0]
+    assert idx.admitted_ids().count() == n0  # torn batch invisible
+    # probe ignores the torn batch's band rows AND sig rows
+    probe_batch = dedup.minhash_signatures(
+        _near_dups_of(docs.where(F.col("doc_id") < 300))
+    )
+    pairs_torn = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in idx.probe(probe_batch, 0.5).collect()
+    }
+    assert all(c < 150 for _, c in pairs_torn)
+
+    # re-delivery repairs to exactly one copy
+    idx.append_batch(sigs1, batch_id=1)
+    assert idx.has_batch(1)
+    assert idx.admitted_ids().count() == n_full
+    assert (
+        idx.corpus_sigs()
+        .groupBy("doc_id")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+        == 0
+    )
+    pairs_repaired = {
+        (r.new_doc_id, r.corpus_doc_id)
+        for r in idx.probe(probe_batch, 0.5).collect()
+    }
+    assert any(c >= 150 for _, c in pairs_repaired)
+
+
+def test_premarker_index_upgrades_on_append(spark, tmp_path):
+    """An index written by the pre-marker layout (no markers/, meta
+    without marker_protocol) must read correctly under legacy
+    semantics, and its next append must backfill markers + upgrade
+    meta so the crash-safe contract applies from then on."""
+    import shutil
+
+    path = str(tmp_path / "idx")
+    idx = BandIndex(spark, path)
+    docs = _docs(spark)
+    for bid, lo, hi in ((0, 0, 150), (1, 150, 300)):
+        idx.append_batch(
+            dedup.minhash_signatures(
+                docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            ),
+            batch_id=bid,
+        )
+    n2 = idx.admitted_ids().count()
+
+    # fabricate the pre-marker layout: drop markers/, strip the meta field
+    legacy_root = str(tmp_path / "idx_legacy")
+    shutil.copytree(path, legacy_root)
+    shutil.rmtree(legacy_root + "/markers")
+    meta = spark.read.parquet(path + "/meta").drop("marker_protocol")
+    shutil.rmtree(legacy_root + "/meta")
+    meta.write.parquet(legacy_root + "/meta")
+
+    legacy = BandIndex(spark, legacy_root)
+    assert not legacy.marker_proto
+    assert legacy.has_batch(0) and legacy.has_batch(1)  # dir fallback
+    assert legacy.committed_batches() == [0, 1]
+    assert legacy.admitted_ids().count() == n2
+
+    # the upgrade: next append backfills markers and flips the meta
+    legacy.append_batch(
+        dedup.minhash_signatures(
+            docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 450))
+        ),
+        batch_id=2,
+    )
+    assert legacy.marker_proto
+    assert legacy.committed_batches() == [0, 1, 2]
+    reopened = BandIndex(spark, legacy_root)
+    assert reopened.marker_proto  # sticky across process lifetimes
+    assert reopened.committed_batches() == [0, 1, 2]
+    assert reopened.admitted_ids().count() > n2

@@ -232,6 +232,45 @@ def test_torn_batch_is_invisible_and_repaired(spark, tmp_path):
     assert idx.vectors().count() == n_full
 
 
+def test_probe_batch_matches_sequential_probes(spark, tmp_path):
+    """probe_batch over n query vectors must replay n sequential
+    probe() calls exactly — same candidates, same cosine, same
+    tie-ranked top-k — while planning ONE pruned scan (PartitionFilters
+    on cid) instead of n."""
+    idx = IvfIndex(spark, str(tmp_path / "idx"), k=4)
+    idx.append_batch(_emb(spark), batch_id=0)
+
+    qrows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .where(F.col("vec_id").isin([0, 3, 7]))
+        .collect()
+    )
+    queries = spark.createDataFrame(
+        [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows],
+        "query_id long, embedding array<double>",
+    )
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cid, r.cosine_sim)
+        for r in idx.probe_batch(queries, k=5, nprobe=2).collect()
+    }
+    for r in qrows:
+        qv = [float(x) for x in r.embedding]
+        seq = idx.probe(qv, k=5, nprobe=2).collect()
+        for rank, s in enumerate(seq, start=1):
+            assert got[(int(r.vec_id), rank)] == (
+                s.vec_id,
+                s.cid,
+                s.cosine_sim,
+            ), (r.vec_id, rank)
+    assert len(got) == 3 * 5
+
+    plan = E.formatted_plan(idx.probe_batch(queries, k=5, nprobe=2))
+    import re
+
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cid" in f for f in filters), plan
+
+
 def test_skew_metric_and_retrain_signal(spark, tmp_path):
     """The frozen quantizer's drift alarm: a balanced corpus reads
     ratio ≈ 1 and needs_retrain False; piling drifted batches into one
