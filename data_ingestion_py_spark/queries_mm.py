@@ -601,3 +601,168 @@ def q_multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = corpus.select("media_id", F.unhex(p5).alias("payload"))
     return mm.pixel_checksums(mm.resize_images(media, 4, 4))
+
+
+@register(
+    "multimodal_avi_duration",
+    """
+SELECT doc_id AS media_id,
+       'video' AS kind,
+       CAST(((doc_id % 50) + 10) * ((doc_id * 7) % 1000 + 24) AS BIGINT)
+           AS duration_ms
+FROM documents
+""",
+    tags=("multimodal", "decode", "video"),
+)
+def q_multimodal_avi_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI container decode end-to-end (the third RIFF family
+    after WAV and the MP4 boxes): construct valid RIFF 'AVI ' files in
+    column algebra — LIST 'hdrl' wrapping a spec-shaped 56-byte 'avih'
+    main header with doc_id-derived dwMicroSecPerFrame and
+    dwTotalFrames — push the binary through the Arrow mapInPandas
+    probe, and parse the duration back with the pure-byte chunk walker
+    (sources/multimodal.avi_headers via media_duration_ms). The oracle
+    recomputes the planted duration arithmetically (usec_per_frame ·
+    total_frames ÷ 1000 with the ·1000 factored out exactly), so any
+    LIST-recursion, alignment, or field-offset bug hash-mismatches
+    immediately. Reference contrast: the reference's only video-ish
+    artifact is rasterizing PDF pages to JPEG (data_ingestion.py:148)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    usec = ((F.col("doc_id") % 50 + 10) * 1000).cast("long")
+    nframes = ((F.col("doc_id") * 7) % 1000 + 24).cast("long")
+    avih_hex = F.concat(
+        _le_hex(usec, 4),          # dwMicroSecPerFrame  <- parsed
+        F.lit("00" * 12),          # maxbytes/padding/flags
+        _le_hex(nframes, 4),       # dwTotalFrames       <- parsed
+        F.lit("00" * 36),          # 5 more u32 + 16 reserved bytes
+    )
+    avi_hex = F.concat(
+        F.lit("52494646"), _le_hex(F.lit(80), 4), F.lit("41564920"),  # RIFF/AVI
+        F.lit("4C495354"), _le_hex(F.lit(68), 4), F.lit("6864726C"),  # LIST hdrl
+        F.lit("61766968"), _le_hex(F.lit(56), 4),                     # avih
+        avih_hex,
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.unhex(avi_hex).alias("payload"),
+    )
+    return mm.probe_metadata(media).select("media_id", "kind", "duration_ms")
+
+
+@register(
+    "multimodal_avi_frames",
+    """
+WITH vids AS (
+    SELECT doc_id AS media_id, doc_id AS seed FROM documents
+    WHERE doc_id % 3 = 2
+), fr AS (
+    SELECT media_id, seed, unnest([0, 1]) AS frame_index FROM vids
+), px AS (
+    SELECT media_id, frame_index,
+           list_transform(generate_series(0, 15),
+               k -> (seed * 31 + frame_index * 97
+                     + k * (7 + seed % 11)) % 240) AS p
+    FROM fr
+)
+SELECT media_id,
+       CAST(frame_index AS INT) AS frame_index,
+       4 AS width, 4 AS height,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 15),
+                k -> (k + 1) * p[k + 1])) AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "video"),
+)
+def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-frame decode end-to-end, zero codec libraries — the
+    de-stubbed core of the ffmpeg seam for uncompressed streams:
+    complete valid AVI files (hdrl with 'vids' strh + BITMAPINFOHEADER
+    strf, movi with two '00db' BI_RGB frames) are built in column
+    algebra with doc_id-seeded 4×4 24-bit rasters — BGR byte triples,
+    4-byte-aligned rows stored BOTTOM-UP per the BMP spec — pushed
+    through the Arrow mapInPandas stage, frame-decoded by the pure-byte
+    kernel (sources/multimodal.decode_avi_frames), re-encoded as valid
+    PGM, and round-tripped through the netpbm decoder for
+    position-weighted integer pixel checksums. The oracle recomputes
+    every pixel arithmetically in TOP-DOWN image order from the planted
+    formula — it never sees the bytes, so a decoder that forgot the
+    vertical flip, misread the BGR stride, or emitted a broken PGM
+    hash-mismatches immediately. 1 media row → 2 frame rows, two
+    chained Arrow stages, no shuffle anywhere."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    seed = F.col("doc_id")
+
+    def _pix_hex(f: int, k):  # planted pixel value, image order k
+        v = (seed * 31 + f * 97 + k * (7 + seed % 11)) % 240
+        return F.lpad(F.hex(v), 2, "0")
+
+    def _frame_hex(f: int):  # DIB raster: bottom-up rows, BGR triples
+        dib = F.sequence(F.lit(0), F.lit(15))
+        return F.concat_ws(
+            "",
+            F.transform(
+                dib,
+                lambda m: F.repeat(
+                    _pix_hex(f, (F.lit(3) - F.shiftright(m, 2)) * 4 + m % 4),
+                    3,
+                ),
+            ),
+        )
+
+    avih_hex = F.concat(
+        _le_hex(F.lit(40000), 4),  # 25 fps
+        F.lit("00" * 12),          # maxbytes/padding/flags
+        _le_hex(F.lit(2), 4),      # dwTotalFrames
+        F.lit("00" * 4),           # dwInitialFrames
+        _le_hex(F.lit(1), 4),      # dwStreams
+        F.lit("00" * 4),           # dwSuggestedBufferSize
+        _le_hex(F.lit(4), 4), _le_hex(F.lit(4), 4),  # dwWidth/dwHeight
+        F.lit("00" * 16),          # dwReserved[4]
+    )
+    strh_hex = F.concat(
+        F.lit("73747268"), _le_hex(F.lit(56), 4),   # strh
+        F.lit("76696473"), F.lit("44494220"),       # 'vids' 'DIB '
+        F.lit("00" * 48),
+    )
+    strf_hex = F.concat(
+        F.lit("73747266"), _le_hex(F.lit(40), 4),   # strf BITMAPINFOHEADER
+        _le_hex(F.lit(40), 4),                      # biSize
+        _le_hex(F.lit(4), 4), _le_hex(F.lit(4), 4), # biWidth/biHeight (+down)
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(24), 2),  # planes / bits
+        _le_hex(F.lit(0), 4),                       # BI_RGB
+        _le_hex(F.lit(48), 4),                      # biSizeImage
+        F.lit("00" * 16),
+    )
+    movi_hex = F.concat(
+        F.lit("4C495354"), _le_hex(F.lit(116), 4), F.lit("6D6F7669"),
+        F.lit("30306462"), _le_hex(F.lit(48), 4), _frame_hex(0),
+        F.lit("30306462"), _le_hex(F.lit(48), 4), _frame_hex(1),
+    )
+    avi_hex = F.concat(
+        F.lit("52494646"), _le_hex(F.lit(328), 4), F.lit("41564920"),
+        F.lit("4C495354"), _le_hex(F.lit(192), 4), F.lit("6864726C"),
+        F.lit("61766968"), _le_hex(F.lit(56), 4), avih_hex,
+        F.lit("4C495354"), _le_hex(F.lit(116), 4), F.lit("7374726C"),
+        strh_hex, strf_hex,
+        movi_hex,
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.unhex(avi_hex).alias("payload"),
+    )
+    frames = mm.sample_frames(media, max_frames=4)
+    # pixel_checksums keys on media_id alone; fold (media, frame) into
+    # one id for the kernel pass and unfold after — pure arithmetic.
+    packed = frames.select(
+        (F.col("media_id") * 4 + F.col("frame_index")).alias("media_id"),
+        F.col("frame_payload").alias("payload"),
+    )
+    cks = mm.pixel_checksums(packed)
+    return cks.select(
+        (F.col("media_id") / 4).cast("long").alias("media_id"),
+        (F.col("media_id") % 4).cast("int").alias("frame_index"),
+        "width", "height", "px_sum", "px_wsum",
+    )

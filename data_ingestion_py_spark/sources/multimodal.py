@@ -9,16 +9,19 @@ needs a codec library:
 
 - REAL, codec-free, always on: netpbm pixel decode (``decode_pnm``),
   WAV/PCM sample decode, PNG chunk walk, header dimension parses,
-  nearest-neighbor resample (numpy-vectorized).
+  AVI container walk + uncompressed-DIB frame decode
+  (``decode_avi_frames``), nearest-neighbor resample
+  (numpy-vectorized).
 - REAL behind the ``[ingest]`` extras (Pillow): compressed-image pixel
   decode (JPEG/PNG/GIF/...) via ``_pil_decode_gray`` — the
   ``decoder="real"`` seam in ``extract_features`` / ``resize_plan`` /
   ``resize_images``; in this container (no Pillow) the seam raises the
   documented NotImplementedError, skipif-gated tests run it where the
   extras exist.
-- Honest STUB (the one remaining seam): ffmpeg audio/video decode —
-  frame sampling slices bytes deterministically so the schema/fan-out
-  plumbing stays tested.
+- Honest STUB (the one remaining seam): ffmpeg COMPRESSED audio/video
+  decode (MJPG/H.264/AAC...) — frame sampling slices bytes
+  deterministically there so the schema/fan-out plumbing stays tested.
+  Uncompressed AVI no longer needs it (above).
 
 Reference tie-in: the PDF page images the reference shovels through one
 shared temp file (data_ingestion.py:148-155, S2/S7) are exactly this
@@ -411,6 +414,11 @@ def media_duration_ms(payload: bytes | None) -> int | None:
                 )
             i += 8 + csz + (csz & 1)  # RIFF chunks are word-aligned
         return None
+    if n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        hdr = avi_headers(payload)
+        if not hdr or hdr["usec_per_frame"] is None or not hdr["total_frames"]:
+            return None
+        return hdr["usec_per_frame"] * hdr["total_frames"] // 1000
     if n >= 12 and payload[4:8] == b"ftyp":
         i = 0
         while i + 8 <= n:
@@ -447,6 +455,148 @@ def media_duration_ms(payload: bytes | None) -> int | None:
             i += size
         return None
     return None
+
+
+def _riff_children(
+    payload: bytes, start: int, end: int
+) -> Iterator[tuple[bytes, bytes | None, int, int]]:
+    """Walk the RIFF chunks in ``payload[start:end)``, yielding
+    ``(fourcc, list_type, data_start, data_size)`` per chunk. LIST
+    chunks carry their list-type fourcc (data then starts past it);
+    plain chunks yield ``list_type=None``. Chunk sizes are little-endian
+    and word-aligned (odd sizes pad one byte) — the same walk the WAV
+    branch of ``media_duration_ms`` does inline."""
+    i = start
+    n = min(end, len(payload))
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        csz = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"LIST" and i + 12 <= n:
+            yield cid, payload[i + 8 : i + 12], i + 12, csz - 4
+        else:
+            yield cid, None, i + 8, csz
+        i += 8 + csz + (csz & 1)
+
+
+def avi_headers(payload: bytes | None) -> dict | None:
+    """REAL AVI (RIFF 'AVI ') header parse — pure-Python byte walk, no
+    codec library. Returns the main-header timing fields ('avih':
+    dwMicroSecPerFrame at data offset 0, dwTotalFrames at 16) and the
+    FIRST 'vids' stream's BITMAPINFOHEADER geometry ('strl'→'strf':
+    biWidth/biHeight as signed int32 at offsets 4/8, biBitCount uint16
+    at 14, biCompression uint32 at 16 — MS RIFF/AVI + BMP specs).
+    None for non-AVI payloads; absent boxes stay None in the dict."""
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    out: dict = {
+        "usec_per_frame": None,
+        "total_frames": None,
+        "width": None,
+        "height": None,
+        "bit_count": None,
+        "compression": None,
+    }
+    for cid, ltype, ds, dsz in _riff_children(payload, 12, len(payload)):
+        if cid != b"LIST" or ltype != b"hdrl":
+            continue
+        for c2, l2, ds2, dsz2 in _riff_children(payload, ds, ds + dsz):
+            if c2 == b"avih" and dsz2 >= 20 and ds2 + 20 <= len(payload):
+                out["usec_per_frame"] = int.from_bytes(
+                    payload[ds2 : ds2 + 4], "little"
+                )
+                out["total_frames"] = int.from_bytes(
+                    payload[ds2 + 16 : ds2 + 20], "little"
+                )
+            elif c2 == b"LIST" and l2 == b"strl" and out["width"] is None:
+                is_vids = False
+                for c3, _, ds3, dsz3 in _riff_children(
+                    payload, ds2, ds2 + dsz2
+                ):
+                    if c3 == b"strh" and dsz3 >= 4:
+                        is_vids = payload[ds3 : ds3 + 4] == b"vids"
+                    elif (
+                        c3 == b"strf"
+                        and is_vids
+                        and dsz3 >= 20
+                        and ds3 + 20 <= len(payload)
+                    ):
+                        out["width"] = int.from_bytes(
+                            payload[ds3 + 4 : ds3 + 8], "little", signed=True
+                        )
+                        out["height"] = int.from_bytes(
+                            payload[ds3 + 8 : ds3 + 12], "little", signed=True
+                        )
+                        out["bit_count"] = int.from_bytes(
+                            payload[ds3 + 14 : ds3 + 16], "little"
+                        )
+                        out["compression"] = int.from_bytes(
+                            payload[ds3 + 16 : ds3 + 20], "little"
+                        )
+    return out
+
+
+def decode_avi_frames(
+    payload: bytes | None, max_frames: int
+) -> list[bytes] | None:
+    """REAL video-frame decode for uncompressed AVI — the codec-free
+    slice of the ffmpeg seam, always on (no extras needed): walks the
+    'movi' LIST for '..db'/'..dc' frame chunks and decodes BI_RGB
+    (biCompression=0) DIB rasters at 24 or 8 bits/pixel. DIB rows are
+    4-byte aligned and stored bottom-up when biHeight is positive
+    (BMP spec); 24-bit pixels are BGR and grayscale via the shared
+    integer (r+g+b)//3 rule, so AVI frames hash identically to the
+    same raster arriving as netpbm/PNG. Each frame re-encodes as a
+    valid binary PGM and flows into the pixel kernels (checksums,
+    resize, perceptual hash). Compressed streams (MJPG etc.) return
+    None — those stay behind the honest ffmpeg seam."""
+    hdr = avi_headers(payload)
+    if (
+        not hdr
+        or hdr["compression"] != 0
+        or hdr["bit_count"] not in (8, 24)
+        or not hdr["width"]
+        or not hdr["height"]
+        or hdr["width"] <= 0
+        or max_frames <= 0
+    ):
+        return None
+    w, h = hdr["width"], hdr["height"]
+    bottom_up = h > 0
+    h = abs(h)
+    bpp = hdr["bit_count"] // 8
+    stride = ((w * bpp + 3) // 4) * 4
+    frames: list[bytes] = []
+    for cid, ltype, ds, dsz in _riff_children(payload, 12, len(payload)):
+        if cid != b"LIST" or ltype != b"movi":
+            continue
+        for c2, _, ds2, dsz2 in _riff_children(payload, ds, ds + dsz):
+            if (
+                c2[2:4] not in (b"db", b"dc")
+                or dsz2 < stride * h
+                or ds2 + stride * h > len(payload)
+            ):
+                continue
+            raw = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=ds2
+            )
+            rows = raw.reshape(h, stride)[:, : w * bpp]
+            if bpp == 3:
+                # int16 lanes: b+g+r <= 765, exact
+                px = rows.reshape(h, w, 3).astype(np.int16)
+                gray = (px.sum(axis=2, dtype=np.int16) // 3).astype(np.uint8)
+            else:
+                gray = rows.copy()
+            if bottom_up:
+                gray = gray[::-1]
+            frames.append(b"P5\n%d %d\n255\n" % (w, h) + gray.tobytes())
+            if len(frames) == max_frames:
+                return frames
+    return frames or None
 
 
 PROBE_SCHEMA = T.StructType(
@@ -627,11 +777,14 @@ def sample_frames(
 ) -> DataFrame:
     """Video frame sampling. ``decoder="stub"`` slices the payload at
     fixed byte strides — one input row → ≤ max_frames output rows, the
-    schema/fan-out contract without any codec. ``decoder="real"``
-    decodes ACTUAL frames for the animation formats Pillow reads
-    (GIF/WebP/TIFF — the ``[ingest]`` extras), emitted as valid PGM
-    payloads; containers Pillow can't open (MP4 etc.) fall back to the
-    stub slices — that remaining step is the honest ffmpeg seam."""
+    schema/fan-out contract without any codec. Uncompressed AVI
+    payloads (RIFF/BI_RGB DIB frames) decode for REAL under either
+    decoder — pure-Python, no extras (``decode_avi_frames``).
+    ``decoder="real"`` additionally decodes the animation formats
+    Pillow reads (GIF/WebP/TIFF — the ``[ingest]`` extras). All real
+    frames emit as valid PGM payloads; containers neither path can
+    open (compressed MP4/MJPG etc.) fall back to the stub slices —
+    that remaining step is the honest ffmpeg seam."""
     if decoder == "real" and not HAVE_PIL:
         raise NotImplementedError(
             "real frame decode needs the [ingest] extras (pillow for "
@@ -650,7 +803,9 @@ def sample_frames(
                 if kind != "video" or payload is None:
                     continue
                 payload = bytes(payload)
-                decoded = _pil_sample_frames(payload, max_frames) if real else None
+                decoded = decode_avi_frames(payload, max_frames)
+                if decoded is None and real:
+                    decoded = _pil_sample_frames(payload, max_frames)
                 if decoded:
                     for i, fb in enumerate(decoded):
                         ids.append(mid)

@@ -477,3 +477,152 @@ def test_resize_images_then_checksums_spark(spark):
     assert got[1] == (2, 1, 2, 4)  # pixels [0, 2]: sum 2, 1*0+2*2
     assert got[2] == (None, None, None, None)
     assert got[3] == (None, None, None, None)
+
+
+# ---------------------------------------------------------------- AVI
+
+
+def _avi(
+    frames_px=None,
+    usec=40000,
+    bit_count=24,
+    compression=0,
+    w=4,
+    h=4,
+    top_down=False,
+    n_frames=None,
+):
+    """Build a minimal valid AVI: hdrl(avih + strl(strh 'vids' + strf
+    BITMAPINFOHEADER)) + movi('00db' DIB frames). ``frames_px`` is a
+    list of top-down grayscale rasters (len w*h each); stored bottom-up
+    unless ``top_down`` (negative biHeight)."""
+    import struct
+
+    def chunk(cid, data):
+        pad = b"\0" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    frames_px = frames_px if frames_px is not None else []
+    nf = n_frames if n_frames is not None else len(frames_px)
+    avih = struct.pack("<10I", usec, 0, 0, 0, nf, 0, 1, 0, w, h) + b"\0" * 16
+    strh = b"vids" + b"DIB " + b"\0" * 48
+    bi_h = -h if top_down else h
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, bi_h, 1, bit_count, compression,
+        ((w * (bit_count // 8) + 3) // 4 * 4) * h, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    stride = ((w * (bit_count // 8) + 3) // 4) * 4
+    movi_body = b""
+    for px in frames_px:
+        dib = bytearray()
+        row_order = range(h) if top_down else range(h - 1, -1, -1)
+        for r in row_order:
+            row = bytearray()
+            for c in range(w):
+                v = px[r * w + c]
+                row += bytes([v] * (bit_count // 8))
+            row += b"\0" * (stride - len(row))
+            dib += row
+        movi_body += chunk(b"00db", bytes(dib))
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_headers_and_duration():
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    avi = _avi(usec=40000, n_frames=250)
+    hdr = mm.avi_headers(avi)
+    assert hdr == {
+        "usec_per_frame": 40000,
+        "total_frames": 250,
+        "width": 4,
+        "height": 4,
+        "bit_count": 24,
+        "compression": 0,
+    }
+    assert mm.media_duration_ms(avi) == 10000  # 250 frames at 25 fps
+    assert mm.avi_headers(b"RIFFxxxxWAVE") is None
+    assert mm.avi_headers(b"RIFF\x04\0\0\0AVI ") == {
+        "usec_per_frame": None,
+        "total_frames": None,
+        "width": None,
+        "height": None,
+        "bit_count": None,
+        "compression": None,
+    }
+    assert mm.media_duration_ms(b"RIFF\x04\0\0\0AVI ") is None
+    assert mm.avi_headers(None) is None
+
+
+def test_decode_avi_frames_bottom_up_and_top_down():
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    px0 = list(range(16))            # top-down reading order
+    px1 = [v * 3 % 251 for v in range(16)]
+    for top_down in (False, True):
+        avi = _avi([px0, px1], top_down=top_down)
+        frames = mm.decode_avi_frames(avi, 4)
+        assert len(frames) == 2
+        got0 = mm.decode_pnm(frames[0])
+        got1 = mm.decode_pnm(frames[1])
+        assert got0 == (4, 4, px0), f"top_down={top_down}"
+        assert got1 == (4, 4, px1), f"top_down={top_down}"
+
+
+def test_decode_avi_frames_respects_max_and_8bit_stride():
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    px = [list(range(16)), list(range(16, 32)), list(range(32, 48))]
+    assert len(mm.decode_avi_frames(_avi(px), 2)) == 2
+    # 8-bit 5x2: stride pads rows 5 -> 8 bytes; decode must drop padding
+    raster = list(range(10))
+    avi8 = _avi([raster], bit_count=8, w=5, h=2)
+    (frame,) = mm.decode_avi_frames(avi8, 4)
+    assert mm.decode_pnm(frame) == (5, 2, raster)
+
+
+def test_decode_avi_frames_honest_gates():
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    px = [list(range(16))]
+    # compressed stream (MJPG fourcc value) stays behind the ffmpeg seam
+    assert mm.decode_avi_frames(_avi(px, compression=0x47504A4D), 4) is None
+    # unsupported depth
+    assert mm.decode_avi_frames(_avi(px, bit_count=16), 4) is None
+    # truncated frame chunk: skipped, not misdecoded
+    avi = _avi(px)
+    assert mm.decode_avi_frames(avi[:-20], 4) is None
+    assert mm.decode_avi_frames(b"not avi", 4) is None
+    assert mm.decode_avi_frames(None, 4) is None
+
+
+def test_sample_frames_decodes_real_avi_payloads(spark):
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    px = [list(range(16)), list(range(100, 116))]
+    rows = [
+        (1, "video", _avi(px), None),
+        (2, "video", b"x" * 2048, None),  # non-AVI: stub slices
+        (3, "image", _avi(px), None),     # wrong kind: skipped
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = mm.sample_frames(media, every_n_bytes=1024, max_frames=4).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert sorted(by_id) == [1, 2]
+    avi_frames = sorted(by_id[1], key=lambda r: r.frame_index)
+    assert [r.frame_index for r in avi_frames] == [0, 1]
+    assert mm.decode_pnm(bytes(avi_frames[0].frame_payload)) == (4, 4, px[0])
+    assert mm.decode_pnm(bytes(avi_frames[1].frame_payload)) == (4, 4, px[1])
+    assert len(by_id[2]) == 2  # 2048 bytes / 1024 stub slices
