@@ -766,3 +766,91 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("media_id") % 4).cast("int").alias("frame_index"),
         "width", "height", "px_sum", "px_wsum",
     )
+
+
+@register(
+    "multimodal_mp4_samples",
+    """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           (doc_id % 9 + 1) * 100 AS ts,
+           (doc_id % 10 + 1) * 100 AS d1,
+           (doc_id % 50) * 16 + 256 AS base
+    FROM documents
+), s AS (
+    SELECT media_id, ts, d1, base,
+           list_transform(generate_series(0, 5),
+               i -> (media_id * 13 + i * 7) % 1000 + 100) AS sz
+    FROM m
+), e AS (
+    SELECT media_id, ts, d1, base, sz,
+           unnest(generate_series(0, 5)) AS i
+    FROM s
+)
+SELECT media_id,
+       CAST(i AS INT) AS sample_index,
+       CAST((CASE WHEN i < 3 THEN i * d1
+                  ELSE 3 * d1 + (i - 3) * (d1 + 50) END) * 1000 // ts
+            AS BIGINT) AS dts_ms,
+       CAST(sz[i + 1] AS BIGINT) AS sample_size,
+       CAST(CASE WHEN i < 3
+                 THEN base + CASE WHEN i >= 1 THEN sz[1] ELSE 0 END
+                           + CASE WHEN i >= 2 THEN sz[2] ELSE 0 END
+                 ELSE base + sz[1] + sz[2] + sz[3] + 32
+                           + CASE WHEN i >= 4 THEN sz[4] ELSE 0 END
+                           + CASE WHEN i >= 5 THEN sz[5] ELSE 0 END
+            END AS BIGINT) AS byte_offset
+FROM e
+""",
+    tags=("multimodal", "decode", "video"),
+)
+def q_multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF sample-table planning end-to-end — the
+    metadata-only step a 100 TB video pipeline runs instead of
+    decoding: complete valid MP4 structures (moov→trak→mdia with mdhd
+    timescale, and an stbl carrying run-length stts, per-sample stsz,
+    stsc chunk runs, and stco chunk offsets — all doc_id-derived) are
+    built in column algebra, pushed through the Arrow mapInPandas
+    stage, and walked back into per-sample (dts, size, absolute byte
+    offset) rows by the pure-byte kernel
+    (sources/multimodal.mp4_sample_table): two stts runs exercise the
+    run-length expansion, two 3-sample chunks exercise the stsc×stco
+    composition with intra-chunk size accumulation across a 32-byte
+    inter-chunk gap. The oracle recomputes every row arithmetically
+    from the planted formulas — a kernel that misreads a table stride,
+    forgets the chunk gap, or mis-expands a run hash-mismatches
+    immediately. 1 media row → 6 sample rows, one narrow Arrow stage,
+    no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    be4 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    ts = (F.col("doc_id") % 9 + 1) * 100
+    d1 = (F.col("doc_id") % 10 + 1) * 100
+    base = (F.col("doc_id") % 50) * 16 + 256
+
+    def _sz(i: int):
+        return (F.col("doc_id") * 13 + i * 7) % 1000 + 100
+
+    chunk2 = base + _sz(0) + _sz(1) + _sz(2) + 32
+    mp4_hex = F.concat(
+        F.lit("000000106674797069736F6D00000000"),      # ftyp isom
+        F.lit("000000C86D6F6F76"),                      # moov (200)
+        F.lit("000000C07472616B"),                      # trak (192)
+        F.lit("000000B86D646961"),                      # mdia (184)
+        F.lit("000000206D646864" + "00000000" * 3),     # mdhd v0
+        be4(ts), F.lit("00000000" * 2),                 # timescale, dur/lang
+        F.lit("000000906D696E66"),                      # minf (144)
+        F.lit("000000887374626C"),                      # stbl (136)
+        F.lit("0000002073747473" + "00000000"), be4(F.lit(2)),   # stts
+        be4(F.lit(3)), be4(d1), be4(F.lit(3)), be4(d1 + 50),
+        F.lit("0000002C7374737A" + "00000000"),         # stsz
+        be4(F.lit(0)), be4(F.lit(6)),
+        *[be4(_sz(i)) for i in range(6)],
+        F.lit("0000001C73747363" + "00000000"), be4(F.lit(1)),   # stsc
+        be4(F.lit(1)), be4(F.lit(3)), be4(F.lit(1)),
+        F.lit("000000187374636F" + "00000000"), be4(F.lit(2)),   # stco
+        be4(base), be4(chunk2),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(mp4_hex).alias("payload")
+    )
+    return mm.mp4_sample_plan(media, max_samples=16)

@@ -599,6 +599,209 @@ def decode_avi_frames(
     return frames or None
 
 
+def _mp4_boxes(
+    payload: bytes, start: int, end: int
+) -> Iterator[tuple[bytes, int, int]]:
+    """Walk ISO-BMFF boxes in ``payload[start:end)``, yielding
+    ``(fourcc, data_start, data_end)``. Sizes are big-endian uint32;
+    size<8 (to-eof / 64-bit largesize) stops the walk — unsupported
+    payloads read as absent boxes, never as garbage."""
+    i = start
+    n = min(end, len(payload))
+    while i + 8 <= n:
+        size = int.from_bytes(payload[i : i + 4], "big")
+        if size < 8:
+            return
+        yield payload[i + 4 : i + 8], i + 8, min(i + size, n)
+        i += size
+
+
+def mp4_sample_table(
+    payload: bytes | None, max_samples: int = 64
+) -> dict | None:
+    """REAL ISO-BMFF (MP4) sample-table walk — the metadata-only frame
+    planner a large-scale video pipeline runs BEFORE any decode: from
+    the first track's 'stbl', reconstruct per-sample (index, dts,
+    size, byte offset) by composing the four spec tables
+    (ISO 14496-12 §8.6-8.7):
+
+    - 'stts' decode-time deltas (run-length (count, delta) pairs) →
+      cumulative dts per sample;
+    - 'stsz' sizes (uniform sample_size or the per-sample list);
+    - 'stsc' sample→chunk runs ((first_chunk, samples_per_chunk, _)
+      rows, each run extending to the next row's first_chunk);
+    - 'stco' (or 64-bit 'co64') chunk offsets; a sample's offset =
+      its chunk's offset + the sizes of prior samples in that chunk.
+
+    Returns ``{"timescale": int (from 'mdhd', v0/v1), "samples":
+    [(idx, dts_units, size, offset), ...]}`` truncated to
+    ``max_samples``; None when any required box is missing or counts
+    are inconsistent — honest absence, never guessed geometry. With
+    this table a reader plans exact byte-range fetches of every Nth
+    sample from object storage without touching frame bytes."""
+    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    n = len(payload)
+
+    def find(fourcc: bytes, start: int, end: int) -> tuple[int, int] | None:
+        for t, ds, de in _mp4_boxes(payload, start, end):
+            if t == fourcc:
+                return ds, de
+        return None
+
+    span = find(b"moov", 0, n)
+    for box in (b"trak", b"mdia"):
+        span = find(box, *span) if span else None
+    if span is None:
+        return None
+    mdia = span
+    mdhd = find(b"mdhd", *mdia)
+    if mdhd is None or mdhd[0] + 4 > n:
+        return None
+    ver = payload[mdhd[0]]
+    ts_off = mdhd[0] + (20 if ver == 1 else 12)
+    if ts_off + 4 > mdhd[1]:
+        return None
+    timescale = int.from_bytes(payload[ts_off : ts_off + 4], "big")
+    span = find(b"minf", *mdia)
+    stbl = find(b"stbl", *span) if span else None
+    if stbl is None:
+        return None
+
+    def u32(off: int) -> int:
+        return int.from_bytes(payload[off : off + 4], "big")
+
+    def table(fourcc: bytes) -> tuple[int, int] | None:
+        return find(fourcc, *stbl)
+
+    stts, stsz, stsc = table(b"stts"), table(b"stsz"), table(b"stsc")
+    stco = table(b"stco")
+    co64 = table(b"co64") if stco is None else None
+    if stts is None or stsz is None or stsc is None or (
+        stco is None and co64 is None
+    ):
+        return None
+
+    # stts → per-sample dts (truncated expansion)
+    n_tt = u32(stts[0] + 4)
+    dts: list[int] = []
+    t = 0
+    for e in range(n_tt):
+        off = stts[0] + 8 + e * 8
+        if off + 8 > stts[1]:
+            return None
+        cnt, delta = u32(off), u32(off + 4)
+        for _ in range(cnt):
+            if len(dts) == max_samples:
+                break
+            dts.append(t)
+            t += delta
+        if len(dts) == max_samples:
+            break
+
+    # stsz → per-sample sizes
+    uniform, n_sz = u32(stsz[0] + 4), u32(stsz[0] + 8)
+    n_out = min(n_sz, max_samples, len(dts))
+    if uniform:
+        sizes = [uniform] * n_out
+    else:
+        if stsz[0] + 12 + n_out * 4 > stsz[1]:
+            return None
+        sizes = [u32(stsz[0] + 12 + i * 4) for i in range(n_out)]
+
+    # stco/co64 → chunk offsets
+    cbox, width = (stco, 4) if stco is not None else (co64, 8)
+    n_ch = u32(cbox[0] + 4)
+    if cbox[0] + 8 + n_ch * width > cbox[1]:
+        return None
+    offsets = [
+        int.from_bytes(
+            payload[cbox[0] + 8 + i * width : cbox[0] + 8 + (i + 1) * width],
+            "big",
+        )
+        for i in range(n_ch)
+    ]
+
+    # stsc runs → samples per chunk, each run until the next first_chunk
+    n_sc = u32(stsc[0] + 4)
+    runs = []
+    for e in range(n_sc):
+        off = stsc[0] + 8 + e * 12
+        if off + 12 > stsc[1]:
+            return None
+        runs.append((u32(off), u32(off + 4)))  # (first_chunk, spc)
+    if not runs or runs[0][0] != 1:
+        return None
+
+    samples: list[tuple[int, int, int, int]] = []
+    run_i = 0
+    si = 0
+    for ci in range(1, n_ch + 1):
+        while run_i + 1 < len(runs) and runs[run_i + 1][0] <= ci:
+            run_i += 1
+        pos = offsets[ci - 1]
+        for _ in range(runs[run_i][1]):
+            if si >= n_out:
+                break
+            samples.append((si, dts[si], sizes[si], pos))
+            pos += sizes[si]
+            si += 1
+        if si >= n_out:
+            break
+    if si < n_out:  # stsc×stco cover fewer samples than declared
+        return None
+    return {"timescale": timescale, "samples": samples}
+
+
+MP4_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_index", T.IntegerType(), False),
+        T.StructField("dts_ms", T.LongType(), False),
+        T.StructField("sample_size", T.LongType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+    ]
+)
+
+
+def mp4_sample_plan(media: DataFrame, max_samples: int = 64) -> DataFrame:
+    """(media_id, payload) → one row per MP4 sample with decode time,
+    size, and absolute byte offset (``mp4_sample_table``), via Arrow
+    ``mapInPandas`` — the fetch plan for sampled-frame extraction at
+    scale: downstream readers issue exact byte-range GETs instead of
+    streaming whole containers. Unparseable payloads emit no rows."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, dtss, szs, offs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                tab = mp4_sample_table(
+                    None if payload is None else bytes(payload), max_samples
+                )
+                if tab is None or not tab["timescale"]:
+                    continue
+                ts = tab["timescale"]
+                for si, dts, size, off in tab["samples"]:
+                    ids.append(int(mid))
+                    idxs.append(si)
+                    dtss.append(dts * 1000 // ts)
+                    szs.append(size)
+                    offs.append(off)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "sample_index": idxs,
+                    "dts_ms": dtss,
+                    "sample_size": szs,
+                    "byte_offset": offs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _go, MP4_SAMPLE_SCHEMA
+    )
+
+
 PROBE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

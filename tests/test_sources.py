@@ -626,3 +626,122 @@ def test_sample_frames_decodes_real_avi_payloads(spark):
     assert mm.decode_pnm(bytes(avi_frames[0].frame_payload)) == (4, 4, px[0])
     assert mm.decode_pnm(bytes(avi_frames[1].frame_payload)) == (4, 4, px[1])
     assert len(by_id[2]) == 2  # 2048 bytes / 1024 stub slices
+
+
+# ---------------------------------------------------------------- MP4 stbl
+
+
+def _mp4_box(fourcc, data):
+    import struct
+
+    return struct.pack(">I", len(data) + 8) + fourcc + data
+
+
+def _mp4_with_stbl(
+    sizes, stts_runs, chunks, timescale=600, mdhd_version=0, co64=False
+):
+    """Minimal valid MP4: ftyp + moov/trak/mdia{mdhd, minf/stbl{stts,
+    stsz, stsc, stco|co64}}. ``stts_runs`` = [(count, delta)],
+    ``chunks`` = [(offset, samples_per_chunk_run_start_or_None)] as
+    plain offsets with one uniform stsc run of 3."""
+    import struct
+
+    if mdhd_version:
+        mdhd = _mp4_box(
+            b"mdhd",
+            struct.pack(">I", 1 << 24)
+            + struct.pack(">QQIQ", 0, 0, timescale, 0)
+            + struct.pack(">I", 0),
+        )
+    else:
+        mdhd = _mp4_box(
+            b"mdhd", struct.pack(">6I", 0, 0, 0, timescale, 0, 0)
+        )
+    stts = _mp4_box(
+        b"stts",
+        struct.pack(">2I", 0, len(stts_runs))
+        + b"".join(struct.pack(">2I", c, d) for c, d in stts_runs),
+    )
+    stsz = _mp4_box(
+        b"stsz",
+        struct.pack(">3I", 0, 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stsc = _mp4_box(
+        b"stsc", struct.pack(">2I", 0, 1) + struct.pack(">3I", 1, 3, 1)
+    )
+    if co64:
+        cbox = _mp4_box(
+            b"co64",
+            struct.pack(">2I", 0, len(chunks))
+            + b"".join(struct.pack(">Q", o) for o in chunks),
+        )
+    else:
+        cbox = _mp4_box(
+            b"stco",
+            struct.pack(">2I", 0, len(chunks))
+            + b"".join(struct.pack(">I", o) for o in chunks),
+        )
+    stbl = _mp4_box(b"stbl", stts + stsz + stsc + cbox)
+    mdia = _mp4_box(b"mdia", mdhd + _mp4_box(b"minf", stbl))
+    moov = _mp4_box(b"moov", _mp4_box(b"trak", mdia))
+    return _mp4_box(b"ftyp", b"isom\0\0\0\0") + moov
+
+
+def test_mp4_sample_table_hand_values():
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    sizes = [111, 222, 333, 444, 555, 666]
+    mp4 = _mp4_with_stbl(
+        sizes, [(3, 100), (3, 150)], [1000, 1000 + 666 + 32]
+    )
+    tab = mm.mp4_sample_table(mp4)
+    assert tab["timescale"] == 600
+    # dts: run-length expansion; offsets: intra-chunk accumulation
+    assert tab["samples"] == [
+        (0, 0, 111, 1000),
+        (1, 100, 222, 1111),
+        (2, 200, 333, 1333),
+        (3, 300, 444, 1698),
+        (4, 450, 555, 2142),
+        (5, 600, 666, 2697),
+    ]
+
+
+def test_mp4_sample_table_v1_co64_and_gates():
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    sizes = [10, 20, 30]
+    big = 5_000_000_000
+    mp4 = _mp4_with_stbl(
+        sizes, [(3, 40)], [big], timescale=1000, mdhd_version=1, co64=True
+    )
+    tab = mm.mp4_sample_table(mp4)
+    assert tab["timescale"] == 1000
+    assert tab["samples"] == [(0, 0, 10, big), (1, 40, 20, big + 10),
+                              (2, 80, 30, big + 30)]
+    # honest gates: truncation, junk, stco covering fewer samples than stsz
+    assert mm.mp4_sample_table(mp4[:48]) is None
+    assert mm.mp4_sample_table(b"junk") is None
+    assert mm.mp4_sample_table(None) is None
+    short = _mp4_with_stbl([1] * 6, [(6, 10)], [100])  # 1 chunk x 3 < 6
+    assert mm.mp4_sample_table(short) is None
+    assert len(mm.mp4_sample_table(short, max_samples=3)["samples"]) == 3
+
+
+def test_mp4_sample_plan_spark(spark):
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    mp4 = _mp4_with_stbl([5, 6, 7], [(3, 200)], [64])
+    rows = [(1, mp4), (2, b"not mp4"), (3, None)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = sorted(
+        (r.media_id, r.sample_index, r.dts_ms, r.sample_size, r.byte_offset)
+        for r in mm.mp4_sample_plan(media).collect()
+    )
+    # dts_ms = dts_units * 1000 // 600
+    assert got == [
+        (1, 0, 0, 5, 64),
+        (1, 1, 333, 6, 69),
+        (1, 2, 666, 7, 75),
+    ]
