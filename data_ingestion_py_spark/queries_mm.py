@@ -603,6 +603,70 @@ def q_multimodal_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pixel_checksums(mm.resize_images(media, 4, 4))
 
 
+def _planted_avi_hex(seed, shift):
+    """Hex for a complete valid 2-frame 4×4 24-bit uncompressed AVI
+    (hdrl with 'vids' strh + BITMAPINFOHEADER strf, movi with two
+    '00db' BI_RGB frames). Planted pixel value in TOP-DOWN image order
+    k for frame f: ``(seed·31 + f·97 + k·(7 + seed%11)) % 240 + shift``
+    — the DIB raster stores it bottom-up as BGR byte triples per the
+    BMP spec. ``shift`` must keep values ≤ 255."""
+
+    def _pix_hex(f: int, k):
+        v = (seed * 31 + f * 97 + k * (7 + seed % 11)) % 240 + shift
+        return F.lpad(F.hex(v), 2, "0")
+
+    def _frame_hex(f: int):  # DIB raster: bottom-up rows, BGR triples
+        dib = F.sequence(F.lit(0), F.lit(15))
+        return F.concat_ws(
+            "",
+            F.transform(
+                dib,
+                lambda m: F.repeat(
+                    _pix_hex(f, (F.lit(3) - F.shiftright(m, 2)) * 4 + m % 4),
+                    3,
+                ),
+            ),
+        )
+
+    avih_hex = F.concat(
+        _le_hex(F.lit(40000), 4),  # 25 fps
+        F.lit("00" * 12),          # maxbytes/padding/flags
+        _le_hex(F.lit(2), 4),      # dwTotalFrames
+        F.lit("00" * 4),           # dwInitialFrames
+        _le_hex(F.lit(1), 4),      # dwStreams
+        F.lit("00" * 4),           # dwSuggestedBufferSize
+        _le_hex(F.lit(4), 4), _le_hex(F.lit(4), 4),  # dwWidth/dwHeight
+        F.lit("00" * 16),          # dwReserved[4]
+    )
+    strh_hex = F.concat(
+        F.lit("73747268"), _le_hex(F.lit(56), 4),   # strh
+        F.lit("76696473"), F.lit("44494220"),       # 'vids' 'DIB '
+        F.lit("00" * 48),
+    )
+    strf_hex = F.concat(
+        F.lit("73747266"), _le_hex(F.lit(40), 4),   # strf BITMAPINFOHEADER
+        _le_hex(F.lit(40), 4),                      # biSize
+        _le_hex(F.lit(4), 4), _le_hex(F.lit(4), 4), # biWidth/biHeight (+down)
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(24), 2),  # planes / bits
+        _le_hex(F.lit(0), 4),                       # BI_RGB
+        _le_hex(F.lit(48), 4),                      # biSizeImage
+        F.lit("00" * 16),
+    )
+    movi_hex = F.concat(
+        F.lit("4C495354"), _le_hex(F.lit(116), 4), F.lit("6D6F7669"),
+        F.lit("30306462"), _le_hex(F.lit(48), 4), _frame_hex(0),
+        F.lit("30306462"), _le_hex(F.lit(48), 4), _frame_hex(1),
+    )
+    return F.concat(
+        F.lit("52494646"), _le_hex(F.lit(328), 4), F.lit("41564920"),
+        F.lit("4C495354"), _le_hex(F.lit(192), 4), F.lit("6864726C"),
+        F.lit("61766968"), _le_hex(F.lit(56), 4), avih_hex,
+        F.lit("4C495354"), _le_hex(F.lit(116), 4), F.lit("7374726C"),
+        strh_hex, strf_hex,
+        movi_hex,
+    )
+
+
 @register(
     "multimodal_avi_duration",
     """
@@ -692,62 +756,7 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-mismatches immediately. 1 media row → 2 frame rows, two
     chained Arrow stages, no shuffle anywhere."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
-    seed = F.col("doc_id")
-
-    def _pix_hex(f: int, k):  # planted pixel value, image order k
-        v = (seed * 31 + f * 97 + k * (7 + seed % 11)) % 240
-        return F.lpad(F.hex(v), 2, "0")
-
-    def _frame_hex(f: int):  # DIB raster: bottom-up rows, BGR triples
-        dib = F.sequence(F.lit(0), F.lit(15))
-        return F.concat_ws(
-            "",
-            F.transform(
-                dib,
-                lambda m: F.repeat(
-                    _pix_hex(f, (F.lit(3) - F.shiftright(m, 2)) * 4 + m % 4),
-                    3,
-                ),
-            ),
-        )
-
-    avih_hex = F.concat(
-        _le_hex(F.lit(40000), 4),  # 25 fps
-        F.lit("00" * 12),          # maxbytes/padding/flags
-        _le_hex(F.lit(2), 4),      # dwTotalFrames
-        F.lit("00" * 4),           # dwInitialFrames
-        _le_hex(F.lit(1), 4),      # dwStreams
-        F.lit("00" * 4),           # dwSuggestedBufferSize
-        _le_hex(F.lit(4), 4), _le_hex(F.lit(4), 4),  # dwWidth/dwHeight
-        F.lit("00" * 16),          # dwReserved[4]
-    )
-    strh_hex = F.concat(
-        F.lit("73747268"), _le_hex(F.lit(56), 4),   # strh
-        F.lit("76696473"), F.lit("44494220"),       # 'vids' 'DIB '
-        F.lit("00" * 48),
-    )
-    strf_hex = F.concat(
-        F.lit("73747266"), _le_hex(F.lit(40), 4),   # strf BITMAPINFOHEADER
-        _le_hex(F.lit(40), 4),                      # biSize
-        _le_hex(F.lit(4), 4), _le_hex(F.lit(4), 4), # biWidth/biHeight (+down)
-        _le_hex(F.lit(1), 2), _le_hex(F.lit(24), 2),  # planes / bits
-        _le_hex(F.lit(0), 4),                       # BI_RGB
-        _le_hex(F.lit(48), 4),                      # biSizeImage
-        F.lit("00" * 16),
-    )
-    movi_hex = F.concat(
-        F.lit("4C495354"), _le_hex(F.lit(116), 4), F.lit("6D6F7669"),
-        F.lit("30306462"), _le_hex(F.lit(48), 4), _frame_hex(0),
-        F.lit("30306462"), _le_hex(F.lit(48), 4), _frame_hex(1),
-    )
-    avi_hex = F.concat(
-        F.lit("52494646"), _le_hex(F.lit(328), 4), F.lit("41564920"),
-        F.lit("4C495354"), _le_hex(F.lit(192), 4), F.lit("6864726C"),
-        F.lit("61766968"), _le_hex(F.lit(56), 4), avih_hex,
-        F.lit("4C495354"), _le_hex(F.lit(116), 4), F.lit("7374726C"),
-        strh_hex, strf_hex,
-        movi_hex,
-    )
+    avi_hex = _planted_avi_hex(F.col("doc_id"), F.lit(0))
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
@@ -854,3 +863,157 @@ def q_multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.unhex(mp4_hex).alias("payload")
     )
     return mm.mp4_sample_plan(media, max_samples=16)
+
+
+@register(
+    "multimodal_pcm_resample",
+    """
+WITH waves AS (
+    SELECT doc_id AS media_id,
+           list_transform(generate_series(0, 23),
+               j -> ((doc_id * 37 + ((j * 8) // 3) * 13) % 2001 - 1000)) AS v
+    FROM documents WHERE doc_id % 5 = 0
+)
+SELECT media_id,
+       CAST(24 AS INT) AS n_samples,
+       CAST(list_max(list_transform(v, x -> abs(x))) AS INT) AS peak_abs,
+       CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy
+FROM waves
+""",
+    tags=("multimodal", "decode", "audio", "resize"),
+)
+def q_multimodal_pcm_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample end-to-end — the waveform sibling of
+    multimodal_resize_pixels: complete valid 64-sample 8 kHz PCM WAVs
+    (the multimodal_wav_pcm_stats planting) are REALLY resampled to
+    3 kHz by the nearest-neighbor kernel
+    (sources/multimodal.resample_wav — bytes in, valid WAV bytes out,
+    output sample j takes source sample j·8 div 3, a deliberately
+    non-integer rate ratio), then round-tripped through the real PCM
+    decoder for integer sample stats. The oracle recomputes the
+    24-sample resampled waveform arithmetically from the planted
+    formula — a resampler with an off-by-one index map, a broken
+    output header, or float rounding hash-mismatches immediately. Two
+    chained Arrow mapInPandas stages, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    v = lambda i: (F.col("doc_id") * 37 + i * 13) % 2001 - 1000  # noqa: E731
+    u16 = lambda i: (v(i) + 65536) % 65536  # noqa: E731  two's complement
+    data_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)), lambda i: _le_hex(u16(i), 2)
+        ),
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        _le_hex(F.lit(128 + 36), 4),  # riff size
+        F.lit("57415645"),            # 'WAVE'
+        F.lit("666D7420"),            # 'fmt '
+        _le_hex(F.lit(16), 4),        # fmt chunk size
+        _le_hex(F.lit(1), 2),         # PCM
+        _le_hex(F.lit(1), 2),         # mono
+        _le_hex(F.lit(8000), 4),      # sample rate
+        _le_hex(F.lit(16000), 4),     # byte rate
+        _le_hex(F.lit(2), 2),         # block align
+        _le_hex(F.lit(16), 2),        # bits/sample
+        F.lit("64617461"),            # 'data'
+        _le_hex(F.lit(128), 4),       # data size = 64 int16 samples
+        data_hex,
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(wav_hex).alias("payload")
+    )
+    return mm.pcm_stats(mm.resample_audio(media, 3000))
+
+
+@register(
+    "multimodal_video_phash",
+    """
+WITH corpus AS (
+    SELECT doc_id AS media_id, doc_id AS seed, 0 AS shift FROM documents
+    WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id + 5000000 AS media_id, doc_id AS seed, 8 AS shift
+    FROM documents WHERE doc_id % 3 = 2 AND doc_id % 10 = 0
+), fr AS (
+    SELECT media_id, seed, shift, unnest([0, 1]) AS f FROM corpus
+), px AS (
+    SELECT media_id, f,
+           list_transform(generate_series(0, 15),
+               k -> (seed * 31 + f * 97 + k * (7 + seed % 11)) % 240
+                    + shift) AS p
+    FROM fr
+), ph AS (
+    SELECT media_id, f,
+           list_sum(list_transform(generate_series(0, 15),
+               k -> CASE WHEN p[k + 1] * 16 > list_sum(p)
+                         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS phash
+    FROM px
+), sig AS (
+    SELECT media_id,
+           max(CASE WHEN f = 0 THEN phash END) AS phash0,
+           max(CASE WHEN f = 1 THEN phash END) AS phash1
+    FROM ph GROUP BY media_id
+)
+SELECT CAST(phash0 AS BIGINT) AS phash0,
+       CAST(phash1 AS BIGINT) AS phash1,
+       min(media_id) AS canonical_media_id,
+       count(*) AS n_copies
+FROM sig
+GROUP BY phash0, phash1
+""",
+    tags=("multimodal", "dedup", "phash", "video"),
+)
+def q_multimodal_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup VIDEO dedup over REALLY decoded frames, end-to-end with
+    zero codec libraries — the video composition of
+    multimodal_phash_dedup: complete uncompressed AVIs are built in
+    column algebra (every 10th video also appears as a +8-brightness
+    clone — byte-distinct, so md5/exact dedup misses it, but provably
+    average-hash-invariant), REALLY frame-decoded by
+    sources/multimodal.decode_avi_frames via sample_frames, each frame
+    pixel-decoded and reduced to an integer average-hash, and videos
+    grouped by their (frame0, frame1) hash signature — clones collapse
+    onto their originals through actual pixel math, not metadata. The
+    oracle recomputes both frame hashes arithmetically from the
+    planted raster formula. One shuffle on the signature; everything
+    before it is narrow Arrow stages."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 2
+    ).select("doc_id")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("shift"),
+    )
+    clones = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5000000).alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(8).alias("shift"),
+    )
+    corpus = base.unionByName(clones)
+    media = corpus.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.unhex(
+            _planted_avi_hex(F.col("seed"), F.col("shift"))
+        ).alias("payload"),
+    )
+    frames = mm.sample_frames(media, max_frames=4)
+    packed = frames.select(
+        (F.col("media_id") * 4 + F.col("frame_index")).alias("media_id"),
+        F.col("frame_payload").alias("payload"),
+    )
+    hashes = mm.perceptual_hashes(packed, grid=4).select(
+        (F.col("media_id") / 4).cast("long").alias("vid"),
+        (F.col("media_id") % 4).cast("int").alias("f"),
+        "phash",
+    )
+    sig = hashes.groupBy("vid").agg(
+        F.max(F.when(F.col("f") == 0, F.col("phash"))).alias("phash0"),
+        F.max(F.when(F.col("f") == 1, F.col("phash"))).alias("phash1"),
+    )
+    return sig.groupBy("phash0", "phash1").agg(
+        F.min("vid").alias("canonical_media_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

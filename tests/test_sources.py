@@ -745,3 +745,65 @@ def test_mp4_sample_plan_spark(spark):
         (1, 1, 333, 6, 69),
         (1, 2, 666, 7, 75),
     ]
+
+
+# ------------------------------------------------------------ WAV resample
+
+
+def test_resample_wav_hand_values():
+    import struct
+
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    samples = list(range(-8, 8))  # 16 samples at 8000 Hz
+    wav = mm._encode_wav(8000, __import__("numpy").array(samples, "<i2"))
+    # integer decimation 8000 -> 2000: every 4th sample
+    out = mm.resample_wav(wav, 2000)
+    rate, v = mm.decode_wav_samples(out)
+    assert rate == 2000 and list(v) == samples[::4]
+    # non-integer ratio 8000 -> 3000: n_dst=6, src_j = j*8//3
+    out = mm.resample_wav(wav, 3000)
+    rate, v = mm.decode_wav_samples(out)
+    assert rate == 3000
+    assert list(v) == [samples[j * 8 // 3] for j in range(6)]
+    # upsample 8000 -> 16000: every source sample twice
+    out = mm.resample_wav(wav, 16000)
+    rate, v = mm.decode_wav_samples(out)
+    assert rate == 16000 and list(v) == [s for s in samples for _ in (0, 1)]
+    # honest gates
+    assert mm.resample_wav(wav, 0) is None
+    assert mm.resample_wav(wav, 100) is None  # n_dst = 16*100//8000 = 0
+    assert mm.resample_wav(b"not audio", 2000) is None
+    assert mm.resample_wav(None, 2000) is None
+
+
+def test_decode_wav_samples_matches_pcm_stats():
+    import numpy as np
+
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    v = np.array([-32768, 32767, 0, -1], "<i2")
+    wav = mm._encode_wav(44100, v)
+    rate, got = mm.decode_wav_samples(wav)
+    assert rate == 44100 and list(got) == list(v)
+    # vectorized stats keep the -32768 asymmetry exact
+    assert mm.decode_wav_pcm(wav) == (4, 32768, 32768**2 + 32767**2 + 1)
+
+
+def test_resample_audio_spark_roundtrip(spark):
+    import numpy as np
+
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    wav = mm._encode_wav(8000, np.array([100, -200, 300, -400], "<i2"))
+    media = spark.createDataFrame(
+        [(1, wav), (2, b"junk"), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: (r.n_samples, r.peak_abs, r.energy)
+        for r in mm.pcm_stats(mm.resample_audio(media, 4000)).collect()
+    }
+    assert got[1] == (2, 300, 100**2 + 300**2)  # samples 0 and 2
+    assert got[2] == (None, None, None)
+    assert got[3] == (None, None, None)
