@@ -1,0 +1,128 @@
+"""Archive-shard ingestion: tar member manifests as an Arrow stage.
+
+WebDataset — the de-facto layout for multimodal training corpora —
+ships samples as tar shards (image/caption/metadata members side by
+side); a 100 TB corpus is tens of thousands of such shards. The
+scalable read is (shard payload → member manifest) fan-out inside
+``mapInPandas``: each member's (name, size, absolute byte offset)
+comes from a pure header walk, so downstream readers issue exact
+byte-range GETs for just the members they want — the tar sibling of
+``sources/multimodal.mp4_sample_plan``.
+
+Pure-Python byte parsing of the POSIX ustar format, no library, with
+the header checksum actually verified — a corrupted shard surfaces as
+a truncated manifest, never as garbage offsets.
+
+Reference contrast: the reference reads one local PDF per call
+(data_ingestion.py:110-134); sharded-archive corpora are the
+at-scale counterpart of that directory-of-files model.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+TAR_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("typeflag", T.StringType(), False),
+    ]
+)
+
+
+def _octal(field: bytes) -> int | None:
+    """Parse a tar octal number field (NUL/space terminated)."""
+    s = field.split(b"\0")[0].strip(b" ")
+    if not s:
+        return None
+    try:
+        return int(s, 8)
+    except ValueError:
+        return None
+
+
+def tar_members(
+    payload: bytes | None, max_members: int = 256
+) -> list[tuple[str, int, int, str]] | None:
+    """Walk a POSIX ustar payload into ``[(name, size, data_offset,
+    typeflag), ...]``.
+
+    Per the ustar spec: 512-byte header blocks (name at 0:100
+    NUL-terminated, size at 124:136 octal, checksum at 148:156 octal
+    computed with its own field as 8 spaces, typeflag at 156, magic
+    ``ustar`` at 257), each followed by the member data padded to a
+    512-byte boundary; the archive ends at a zero block. The checksum
+    is VERIFIED — a header whose stored checksum doesn't match the
+    recomputed byte sum terminates the walk (parsed prefix returned),
+    so bit rot in a shard can't emit wrong offsets. Non-tar payloads
+    (bad magic in the first header) return None."""
+    if payload is None or len(payload) < 512:
+        return None
+    out: list[tuple[str, int, int, str]] = []
+    i = 0
+    n = len(payload)
+    while i + 512 <= n and len(out) < max_members:
+        hdr = payload[i : i + 512]
+        if hdr == b"\0" * 512:
+            break  # end-of-archive marker
+        if hdr[257:262] != b"ustar":
+            return None if not out else out
+        size = _octal(hdr[124:136])
+        stored = _octal(hdr[148:156])
+        if size is None or stored is None:
+            break
+        summed = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if summed != stored:
+            break  # corrupted header: truncate, never guess
+        name = hdr[:100].split(b"\0")[0].decode("utf-8", "replace")
+        typeflag = chr(hdr[156]) if hdr[156] else "0"
+        data_off = i + 512
+        if data_off + size > n:
+            break  # truncated member
+        out.append((name, size, data_off, typeflag))
+        i = data_off + ((size + 511) // 512) * 512
+    return out or None
+
+
+def tar_manifest(media: DataFrame, max_members: int = 256) -> DataFrame:
+    """(media_id, payload) → one row per tar member (name, size,
+    absolute byte offset, typeflag) via Arrow ``mapInPandas`` — the
+    WebDataset-shard manifest: shards parse in parallel with the scan,
+    members become addressable by byte range, unparseable payloads
+    emit no rows."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, sizes, offs, flags = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                members = tar_members(
+                    None if payload is None else bytes(payload), max_members
+                )
+                if members is None:
+                    continue
+                for name, size, off, flag in members:
+                    ids.append(int(mid))
+                    names.append(name)
+                    sizes.append(size)
+                    offs.append(off)
+                    flags.append(flag)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "name": names,
+                    "size": sizes,
+                    "byte_offset": offs,
+                    "typeflag": flags,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _go, TAR_MEMBER_SCHEMA
+    )

@@ -807,3 +807,162 @@ def test_resample_audio_spark_roundtrip(spark):
     assert got[1] == (2, 300, 100**2 + 300**2)  # samples 0 and 2
     assert got[2] == (None, None, None)
     assert got[3] == (None, None, None)
+
+
+# ---------------------------------------------------------------- WARC
+
+
+def _warc(*recs):
+    out = b""
+    for headers, body in recs:
+        head = "\r\n".join(
+            ["WARC/1.0"]
+            + [f"{k}: {v}" for k, v in headers.items()]
+            + [f"Content-Length: {len(body)}"]
+        )
+        out += head.encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+    return out
+
+
+def test_warc_records_hand_values():
+    from data_ingestion_py_spark.sources.web import warc_records
+
+    w = _warc(
+        ({"WARC-Type": "response", "WARC-Target-URI": "https://a/b"}, b"hello"),
+        ({"WARC-Type": "metadata"}, b""),
+    )
+    got = warc_records(w)
+    assert got == [
+        ("response", "https://a/b", 5, b"hello"),
+        ("metadata", None, 0, b""),
+    ]
+    # header names are case-insensitive; binary bodies (even with CRLFs
+    # inside) are framed by Content-Length, not by delimiters
+    tricky = (
+        b"WARC/1.0\r\nwarc-type: resource\r\ncontent-length: 8\r\n\r\n"
+        b"\r\n\r\nWA\r\n" + b"\r\n\r\n"
+    )
+    assert warc_records(tricky) == [("resource", None, 8, b"\r\n\r\nWA\r\n")]
+
+
+def test_warc_records_honest_gates():
+    from data_ingestion_py_spark.sources.web import warc_records
+
+    w = _warc(({"WARC-Type": "response"}, b"hello world"))
+    # truncated body: no garbage record
+    assert warc_records(w[: len(w) - 8]) is None
+    # torn tail shard: complete prefix records survive
+    two = _warc(
+        ({"WARC-Type": "response"}, b"first"),
+        ({"WARC-Type": "response"}, b"second"),
+    )
+    got = warc_records(two[: len(two) - 9])
+    assert [r[3] for r in got] == [b"first"]
+    # missing/invalid Content-Length: framing unrecoverable
+    assert warc_records(b"WARC/1.0\r\nWARC-Type: x\r\n\r\nbody") is None
+    assert (
+        warc_records(b"WARC/1.0\r\nContent-Length: nope\r\n\r\n\r\n\r\n")
+        is None
+    )
+    assert warc_records(b"HTTP/1.1 200 OK\r\n\r\n") is None
+    assert warc_records(None) is None
+    # max_records caps the walk
+    assert len(warc_records(two, max_records=1)) == 1
+
+
+def test_warc_manifest_spark(spark):
+    from data_ingestion_py_spark.sources import web
+
+    w = _warc(
+        ({"WARC-Type": "response", "WARC-Target-URI": "u1"}, b"abc"),
+        ({"WARC-Type": "metadata"}, b"m"),
+    )
+    media = spark.createDataFrame(
+        [(1, w), (2, b"not warc"), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = sorted(
+        (r.media_id, r.rec_index, r.warc_type, r.target_uri,
+         r.content_length, bytes(r.body))
+        for r in web.warc_manifest(media).collect()
+    )
+    assert got == [
+        (1, 0, "response", "u1", 3, b"abc"),
+        (1, 1, "metadata", None, 1, b"m"),
+    ]
+
+
+# ---------------------------------------------------------------- tar
+
+
+def _stdlib_tar(members, fmt=None):
+    """Real tar bytes via the stdlib — independent ground truth."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    kw = {"format": fmt} if fmt is not None else {}
+    with tarfile.open(fileobj=buf, mode="w", **kw) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_tar_members_against_stdlib():
+    import tarfile
+
+    from data_ingestion_py_spark.sources.archive import tar_members
+
+    members = [
+        ("sample/0001.jpg", b"\xff\xd8" + b"j" * 700),
+        ("sample/0001.txt", b"a caption"),
+        ("sample/0001.json", b"{}"),
+    ]
+    for fmt in (tarfile.USTAR_FORMAT, tarfile.GNU_FORMAT, tarfile.PAX_FORMAT):
+        tar = _stdlib_tar(members, fmt)
+        got = tar_members(tar)
+        files = [(m[0], m[1]) for m in got if m[3] == "0"]
+        assert files == [(n, len(d)) for n, d in members], fmt
+        # offsets address the real bytes
+        for (name, size, off, flag), (_, data) in zip(
+            [m for m in got if m[3] == "0"], members
+        ):
+            assert tar[off : off + size] == data, (fmt, name)
+
+
+def test_tar_members_checksum_and_gates():
+    from data_ingestion_py_spark.sources.archive import tar_members
+
+    tar = _stdlib_tar([("a.txt", b"A" * 10), ("b.txt", b"B" * 20)])
+    # flip a byte inside the SECOND header: checksum mismatch truncates
+    # the manifest at the corruption, never emits a wrong offset
+    second_hdr = 512 + 512  # hdr a + 10 bytes padded to one block
+    corrupted = bytearray(tar)
+    corrupted[second_hdr] ^= 0xFF
+    got = tar_members(bytes(corrupted))
+    assert [m[0] for m in got] == ["a.txt"]
+    # member data truncated mid-archive: prefix survives
+    got = tar_members(tar[: second_hdr + 512 + 5])
+    assert [m[0] for m in got] == ["a.txt"]
+    assert tar_members(b"\0" * 1024) is None   # empty archive
+    assert tar_members(b"not a tar" * 100) is None
+    assert tar_members(b"short") is None
+    assert tar_members(None) is None
+    assert len(tar_members(tar, max_members=1)) == 1
+
+
+def test_tar_manifest_spark(spark):
+    from data_ingestion_py_spark.sources import archive
+
+    tar = _stdlib_tar([("x.bin", b"xyz")])
+    media = spark.createDataFrame(
+        [(1, tar), (2, b"junk" * 200), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = [
+        (r.media_id, r.name, r.size, r.byte_offset, r.typeflag)
+        for r in archive.tar_manifest(media).collect()
+    ]
+    assert got == [(1, "x.bin", 3, 512, "0")]
