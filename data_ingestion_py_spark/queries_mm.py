@@ -1275,3 +1275,241 @@ def q_archive_tar_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return archive.tar_manifest(media).where(F.col("typeflag") == "0").select(
         "media_id", "name", "size", "byte_offset"
     )
+
+
+@register(
+    "multimodal_mp4_keyframes",
+    """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           (doc_id % 9 + 1) * 100 AS ts,
+           (doc_id % 10 + 1) * 100 AS d1,
+           (doc_id % 50) * 16 + 256 AS base,
+           (doc_id % 4) + 2 AS key0
+    FROM documents
+), s AS (
+    SELECT media_id, ts, d1, base, key0,
+           list_transform(generate_series(0, 5),
+               i -> (media_id * 13 + i * 7) % 1000 + 100) AS sz
+    FROM m
+), e AS (
+    SELECT media_id, ts, d1, base, sz, unnest([0, key0]) AS i FROM s
+)
+SELECT media_id,
+       CAST(i AS INT) AS sample_index,
+       CAST((CASE WHEN i < 3 THEN i * d1
+                  ELSE 3 * d1 + (i - 3) * (d1 + 50) END) * 1000 // ts
+            AS BIGINT) AS dts_ms,
+       CAST(sz[i + 1] AS BIGINT) AS sample_size,
+       CAST(CASE WHEN i < 3
+                 THEN base + CASE WHEN i >= 1 THEN sz[1] ELSE 0 END
+                           + CASE WHEN i >= 2 THEN sz[2] ELSE 0 END
+                 ELSE base + sz[1] + sz[2] + sz[3] + 32
+                           + CASE WHEN i >= 4 THEN sz[4] ELSE 0 END
+                           + CASE WHEN i >= 5 THEN sz[5] ELSE 0 END
+            END AS BIGINT) AS byte_offset
+FROM e
+""",
+    tags=("multimodal", "decode", "video"),
+)
+def q_multimodal_mp4_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-only sampling plan — the multimodal_mp4_samples walk
+    plus the optional 'stss' sync-sample table (ISO 14496-12 §8.6.2):
+    planted MP4s carry an stss marking 1-based samples 1 and
+    (doc_id%4)+3 as random-access points, and ``sync_only=True``
+    filters the per-sample plan to exactly those two rows — the "fetch
+    only frames a sampler can decode independently" plan, still
+    metadata-only. The oracle enumerates the two expected keyframes
+    per document with the same dts/size/offset arithmetic, so an
+    off-by-one in the 1-based stss indexing surfaces as a wrong
+    sample_index immediately."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    be4 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    ts = (F.col("doc_id") % 9 + 1) * 100
+    d1 = (F.col("doc_id") % 10 + 1) * 100
+    base = (F.col("doc_id") % 50) * 16 + 256
+    key1 = (F.col("doc_id") % 4) + 3  # 1-based second keyframe: 3..6
+
+    def _sz(i: int):
+        return (F.col("doc_id") * 13 + i * 7) % 1000 + 100
+
+    chunk2 = base + _sz(0) + _sz(1) + _sz(2) + 32
+    mp4_hex = F.concat(
+        F.lit("000000106674797069736F6D00000000"),      # ftyp isom
+        F.lit("000000E06D6F6F76"),                      # moov (224)
+        F.lit("000000D87472616B"),                      # trak (216)
+        F.lit("000000D06D646961"),                      # mdia (208)
+        F.lit("000000206D646864" + "00000000" * 3),     # mdhd v0
+        be4(ts), F.lit("00000000" * 2),                 # timescale, dur/lang
+        F.lit("000000A86D696E66"),                      # minf (168)
+        F.lit("000000A07374626C"),                      # stbl (160)
+        F.lit("0000002073747473" + "00000000"), be4(F.lit(2)),   # stts
+        be4(F.lit(3)), be4(d1), be4(F.lit(3)), be4(d1 + 50),
+        F.lit("0000002C7374737A" + "00000000"),         # stsz
+        be4(F.lit(0)), be4(F.lit(6)),
+        *[be4(_sz(i)) for i in range(6)],
+        F.lit("0000001C73747363" + "00000000"), be4(F.lit(1)),   # stsc
+        be4(F.lit(1)), be4(F.lit(3)), be4(F.lit(1)),
+        F.lit("000000187374636F" + "00000000"), be4(F.lit(2)),   # stco
+        be4(base), be4(chunk2),
+        F.lit("0000001873747373" + "00000000"), be4(F.lit(2)),   # stss
+        be4(F.lit(1)), be4(key1),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(mp4_hex).alias("payload")
+    )
+    return mm.mp4_sample_plan(media, max_samples=16, sync_only=True)
+
+
+@register(
+    "web_html_extract",
+    """
+SELECT doc_id AS media_id,
+       'Doc ' || doc_id AS title,
+       CAST(length(trim(regexp_replace(
+           'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text
+               || ' A & B <tag> "q"',
+           '[ \t\n\r]+', ' ', 'g'))) AS BIGINT) AS n_chars,
+       md5(trim(regexp_replace(
+           'Doc ' || doc_id || ' Doc ' || doc_id || ' ' || text
+               || ' A & B <tag> "q"',
+           '[ \t\n\r]+', ' ', 'g'))) AS text_hash
+FROM documents
+""",
+    tags=("web", "text"),
+)
+def q_web_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction — THE first transform of a web-crawl
+    pretraining pipeline: spec-shaped HTML pages are built around each
+    document's text (title, a script block containing '<' and quotes,
+    a style block, headings, an entity-bearing footer) and reduced to
+    clean text entirely in scan-side column algebra: strip
+    script/style blocks (dotall non-greedy), replace tags with spaces,
+    decode the common entities (&lt;/&gt;/&quot; first, &amp; LAST so
+    nothing double-decodes), collapse whitespace. The oracle assembles
+    the expected text from the planted parts directly — it never sees
+    the HTML — so an extractor that lets script text leak, eats
+    content around tags, or double-decodes entities hash-mismatches
+    immediately. Narrow codegen end-to-end, no UDFs, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id"),
+        F.lit('</title><script type="text/javascript">if (x < 2) '
+              '{ alert("no"); }</script><style>p { color: red; }'
+              "</style></head><body><h1>Doc "),
+        F.col("doc_id"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><footer>A &amp; B &lt;tag&gt; &quot;q&quot;'
+              "</footer></body></html>"),
+    )
+    title = F.regexp_extract(html, r"<title>([^<]*)</title>", 1)
+    no_blocks = F.regexp_replace(
+        F.regexp_replace(html, r"(?s)<script.*?</script>", " "),
+        r"(?s)<style.*?</style>",
+        " ",
+    )
+    no_tags = F.regexp_replace(no_blocks, r"<[^>]+>", " ")
+    decoded = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(no_tags, F.lit("&lt;"), F.lit("<")),
+                F.lit("&gt;"),
+                F.lit(">"),
+            ),
+            F.lit("&quot;"),
+            F.lit('"'),
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    clean = F.trim(F.regexp_replace(decoded, r"[ \t\n\r]+", " "))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        title.alias("title"),
+        F.length(clean).cast("long").alias("n_chars"),
+        F.md5(clean).alias("text_hash"),
+    )
+
+
+@register(
+    "archive_zip_manifest",
+    """
+SELECT doc_id AS media_id,
+       'd' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || 'a.txt' AS name,
+       CAST(0 AS INT) AS method,
+       CAST(64 AS BIGINT) AS size,
+       CAST(64 AS BIGINT) AS compressed_size,
+       CAST(44 AS BIGINT) AS byte_offset
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'd' || lpad(CAST(doc_id AS VARCHAR), 8, '0') || 'b.bin',
+       CAST(0 AS INT),
+       CAST(doc_id % 400 + 64 AS BIGINT),
+       CAST(doc_id % 400 + 64 AS BIGINT),
+       CAST(152 AS BIGINT)
+FROM documents
+""",
+    tags=("multimodal", "web", "source"),
+)
+def q_archive_zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ZIP central-directory walk end-to-end — the zip sibling of
+    archive_tar_manifest: complete valid ZIP archives (two STORED
+    members per document with real CRC-32s — the variable member's
+    checksum computed in column algebra via F.crc32 over the planted
+    bytes — local headers, central directory, EOCD) are built with
+    hex/encode functions, pushed through the Arrow mapInPandas stage,
+    and listed back by the pure-byte kernel
+    (sources/archive.zip_members), which resolves every member's DATA
+    offset through its local header like a real extractor. The oracle
+    states each member arithmetically — wrong EOCD arithmetic,
+    central-entry strides, or local-header skips all surface as
+    offset/size mismatches. Kernel independently pinned against stdlib
+    zipfile output (stored + deflated) in test_sources.py."""
+    from data_ingestion_py_spark.sources import archive
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    digits = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    size_b = F.col("doc_id") % 400 + 64
+    name_hex = lambda sfx: F.hex(  # noqa: E731
+        F.encode(F.concat(F.lit("d"), digits, F.lit(sfx)), "UTF-8")
+    )
+    body_b_hex = F.repeat(F.lit("79"), size_b.cast("int"))
+    crc_b = F.crc32(F.unhex(body_b_hex))
+    CRC_A = 0x3AD2AC12  # zlib.crc32(b'x' * 64)
+
+    def _local(crc, sz, name_h):
+        return F.concat(
+            F.lit("504B0304" + "1400" + "0000" + "0000" + "00000000"),
+            _le_hex(crc, 4), _le_hex(sz, 4), _le_hex(sz, 4),
+            F.lit("0E00" + "0000"), name_h,
+        )
+
+    def _central(crc, sz, local_off, name_h):
+        return F.concat(
+            F.lit("504B0102" + "1400" + "1400" + "0000" + "0000"
+                  + "00000000"),
+            _le_hex(crc, 4), _le_hex(sz, 4), _le_hex(sz, 4),
+            F.lit("0E00" + "0000" + "0000" + "0000" + "0000"
+                  + "00000000"),
+            _le_hex(local_off, 4), name_h,
+        )
+
+    cd_off = F.lit(152) + size_b
+    zip_hex = F.concat(
+        _local(F.lit(CRC_A), F.lit(64), name_hex("a.txt")),
+        F.lit("78" * 64),
+        _local(crc_b, size_b, name_hex("b.bin")),
+        body_b_hex,
+        _central(F.lit(CRC_A), F.lit(64), F.lit(0), name_hex("a.txt")),
+        _central(crc_b, size_b, F.lit(108), name_hex("b.bin")),
+        F.lit("504B0506" + "0000" + "0000" + "0200" + "0200"),
+        _le_hex(F.lit(120), 4), _le_hex(cd_off, 4), F.lit("0000"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(zip_hex).alias("payload")
+    )
+    return archive.zip_manifest(media).select(
+        "media_id", "name", "method", "size", "compressed_size",
+        "byte_offset",
+    )

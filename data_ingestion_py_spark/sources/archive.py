@@ -126,3 +126,111 @@ def tar_manifest(media: DataFrame, max_members: int = 256) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _go, TAR_MEMBER_SCHEMA
     )
+
+
+ZIP_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("method", T.IntegerType(), False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("compressed_size", T.LongType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+    ]
+)
+
+
+def zip_members(
+    payload: bytes | None, max_members: int = 256
+) -> list[tuple[str, int, int, int, int]] | None:
+    """Walk a ZIP payload into ``[(name, method, uncompressed_size,
+    compressed_size, data_offset), ...]`` — the APPNOTE central
+    directory read every zip lister does: locate the end-of-central-
+    directory record (``PK\\x05\\x06``, scanned from the tail so a
+    trailing comment is tolerated), walk the central headers
+    (``PK\\x01\\x02``: method/sizes/name at fixed offsets, three
+    variable-length tails), and resolve each member's DATA offset by
+    reading its local header (``PK\\x03\\x04`` — its own name/extra
+    lengths differ from the central copy in real archives). STORED
+    (method 0) members are directly byte-addressable at the returned
+    offset; compressed members still carry exact ranges for a decoder.
+    Bad signatures, truncated directories, or out-of-range offsets
+    return None — never guessed geometry."""
+    if payload is None or len(payload) < 22:
+        return None
+    n = len(payload)
+    eocd = payload.rfind(b"PK\x05\x06", max(0, n - 22 - 65536))
+    if eocd < 0 or eocd + 22 > n:
+        return None
+
+    def u16(off: int) -> int:
+        return int.from_bytes(payload[off : off + 2], "little")
+
+    def u32(off: int) -> int:
+        return int.from_bytes(payload[off : off + 4], "little")
+
+    count = u16(eocd + 10)
+    cd_off = u32(eocd + 16)
+    out: list[tuple[str, int, int, int, int]] = []
+    i = cd_off
+    for _ in range(min(count, max_members)):
+        if i + 46 > n or payload[i : i + 4] != b"PK\x01\x02":
+            return None
+        method = u16(i + 10)
+        comp = u32(i + 20)
+        uncomp = u32(i + 24)
+        nlen, xlen, clen = u16(i + 28), u16(i + 30), u16(i + 32)
+        local_off = u32(i + 42)
+        if i + 46 + nlen > n:
+            return None
+        name = payload[i + 46 : i + 46 + nlen].decode("utf-8", "replace")
+        if local_off + 30 > n or payload[local_off : local_off + 4] != (
+            b"PK\x03\x04"
+        ):
+            return None
+        lnlen = u16(local_off + 26)
+        lxlen = u16(local_off + 28)
+        data_off = local_off + 30 + lnlen + lxlen
+        if data_off + comp > n:
+            return None
+        out.append((name, method, uncomp, comp, data_off))
+        i += 46 + nlen + xlen + clen
+    return out or None
+
+
+def zip_manifest(media: DataFrame, max_members: int = 256) -> DataFrame:
+    """(media_id, payload) → one row per ZIP member (name, method,
+    sizes, absolute data offset) via Arrow ``mapInPandas`` — the same
+    shard fan-out as ``tar_manifest`` for zip-packaged corpora;
+    unparseable payloads emit no rows."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, methods, sizes, comps, offs = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                members = zip_members(
+                    None if payload is None else bytes(payload), max_members
+                )
+                if members is None:
+                    continue
+                for name, method, uncomp, comp, off in members:
+                    ids.append(int(mid))
+                    names.append(name)
+                    methods.append(method)
+                    sizes.append(uncomp)
+                    comps.append(comp)
+                    offs.append(off)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "name": names,
+                    "method": methods,
+                    "size": sizes,
+                    "compressed_size": comps,
+                    "byte_offset": offs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _go, ZIP_MEMBER_SCHEMA
+    )

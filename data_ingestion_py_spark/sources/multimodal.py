@@ -617,7 +617,7 @@ def _mp4_boxes(
 
 
 def mp4_sample_table(
-    payload: bytes | None, max_samples: int = 64
+    payload: bytes | None, max_samples: int = 64, sync_only: bool = False
 ) -> dict | None:
     """REAL ISO-BMFF (MP4) sample-table walk — the metadata-only frame
     planner a large-scale video pipeline runs BEFORE any decode: from
@@ -637,8 +637,13 @@ def mp4_sample_table(
     [(idx, dts_units, size, offset), ...]}`` truncated to
     ``max_samples``; None when any required box is missing or counts
     are inconsistent — honest absence, never guessed geometry. With
-    this table a reader plans exact byte-range fetches of every Nth
-    sample from object storage without touching frame bytes."""
+    ``sync_only=True`` the optional 'stss' sync-sample table
+    (ISO 14496-12 §8.6.2: 1-based sample numbers of the random-access
+    points) filters the output to keyframes — per spec, an ABSENT
+    stss means every sample is sync, so the filter is then a no-op; a
+    present-but-truncated stss returns None. With this table a reader
+    plans exact byte-range fetches of every Nth (key)frame from
+    object storage without touching frame bytes."""
     if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
         return None
     n = len(payload)
@@ -750,6 +755,16 @@ def mp4_sample_table(
             break
     if si < n_out:  # stsc×stco cover fewer samples than declared
         return None
+    if sync_only:
+        stss = table(b"stss")
+        if stss is not None:  # absent stss = every sample is sync
+            n_ss = u32(stss[0] + 4)
+            if stss[0] + 8 + n_ss * 4 > stss[1]:
+                return None
+            sync = {
+                u32(stss[0] + 8 + i * 4) - 1 for i in range(n_ss)  # 1-based
+            }
+            samples = [s for s in samples if s[0] in sync]
     return {"timescale": timescale, "samples": samples}
 
 
@@ -764,19 +779,25 @@ MP4_SAMPLE_SCHEMA = T.StructType(
 )
 
 
-def mp4_sample_plan(media: DataFrame, max_samples: int = 64) -> DataFrame:
+def mp4_sample_plan(
+    media: DataFrame, max_samples: int = 64, sync_only: bool = False
+) -> DataFrame:
     """(media_id, payload) → one row per MP4 sample with decode time,
     size, and absolute byte offset (``mp4_sample_table``), via Arrow
     ``mapInPandas`` — the fetch plan for sampled-frame extraction at
     scale: downstream readers issue exact byte-range GETs instead of
-    streaming whole containers. Unparseable payloads emit no rows."""
+    streaming whole containers. ``sync_only=True`` keeps only the
+    'stss' keyframes (the frames a sampler can decode independently).
+    Unparseable payloads emit no rows."""
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, dtss, szs, offs = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 tab = mp4_sample_table(
-                    None if payload is None else bytes(payload), max_samples
+                    None if payload is None else bytes(payload),
+                    max_samples,
+                    sync_only,
                 )
                 if tab is None or not tab["timescale"]:
                     continue

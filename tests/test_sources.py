@@ -966,3 +966,105 @@ def test_tar_manifest_spark(spark):
         for r in archive.tar_manifest(media).collect()
     ]
     assert got == [(1, "x.bin", 3, 512, "0")]
+
+
+def test_mp4_sync_only_stss_filter_and_absence():
+    import struct
+
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    sizes = [10, 20, 30, 40, 50, 60]
+    mp4 = _mp4_with_stbl(sizes, [(6, 100)], [1000, 2000])
+    # no stss: every sample is sync -> filter is a no-op
+    assert mm.mp4_sample_table(mp4, sync_only=True)["samples"] == \
+        mm.mp4_sample_table(mp4)["samples"]
+    # inject an stss into the stbl marking samples 1 and 5 (1-based)
+    stss = _mp4_box(b"stss", struct.pack(">2I", 0, 2) + struct.pack(">2I", 1, 5))
+    pos = mp4.rindex(b"stbl") - 8
+    old_sz = struct.unpack(">I", mp4[pos : pos + 4])[0]
+    patched = bytearray(mp4)
+    # grow stbl and every ancestor box by len(stss)
+    for four in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        p = mp4.rindex(four) - 4
+        sz = struct.unpack(">I", mp4[p : p + 4])[0]
+        patched[p : p + 4] = struct.pack(">I", sz + len(stss))
+    patched = bytes(patched[: pos + old_sz]) + stss + bytes(patched[pos + old_sz:])
+    tab = mm.mp4_sample_table(patched, sync_only=True)
+    assert [s[0] for s in tab["samples"]] == [0, 4]
+    # truncated stss is unrecoverable under sync_only
+    bad = patched[:-4]
+    assert mm.mp4_sample_table(bad, sync_only=True) is None
+    # ...but fine when sync info isn't requested
+    assert mm.mp4_sample_table(bad) is not None
+
+
+# ---------------------------------------------------------------- zip
+
+
+def _stdlib_zip(members, compression=None):
+    import io
+    import zipfile
+
+    comp = zipfile.ZIP_STORED if compression is None else compression
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=comp) as zf:
+        for name, data in members:
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_zip_members_against_stdlib():
+    import zipfile
+
+    from data_ingestion_py_spark.sources.archive import zip_members
+
+    members = [("a/im.jpg", b"\xff\xd8" + b"J" * 300), ("a/cap.txt", b"hi")]
+    z = _stdlib_zip(members)
+    got = zip_members(z)
+    assert [(m[0], m[1], m[2]) for m in got] == [
+        ("a/im.jpg", 0, 302),
+        ("a/cap.txt", 0, 2),
+    ]
+    # STORED members are byte-addressable at the returned offset
+    for (name, method, uncomp, comp, off), (_, data) in zip(got, members):
+        assert z[off : off + comp] == data
+    # deflated members carry exact compressed ranges
+    zd = _stdlib_zip(members, zipfile.ZIP_DEFLATED)
+    import zlib
+
+    for (name, method, uncomp, comp, off), (_, data) in zip(
+        zip_members(zd), members
+    ):
+        assert method == 8 and uncomp == len(data)
+        assert zlib.decompress(zd[off : off + comp], -15) == data
+
+
+def test_zip_members_honest_gates():
+    from data_ingestion_py_spark.sources.archive import zip_members
+
+    z = _stdlib_zip([("x.txt", b"abc")])
+    assert zip_members(b"PK\x03\x04 but no directory") is None
+    assert zip_members(z[:-4]) is None          # truncated EOCD
+    assert zip_members(b"short") is None
+    assert zip_members(None) is None
+    # comment after EOCD still resolves (tail scan)
+    assert zip_members(z + b"trailing comment")[0][0] == "x.txt"
+    assert len(zip_members(_stdlib_zip([("a", b"1"), ("b", b"2")]),
+                           max_members=1)) == 1
+
+
+def test_zip_manifest_spark(spark):
+    from data_ingestion_py_spark.sources import archive
+
+    z = _stdlib_zip([("m.bin", b"xyz")])
+    media = spark.createDataFrame(
+        [(1, z), (2, b"junk" * 50), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = [
+        (r.media_id, r.name, r.method, r.size, r.compressed_size,
+         r.byte_offset)
+        for r in archive.zip_manifest(media).collect()
+    ]
+    assert len(got) == 1 and got[0][:5] == (1, "m.bin", 0, 3, 3)
+    assert z[got[0][5] : got[0][5] + 3] == b"xyz"
