@@ -1513,3 +1513,74 @@ def q_archive_zip_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "name", "method", "size", "compressed_size",
         "byte_offset",
     )
+
+
+@register(
+    "archive_tfrecord_manifest",
+    """
+SELECT doc_id AS media_id,
+       CAST(0 AS INT) AS rec_index,
+       CAST(64 AS BIGINT) AS length,
+       CAST(12 AS BIGINT) AS byte_offset
+FROM documents
+UNION ALL
+SELECT doc_id,
+       CAST(1 AS INT),
+       CAST(doc_id % 400 + 64 AS BIGINT),
+       CAST(92 AS BIGINT)
+FROM documents
+""",
+    tags=("multimodal", "web", "source"),
+)
+def q_archive_tfrecord_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TFRecord shard walk end-to-end — the framing TensorFlow
+    training shards use (uint64 length + masked CRC-32C of the length
+    bytes + data + masked CRC-32C of the data): two-record shards are
+    planted per document — a fixed 64-byte record and a variable one —
+    with VALID checksums (the 400 possible variable-record CRCs are
+    computed at plan-build time with the repo's own crc32c, which is
+    itself pinned against the RFC 3720 check value in test_sources.py,
+    and planted via a broadcast literal lookup array), pushed through
+    the Arrow mapInPandas stage, and walked back with verification ON
+    by sources/archive.tfrecord_records. The oracle states both
+    records' (length, absolute data offset) arithmetically — framing
+    arithmetic bugs (the 12-byte header, the +4 trailer) mis-place the
+    second record immediately, and since TFRecord has no magic, a CRC
+    mismatch anywhere yields missing rows, failing the row count."""
+    import struct
+
+    from data_ingestion_py_spark.sources import archive
+    from data_ingestion_py_spark.sources.archive import masked_crc32c
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    size_b = F.col("doc_id") % 400 + 64
+    ln8 = struct.pack("<Q", 64)
+    rec_a_hex = (
+        ln8
+        + struct.pack("<I", masked_crc32c(ln8))
+        + b"x" * 64
+        + struct.pack("<I", masked_crc32c(b"x" * 64))
+    ).hex()
+    len_crcs = F.array(
+        *[
+            F.lit(masked_crc32c(struct.pack("<Q", n)))
+            for n in range(64, 464)
+        ]
+    )
+    data_crcs = F.array(
+        *[F.lit(masked_crc32c(b"y" * n)) for n in range(64, 464)]
+    )
+    idx = (size_b - 63).cast("int")
+    shard_hex = F.concat(
+        F.lit(rec_a_hex),
+        _le_hex(size_b, 8),
+        _le_hex(F.element_at(len_crcs, idx), 4),
+        F.repeat(F.lit("79"), size_b.cast("int")),
+        _le_hex(F.element_at(data_crcs, idx), 4),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(shard_hex).alias("payload")
+    )
+    return archive.tfrecord_manifest(media, verify=True).select(
+        "media_id", "rec_index", "length", "byte_offset"
+    )

@@ -234,3 +234,126 @@ def zip_manifest(media: DataFrame, max_members: int = 256) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _go, ZIP_MEMBER_SCHEMA
     )
+
+
+def _build_crc32c_table() -> list[int]:
+    poly = 0x82F63B78  # reflected Castagnoli
+    table = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ poly if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C_TABLE = _build_crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli) — the checksum TFRecord framing uses
+    (zlib's crc32 is the wrong polynomial). Table-driven, pure
+    Python."""
+    c = 0xFFFFFFFF
+    tab = _CRC32C_TABLE
+    for b in data:
+        c = tab[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def masked_crc32c(data: bytes) -> int:
+    """TFRecord's masked CRC: rotate right 15 and add the mask
+    constant (TensorFlow record_writer.cc)."""
+    c = crc32c(data)
+    return (((c >> 15) | ((c << 17) & 0xFFFFFFFF)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+TFRECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("rec_index", T.IntegerType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+    ]
+)
+
+
+def tfrecord_records(
+    payload: bytes | None, max_records: int = 256, verify: bool = True
+) -> list[tuple[int, int, int]] | None:
+    """Walk a TFRecord shard into ``[(index, length, data_offset),
+    ...]`` — the framing TensorFlow training shards use: per record, a
+    little-endian uint64 length, the masked CRC-32C of those 8 length
+    bytes, the data, and the masked CRC-32C of the data. With
+    ``verify=True`` both checksums are checked — the format has no
+    magic, so the length CRC is also the only way to RECOGNIZE a
+    TFRecord (junk fails the first record → None; corruption mid-shard
+    truncates the manifest, parsed prefix returned). ``verify=False``
+    trusts the framing (structural bounds still guard the walk) and
+    skips the per-byte CRC cost — the at-scale listing mode when
+    integrity is checked elsewhere."""
+    if payload is None or len(payload) < 16:
+        return None
+    n = len(payload)
+    out: list[tuple[int, int, int]] = []
+    i = 0
+    while i + 12 <= n and len(out) < max_records:
+        length = int.from_bytes(payload[i : i + 8], "little")
+        data_off = i + 12
+        if length > n or data_off + length + 4 > n:
+            break  # truncated or absurd framing
+        if verify:
+            stored_len_crc = int.from_bytes(
+                payload[i + 8 : i + 12], "little"
+            )
+            if masked_crc32c(payload[i : i + 8]) != stored_len_crc:
+                break
+            stored_data_crc = int.from_bytes(
+                payload[data_off + length : data_off + length + 4], "little"
+            )
+            if (
+                masked_crc32c(payload[data_off : data_off + length])
+                != stored_data_crc
+            ):
+                break
+        out.append((len(out), length, data_off))
+        i = data_off + length + 4
+    return out or None
+
+
+def tfrecord_manifest(
+    media: DataFrame, max_records: int = 256, verify: bool = True
+) -> DataFrame:
+    """(media_id, payload) → one row per TFRecord (index, declared
+    length, absolute data offset) via Arrow ``mapInPandas`` — the
+    TFRecord sibling of ``tar_manifest``; unparseable payloads emit no
+    rows."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, offs = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                recs = tfrecord_records(
+                    None if payload is None else bytes(payload),
+                    max_records,
+                    verify,
+                )
+                if recs is None:
+                    continue
+                for ri, length, off in recs:
+                    ids.append(int(mid))
+                    idxs.append(ri)
+                    lens.append(length)
+                    offs.append(off)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "rec_index": idxs,
+                    "length": lens,
+                    "byte_offset": offs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _go, TFRECORD_SCHEMA
+    )

@@ -748,3 +748,72 @@ def durable_ivf_batch_processor(index):
         )
 
     return _process
+
+
+MANIFEST_STATE_SCHEMA = (
+    "media_id long, name string, size long, byte_offset long, "
+    "typeflag string, batch_id long"
+)
+
+
+def manifest_batch_processor(state_path: str):
+    """foreachBatch handler for shard-manifest ingestion: run the tar
+    member walk (sources/archive.tar_members) over THIS batch's shard
+    payloads and append the manifest rows to the at-rest state log,
+    tagged with batch_id. Same idempotency contract as
+    ``rollup_batch_processor``: monotonic foreachBatch ids per
+    checkpoint make "already at or past this id" the restart-safe
+    re-delivery guard, and the marker IS the data. This is the
+    streaming form of a WebDataset corpus intake — shards arrive
+    continuously, the queryable member index grows incrementally, and
+    nothing re-parses old shards."""
+    from data_ingestion_py_spark.sources.archive import tar_manifest
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        hi = _state_max_batch_id(spark, state_path, MANIFEST_STATE_SCHEMA)
+        if hi is not None and batch_id <= hi:
+            return  # re-delivered after restart
+        (
+            tar_manifest(batch_df)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(state_path)
+        )
+
+    return _process
+
+
+def read_manifest_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The current member index (merge-on-read is a plain scan here —
+    manifests are facts, not partials)."""
+    return spark.read.schema(MANIFEST_STATE_SCHEMA).parquet(state_path).drop(
+        "batch_id"
+    )
+
+
+def run_manifest_stream(
+    spark: SparkSession,
+    shards_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """shard file stream (media_id, payload parquet) → durable tar
+    member index (see manifest_batch_processor). Restart-safe:
+    re-opening the same state path + checkpoint resumes exactly;
+    re-delivered batches no-op."""
+    schema = spark.read.parquet(shards_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(shards_dir)
+    )
+    writer = (
+        stream.writeStream.foreachBatch(manifest_batch_processor(state_path))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1068,3 +1068,63 @@ def test_zip_manifest_spark(spark):
     ]
     assert len(got) == 1 and got[0][:5] == (1, "m.bin", 0, 3, 3)
     assert z[got[0][5] : got[0][5] + 3] == b"xyz"
+
+
+# ------------------------------------------------------------- TFRecord
+
+
+def _tfrecord_shard(*datas):
+    import struct
+
+    from data_ingestion_py_spark.sources.archive import masked_crc32c
+
+    out = b""
+    for d in datas:
+        ln = struct.pack("<Q", len(d))
+        out += ln + struct.pack("<I", masked_crc32c(ln))
+        out += d + struct.pack("<I", masked_crc32c(d))
+    return out
+
+
+def test_crc32c_canonical_vectors():
+    from data_ingestion_py_spark.sources.archive import crc32c, masked_crc32c
+
+    assert crc32c(b"123456789") == 0xE3069283  # the RFC 3720 check value
+    assert crc32c(b"") == 0
+    # mask is the TF rotate-right-15 + constant
+    assert masked_crc32c(b"") == 0xA282EAD8
+
+
+def test_tfrecord_records_and_gates():
+    from data_ingestion_py_spark.sources.archive import tfrecord_records
+
+    shard = _tfrecord_shard(b"abc", b"d" * 200, b"")
+    got = tfrecord_records(shard)
+    assert got == [(0, 3, 12), (1, 200, 31), (2, 0, 247)]
+    assert shard[12:15] == b"abc"
+    # corrupt the SECOND record's data: manifest truncates there
+    bad = bytearray(shard)
+    bad[40] ^= 1
+    assert tfrecord_records(bytes(bad)) == [(0, 3, 12)]
+    # ...unless verification is off (structural walk still bounded)
+    assert len(tfrecord_records(bytes(bad), verify=False)) == 3
+    # junk has no valid first length-CRC
+    assert tfrecord_records(b"junk" * 10) is None
+    assert tfrecord_records(b"tiny") is None
+    assert tfrecord_records(None) is None
+    assert len(tfrecord_records(shard, max_records=2)) == 2
+
+
+def test_tfrecord_manifest_spark(spark):
+    from data_ingestion_py_spark.sources import archive
+
+    shard = _tfrecord_shard(b"payload-one", b"x")
+    media = spark.createDataFrame(
+        [(1, shard), (2, b"junk" * 10), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = sorted(
+        (r.media_id, r.rec_index, r.length, r.byte_offset)
+        for r in archive.tfrecord_manifest(media).collect()
+    )
+    assert got == [(1, 0, 11, 12), (1, 1, 1, 39)]

@@ -967,3 +967,70 @@ def test_durable_ivf_stream_resumes_and_skips_redelivery(spark, tmp_path):
     ids = [r.vec_id for r in got.collect()]
     assert len(ids) == 10
     assert any(i % 2 == 0 for i in ids) and any(i % 2 == 1 for i in ids)
+
+
+def test_manifest_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming shard-manifest ingestion: availableNow over shard
+    files equals the batch tar_manifest over the same shards; a second
+    lifetime with new shards resumes from the checkpoint without
+    re-parsing (or duplicating) old members; re-delivery no-ops."""
+    import io
+    import tarfile
+
+    from data_ingestion_py_spark.sources.archive import tar_manifest
+    from data_ingestion_py_spark.streaming.pipeline import (
+        manifest_batch_processor,
+        read_manifest_state,
+        run_manifest_stream,
+    )
+
+    def shard(names_and_data):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, data in names_and_data:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    shards_dir = str(tmp_path / "shards")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [
+        (1, shard([("s1/a.jpg", b"A" * 100), ("s1/a.txt", b"cap")])),
+        (2, shard([("s2/b.jpg", b"B" * 50)])),
+    ]
+    df1 = spark.createDataFrame(rows1, "media_id long, payload binary")
+    df1.coalesce(1).write.parquet(shards_dir)
+
+    q = run_manifest_stream(spark, shards_dir, state, ckpt)
+    assert q.awaitTermination(300)
+
+    def canon(df):
+        return sorted(
+            (r.media_id, r.name, r.size, r.byte_offset, r.typeflag)
+            for r in df.collect()
+        )
+
+    got = canon(read_manifest_state(spark, state))
+    want = canon(tar_manifest(df1))
+    assert got == want and len(got) == 3
+
+    # re-delivery of an already-applied batch id is a no-op
+    manifest_batch_processor(state)(df1, 0)
+    assert canon(read_manifest_state(spark, state)) == want
+
+    # second lifetime: a new shard lands; resume parses ONLY the new one
+    rows2 = [(3, shard([("s3/c.bin", b"C" * 10)]))]
+    spark.createDataFrame(rows2, "media_id long, payload binary").coalesce(
+        1
+    ).write.mode("append").parquet(shards_dir)
+    q2 = run_manifest_stream(spark, shards_dir, state, ckpt)
+    assert q2.awaitTermination(300)
+    got2 = canon(read_manifest_state(spark, state))
+    assert len(got2) == 4
+    assert canon(
+        tar_manifest(
+            spark.createDataFrame(rows1 + rows2, "media_id long, payload binary")
+        )
+    ) == got2
