@@ -738,6 +738,7 @@ SELECT media_id,
 FROM px
 """,
     tags=("multimodal", "decode", "video"),
+    bench=True,
 )
 def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-frame decode end-to-end, zero codec libraries — the
@@ -1040,6 +1041,7 @@ SELECT doc_id,
 FROM d
 """,
     tags=("multimodal", "web", "source"),
+    bench=True,
 )
 def q_web_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WARC (ISO 28500 / Common Crawl) shard parsing end-to-end —
@@ -1184,6 +1186,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("multimodal", "web", "source"),
+    bench=True,
 )
 def q_archive_tar_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL tar (WebDataset-shard) manifest extraction end-to-end:
@@ -1225,38 +1228,20 @@ def q_archive_tar_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
 
-    def _hx(s: str) -> str:  # constant ASCII -> hex literal
-        return s.encode().hex()
-
     # byte sum of every constant header field (mode/uid/gid, the size
     # field's 8 leading zeros + NUL, mtime, checksum-as-spaces,
     # typeflag '0', magic+version) plus 'd' and the 8 lpad-zero floor
-    # of the name digits = the checksum base; the two data-dependent
-    # terms are the name digit sum and the size octal digit sum.
-    CHK_A = 4017  # + dsum            (size 64 -> octal 100, osum = 1)
-    CHK_B = 3978  # + dsum + osum_b
+    # of the name digits = the checksum base (_TAR_CHK_BASE + suffix
+    # byte sum + size-field octal digit sum); the data-dependent terms
+    # are the name digit sum and the size octal digit sum.
+    CHK_A = 4017  # base + "a.txt"(495) + osum(1); + dsum
+    CHK_B = 3978  # base + "b.bin"(457); + dsum + osum_b
 
-    def _header_hex(suffix: str, size_oct11, chk):
-        name_hex = F.hex(
-            F.encode(F.concat(F.lit("d"), digits, F.lit(suffix)), "UTF-8")
-        )
-        chk_hex = F.hex(
-            F.encode(F.lpad(F.conv(chk.cast("string"), 10, 8), 6, "0"), "UTF-8")
-        )
-        return F.concat(
-            name_hex, F.lit("00" * 86),                      # name[100]
-            F.lit(_hx("0000644\0" + "0000000\0" * 2)),       # mode/uid/gid
-            F.hex(F.encode(size_oct11, "UTF-8")), F.lit("00"),  # size[12]
-            F.lit(_hx("00000000000") + "00"),                # mtime[12]
-            chk_hex, F.lit("0020"),                          # chksum "%06o\\0 "
-            F.lit("30"),                                     # typeflag '0'
-            F.lit("00" * 100),                               # linkname
-            F.lit(_hx("ustar") + "00" + _hx("00")),          # magic+version
-            F.lit("00" * 247),                               # uname..prefix
-        )
-
-    hdr_a = _header_hex("a.txt", F.lit("00000000100"), F.lit(CHK_A) + dsum)
-    hdr_b = _header_hex(
+    hdr_a = _tar_header_hex(
+        digits, "a.txt", F.lit("00000000100"), F.lit(CHK_A) + dsum
+    )
+    hdr_b = _tar_header_hex(
+        digits,
         "b.bin",
         F.concat(F.lit("00000000"), oct_b),
         F.lit(CHK_B) + dsum + osum_b,
@@ -1584,3 +1569,120 @@ def q_archive_tfrecord_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return archive.tfrecord_manifest(media, verify=True).select(
         "media_id", "rec_index", "length", "byte_offset"
     )
+
+
+def _tar_digit_sum(s, n: int):
+    """Integer sum of the first ``n`` decimal/octal digit characters
+    of string column ``s`` (the data-dependent terms of a planted tar
+    header checksum)."""
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda i: F.substring(s, i, 1).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+# byte sum of the constant fields of the planted ustar headers ('d' +
+# eight lpad-zero name digits floor, mode/uid/gid, size-field zero
+# floor, mtime, checksum-as-spaces, typeflag, magic+version); a
+# header's full checksum = this + suffix byte sum + name digit sum +
+# size octal digit sum.
+_TAR_CHK_BASE = 3521
+
+
+def _tar_header_hex(digits, suffix: str, size_oct11, chk):
+    """Hex of one complete 512-byte ustar header for member
+    ``d<digits><suffix>`` with the 11-octal-digit size field and the
+    (column-computed) checksum."""
+
+    def _hx(s: str) -> str:  # constant ASCII -> hex literal
+        return s.encode().hex()
+
+    name_hex = F.hex(
+        F.encode(F.concat(F.lit("d"), digits, F.lit(suffix)), "UTF-8")
+    )
+    chk_hex = F.hex(
+        F.encode(F.lpad(F.conv(chk.cast("string"), 10, 8), 6, "0"), "UTF-8")
+    )
+    return F.concat(
+        name_hex, F.lit("00" * 86),                      # name[100]
+        F.lit(_hx("0000644\0" + "0000000\0" * 2)),       # mode/uid/gid
+        F.hex(F.encode(size_oct11, "UTF-8")), F.lit("00"),  # size[12]
+        F.lit(_hx("00000000000") + "00"),                # mtime[12]
+        chk_hex, F.lit("0020"),                          # chksum "%06o\\0 "
+        F.lit("30"),                                     # typeflag '0'
+        F.lit("00" * 100),                               # linkname
+        F.lit(_hx("ustar") + "00" + _hx("00")),          # magic+version
+        F.lit("00" * 247),                               # uname..prefix
+    )
+
+
+@register(
+    "archive_tar_member_decode",
+    """
+WITH px AS (
+    SELECT doc_id AS media_id,
+           list_transform(generate_series(0, 15),
+               k -> (doc_id * 29 + k * (11 + doc_id % 7)) % 251) AS p
+    FROM documents
+)
+SELECT media_id, 4 AS width, 4 AS height,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 15),
+                k -> (k + 1) * p[k + 1])) AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "web", "source", "decode"),
+)
+def q_archive_tar_member_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The byte-range plan CLOSED END-TO-END — shard → manifest →
+    range-read → real decode in one query: tar shards are planted
+    whose second member is a valid 4×4 binary PGM, the
+    checksum-verifying walker produces the member manifest, the
+    manifest joins back to the shard store (the 'fetch' step — at
+    scale, a byte-range GET per member; here, substring on the binary
+    column with the MANIFEST's offset and size), and the sliced bytes
+    go through the real netpbm pixel decoder for integer checksums.
+    The oracle recomputes the pixels arithmetically — if the walker's
+    offsets were wrong by even one byte, the slice isn't a valid PGM
+    and every row nulls out. One media_id-keyed join (manifest ×
+    store); everything else is narrow Arrow stages."""
+    from data_ingestion_py_spark.sources import archive
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    digits = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    dsum = _tar_digit_sum(digits, 8)
+
+    pgm_hdr_hex = b"P5\n4 4\n255\n".hex()  # 11 bytes; + 16 pixels = 27
+
+    def _pix_hex(k: int):
+        v = (F.col("doc_id") * 29 + k * (11 + F.col("doc_id") % 7)) % 251
+        return F.lpad(F.hex(v), 2, "0")
+
+    pgm_hex = F.concat(F.lit(pgm_hdr_hex), *[_pix_hex(k) for k in range(16)])
+    # checksum: base + "p.pgm"(482) + size-27 octal "033" digit sum (6)
+    hdr_a = _tar_header_hex(
+        digits, "a.txt", F.lit("00000000100"), F.lit(4017) + dsum
+    )
+    hdr_p = _tar_header_hex(
+        digits, "p.pgm", F.lit("00000000033"), F.lit(4009) + dsum
+    )
+    tar_hex = F.concat(
+        hdr_a, F.lit("78" * 64 + "00" * 448),
+        hdr_p, pgm_hex, F.lit("00" * 485),
+        F.lit("00" * 1024),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(tar_hex).alias("payload")
+    )
+    manifest = archive.tar_manifest(media).where(
+        F.col("name").endswith(".pgm")
+    )
+    fetched = manifest.join(media, "media_id").select(
+        "media_id",
+        F.expr("substring(payload, byte_offset + 1, size)").alias("payload"),
+    )
+    return mm.pixel_checksums(fetched)

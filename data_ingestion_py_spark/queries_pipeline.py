@@ -1307,3 +1307,69 @@ def q_corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_tokens").cast("long").alias("cum_tokens"),
         F.col("cum_vocab").cast("long").alias("cum_vocab"),
     )
+
+
+@register(
+    "corpus_classifier_filter",
+    """
+WITH scored AS (
+    SELECT doc_id, source,
+           list_sum(list_transform(
+               list_filter(string_split(text, ' '), x -> x <> ''),
+               w -> ((('0x' || substr(md5(w), 1, 8))::BIGINT % 1024)
+                     * 2654435761) % 1997 - 998)) AS logit,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_words
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(sum(CASE WHEN logit > 0 THEN n_words ELSE 0 END) AS BIGINT)
+           AS kept_words
+FROM scored
+GROUP BY source
+""",
+    tags=("corpus", "curation", "classifier"),
+)
+def q_corpus_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the FineWeb-Edu-style curation
+    step where a TRAINED classifier (not a heuristic) gates documents:
+    a linear text classifier with hashed word features (the fastText
+    architecture) applied entirely in column algebra. Each word hashes
+    to one of 1024 buckets (md5 idiom shared with the mixture sampler),
+    the bucket's integer weight comes from a deterministic formula
+    standing in for trained parameters (at scale: a 1024-row broadcast
+    weight table — same plan shape), and the document logit is the
+    exact integer feature-weight sum; logit > 0 keeps the document.
+    Per-source keep-rate rollup mirrors how curation runs report
+    classifier yield. The oracle replays the identical hash+weight
+    arithmetic. One narrow scan stage + one tiny groupBy on source —
+    inference cost is the scan itself, which is what makes linear
+    heads the only classifiers that survive 100 TB (transformer-based
+    scoring runs as a sampled teacher to retrain this head, not on
+    the full corpus)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    bucket = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % 1024
+    )
+    weight = lambda w: (bucket(w) * 2654435761) % 1997 - 998  # noqa: E731
+    logit = F.aggregate(
+        F.transform(words, weight), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    scored = d.select(
+        "source",
+        logit.alias("logit"),
+        F.size(words).alias("n_words"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("logit") > 0).cast("long")).alias("n_kept"),
+        F.sum(
+            F.when(F.col("logit") > 0, F.col("n_words")).otherwise(0)
+        ).alias("kept_words"),
+    )
