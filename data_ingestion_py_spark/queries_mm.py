@@ -2,13 +2,17 @@
 Arrow-batched ``mapInPandas`` stages (sources/multimodal.py).
 
 The media corpus is synthesized deterministically from ``documents``
-(payload = utf-8 bytes of text, kind = doc_id % 3 → image/audio/video)
-so the *oracle side* can recompute every output with DuckDB string/blob
-functions — the fixture text is pure ASCII, so char offsets == byte
-offsets. The Spark side still does the real thing: BinaryType columns
-through Arrow into pandas batches and back. The decode kernels proper
-are stubs (container has no codecs — see sources/multimodal.py), but
-schema, batch shape, fan-out, and hashing are the production plumbing.
+so the *oracle side* can recompute every output arithmetically —
+either from the text (pure ASCII, so char offsets == byte offsets) or
+from planted byte-construction formulas. The Spark side does the real
+thing: BinaryType columns through Arrow into pandas batches and back,
+decoded by REAL pure-byte kernels (netpbm/PCM/AVI-frame pixel decode,
+PNG/JPEG/TIFF/WAV/MP4/AVI header walks, tar/zip/TFRecord/WARC shard
+manifests — see sources/multimodal.py, sources/archive.py,
+sources/web.py). Only compressed codecs stay stubbed in this
+container (Pillow behind the ``[ingest]`` extras; ffmpeg the one
+honest seam); for those, schema, batch shape, fan-out, and hashing
+are still the production plumbing.
 
 Reference tie-in: the PDF page images of data_ingestion.py:148-155 are
 exactly (id, page, image_bytes) rows; this module is that shape done
@@ -1604,11 +1608,12 @@ def _tar_header_hex(digits, suffix: str, size_oct11, chk):
     name_hex = F.hex(
         F.encode(F.concat(F.lit("d"), digits, F.lit(suffix)), "UTF-8")
     )
+    name_pad = 100 - (1 + 8 + len(suffix))  # 'd' + 8 digits + suffix
     chk_hex = F.hex(
         F.encode(F.lpad(F.conv(chk.cast("string"), 10, 8), 6, "0"), "UTF-8")
     )
     return F.concat(
-        name_hex, F.lit("00" * 86),                      # name[100]
+        name_hex, F.lit("00" * name_pad),                # name[100]
         F.lit(_hx("0000644\0" + "0000000\0" * 2)),       # mode/uid/gid
         F.hex(F.encode(size_oct11, "UTF-8")), F.lit("00"),  # size[12]
         F.lit(_hx("00000000000") + "00"),                # mtime[12]
@@ -1686,3 +1691,75 @@ def q_archive_tar_member_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(payload, byte_offset + 1, size)").alias("payload"),
     )
     return mm.pixel_checksums(fetched)
+
+
+@register(
+    "archive_webdataset_samples",
+    """
+SELECT doc_id AS media_id,
+       'd' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS sample_key,
+       CAST(2 AS BIGINT) AS n_members,
+       CAST(64 + doc_id % 400 + 64 AS BIGINT) AS total_bytes,
+       'bin,txt' AS exts
+FROM documents
+""",
+    tags=("multimodal", "web", "source"),
+)
+def q_archive_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset SAMPLE assembly — the semantic layer above the tar
+    manifest: in WebDataset, members sharing a basename stem form one
+    training sample (0001.jpg + 0001.txt + 0001.json = one
+    image/caption/meta triple). Planted shards carry two same-stem
+    members per document (.txt fixed-size, .bin variable); the
+    checksum-verified walk produces the manifest, and sample assembly
+    is pure column algebra on member names — stem/extension split on
+    the LAST dot, groupBy (shard, stem), member count, byte total, and
+    the sorted extension set (the completeness check a loader uses to
+    drop partial samples). The oracle states each sample
+    arithmetically. One groupBy shuffle at sample grain — at corpus
+    scale this is the index a WebDataset loader shuffles and shards
+    by, built without reading member bytes."""
+    from data_ingestion_py_spark.sources import archive
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    digits = F.lpad(F.col("doc_id").cast("string"), 8, "0")
+    dsum = _tar_digit_sum(digits, 8)
+    size_b = F.col("doc_id") % 400 + 64
+    oct_b = F.conv(size_b.cast("string"), 10, 8)
+    osum_b = _tar_digit_sum(oct_b, 3)
+    # checksum = _TAR_CHK_BASE + suffix byte sum + osum:
+    #   ".txt" = 398 (+ osum 1 for size-64); ".bin" = 359 (+ osum_b)
+    hdr_a = _tar_header_hex(
+        digits, ".txt", F.lit("00000000100"), F.lit(3920) + dsum
+    )
+    hdr_b = _tar_header_hex(
+        digits,
+        ".bin",
+        F.concat(F.lit("00000000"), oct_b),
+        F.lit(3880) + dsum + osum_b,
+    )
+    tar_hex = F.concat(
+        hdr_a, F.lit("78" * 64 + "00" * 448),
+        hdr_b,
+        F.repeat(F.lit("79"), size_b.cast("int")),
+        F.repeat(F.lit("00"), (F.lit(512) - size_b).cast("int")),
+        F.lit("00" * 1024),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(tar_hex).alias("payload")
+    )
+    manifest = archive.tar_manifest(media).where(F.col("typeflag") == "0")
+    stem = F.regexp_extract("name", r"^(.*)\.[^.]+$", 1)
+    ext = F.regexp_extract("name", r"\.([^.]+)$", 1)
+    return (
+        manifest.select("media_id", stem.alias("sample_key"),
+                        ext.alias("ext"), "size")
+        .groupBy("media_id", "sample_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("size").alias("total_bytes"),
+            F.array_join(F.array_sort(F.collect_list("ext")), ",").alias(
+                "exts"
+            ),
+        )
+    )
