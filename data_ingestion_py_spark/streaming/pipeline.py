@@ -750,32 +750,52 @@ def durable_ivf_batch_processor(index):
     return _process
 
 
-MANIFEST_STATE_SCHEMA = (
-    "media_id long, name string, size long, byte_offset long, "
-    "typeflag string, batch_id long"
-)
+def _manifest_walkers():
+    """fmt → (mapInPandas manifest fn, member schema) for every shard
+    format with a pure-byte walker. Imported lazily so the streaming
+    module doesn't pay the source modules' import cost up front."""
+    from pyspark.sql import types as T
+
+    from data_ingestion_py_spark.sources import archive, web
+
+    return {
+        "tar": (archive.tar_manifest, archive.TAR_MEMBER_SCHEMA),
+        "zip": (archive.zip_manifest, archive.ZIP_MEMBER_SCHEMA),
+        "tfrecord": (archive.tfrecord_manifest, archive.TFRECORD_SCHEMA),
+        "warc": (web.warc_manifest, web.WARC_RECORD_SCHEMA),
+    }, T
 
 
-def manifest_batch_processor(state_path: str):
-    """foreachBatch handler for shard-manifest ingestion: run the tar
-    member walk (sources/archive.tar_members) over THIS batch's shard
-    payloads and append the manifest rows to the at-rest state log,
-    tagged with batch_id. Same idempotency contract as
-    ``rollup_batch_processor``: monotonic foreachBatch ids per
-    checkpoint make "already at or past this id" the restart-safe
-    re-delivery guard, and the marker IS the data. This is the
-    streaming form of a WebDataset corpus intake — shards arrive
-    continuously, the queryable member index grows incrementally, and
-    nothing re-parses old shards."""
-    from data_ingestion_py_spark.sources.archive import tar_manifest
+def _manifest_state_schema(fmt: str):
+    walkers, T = _manifest_walkers()
+    _, member_schema = walkers[fmt]
+    return T.StructType(
+        list(member_schema) + [T.StructField("batch_id", T.LongType(), False)]
+    )
+
+
+def manifest_batch_processor(state_path: str, fmt: str = "tar"):
+    """foreachBatch handler for shard-manifest ingestion: run the
+    ``fmt`` walker (tar / zip / tfrecord / warc — the same pure-byte
+    kernels the batch queries use) over THIS batch's shard payloads
+    and append the manifest rows to the at-rest state log, tagged with
+    batch_id. Same idempotency contract as ``rollup_batch_processor``:
+    monotonic foreachBatch ids per checkpoint make "already at or past
+    this id" the restart-safe re-delivery guard, and the marker IS the
+    data. This is the streaming form of a WebDataset / Common Crawl
+    corpus intake — shards arrive continuously, the queryable member
+    index grows incrementally, and nothing re-parses old shards."""
+    walkers, _ = _manifest_walkers()
+    walk, _schema = walkers[fmt]
+    state_schema = _manifest_state_schema(fmt)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        hi = _state_max_batch_id(spark, state_path, MANIFEST_STATE_SCHEMA)
+        hi = _state_max_batch_id(spark, state_path, state_schema)
         if hi is not None and batch_id <= hi:
             return  # re-delivered after restart
         (
-            tar_manifest(batch_df)
+            walk(batch_df)
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
             .write.mode("append")
             .parquet(state_path)
@@ -784,11 +804,34 @@ def manifest_batch_processor(state_path: str):
     return _process
 
 
-def read_manifest_state(spark: SparkSession, state_path: str) -> DataFrame:
+def read_manifest_state(
+    spark: SparkSession, state_path: str, fmt: str = "tar"
+) -> DataFrame:
     """The current member index (merge-on-read is a plain scan here —
     manifests are facts, not partials)."""
-    return spark.read.schema(MANIFEST_STATE_SCHEMA).parquet(state_path).drop(
-        "batch_id"
+    return (
+        spark.read.schema(_manifest_state_schema(fmt))
+        .parquet(state_path)
+        .drop("batch_id")
+    )
+
+
+def compact_manifest_state(
+    spark: SparkSession, state_path: str, new_path: str, fmt: str = "tar"
+) -> None:
+    """Consolidate a many-small-file manifest log into one file per
+    shuffle partition under the MAX landed batch id (the only
+    re-deliverable one, so the monotonic guard stays correct after a
+    restart points at the compacted copy). Contents are facts —
+    compaction is a pure rewrite, pinned identical in tests."""
+    df = spark.read.schema(_manifest_state_schema(fmt)).parquet(state_path)
+    hi = df.agg(F.max("batch_id").alias("m")).collect()[0].m
+    (
+        df.drop("batch_id")
+        .withColumn("batch_id", F.lit(hi).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new_path)
     )
 
 
@@ -798,11 +841,12 @@ def run_manifest_stream(
     state_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    fmt: str = "tar",
 ):
-    """shard file stream (media_id, payload parquet) → durable tar
-    member index (see manifest_batch_processor). Restart-safe:
-    re-opening the same state path + checkpoint resumes exactly;
-    re-delivered batches no-op."""
+    """shard file stream (media_id, payload parquet) → durable member
+    index for any walker format (see manifest_batch_processor).
+    Restart-safe: re-opening the same state path + checkpoint resumes
+    exactly; re-delivered batches no-op."""
     schema = spark.read.parquet(shards_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -810,7 +854,9 @@ def run_manifest_stream(
         .parquet(shards_dir)
     )
     writer = (
-        stream.writeStream.foreachBatch(manifest_batch_processor(state_path))
+        stream.writeStream.foreachBatch(
+            manifest_batch_processor(state_path, fmt)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

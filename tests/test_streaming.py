@@ -1034,3 +1034,65 @@ def test_manifest_stream_matches_batch_and_resumes(spark, tmp_path):
             spark.createDataFrame(rows1 + rows2, "media_id long, payload binary")
         )
     ) == got2
+
+
+def test_manifest_stream_warc_and_compaction(spark, tmp_path):
+    """The generalized manifest stream: a WARC shard stream builds the
+    record index with the same idempotency contract, and compaction
+    rewrites the log under the max batch id with identical contents
+    and fewer files."""
+    from data_ingestion_py_spark.sources.web import warc_manifest
+    from data_ingestion_py_spark.streaming.pipeline import (
+        compact_manifest_state,
+        read_manifest_state,
+        run_manifest_stream,
+    )
+
+    def warc(recs):
+        out = b""
+        for wtype, body in recs:
+            head = (
+                f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+                f"Content-Length: {len(body)}"
+            )
+            out += head.encode() + b"\r\n\r\n" + body + b"\r\n\r\n"
+        return out
+
+    shards_dir = str(tmp_path / "shards")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (1, warc([("response", b"alpha"), ("metadata", b"m1")])),
+        (2, warc([("response", b"beta")])),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    df.coalesce(1).write.parquet(shards_dir)
+
+    q = run_manifest_stream(spark, shards_dir, state, ckpt, fmt="warc")
+    assert q.awaitTermination(300)
+
+    def canon(d):
+        return sorted(
+            (r.media_id, r.rec_index, r.warc_type, r.content_length,
+             bytes(r.body))
+            for r in d.collect()
+        )
+
+    got = canon(read_manifest_state(spark, state, fmt="warc"))
+    assert got == canon(warc_manifest(df)) and len(got) == 3
+
+    compacted = str(tmp_path / "compacted")
+    compact_manifest_state(spark, state, compacted, fmt="warc")
+    assert canon(read_manifest_state(spark, compacted, fmt="warc")) == got
+    n_files = lambda p: len(  # noqa: E731
+        [f for f in __import__("os").listdir(p) if f.endswith(".parquet")]
+    )
+    assert n_files(compacted) <= n_files(state)
+    # the compacted log still carries a batch_id floor: a re-delivered
+    # old batch against the compacted path is a no-op
+    from data_ingestion_py_spark.streaming.pipeline import (
+        manifest_batch_processor,
+    )
+
+    manifest_batch_processor(compacted, fmt="warc")(df, 0)
+    assert canon(read_manifest_state(spark, compacted, fmt="warc")) == got
