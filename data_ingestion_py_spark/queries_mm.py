@@ -1763,3 +1763,71 @@ def q_archive_webdataset_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "archive_avro_blocks",
+    """
+SELECT doc_id AS media_id,
+       CAST(0 AS INT) AS block_index,
+       CAST(doc_id % 50 + 1 AS BIGINT) AS n_records,
+       CAST(doc_id % 60 + 1 AS BIGINT) AS size,
+       CAST(44 AS BIGINT) AS byte_offset
+FROM documents
+UNION ALL
+SELECT doc_id,
+       CAST(1 AS INT),
+       CAST(doc_id % 30 + 1 AS BIGINT),
+       CAST(40 AS BIGINT),
+       CAST(62 + doc_id % 60 + 1 AS BIGINT)
+FROM documents
+""",
+    tags=("multimodal", "web", "source"),
+)
+def q_archive_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Avro Object Container File walk end-to-end — the
+    block-level split plan an Avro source builds before touching a
+    record, without the reader jar: spec-shaped OCFs are planted per
+    document (magic, a string→bytes metadata map holding avro.schema,
+    the 16-byte sync marker, two data blocks with zigzag-varint record
+    counts and sizes — values kept under 64 so each varint is one
+    planted byte; multi-byte and negative-map-count varint paths are
+    pinned separately in pytest/hypothesis), pushed through the Arrow
+    mapInPandas stage, and walked back by the sync-VERIFYING kernel
+    (sources/archive.avro_blocks). The oracle states every block's
+    (record count, size, absolute data offset) arithmetically —
+    varint, map-walk, or sync arithmetic bugs surface as missing rows
+    or wrong offsets immediately."""
+    from data_ingestion_py_spark.sources import archive
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    # constant header: Obj\x01 + map{avro.schema: "bytes"} + term + sync
+    sync = bytes(range(16))
+    hdr = (
+        b"Obj\x01"
+        + bytes([2])                      # map count 1 (zigzag)
+        + bytes([22]) + b"avro.schema"    # key len 11 (zigzag 22)
+        + bytes([14]) + b'"bytes"'        # val len 7 (zigzag 14)
+        + bytes([0])                      # map terminator
+        + sync
+    )
+    assert len(hdr) == 42
+    n1 = F.col("doc_id") % 50 + 1
+    s1 = F.col("doc_id") % 60 + 1
+    n2 = F.col("doc_id") % 30 + 1
+    zz1 = lambda c: F.lpad(F.hex(c * 2), 2, "0")  # noqa: E731  1-byte zigzag
+    avro_hex = F.concat(
+        F.lit(hdr.hex()),
+        zz1(n1), zz1(s1),
+        F.repeat(F.lit("7A"), s1.cast("int")),     # block 1: 'z' * s1
+        F.lit(sync.hex()),
+        zz1(n2), zz1(F.lit(40)),
+        F.lit("77" * 40),                          # block 2: 'w' * 40
+        F.lit(sync.hex()),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(avro_hex).alias("payload")
+    )
+    return archive.avro_block_manifest(media).select(
+        "media_id", "block_index", "n_records", "size", "byte_offset"
+    )

@@ -357,3 +357,143 @@ def tfrecord_manifest(
     return media.select("media_id", "payload").mapInPandas(
         _go, TFRECORD_SCHEMA
     )
+
+
+def _avro_varint(payload: bytes, i: int) -> tuple[int, int] | None:
+    """Avro zigzag-varint long at offset ``i`` → (value, next_offset).
+    None on truncation or overlong (>10 byte) encodings."""
+    shift = 0
+    acc = 0
+    n = len(payload)
+    for k in range(10):
+        if i + k >= n:
+            return None
+        b = payload[i + k]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (acc >> 1) ^ -(acc & 1), i + k + 1  # zigzag decode
+        shift += 7
+    return None
+
+
+AVRO_BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("block_index", T.IntegerType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+    ]
+)
+
+
+def avro_blocks(
+    payload: bytes | None, max_blocks: int = 256
+) -> dict | None:
+    """Walk an Avro Object Container File into its BLOCK manifest —
+    the split/plan unit Avro readers parallelize by — without the
+    reader library: ``{"codec": str, "blocks": [(index, n_records,
+    byte_size, data_offset), ...]}``.
+
+    Per the Avro spec: magic ``Obj\\x01``, a string→bytes metadata map
+    (map encoding: zigzag-varint entry count per map block — a
+    NEGATIVE count means |count| entries preceded by a byte-size long
+    — terminated by count 0), a 16-byte sync marker, then data blocks
+    of (record-count varint, byte-size varint, data, sync). Every
+    block's trailing sync is VERIFIED against the file's marker — a
+    mismatch (corruption / mis-sized block) truncates the manifest
+    rather than emitting wrong offsets. The codec is read from
+    ``avro.codec`` (absent = null). Non-Avro payloads return None."""
+    if payload is None or len(payload) < 20 or payload[:4] != b"Obj\x01":
+        return None
+    n = len(payload)
+    i = 4
+    codec = "null"
+    while True:  # metadata map blocks
+        got = _avro_varint(payload, i)
+        if got is None:
+            return None
+        count, i = got
+        if count == 0:
+            break
+        if count < 0:  # block-size form: |count| entries, size long first
+            count = -count
+            got = _avro_varint(payload, i)
+            if got is None:
+                return None
+            _, i = got
+        for _ in range(count):
+            got = _avro_varint(payload, i)
+            if got is None:
+                return None
+            klen, i = got
+            if klen < 0 or i + klen > n:
+                return None
+            key = payload[i : i + klen]
+            i += klen
+            got = _avro_varint(payload, i)
+            if got is None:
+                return None
+            vlen, i = got
+            if vlen < 0 or i + vlen > n:
+                return None
+            if key == b"avro.codec":
+                codec = payload[i : i + vlen].decode("ascii", "replace")
+            i += vlen
+    if i + 16 > n:
+        return None
+    sync = payload[i : i + 16]
+    i += 16
+    blocks: list[tuple[int, int, int, int]] = []
+    while i < n and len(blocks) < max_blocks:
+        got = _avro_varint(payload, i)
+        if got is None:
+            break
+        n_recs, j = got
+        got = _avro_varint(payload, j)
+        if got is None:
+            break
+        size, j = got
+        if n_recs < 0 or size < 0 or j + size + 16 > n:
+            break  # truncated block
+        if payload[j + size : j + size + 16] != sync:
+            break  # sync mismatch: corruption, never guess
+        blocks.append((len(blocks), n_recs, size, j))
+        i = j + size + 16
+    return {"codec": codec, "blocks": blocks} if blocks else None
+
+
+def avro_block_manifest(media: DataFrame, max_blocks: int = 256) -> DataFrame:
+    """(media_id, payload) → one row per Avro data block (record
+    count, byte size, absolute data offset) via Arrow ``mapInPandas``
+    — the split plan an Avro source builds before any record decode;
+    unparseable payloads emit no rows."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, recs, sizes, offs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                tab = avro_blocks(
+                    None if payload is None else bytes(payload), max_blocks
+                )
+                if tab is None:
+                    continue
+                for bi, nr, size, off in tab["blocks"]:
+                    ids.append(int(mid))
+                    idxs.append(bi)
+                    recs.append(nr)
+                    sizes.append(size)
+                    offs.append(off)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "block_index": idxs,
+                    "n_records": recs,
+                    "size": sizes,
+                    "byte_offset": offs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _go, AVRO_BLOCK_SCHEMA
+    )

@@ -216,3 +216,32 @@ def test_mp4_sample_table_matches_model(spc, deltas, timescale, data):
     tab = mp4_sample_table(mp4, max_samples=n_samples)
     assert tab["timescale"] == timescale
     assert tab["samples"] == expected
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    blocks=st.lists(
+        st.tuples(
+            st.integers(1, 1_000_000),  # record counts need multi-byte varints
+            st.binary(max_size=800),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    neg_map=st.booleans(),
+)
+def test_avro_block_walk_round_trips(blocks, neg_map):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_sources import _avro_file
+
+    from data_ingestion_py_spark.sources.archive import avro_blocks
+
+    f = _avro_file(blocks, neg_map=neg_map)
+    got = avro_blocks(f, max_blocks=64)
+    assert [(b[1], b[2]) for b in got["blocks"]] == [
+        (nr, len(d)) for nr, d in blocks
+    ]
+    for (_, nr, size, off), (_, d) in zip(got["blocks"], blocks):
+        assert f[off : off + size] == d

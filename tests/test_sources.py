@@ -1128,3 +1128,74 @@ def test_tfrecord_manifest_spark(spark):
         for r in archive.tfrecord_manifest(media).collect()
     )
     assert got == [(1, 0, 11, 12), (1, 1, 1, 39)]
+
+
+# ---------------------------------------------------------------- Avro
+
+
+def _avro_zz(v: int) -> bytes:
+    u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+    out = b""
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _avro_file(blocks, codec=b"null", sync=bytes(range(16)), neg_map=False):
+    entries = [(b"avro.schema", b'"bytes"'), (b"avro.codec", codec)]
+    if neg_map:
+        body = b"".join(
+            _avro_zz(len(k)) + k + _avro_zz(len(v)) + v for k, v in entries
+        )
+        meta = _avro_zz(-len(entries)) + _avro_zz(len(body)) + body
+    else:
+        meta = _avro_zz(len(entries)) + b"".join(
+            _avro_zz(len(k)) + k + _avro_zz(len(v)) + v for k, v in entries
+        )
+    out = b"Obj\x01" + meta + _avro_zz(0) + sync
+    for nr, data in blocks:
+        out += _avro_zz(nr) + _avro_zz(len(data)) + data + sync
+    return out
+
+
+def test_avro_blocks_hand_values_and_gates():
+    from data_ingestion_py_spark.sources.archive import avro_blocks
+
+    f = _avro_file([(3, b"A" * 10), (200, b"B" * 300)], codec=b"deflate")
+    got = avro_blocks(f)
+    assert got["codec"] == "deflate"
+    assert [(b[1], b[2]) for b in got["blocks"]] == [(3, 10), (200, 300)]
+    for _, nr, size, off in got["blocks"]:
+        assert len(f[off : off + size]) == size
+    # negative map-count form (spec's block-size variant)
+    got2 = avro_blocks(_avro_file([(1, b"xy")], neg_map=True))
+    assert got2["codec"] == "null" and got2["blocks"][0][1:3] == (1, 2)
+    # gates: magic, truncation, per-block sync verification
+    assert avro_blocks(b"not avro") is None
+    assert len(avro_blocks(f[:-5])["blocks"]) == 1
+    bad = bytearray(f)
+    bad[-3] ^= 1
+    assert len(avro_blocks(bytes(bad))["blocks"]) == 1
+    assert avro_blocks(None) is None
+    assert len(avro_blocks(f, max_blocks=1)["blocks"]) == 1
+
+
+def test_avro_block_manifest_spark(spark):
+    from data_ingestion_py_spark.sources import archive
+
+    f = _avro_file([(5, b"12345")])
+    media = spark.createDataFrame(
+        [(1, f), (2, b"junk" * 20), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = [
+        (r.media_id, r.block_index, r.n_records, r.size, r.byte_offset)
+        for r in archive.avro_block_manifest(media).collect()
+    ]
+    assert len(got) == 1
+    mid, bi, nr, size, off = got[0]
+    assert (mid, bi, nr, size) == (1, 0, 5, 5) and f[off : off + 5] == b"12345"
