@@ -245,3 +245,34 @@ def test_avro_block_walk_round_trips(blocks, neg_map):
     ]
     for (_, nr, size, off), (_, d) in zip(got["blocks"], blocks):
         assert f[off : off + size] == d
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    frames=st.lists(
+        st.lists(st.integers(0, 255), min_size=12, max_size=12),
+        min_size=1,
+        max_size=4,
+    ),
+    top_down=st.booleans(),
+    w=st.just(4),
+)
+def test_avi_frame_decode_round_trips(frames, top_down, w):
+    """Random 4×3 rasters through the AVI encoder/decoder pair: the
+    decoder must return every frame's pixels in top-down image order
+    regardless of the DIB's stored orientation."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_sources import _avi
+
+    from data_ingestion_py_spark.sources.multimodal import (
+        decode_avi_frames,
+        decode_pnm,
+    )
+
+    avi = _avi(frames, w=4, h=3, top_down=top_down)
+    got = decode_avi_frames(avi, max_frames=8)
+    assert len(got) == len(frames)
+    for frame_pgm, px in zip(got, frames):
+        assert decode_pnm(frame_pgm) == (4, 3, px)
