@@ -49,10 +49,13 @@ def warc_records(
     exactly ``Content-Length`` body bytes, then CRLFCRLF before the
     next record. The walk stops at the first truncated or malformed
     record (parsed prefix is still returned — a torn tail shard yields
-    its complete records, never garbage); payloads that don't start
-    with ``WARC/`` return None; a record with a missing or non-integer
-    Content-Length returns None (the framing is unrecoverable — every
-    later offset would be a guess)."""
+    its complete records, never garbage — the same truncate-don't-guess
+    contract as the tar/Avro walkers); payloads that don't start with
+    ``WARC/`` return None, and so does a FIRST record with a missing or
+    non-integer Content-Length (the only format-recognition signal a
+    magic-less framing offers); a later record with broken
+    Content-Length truncates there, since every offset past it would be
+    a guess."""
     if payload is None or not payload.startswith(b"WARC/"):
         return None
     out: list[tuple[str, str | None, int, bytes]] = []
@@ -72,9 +75,11 @@ def warc_records(
         try:
             clen = int(fields["content-length"])
         except (KeyError, ValueError):
-            return None  # framing unrecoverable
+            clen = -1
         if clen < 0:
-            return None
+            # first record: not recognizably WARC. Later record:
+            # truncate — offsets past a broken length are guesses.
+            return None if not out else out
         body_off = hdr_end + 4
         if body_off + clen > n:
             break  # truncated body: keep the parsed prefix

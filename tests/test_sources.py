@@ -1199,3 +1199,17 @@ def test_avro_block_manifest_spark(spark):
     assert len(got) == 1
     mid, bi, nr, size, off = got[0]
     assert (mid, bi, nr, size) == (1, 0, 5, 5) and f[off : off + 5] == b"12345"
+
+
+def test_warc_records_prefix_on_late_framing_break():
+    """A LATER record with broken Content-Length truncates the walk
+    (same contract as tar/Avro corruption) instead of discarding the
+    already-parsed records; only a broken FIRST record reads as
+    not-WARC."""
+    from data_ingestion_py_spark.sources.web import warc_records
+
+    good = _warc(({"WARC-Type": "response"}, b"keep me"))
+    broken = b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: nope\r\n\r\n"
+    got = warc_records(good + broken)
+    assert [r[3] for r in got] == [b"keep me"]
+    assert warc_records(broken) is None
