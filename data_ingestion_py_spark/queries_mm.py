@@ -1831,3 +1831,58 @@ def q_archive_avro_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return archive.avro_block_manifest(media).select(
         "media_id", "block_index", "n_records", "size", "byte_offset"
     )
+
+
+@register(
+    "parquet_footer_audit",
+    """
+SELECT 'customer' AS table_name, CAST(count(*) AS BIGINT) AS num_rows
+FROM customer
+UNION ALL
+SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+UNION ALL
+SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT) FROM orders
+""",
+    tags=("multimodal", "source", "dq"),
+)
+def q_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL parquet footer decode end-to-end, oracle-gated as a
+    metadata-vs-content audit: the fixture tables' parquet files are
+    read as OPAQUE BINARIES (binaryFile source — the engine never uses
+    its parquet reader here), the thrift-compact FileMetaData footer
+    is walked by the pure-byte kernel
+    (sources/archive.parquet_row_groups — the split plan every parquet
+    scan starts from), and each table's row count is reconstructed by
+    summing PER-ROW-GROUP num_rows from the manifest. The oracle
+    counts the actual rows through DuckDB's own parquet reader — two
+    completely independent implementations of the format must agree,
+    at every scale factor. A varint, field-id-delta, or
+    list-header bug in the thrift walk mis-sums immediately. The
+    footer walk reads ~KB per file regardless of data size — the
+    metadata-only audit shape that stays O(files) at 100 TB."""
+    from data_ingestion_py_spark.sources import archive
+
+    tables = ["customer", "events", "lineitem", "orders"]
+    media = None
+    for i, t in enumerate(tables):
+        part = (
+            spark.read.format("binaryFile")
+            .load(f"{sf_dir}/{t}.parquet")
+            .select(
+                F.lit(i).cast("long").alias("media_id"),
+                F.col("content").alias("payload"),
+            )
+        )
+        media = part if media is None else media.unionByName(part)
+    name = F.element_at(
+        F.array(*[F.lit(t) for t in tables]),
+        (F.col("media_id") + 1).cast("int"),
+    )
+    return (
+        archive.parquet_rg_manifest(media)
+        .groupBy("media_id")
+        .agg(F.sum("num_rows").alias("num_rows"))
+        .select(name.alias("table_name"), "num_rows")
+    )

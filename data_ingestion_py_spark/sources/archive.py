@@ -497,3 +497,279 @@ def avro_block_manifest(media: DataFrame, max_blocks: int = 256) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _go, AVRO_BLOCK_SCHEMA
     )
+
+
+def _tc_varint(payload: bytes, i: int) -> tuple[int, int] | None:
+    """Unsigned LEB128 varint (thrift compact) → (value, next)."""
+    acc = 0
+    shift = 0
+    n = len(payload)
+    for k in range(10):
+        if i + k >= n:
+            return None
+        b = payload[i + k]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc, i + k + 1
+        shift += 7
+    return None
+
+
+def _tc_zigzag(payload: bytes, i: int) -> tuple[int, int] | None:
+    got = _tc_varint(payload, i)
+    if got is None:
+        return None
+    u, i = got
+    return (u >> 1) ^ -(u & 1), i
+
+
+def _tc_skip(payload: bytes, i: int, ftype: int) -> int | None:
+    """Skip one thrift-compact value of wire type ``ftype``; returns
+    the offset past it, or None on truncation/unknown type. Knowing
+    how to SKIP every type is what makes the targeted parquet walk
+    forward-compatible: new footer fields pass through untouched."""
+    if ftype in (1, 2):  # BOOLEAN_TRUE / BOOLEAN_FALSE: value in type
+        return i
+    if ftype == 3:  # BYTE
+        return i + 1 if i + 1 <= len(payload) else None
+    if ftype in (4, 5, 6):  # I16 / I32 / I64: zigzag varint
+        got = _tc_zigzag(payload, i)
+        return None if got is None else got[1]
+    if ftype == 7:  # DOUBLE: fixed 8 bytes
+        return i + 8 if i + 8 <= len(payload) else None
+    if ftype == 8:  # BINARY: varint length + bytes
+        got = _tc_varint(payload, i)
+        if got is None:
+            return None
+        ln, i = got
+        return i + ln if ln >= 0 and i + ln <= len(payload) else None
+    if ftype in (9, 10):  # LIST / SET
+        if i >= len(payload):
+            return None
+        hdr = payload[i]
+        i += 1
+        size = hdr >> 4
+        etype = hdr & 0x0F
+        if size == 15:
+            got = _tc_varint(payload, i)
+            if got is None:
+                return None
+            size, i = got
+        for _ in range(size):
+            i = _tc_skip(payload, i, etype)
+            if i is None:
+                return None
+        return i
+    if ftype == 11:  # MAP: varint size, then key/val type byte + pairs
+        got = _tc_varint(payload, i)
+        if got is None:
+            return None
+        size, i = got
+        if size == 0:
+            return i
+        if i >= len(payload):
+            return None
+        kv = payload[i]
+        i += 1
+        for _ in range(size):
+            i = _tc_skip(payload, i, kv >> 4)
+            if i is None:
+                return None
+            i = _tc_skip(payload, i, kv & 0x0F)
+            if i is None:
+                return None
+        return i
+    if ftype == 12:  # STRUCT: fields until STOP
+        return _tc_skip_struct(payload, i)
+    return None
+
+
+def _tc_fields(payload: bytes, i: int):
+    """Iterate a thrift-compact struct's fields: yields (field_id,
+    wire_type, value_offset) and finally ("stop", end_offset). The
+    caller either consumes the value (and reports where it ended via
+    send()) — or the generator skips it."""
+    fid = 0
+    n = len(payload)
+    while i < n:
+        hdr = payload[i]
+        i += 1
+        if hdr == 0:
+            yield None, 0, i  # STOP
+            return
+        ftype = hdr & 0x0F
+        delta = hdr >> 4
+        if delta == 0:
+            got = _tc_zigzag(payload, i)
+            if got is None:
+                return
+            fid, i = got
+        else:
+            fid += delta
+        consumed = yield fid, ftype, i
+        if consumed is not None:
+            i = consumed
+            yield None  # resume the send()
+        else:
+            i = _tc_skip(payload, i, ftype)
+            if i is None:
+                return
+    return
+
+
+def _tc_skip_struct(payload: bytes, i: int) -> int | None:
+    for fid, ftype, off in _tc_fields(payload, i):
+        if fid is None:
+            return off
+    return None
+
+
+def parquet_row_groups(payload: bytes | None) -> dict | None:
+    """REAL parquet footer walk — the row-group manifest WITHOUT the
+    parquet reader: parse the thrift-compact FileMetaData from the
+    footer (``...metadata | u32-LE length | "PAR1"``) and return
+    ``{"num_rows": total, "row_groups": [(index, num_rows,
+    total_byte_size, n_columns), ...]}`` — the split plan every
+    parquet scan starts from, here from nothing but bytes.
+
+    Targeted extraction (FileMetaData field 3 num_rows, field 4
+    row_groups; RowGroup fields 1 columns / 2 total_byte_size /
+    3 num_rows) over a GENERIC thrift-compact skipper, so unknown or
+    future footer fields (statistics, encryption, bloom offsets…) pass
+    through untouched. Truncated or non-parquet payloads return None —
+    never guessed geometry."""
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"PAR1"
+        or payload[-4:] != b"PAR1"
+    ):
+        return None
+    mlen = int.from_bytes(payload[-8:-4], "little")
+    start = len(payload) - 8 - mlen
+    if start < 4:
+        return None
+
+    num_rows = None
+    row_groups: list[tuple[int, int, int, int]] = []
+
+    def _parse_row_group(i: int) -> int | None:
+        n_cols = 0
+        rg_bytes = None
+        rg_rows = None
+        gen = _tc_fields(payload, i)
+        for fid, ftype, off in gen:
+            if fid is None:
+                if rg_bytes is None or rg_rows is None:
+                    return None
+                row_groups.append(
+                    (len(row_groups), rg_rows, rg_bytes, n_cols)
+                )
+                return off
+            if fid == 1 and ftype == 9:  # columns list<ColumnChunk>
+                hdr = payload[off]
+                j = off + 1
+                size = hdr >> 4
+                etype = hdr & 0x0F
+                if size == 15:
+                    got = _tc_varint(payload, j)
+                    if got is None:
+                        return None
+                    size, j = got
+                n_cols = size
+                for _ in range(size):
+                    j = _tc_skip(payload, j, etype)
+                    if j is None:
+                        return None
+                gen.send(j)
+            elif fid == 2 and ftype == 6:
+                got = _tc_zigzag(payload, off)
+                if got is None:
+                    return None
+                rg_bytes, j = got
+                gen.send(j)
+            elif fid == 3 and ftype == 6:
+                got = _tc_zigzag(payload, off)
+                if got is None:
+                    return None
+                rg_rows, j = got
+                gen.send(j)
+        return None
+
+    gen = _tc_fields(payload, start)
+    for fid, ftype, off in gen:
+        if fid is None:
+            break
+        if fid == 3 and ftype == 6:  # FileMetaData.num_rows
+            got = _tc_zigzag(payload, off)
+            if got is None:
+                return None
+            num_rows, j = got
+            gen.send(j)
+        elif fid == 4 and ftype == 9:  # row_groups list<RowGroup>
+            hdr = payload[off]
+            j = off + 1
+            size = hdr >> 4
+            etype = hdr & 0x0F
+            if size == 15:
+                got = _tc_varint(payload, j)
+                if got is None:
+                    return None
+                size, j = got
+            if etype != 12:
+                return None
+            for _ in range(size):
+                j = _parse_row_group(j)
+                if j is None:
+                    return None
+            gen.send(j)
+    if num_rows is None or not row_groups:
+        return None
+    return {"num_rows": num_rows, "row_groups": row_groups}
+
+
+PARQUET_RG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("row_group_id", T.IntegerType(), False),
+        T.StructField("num_rows", T.LongType(), False),
+        T.StructField("total_byte_size", T.LongType(), False),
+        T.StructField("n_columns", T.IntegerType(), False),
+    ]
+)
+
+
+def parquet_rg_manifest(media: DataFrame) -> DataFrame:
+    """(media_id, payload) → one row per parquet row group via Arrow
+    ``mapInPandas`` — the split plan for a directory of parquet files
+    read as opaque binaries (federation / audit / foreign-layout
+    scenarios); unparseable payloads emit no rows."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rgs, rows, sizes, cols = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                tab = parquet_row_groups(
+                    None if payload is None else bytes(payload)
+                )
+                if tab is None:
+                    continue
+                for gi, nr, bs, nc in tab["row_groups"]:
+                    ids.append(int(mid))
+                    rgs.append(gi)
+                    rows.append(nr)
+                    sizes.append(bs)
+                    cols.append(nc)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "row_group_id": rgs,
+                    "num_rows": rows,
+                    "total_byte_size": sizes,
+                    "n_columns": cols,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _go, PARQUET_RG_SCHEMA
+    )

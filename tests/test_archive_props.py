@@ -276,3 +276,36 @@ def test_avi_frame_decode_round_trips(frames, top_down, w):
     assert len(got) == len(frames)
     for frame_pgm, px in zip(got, frames):
         assert decode_pnm(frame_pgm) == (4, 3, px)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_rows=st.integers(1, 2000),
+    rg_size=st.integers(1, 700),
+    n_cols=st.integers(1, 5),
+    codec=st.sampled_from(["snappy", "zstd", "none"]),
+)
+def test_parquet_footer_walk_matches_pyarrow(n_rows, rg_size, n_cols, codec):
+    """Random tables × row-group sizes × codecs through pyarrow's
+    writer: the pure-byte thrift-compact footer walk must reproduce
+    pyarrow's own metadata report exactly."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_ingestion_py_spark.sources.archive import parquet_row_groups
+
+    t = pa.table(
+        {f"c{k}": [i * (k + 1) for i in range(n_rows)] for k in range(n_cols)}
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf, row_group_size=rg_size, compression=codec)
+    payload = buf.getvalue()
+    got = parquet_row_groups(payload)
+    md = pq.ParquetFile(io.BytesIO(payload)).metadata
+    assert got["num_rows"] == n_rows
+    assert len(got["row_groups"]) == md.num_row_groups
+    for gi, nr, bs, nc in got["row_groups"]:
+        rg = md.row_group(gi)
+        assert (nr, bs, nc) == (rg.num_rows, rg.total_byte_size, rg.num_columns)

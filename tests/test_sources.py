@@ -1213,3 +1213,83 @@ def test_warc_records_prefix_on_late_framing_break():
     got = warc_records(good + broken)
     assert [r[3] for r in got] == [b"keep me"]
     assert warc_records(broken) is None
+
+
+# ---------------------------------------------------------- parquet footer
+
+
+def test_parquet_row_groups_vs_pyarrow_and_duckdb():
+    """The thrift-compact footer walk against TWO independent writers'
+    own metadata reports: pyarrow (multiple row groups, zstd) and
+    DuckDB's COPY (its own parquet writer + parquet_metadata)."""
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_ingestion_py_spark.sources.archive import parquet_row_groups
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table(
+            {"a": list(range(1000)), "b": [f"s{i}" for i in range(1000)]}
+        )
+        p1 = f"{d}/pa.parquet"
+        pq.write_table(t, p1, row_group_size=128, compression="zstd")
+        got = parquet_row_groups(open(p1, "rb").read())
+        md = pq.ParquetFile(p1).metadata
+        assert got["num_rows"] == 1000 and len(got["row_groups"]) == 8
+        for gi, nr, bs, nc in got["row_groups"]:
+            rg = md.row_group(gi)
+            assert (nr, bs, nc) == (
+                rg.num_rows, rg.total_byte_size, rg.num_columns
+            )
+
+        p2 = f"{d}/duck.parquet"
+        con = duckdb.connect()
+        con.execute(
+            "COPY (SELECT range AS a, 'x' || range AS b FROM range(500)) "
+            f"TO '{p2}' (FORMAT parquet, ROW_GROUP_SIZE 200)"
+        )
+        got2 = parquet_row_groups(open(p2, "rb").read())
+        meta = con.execute(
+            "SELECT DISTINCT row_group_id, row_group_num_rows, "
+            "row_group_num_columns, row_group_bytes "
+            f"FROM parquet_metadata('{p2}') ORDER BY row_group_id"
+        ).fetchall()
+        assert [(g, r, c, b) for g, r, b, c in got2["row_groups"]] == [
+            (g, r, c, b) for g, r, c, b in meta
+        ]
+        assert got2["num_rows"] == 500
+
+
+def test_parquet_row_groups_gates():
+    from data_ingestion_py_spark.sources.archive import parquet_row_groups
+
+    path = "/root/testdata/sf0.001/nation.parquet"
+    payload = open(path, "rb").read()
+    assert parquet_row_groups(payload) is not None
+    assert parquet_row_groups(payload[:-4]) is None   # magic gone
+    assert parquet_row_groups(payload[10:]) is None   # leading magic gone
+    assert parquet_row_groups(b"PAR1" + b"\0" * 3 + b"PAR1") is None
+    assert parquet_row_groups(b"junk") is None
+    assert parquet_row_groups(None) is None
+
+
+def test_parquet_rg_manifest_spark(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_ingestion_py_spark.sources import archive
+
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({"x": list(range(300))}), p, row_group_size=100)
+    media = spark.createDataFrame(
+        [(1, open(p, "rb").read()), (2, b"junk"), (3, None)],
+        "media_id long, payload binary",
+    )
+    got = sorted(
+        (r.media_id, r.row_group_id, r.num_rows, r.n_columns)
+        for r in archive.parquet_rg_manifest(media).collect()
+    )
+    assert got == [(1, 0, 100, 1), (1, 1, 100, 1), (1, 2, 100, 1)]
