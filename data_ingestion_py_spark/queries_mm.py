@@ -1886,3 +1886,81 @@ def q_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("num_rows").alias("num_rows"))
         .select(name.alias("table_name"), "num_rows")
     )
+
+
+@register(
+    "tensors_safetensors_index",
+    """
+WITH t AS (
+    SELECT doc_id, doc_id % 20 + 1 AS n1 FROM documents
+), h AS (
+    SELECT doc_id, n1,
+           8 + length(
+               '{"doc_' || doc_id || '.bias":{"dtype":"F32","shape":[8],'
+               || '"data_offsets":[' || n1 * 32 || ',' || n1 * 32 + 32
+               || ']},"doc_' || doc_id || '.emb":{"dtype":"F32","shape":['
+               || n1 || ',8],"data_offsets":[0,' || n1 * 32 || ']}}'
+           ) AS base
+    FROM t
+)
+SELECT doc_id AS media_id,
+       'doc_' || doc_id || '.bias' AS tensor_name,
+       'F32' AS dtype,
+       '8' AS shape,
+       CAST(base + n1 * 32 AS BIGINT) AS begin,
+       CAST(base + n1 * 32 + 32 AS BIGINT) AS "end"
+FROM h
+UNION ALL
+SELECT doc_id,
+       'doc_' || doc_id || '.emb',
+       'F32',
+       n1 || 'x8',
+       CAST(base AS BIGINT),
+       CAST(base + n1 * 32 AS BIGINT)
+FROM h
+""",
+    tags=("multimodal", "source", "tensors"),
+)
+def q_tensors_safetensors_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL safetensors parse end-to-end — the format model weights
+    and embedding shards actually ship in: complete valid safetensors
+    payloads are built in column algebra (a JSON header naming a
+    bias + an embedding tensor with doc_id-derived shapes and
+    data_offsets, the 8-byte little-endian header length taken from
+    the CONSTRUCTED string's length, then the declared tensor bytes),
+    pushed through the Arrow mapInPandas stage, and indexed back by
+    the kernel (sources/archive.safetensors_index) into absolute
+    byte ranges — what lets a 100 TB embedding store fetch exactly one
+    tensor out of a multi-GB shard. The oracle constructs the SAME
+    header string and derives every offset from its length
+    arithmetically — it never parses bytes — so length-prefix, JSON,
+    or offset-rebasing bugs mismatch immediately."""
+    from data_ingestion_py_spark.sources import archive
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n1 = F.col("doc_id") % 20 + 1
+    hdr = F.concat(
+        F.lit('{"doc_'), F.col("doc_id"),
+        F.lit('.bias":{"dtype":"F32","shape":[8],"data_offsets":['),
+        n1 * 32, F.lit(","), n1 * 32 + 32,
+        F.lit(']},"doc_'), F.col("doc_id"),
+        F.lit('.emb":{"dtype":"F32","shape":['), n1,
+        F.lit(',8],"data_offsets":[0,'), n1 * 32, F.lit("]}}"),
+    )
+    payload_hex = F.concat(
+        _le_hex(F.length(hdr).cast("long"), 8),
+        F.hex(F.encode(hdr, "UTF-8")),
+        F.repeat(F.lit("00"), (n1 * 32 + 32).cast("int")),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+    return archive.safetensors_manifest(media).select(
+        "media_id",
+        "tensor_name",
+        "dtype",
+        F.array_join("shape", "x").alias("shape"),
+        "begin",
+        "end",
+    )

@@ -773,3 +773,138 @@ def parquet_rg_manifest(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _go, PARQUET_RG_SCHEMA
     )
+
+
+SAFETENSORS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("tensor_name", T.StringType(), False),
+        T.StructField("dtype", T.StringType(), False),
+        T.StructField("shape", T.ArrayType(T.LongType()), False),
+        T.StructField("begin", T.LongType(), False),
+        T.StructField("end", T.LongType(), False),
+    ]
+)
+
+
+def safetensors_index(payload: bytes | None) -> list[tuple] | None:
+    """Parse a safetensors payload's header — the format model weights
+    and embedding shards ship in: a little-endian uint64 header
+    length, then a JSON object mapping tensor name → {dtype, shape,
+    data_offsets:[begin, end]} (offsets relative to the byte after the
+    header). Returns ``[(name, dtype, shape, abs_begin, abs_end), ...]``
+    sorted by name — absolute offsets, so a reader byte-range-fetches
+    exactly the tensors it wants out of a multi-GB shard. The optional
+    ``__metadata__`` entry is skipped. Truncated headers, non-JSON,
+    malformed entries, or offsets past the payload return None."""
+    if payload is None or len(payload) < 9:
+        return None
+    hlen = int.from_bytes(payload[:8], "little")
+    if hlen <= 0 or 8 + hlen > len(payload):
+        return None
+    import json
+
+    try:
+        header = json.loads(payload[8 : 8 + hlen].decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError):
+        return None
+    if not isinstance(header, dict):
+        return None
+    base = 8 + hlen
+    out = []
+    for name, spec in header.items():
+        if name == "__metadata__":
+            continue
+        try:
+            dtype = spec["dtype"]
+            shape = [int(x) for x in spec["shape"]]
+            begin, end = (int(x) for x in spec["data_offsets"])
+        except (TypeError, KeyError, ValueError):
+            return None
+        if not (
+            isinstance(dtype, str)
+            and 0 <= begin <= end
+            and base + end <= len(payload)
+        ):
+            return None
+        out.append((name, dtype, shape, base + begin, base + end))
+    return sorted(out) or None
+
+
+def safetensors_manifest(media: DataFrame) -> DataFrame:
+    """(media_id, payload) → one row per tensor (name, dtype, shape,
+    absolute byte range) via Arrow ``mapInPandas``; unparseable
+    payloads emit no rows."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, dts, shapes, begins, ends = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                idx = safetensors_index(
+                    None if payload is None else bytes(payload)
+                )
+                if idx is None:
+                    continue
+                for name, dtype, shape, b, e in idx:
+                    ids.append(int(mid))
+                    names.append(name)
+                    dts.append(dtype)
+                    shapes.append(shape)
+                    begins.append(b)
+                    ends.append(e)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "tensor_name": names,
+                    "dtype": dts,
+                    "shape": shapes,
+                    "begin": begins,
+                    "end": ends,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _go, SAFETENSORS_SCHEMA
+    )
+
+
+def npy_header(payload: bytes | None) -> dict | None:
+    """Parse a NumPy ``.npy`` header — magic ``\\x93NUMPY``, version,
+    little-endian header length (u16 for v1, u32 for v2+), then the
+    dict literal ``{'descr': ..., 'fortran_order': ..., 'shape':
+    (...)}``. Returns ``{"descr", "fortran_order", "shape",
+    "data_offset"}`` — enough to byte-range-read any slice of an
+    embedding matrix shipped as .npy. Parsed with ast.literal_eval
+    (the header is a Python literal by spec, never eval'd as code).
+    Malformed or truncated payloads return None."""
+    if payload is None or len(payload) < 10 or payload[:6] != b"\x93NUMPY":
+        return None
+    major = payload[6]
+    if major >= 2:
+        if len(payload) < 12:
+            return None
+        hlen = int.from_bytes(payload[8:12], "little")
+        start = 12
+    else:
+        hlen = int.from_bytes(payload[8:10], "little")
+        start = 10
+    if start + hlen > len(payload):
+        return None
+    import ast
+
+    try:
+        d = ast.literal_eval(payload[start : start + hlen].decode("latin-1"))
+    except (ValueError, SyntaxError, UnicodeDecodeError):
+        return None
+    if not isinstance(d, dict) or not {
+        "descr", "fortran_order", "shape"
+    } <= set(d):
+        return None
+    if not isinstance(d["shape"], tuple):
+        return None
+    return {
+        "descr": d["descr"] if isinstance(d["descr"], str) else None,
+        "fortran_order": bool(d["fortran_order"]),
+        "shape": [int(x) for x in d["shape"]],
+        "data_offset": start + hlen,
+    }

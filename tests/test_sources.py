@@ -1293,3 +1293,62 @@ def test_parquet_rg_manifest_spark(spark, tmp_path):
         for r in archive.parquet_rg_manifest(media).collect()
     )
     assert got == [(1, 0, 100, 1), (1, 1, 100, 1), (1, 2, 100, 1)]
+
+
+# ------------------------------------------------- safetensors / npy
+
+
+def test_safetensors_index_hand_values_and_gates():
+    import json
+
+    from data_ingestion_py_spark.sources.archive import safetensors_index
+
+    hdr = {
+        "__metadata__": {"format": "pt"},
+        "emb.weight": {"dtype": "F32", "shape": [10, 4],
+                       "data_offsets": [0, 160]},
+        "bias": {"dtype": "F16", "shape": [4], "data_offsets": [160, 168]},
+    }
+    hj = json.dumps(hdr).encode()
+    payload = len(hj).to_bytes(8, "little") + hj + b"\x01" * 168
+    got = safetensors_index(payload)
+    base = 8 + len(hj)
+    assert got == [
+        ("bias", "F16", [4], base + 160, base + 168),
+        ("emb.weight", "F32", [10, 4], base + 0, base + 160),
+    ]
+    # the byte range addresses real tensor bytes
+    assert payload[got[0][3] : got[0][4]] == b"\x01" * 8
+    assert safetensors_index(payload[:-5]) is None  # truncated data
+    assert safetensors_index(b"\xff" * 20) is None  # absurd header len
+    assert safetensors_index(
+        (5).to_bytes(8, "little") + b"notjs" + b"\0" * 5
+    ) is None
+    assert safetensors_index(None) is None
+
+
+def test_npy_header_matches_numpy_writer():
+    import io
+
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.archive import npy_header
+
+    for arr in (
+        np.arange(12, dtype="<f4").reshape(3, 4),
+        np.zeros((5,), dtype="<i8"),
+        np.asfortranarray(np.ones((2, 3), dtype="<f8")),
+        np.array(7, dtype="<i4"),  # 0-d
+    ):
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        raw = buf.getvalue()
+        h = npy_header(raw)
+        assert h["shape"] == list(arr.shape)
+        assert h["descr"] == arr.dtype.str
+        got = np.frombuffer(raw[h["data_offset"] :], dtype=h["descr"])
+        want = arr.T.flatten() if h["fortran_order"] else arr.flatten()
+        assert got.tolist() == want.tolist()
+    assert npy_header(b"not npy") is None
+    assert npy_header(b"\x93NUMPY\x01\x00\xff\xff") is None  # truncated
+    assert npy_header(None) is None
