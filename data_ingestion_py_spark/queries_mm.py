@@ -1964,3 +1964,49 @@ def q_tensors_safetensors_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "begin",
         "end",
     )
+
+
+@register(
+    "multimodal_flac_duration",
+    """
+SELECT doc_id AS media_id,
+       'audio' AS kind,
+       CAST(((doc_id * 11) % 500000 + 1000) * 1000
+            // ((doc_id % 5) * 8000 + 8000) AS BIGINT) AS duration_ms
+FROM documents
+""",
+    tags=("multimodal", "decode", "audio"),
+)
+def q_multimodal_flac_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC header decode end-to-end (the third audio container
+    after WAV and MP4): valid fLaC STREAMINFO blocks are built in
+    column algebra — the spec's bit-packed sample_rate(20 bits) /
+    channels(3) / bits-per-sample(5) / total_samples(36) group planted
+    as ONE 64-bit integer (rate·2⁴⁴ | 1·2⁴¹ | 15·2³⁶ | total, hex'd to
+    16 digits) with doc_id-derived rate and sample count — pushed
+    through the Arrow mapInPandas probe and parsed back by the
+    pure-byte kernel (media_duration_ms). The oracle recomputes
+    total_samples·1000 div sample_rate arithmetically, so a bit-shift,
+    block-walk, or 36-bit-mask bug hash-mismatches immediately."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    rate = ((F.col("doc_id") % 5) * 8000 + 8000).cast("long")
+    total = ((F.col("doc_id") * 11) % 500000 + 1000).cast("long")
+    packed = (
+        rate * F.lit(1 << 44).cast("long")
+        + F.lit((1 << 41) + (15 << 36)).cast("long")
+        + total
+    )
+    flac_hex = F.concat(
+        F.lit("664C6143"),            # 'fLaC'
+        F.lit("80000022"),            # last-block | STREAMINFO, len 34
+        F.lit("1000" * 2),            # min/max blocksize 4096
+        F.lit("000000" * 2),          # min/max framesize
+        F.lpad(F.hex(packed), 16, "0"),
+        F.lit("00" * 16),             # md5 placeholder
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.unhex(flac_hex).alias("payload"),
+    )
+    return mm.probe_metadata(media).select("media_id", "kind", "duration_ms")

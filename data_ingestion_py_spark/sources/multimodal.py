@@ -419,6 +419,25 @@ def media_duration_ms(payload: bytes | None) -> int | None:
         if not hdr or hdr["usec_per_frame"] is None or not hdr["total_frames"]:
             return None
         return hdr["usec_per_frame"] * hdr["total_frames"] // 1000
+    if n >= 8 and payload[:4] == b"fLaC":
+        # metadata block walk: 1-byte (last<<7 | type) + 24-bit length;
+        # STREAMINFO (type 0) packs sample_rate(20) channels-1(3)
+        # bits-1(5) total_samples(36) into bytes 10..18 (FLAC spec §9.1)
+        i = 4
+        while i + 4 <= n:
+            hdr = payload[i]
+            blen = int.from_bytes(payload[i + 1 : i + 4], "big")
+            if hdr & 0x7F == 0:
+                if blen < 18 or i + 4 + 18 > n:
+                    return None
+                packed = int.from_bytes(payload[i + 14 : i + 22], "big")
+                rate = packed >> 44
+                total = packed & ((1 << 36) - 1)
+                return total * 1000 // rate if rate else None
+            if hdr & 0x80:  # last block, no STREAMINFO found
+                return None
+            i += 4 + blen
+        return None
     if n >= 12 and payload[4:8] == b"ftyp":
         i = 0
         while i + 8 <= n:

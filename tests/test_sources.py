@@ -1352,3 +1352,32 @@ def test_npy_header_matches_numpy_writer():
     assert npy_header(b"not npy") is None
     assert npy_header(b"\x93NUMPY\x01\x00\xff\xff") is None  # truncated
     assert npy_header(None) is None
+
+
+def test_flac_duration_streaminfo():
+    """FLAC STREAMINFO: the bit-packed sample_rate(20)/total_samples(36)
+    group, behind an optional leading non-STREAMINFO block."""
+
+    def flac(rate, total, lead_padding=False):
+        packed = (rate << 44) | (1 << 41) | (15 << 36) | total
+        si_hdr = bytes([0x80, 0, 0, 34])
+        si = (
+            (4096).to_bytes(2, "big") * 2
+            + (0).to_bytes(3, "big") * 2
+            + packed.to_bytes(8, "big")
+            + bytes(16)
+        )
+        body = si_hdr + si
+        if lead_padding:
+            body = bytes([0x01, 0, 0, 4]) + b"padd" + body
+        return b"fLaC" + body
+
+    assert multimodal.media_duration_ms(flac(44100, 44100 * 5)) == 5000
+    assert multimodal.media_duration_ms(flac(8000, 4000, True)) == 500
+    # 36-bit total_samples: a >4G sample count survives the unpack
+    assert multimodal.media_duration_ms(flac(1000, 1 << 35)) == (
+        (1 << 35) * 1000 // 1000
+    )
+    assert multimodal.media_duration_ms(flac(0, 100)) is None
+    assert multimodal.media_duration_ms(b"fLaC") is None
+    assert multimodal.media_duration_ms(flac(44100, 100)[:20]) is None
