@@ -776,8 +776,8 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cks = mm.pixel_checksums(packed)
     return cks.select(
-        (F.col("media_id") / 4).cast("long").alias("media_id"),
-        (F.col("media_id") % 4).cast("int").alias("frame_index"),
+        F.expr("media_id div 4").alias("media_id"),
+        F.pmod("media_id", F.lit(4)).cast("int").alias("frame_index"),
         "width", "height", "px_sum", "px_wsum",
     )
 
@@ -1010,8 +1010,8 @@ def q_multimodal_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_payload").alias("payload"),
     )
     hashes = mm.perceptual_hashes(packed, grid=4).select(
-        (F.col("media_id") / 4).cast("long").alias("vid"),
-        (F.col("media_id") % 4).cast("int").alias("f"),
+        F.expr("media_id div 4").alias("vid"),
+        F.pmod("media_id", F.lit(4)).cast("int").alias("f"),
         "phash",
     )
     sig = hashes.groupBy("vid").agg(

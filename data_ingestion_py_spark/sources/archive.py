@@ -555,6 +555,15 @@ def _tc_skip(payload: bytes, i: int, ftype: int) -> int | None:
             if got is None:
                 return None
             size, i = got
+        if etype in (1, 2):
+            # Boolean elements carry no payload bytes: the loop below
+            # would consume nothing per element, so a corrupt footer
+            # declaring a huge bool list spins forever. Skip it whole.
+            return i
+        if size > len(payload) - i:
+            # Every non-bool element consumes >= 1 byte, so a declared
+            # size beyond the remaining bytes is corruption, not data.
+            return None
         for _ in range(size):
             i = _tc_skip(payload, i, etype)
             if i is None:
@@ -571,6 +580,11 @@ def _tc_skip(payload: bytes, i: int, ftype: int) -> int | None:
             return None
         kv = payload[i]
         i += 1
+        if (kv >> 4) in (1, 2) and (kv & 0x0F) in (1, 2):
+            # bool->bool map: zero bytes per pair (see LIST guard).
+            return i
+        if size > len(payload) - i:
+            return None
         for _ in range(size):
             i = _tc_skip(payload, i, kv >> 4)
             if i is None:
@@ -667,6 +681,8 @@ def parquet_row_groups(payload: bytes | None) -> dict | None:
                 )
                 return off
             if fid == 1 and ftype == 9:  # columns list<ColumnChunk>
+                if off >= len(payload):
+                    return None
                 hdr = payload[off]
                 j = off + 1
                 size = hdr >> 4
@@ -676,6 +692,12 @@ def parquet_row_groups(payload: bytes | None) -> dict | None:
                     if got is None:
                         return None
                     size, j = got
+                if etype != 12 or size > len(payload) - j:
+                    # ColumnChunk elements are structs (>= 1 byte each);
+                    # anything else — including a declared size beyond
+                    # the remaining bytes, which would also overflow the
+                    # int32 n_columns column — is corruption.
+                    return None
                 n_cols = size
                 for _ in range(size):
                     j = _tc_skip(payload, j, etype)
@@ -707,6 +729,8 @@ def parquet_row_groups(payload: bytes | None) -> dict | None:
             num_rows, j = got
             gen.send(j)
         elif fid == 4 and ftype == 9:  # row_groups list<RowGroup>
+            if off >= len(payload):
+                return None
             hdr = payload[off]
             j = off + 1
             size = hdr >> 4
@@ -716,7 +740,7 @@ def parquet_row_groups(payload: bytes | None) -> dict | None:
                 if got is None:
                     return None
                 size, j = got
-            if etype != 12:
+            if etype != 12 or size > len(payload) - j:
                 return None
             for _ in range(size):
                 j = _parse_row_group(j)

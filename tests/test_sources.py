@@ -1276,6 +1276,64 @@ def test_parquet_row_groups_gates():
     assert parquet_row_groups(None) is None
 
 
+def _tc_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _wrap_footer(meta: bytes) -> bytes:
+    return b"PAR1" + meta + len(meta).to_bytes(4, "little") + b"PAR1"
+
+
+def test_parquet_row_groups_corrupt_footer_no_hang():
+    """A crafted footer declaring a huge boolean-element list must
+    return None (or skip it) in bounded time — bool elements consume
+    zero bytes, so an unguarded size loop would spin forever."""
+    import signal
+
+    from data_ingestion_py_spark.sources.archive import parquet_row_groups
+
+    def _bounded(payload):
+        def _alarm(signum, frame):  # pragma: no cover - only on hang
+            raise TimeoutError("parquet footer walk hung")
+
+        old = signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(10)
+        try:
+            return parquet_row_groups(payload)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    huge = _tc_uvarint(10**18)
+    # field 1 (delta 1), wire type 9 = list; list hdr 0xF1 = size-follows,
+    # element type 1 (BOOLEAN_TRUE); then a 10^18 element count.
+    assert _bounded(_wrap_footer(b"\x19\xf1" + huge + b"\x00")) is None
+    # same via a LIST whose declared non-bool size exceeds the payload
+    assert _bounded(_wrap_footer(b"\x19\xf3" + huge + b"\x00")) is None
+    # bool->bool MAP with a huge pair count (zero bytes per pair)
+    assert (
+        _bounded(_wrap_footer(b"\x1b" + huge + b"\x11" + b"\x00")) is None
+    )
+    # row_groups list (field 4) declaring more structs than bytes remain
+    assert _bounded(_wrap_footer(b"\x49\xfc" + huge + b"\x00")) is None
+    # RowGroup.columns list with a huge size: must reject, not accept a
+    # >int32 n_cols (Arrow IntegerType would raise later otherwise)
+    rg = b"\x19\xfc" + huge  # field 1 list<struct>, absurd size
+    meta = b"\x49\x1c" + rg + b"\x00" + b"\x00"  # one RowGroup, then STOPs
+    assert _bounded(_wrap_footer(meta)) is None
+    # valid footers still parse after the guards
+    path = "/root/testdata/sf0.001/nation.parquet"
+    assert _bounded(open(path, "rb").read()) is not None
+
+
 def test_parquet_rg_manifest_spark(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
