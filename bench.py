@@ -101,6 +101,7 @@ def main() -> None:
         ("streaming_drain", _streaming_drain_bench),
         ("manifest_slope", _manifest_slope_bench),
         ("ivf_index_probe", _ivf_index_probe_bench),
+        ("phash_kernel", _phash_kernel_bench),
     ):
         try:
             probes[key] = fn(spark, sf_dir)
@@ -109,9 +110,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # ORDER MATTERS: the driver keeps the last 2000 chars of stdout.
-    # Everything auxiliary (probes, spreads, errors) goes FIRST; the
-    # headline per-query medians + total go LAST so they always land
-    # inside the recorded tail.
+    # Line 1 carries EVERYTHING (probes with spreads, query spreads,
+    # errors) for the builder's committed record; the FINAL line is a
+    # compact summary — headline medians + total + one median scalar
+    # per probe — sized to fit entirely inside the 2000-char tail, so
+    # the driver artifact parses and carries both the headline numbers
+    # AND the probe evidence (round-10's tail evicted every probe).
     result = {
         "metric": "headline_queries_total_sec",
         "unit": "sec",
@@ -124,7 +128,112 @@ def main() -> None:
     result["queries"] = timings
     result["value"] = total
     print(json.dumps(result))
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "unit": "sec",
+        "probe_medians": _probe_medians(probes),
+    }
+    if errors:
+        compact["errors"] = {k: v[:80] for k, v in errors.items()}
+    compact["sf"] = sf
+    compact["queries"] = timings
+    compact["value"] = total
+    # Hard size guard: the driver tail is 2000 chars; shed the
+    # least-load-bearing probe medians first if a noisy run fattens
+    # the floats. Queries + total are never shed.
+    med = compact["probe_medians"]
+    for victim in list(med)[::-1]:
+        if len(json.dumps(compact)) <= 1900:
+            break
+        del med[victim]
+    print(json.dumps(compact))
     spark.stop()
+
+
+# One headline scalar (or few) per probe for the compact driver line,
+# ordered most-load-bearing FIRST (the size guard sheds from the end).
+_PROBE_HEADLINE_KEYS = {
+    "dedup_slope": ("slope",),
+    "iter_slope": ("pagerank_slope", "components_slope", "rank_slope"),
+    "manifest_slope": ("slope_med", "shards_per_sec_x4", "zip_slope_med"),
+    "band_index_probe": ("growth", "compaction_recovery"),
+    "ivf_index_probe": ("growth", "compaction_recovery"),
+    "ann_swap": ("brute_sec", "ivf_sec", "recall_at_10"),
+    "skew_join": ("plain_sec", "salted_sec"),
+    "bucket_join_swap": ("plain_join_sec", "bucketed_join_sec"),
+    "streaming_drain": ("b10_rows_per_sec", "batch_overhead_sec"),
+    "phash_kernel": ("speedup_x", "mpix_per_sec"),
+    "quantile_swap": ("exact_sec", "approx_sec"),
+    "distinct_swap": ("exact_sec", "approx_sec"),
+    "codec_swap": ("zstd_size_ratio",),
+}
+
+
+def _probe_medians(probes: dict[str, dict]) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for probe, keys in _PROBE_HEADLINE_KEYS.items():
+        vals = probes.get(probe) or {}
+        if "err" in vals:
+            out[f"{probe}.err"] = 1
+            continue
+        for k in keys:
+            if k in vals and isinstance(vals[k], (int, float)):
+                out[f"{probe}.{k}"] = vals[k]
+    return out
+
+
+def _phash_kernel_bench(spark, sf_dir: str) -> dict:
+    """Megapixel probe for the vectorized average-hash kernel (the
+    round-10 verdict's last interpreted-Python pixel loop): a 2 MP P5
+    raster hashed by the shipping prefix-sum kernel vs the per-pixel
+    generator definition it replaced — hashes must be bit-identical,
+    the speedup is the published number (the resize/checksum kernels'
+    round-10 twin)."""
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.multimodal import average_hash
+
+    w, h = 1600, 1250  # 2.0 MP
+    rng = (np.arange(w * h, dtype=np.int64) * 2654435761) % 251
+    payload = b"P5 %d %d 255 " % (w, h) + rng.astype(np.uint8).tobytes()
+
+    def _reference(pix, grid=4):
+        total_sum = int(sum(pix))
+        total_px = w * h
+        bits = 0
+        for b in range(grid * grid):
+            bx, by = b % grid, b // grid
+            x0, x1 = (w * bx) // grid, (w * (bx + 1)) // grid
+            y0, y1 = (h * by) // grid, (h * (by + 1)) // grid
+            bsum = sum(
+                int(pix[y * w + x])
+                for y in range(y0, y1)
+                for x in range(x0, x1)
+            )
+            bpx = (x1 - x0) * (y1 - y0)
+            if bpx and bsum * total_px > total_sum * bpx:
+                bits |= 1 << b
+        return bits
+
+    got = {}
+    vec = _stats_of(3, lambda: got.__setitem__("v", average_hash(payload)))
+    raster = rng.astype(np.uint8)
+    t0 = time.perf_counter()
+    # the replaced path went through decode_pnm's ndarray -> python-list
+    # round-trip before the per-pixel loop; time the whole old shape
+    ref_hash = _reference([int(p) for p in raster])
+    ref_sec = round(time.perf_counter() - t0, 3)
+    out = {
+        "raster_mpix": round(w * h / 1e6, 2),
+        "vectorized_sec": vec["med"],
+        "per_pixel_python_sec": ref_sec,
+        "hashes_identical": got["v"] == ref_hash,
+        "speedup_x": round(ref_sec / vec["med"], 1) if vec["med"] else None,
+        "mpix_per_sec": (
+            round(w * h / 1e6 / vec["med"], 1) if vec["med"] else None
+        ),
+    }
+    return out
 
 
 def _skew_bench(spark, sf_dir: str) -> dict[str, float]:
