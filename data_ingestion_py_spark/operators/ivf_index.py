@@ -416,11 +416,61 @@ class IvfIndex:
         mean cluster size. A drifted corpus piles new vectors into few
         clusters; probes that land there scan ~max_size rows instead
         of ~corpus/k, eroding the flat-probe guarantee. Remedy is
-        NEVER in-place: train a fresh index at a new path on a current
-        sample (`IvfIndex(spark, new_path, k).append_batch(sample, 0)`
-        then re-append the corpus) and swap the serving pointer — the
-        same swap discipline as ``compacted``."""
+        NEVER in-place: ``retrained(new_path)`` trains a fresh
+        quantizer over the committed corpus, re-assigns everything,
+        and commits at the new path; serving then swaps the pointer —
+        the same swap discipline as ``compacted``."""
         return self.skew()["ratio"] > max_over_mean
+
+    def retrained(
+        self, new_path: str, train_mod: int = 1
+    ) -> "IvfIndex":
+        """EXECUTE the retrain lifecycle ``needs_retrain`` triggers:
+        train a FRESH coarse quantizer over the committed corpus with
+        the same deterministic integer k-means, re-assign every vector
+        against it, and commit at ``new_path`` under the marker-last
+        protocol — the old index is never touched (serving swaps the
+        table pointer afterwards, the ``compacted`` discipline).
+
+        The whole corpus lands as ONE batch under the max committed
+        batch id, so a restarted stream re-delivering that id no-ops
+        on the new index exactly as it would have on the old — the
+        re-delivery guard survives the swap.
+
+        ``train_mod`` > 1 trains the quantizer on the deterministic
+        ``vec_id % train_mod == 0`` sample (k-means cost shrinks by
+        ~train_mod while assignment still covers every vector) — the
+        100 TB form, where k seeding passes over the full corpus would
+        dominate. With the default (train on everything) the result is
+        bit-identical to a from-scratch index built on the same rows:
+        the trainer is order-independent (seeds by vec_id, exact
+        integer math), which the retrain test pins."""
+        batches = self.committed_batches()
+        if not batches:
+            raise ValueError("cannot retrain an empty index")
+        hi = batches[-1]
+        out = IvfIndex(self.spark, new_path, self.k, self.n_train_iter)
+        corpus = self.vectors().select("vec_id", "embedding")
+        if train_mod > 1:
+            sample = corpus.where(
+                F.pmod(F.col("vec_id"), F.lit(train_mod)) == 0
+            )
+            self.spark.createDataFrame(
+                [(self.k, self.n_train_iter)], "k int, n_train_iter int"
+            ).write.mode("overwrite").parquet(out._meta_path)
+            _, cents = kmeans_integer_model(
+                sample,
+                k=self.k,
+                n_iter=self.n_train_iter,
+                vec_col="embedding",
+            )
+            cents.write.mode("overwrite").parquet(out._centroids_path)
+        # append_batch does the rest: trains on the full corpus when no
+        # centroids were pre-seeded above, assigns every vector against
+        # the new quantizer, writes partitioned by (batch, cid), and
+        # creates the commit marker LAST.
+        out.append_batch(corpus, batch_id=hi)
+        return out
 
     def compacted(self, new_path: str) -> "IvfIndex":
         """Rewrite as a consolidated snapshot at ``new_path`` (same

@@ -303,3 +303,75 @@ def test_skew_metric_and_retrain_signal(spark, tmp_path):
         idx.vectors().select("vec_id", "embedding"), batch_id=0
     )
     assert re_idx.skew()["ratio"] < s1["ratio"]
+
+
+def test_retrained_executes_drift_lifecycle(spark, tmp_path):
+    """The EXECUTED retrain the drift signal promises: drift the corpus
+    until needs_retrain fires, run retrained(new_path), and check the
+    whole contract — post-retrain skew back under the threshold, probe
+    results identical to a from-scratch index on the same corpus, the
+    old index untouched, and the re-delivery guard surviving the swap."""
+    dim = len(_query_vec(spark))
+    idx = IvfIndex(spark, str(tmp_path / "idx"), k=4)
+    idx.append_batch(_emb(spark), batch_id=0)
+    # drift: the whole corpus re-embedded into a far region (x + 5 —
+    # same internal spread, shifted away). Every drifted vector lands
+    # in one-or-two frozen argmin cells, but a FRESH quantizer splits
+    # its clusters across both regions.
+    drifted = _emb(spark, id_shift=1_000_000).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") + 5.0
+        ).alias("embedding"),
+    )
+    idx.append_batch(drifted, batch_id=1)
+    threshold = 1.9
+    assert idx.needs_retrain(max_over_mean=threshold)
+
+    new_idx = idx.retrained(str(tmp_path / "idx_v2"))
+    # balance restored below the firing threshold
+    assert new_idx.skew()["ratio"] <= threshold
+    assert not new_idx.needs_retrain(max_over_mean=threshold)
+    # same corpus, fresh quantizer: bit-match a from-scratch build on
+    # the same rows (trainer is deterministic + order-independent)
+    scratch = IvfIndex(spark, str(tmp_path / "idx_scratch"), k=4)
+    scratch.append_batch(
+        idx.vectors().select("vec_id", "embedding"), batch_id=0
+    )
+    assert {
+        r.cid: tuple(r.cvec) for r in new_idx.centroids().collect()
+    } == {r.cid: tuple(r.cvec) for r in scratch.centroids().collect()}
+    qv = [5.0 + x for x in _query_vec(spark)]
+    assert [
+        tuple(r) for r in new_idx.probe(qv, k=10, nprobe=2).collect()
+    ] == [tuple(r) for r in scratch.probe(qv, k=10, nprobe=2).collect()]
+    assert new_idx.vectors().count() == idx.vectors().count()
+    # old index untouched (same committed batches, same row count)
+    assert idx.committed_batches() == [0, 1]
+    # re-delivery guard survives the swap: the corpus landed under the
+    # max committed batch id, so a restarted stream re-sending batch 1
+    # no-ops on the new index
+    assert new_idx.committed_batches() == [1]
+    n = new_idx.vectors().count()
+    new_idx.append_batch(drifted, batch_id=1)
+    assert new_idx.vectors().count() == n
+    # ...while a genuinely new batch still admits
+    new_idx.append_batch(
+        _emb(spark, lo=0, hi=50, id_shift=2_000_000), batch_id=2
+    )
+    assert new_idx.vectors().count() == n + 50
+
+
+def test_retrained_sampled_training(spark, tmp_path):
+    """train_mod > 1: the quantizer trains on the vec_id % mod == 0
+    sample (the 100 TB form) but every vector is re-assigned — corpus
+    count preserved, k centroids, probes still serve."""
+    idx = IvfIndex(spark, str(tmp_path / "idx"), k=4)
+    idx.append_batch(_emb(spark), batch_id=0)
+    new_idx = idx.retrained(str(tmp_path / "idx_v2"), train_mod=3)
+    assert new_idx.vectors().count() == idx.vectors().count()
+    assert new_idx.centroids().count() == 4
+    got = new_idx.probe(_query_vec(spark), k=5, nprobe=2).collect()
+    assert len(got) == 5
+    # restored handle sees the same parameters
+    assert IvfIndex(spark, str(tmp_path / "idx_v2")).k == 4
