@@ -277,6 +277,114 @@ def decode_pnm(payload: bytes | None) -> tuple[int, int, list[int]] | None:
     return w, h, [int(p) for p in pix]
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def decode_png_array(
+    payload: bytes | None,
+) -> tuple[int, int, "np.ndarray"] | None:
+    """REAL PNG pixel decode with NOTHING but the stdlib — PNG's pixel
+    stream is zlib (RFC 1950/1951, ``zlib.decompress``) under five
+    per-scanline byte filters (PNG spec §9): this closes the
+    compressed-image seam for the most common format without the
+    ``[ingest]`` extras. Returns (width, height, grayscale uint8
+    ndarray row-major) or None for anything it can't decode honestly:
+    non-PNG bytes, bit depths other than 8, palette images (color
+    type 3 — needs PLTE handling this corpus doesn't plant), Adam7
+    interlace, truncated/corrupt zlib streams, or a raster whose
+    unfiltered size disagrees with IHDR.
+
+    Grayscale uses the SAME integer (r+g+b)//3 as every other decode
+    path (netpbm, Pillow, AVI DIB), so checksums and phashes are
+    decoder-independent; alpha channels are dropped (what
+    ``convert("RGB")`` does in the Pillow kernel). Filters None/Sub/Up
+    reconstruct vectorized (Sub is a per-channel-lane uint8 cumulative
+    sum — mod-256 wraps for free); Average/Paeth carry a true
+    left-neighbor dependency and reconstruct per-pixel within the
+    scanline only."""
+    import zlib
+
+    if payload is None or len(payload) < 45:  # sig + IHDR + IDAT + IEND
+        return None
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if payload[12:16] != b"IHDR" or int.from_bytes(payload[8:12], "big") != 13:
+        return None
+    w = int.from_bytes(payload[16:20], "big")
+    h = int.from_bytes(payload[20:24], "big")
+    bit_depth, color_type, comp, filt, interlace = payload[24:29]
+    if (
+        w <= 0
+        or h <= 0
+        or bit_depth != 8
+        or color_type not in _PNG_CHANNELS
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+    ):
+        return None
+    # IDAT data may span chunks; concatenate in file order
+    idat = bytearray()
+    i, n = 33, len(payload)
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        if i + 12 + clen > n:
+            return None  # truncated chunk
+        if ctype == b"IDAT":
+            idat += payload[i + 8 : i + 8 + clen]
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = lines[:, 0]
+    if ftypes.max(initial=0) > 4:
+        return None
+    recon = lines[:, 1:].copy()
+    zero = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = int(ftypes[r])
+        if f == 0:
+            continue
+        up = recon[r - 1] if r else zero
+        if f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch]
+            lanes = recon[r].reshape(w, ch)
+            np.add.accumulate(lanes, axis=0, out=lanes)
+        elif f == 2:  # Up
+            recon[r] += up
+        elif f == 3:  # Average
+            row = recon[r]
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(row[x]) + (left + int(up[x])) // 2) & 0xFF
+        else:  # Paeth
+            row = recon[r]
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(up[x])
+                c = int(up[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+    if ch == 1:
+        gray = recon
+    elif ch == 2:  # gray + alpha: keep the gray sample
+        gray = recon[:, 0::2]
+    else:  # RGB / RGBA: integer mean of the three color samples
+        rgb = recon.reshape(h, w, ch)[:, :, :3].astype(np.int16)
+        gray = (rgb.sum(axis=2, dtype=np.int16) // 3).astype(np.uint8)
+    return w, h, np.ascontiguousarray(gray).reshape(-1)
+
+
 def _pil_decode_gray(
     payload: bytes | None,
 ) -> tuple[int, int, "np.ndarray"] | None:
@@ -306,14 +414,28 @@ def decode_image_pixels(
     payload: bytes | None,
 ) -> tuple[int, int, "np.ndarray"] | None:
     """Grayscale pixel decode across ALL supported image formats:
-    netpbm first (codec-free, always available), then the Pillow
-    kernel for compressed codecs where the ``[ingest]`` extras are
+    netpbm first (codec-free, always available), then the stdlib-zlib
+    PNG kernel (also extras-free), then the Pillow kernel for the
+    remaining compressed codecs where the ``[ingest]`` extras are
     installed. The ``decoder="real"`` seam in ``extract_features`` /
     ``resize_images`` routes here."""
-    decoded = decode_pnm_array(payload)
+    decoded = decode_image_pixels_free(payload)
     if decoded is not None:
         return decoded
     return _pil_decode_gray(payload)
+
+
+def decode_image_pixels_free(
+    payload: bytes | None,
+) -> tuple[int, int, "np.ndarray"] | None:
+    """The EXTRAS-FREE decode set — netpbm + stdlib-zlib PNG — i.e.
+    every format this container really decodes with no optional
+    dependency. The ``decoder="stub"`` paths route here so PNG gets
+    real pixels everywhere netpbm does."""
+    decoded = decode_pnm_array(payload)
+    if decoded is not None:
+        return decoded
+    return decode_png_array(payload)
 
 
 def average_hash(payload: bytes | None, grid: int = 4) -> int | None:
@@ -1459,7 +1581,9 @@ def resize_images(
             "real compressed-image decode needs the [ingest] extras "
             "(pillow); this container lacks them — use decoder='stub'"
         )
-    decode = decode_image_pixels if decoder == "real" else decode_pnm_array
+    decode = (
+        decode_image_pixels if decoder == "real" else decode_image_pixels_free
+    )
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1506,13 +1630,14 @@ def pixel_checksums(media: DataFrame) -> DataFrame:
     off-by-one is visible, not just brightness changes). Chained after
     ``resize_images`` this round-trips the resized payload through
     decode_pnm — proving the resize emits VALID images, not just
-    plausible bytes."""
+    plausible bytes. Accepts every extras-free format (netpbm + the
+    stdlib-zlib PNG kernel)."""
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, sums, wsums = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                decoded = decode_pnm_array(
+                decoded = decode_image_pixels_free(
                     None if payload is None else bytes(payload)
                 )
                 ids.append(int(mid))

@@ -1439,3 +1439,195 @@ def test_flac_duration_streaminfo():
     assert multimodal.media_duration_ms(flac(0, 100)) is None
     assert multimodal.media_duration_ms(b"fLaC") is None
     assert multimodal.media_duration_ms(flac(44100, 100)[:20]) is None
+
+
+# ------------------------------------------------- stdlib-zlib PNG decode
+
+
+def _png_bytes(
+    w,
+    h,
+    color_type,
+    samples,
+    filters=(0,),
+    bit_depth=8,
+    interlace=0,
+    split_idat=False,
+    corrupt_zlib=False,
+):
+    """Reference PNG encoder for the tests: real zlib stream, real
+    CRCs, per-row filter choice — the decoder under test shares no
+    code with this."""
+    import binascii
+    import zlib
+
+    import numpy as np
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    arr = np.asarray(samples, dtype=np.int32).reshape(h, w * ch)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        f = filters[r % len(filters)]
+        line = arr[r]
+        left = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        elif f == 3:
+            enc = (line - (left + prev) // 2) % 256
+        else:  # Paeth
+            upleft = np.concatenate(
+                [np.zeros(ch, dtype=np.int32), prev[:-ch]]
+            )
+            enc = np.empty_like(line)
+            for x in range(w * ch):
+                a, b, c = int(left[x]), int(prev[x]), int(upleft[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (int(line[x]) - pred) % 256
+        raw.append(f)
+        raw += bytes(enc.astype(np.uint8))
+        prev = line
+    z = zlib.compress(bytes(raw))
+    if corrupt_zlib:
+        z = z[:-3] + b"\x00\x00\x00"
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (
+            len(data).to_bytes(4, "big")
+            + body
+            + binascii.crc32(body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([bit_depth, color_type, 0, 0, interlace])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if split_idat:
+        mid = len(z) // 2
+        out += chunk(b"IDAT", z[:mid]) + chunk(b"IDAT", z[mid:])
+    else:
+        out += chunk(b"IDAT", z)
+    return out + chunk(b"IEND", b"")
+
+
+def test_decode_png_gray_all_filter_types():
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.multimodal import decode_png_array
+
+    w, h = 7, 10
+    pix = ((np.arange(w * h) * 37 + 11) % 251).astype(np.uint8)
+    for filters in ((0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)):
+        payload = _png_bytes(w, h, 0, pix, filters=filters)
+        got = decode_png_array(payload)
+        assert got is not None, filters
+        gw, gh, gpix = got
+        assert (gw, gh) == (w, h)
+        assert gpix.tolist() == pix.tolist(), filters
+
+
+def test_decode_png_color_types_and_gray_rule():
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.multimodal import decode_png_array
+
+    w, h = 5, 4
+    base = ((np.arange(w * h) * 53 + 7) % 250).astype(np.int32)
+    # RGB: gray must be the integer mean (r+g+b)//3 of the samples
+    rgb = np.stack([base, (base + 85) % 256, (base + 170) % 256], axis=1)
+    got = decode_png_array(_png_bytes(w, h, 2, rgb, filters=(0, 1, 4)))
+    assert got is not None
+    assert got[2].tolist() == (rgb.sum(axis=1) // 3).tolist()
+    # RGBA: alpha dropped
+    rgba = np.concatenate([rgb, np.full((w * h, 1), 7)], axis=1)
+    got = decode_png_array(_png_bytes(w, h, 6, rgba, filters=(2, 3)))
+    assert got[2].tolist() == (rgb.sum(axis=1) // 3).tolist()
+    # gray+alpha: the gray sample survives
+    ga = np.stack([base, (base + 9) % 256], axis=1)
+    got = decode_png_array(_png_bytes(w, h, 4, ga, filters=(4,)))
+    assert got[2].tolist() == base.tolist()
+    # multi-IDAT streams concatenate
+    got = decode_png_array(_png_bytes(w, h, 0, base, split_idat=True))
+    assert got[2].tolist() == base.tolist()
+
+
+def test_decode_png_honest_nones():
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.multimodal import decode_png_array
+
+    w, h = 4, 3
+    pix = (np.arange(w * h) % 256).astype(np.int32)
+    ok = _png_bytes(w, h, 0, pix)
+    assert decode_png_array(ok) is not None
+    assert decode_png_array(None) is None
+    assert decode_png_array(b"not a png") is None
+    assert decode_png_array(ok[:20]) is None  # truncated
+    # unsupported-by-design shapes return None, never garbage
+    assert decode_png_array(_png_bytes(w, h, 3, pix)) is None  # palette
+    assert decode_png_array(_png_bytes(w, h, 0, pix, interlace=1)) is None
+    assert (
+        decode_png_array(_png_bytes(w, h, 0, pix, corrupt_zlib=True)) is None
+    )
+    # declared geometry must match the decompressed raster
+    lying = bytearray(ok)
+    lying[16:20] = (w + 1).to_bytes(4, "big")
+    import binascii
+
+    body = b"IHDR" + bytes(lying[16:29])
+    lying[29:33] = binascii.crc32(body).to_bytes(4, "big")
+    assert decode_png_array(bytes(lying)) is None
+
+
+def test_png_feeds_phash_and_checksums():
+    """The phash pipeline and pixel_checksums accept PNG input: a PNG
+    and a PGM of the SAME raster produce the same hash/checksums."""
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.multimodal import average_hash
+
+    w, h = 16, 16
+    pix = ((np.arange(w * h) * 31 + 5) % 240).astype(np.uint8)
+    pgm = b"P5\n16 16\n255\n" + pix.tobytes()
+    png = _png_bytes(w, h, 0, pix, filters=(0, 1, 2, 3, 4))
+    assert average_hash(png) == average_hash(pgm)
+    assert average_hash(png) is not None
+
+
+def test_png_pixel_checksums_spark(spark):
+    import numpy as np
+
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    w, h = 6, 5
+    pix = ((np.arange(w * h) * 13 + 3) % 251).astype(np.uint8)
+    png = _png_bytes(w, h, 0, pix, filters=(0, 1, 2, 3, 4))
+    pgm = b"P5\n%d %d\n255\n" % (w, h) + pix.tobytes()
+    media = spark.createDataFrame(
+        [(1, png), (2, pgm), (3, b"junk"), (4, None)],
+        "media_id long, payload binary",
+    )
+    got = {
+        r.media_id: (r.width, r.height, r.px_sum, r.px_wsum)
+        for r in mm.pixel_checksums(media).collect()
+    }
+    assert got[1] == got[2]
+    assert got[1][0] == w and got[1][1] == h
+    assert got[3] == (None, None, None, None)
+    assert got[4] == (None, None, None, None)
+    # the resize stage accepts PNG in the extras-free path too
+    resized = {
+        r.media_id: (r.width, r.height)
+        for r in mm.resize_images(media, 3, 3).collect()
+    }
+    assert resized[1] == (3, 3) and resized[2] == (3, 3)
+    assert resized[3] == (None, None)
