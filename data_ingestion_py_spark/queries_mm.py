@@ -1242,6 +1242,106 @@ def q_web_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "web_warcgz_members",
+    """
+WITH m AS (
+    SELECT doc_id AS media_id, unnest([0, 1, 2]) AS member_index
+    FROM documents
+), r AS (
+    SELECT media_id, member_index,
+           'https://corpus.example/doc/' || media_id || '/' || member_index
+               AS target_uri,
+           CAST(media_id % 7 + member_index * 3 + 5 AS BIGINT)
+               AS content_length
+    FROM m
+), u AS (
+    SELECT *,
+           CAST(length(
+               'WARC/1.0' || chr(13) || chr(10) ||
+               'WARC-Type: response' || chr(13) || chr(10) ||
+               'WARC-Target-URI: ' || target_uri || chr(13) || chr(10) ||
+               'Content-Length: ' || content_length || chr(13) || chr(10) ||
+               chr(13) || chr(10)) + content_length + 4 AS BIGINT)
+               AS decomp_size
+    FROM r
+)
+SELECT media_id,
+       CAST(member_index AS INT) AS member_index,
+       CAST(COALESCE(SUM(decomp_size + 23) OVER (
+            PARTITION BY media_id ORDER BY member_index
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS "offset",
+       decomp_size + 23 AS comp_size,
+       decomp_size,
+       'response' AS warc_type,
+       target_uri,
+       content_length
+FROM u
+""",
+    tags=("multimodal", "web", "source"),
+)
+def q_web_warcgz_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ``.warc.gz`` member-range walk end-to-end — the framing
+    actual Common Crawl shards use (one gzip member per WARC record,
+    concatenated): per doc, THREE complete gzip members are built in
+    column algebra (10-byte header, stored-deflate block, CRC32 via
+    F.crc32 + ISIZE trailer — which ``zlib.decompressobj(31)``
+    VERIFIES on the decode side, so one wrong byte truncates the
+    walk), then walked back by sources/web.warc_gz_members into exact
+    (offset, comp_size, decomp_size) byte ranges + inflated WARC
+    header fields. The oracle recomputes every byte range
+    arithmetically from the planted record shapes (member size =
+    uncompressed record + 23 bytes of gzip/deflate framing; offsets as
+    a running sum) — a walker that misreads ISIZE, miscounts
+    unused_data, or drops a member hash-mismatches immediately. 1
+    shard row → 3 member rows, one narrow Arrow stage, no shuffle."""
+    from data_ingestion_py_spark.sources import web
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def member_hex(mi: int):
+        uri = F.concat(
+            F.lit("https://corpus.example/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit(f"/{mi}"),
+        )
+        body = F.repeat(
+            F.lit("x"), (F.col("doc_id") % 7 + F.lit(mi * 3 + 5)).cast("int")
+        )
+        rec = F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+            uri,
+            F.lit("\r\nContent-Length: "),
+            F.length(body).cast("string"),
+            F.lit("\r\n\r\n"),
+            body,
+            F.lit("\r\n\r\n"),
+        )
+        rb = F.encode(rec, "UTF-8")
+        u = F.length(rb)
+        return F.concat(
+            # gzip header: magic, CM=8, no flags, mtime 0, XFL 0, OS 255
+            F.lit("1F8B08000000000000FF"),
+            # stored-deflate block (BFINAL=1): 0x01, LEN, NLEN
+            F.lit("01"),
+            _le_hex(u, 2),
+            _le_hex(65535 - u, 2),
+            F.hex(rb),
+            # gzip trailer: CRC32 then ISIZE, both little-endian
+            _le_hex(F.crc32(rb), 4),
+            _le_hex(u, 4),
+        )
+
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.concat(member_hex(0), member_hex(1), member_hex(2))
+        ).alias("payload"),
+    )
+    return web.warc_gz_manifest(media)
+
+
+@register(
     "web_url_normalize",
     """
 SELECT 'https://' || source || '.example.com/docs/' || doc_id

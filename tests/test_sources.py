@@ -1631,3 +1631,108 @@ def test_png_pixel_checksums_spark(spark):
     }
     assert resized[1] == (3, 3) and resized[2] == (3, 3)
     assert resized[3] == (None, None)
+
+
+# ---------------------------------------------------------- warc.gz members
+
+
+def _warcgz(*recs, compresslevel=6):
+    """Real per-record gzip members (actual Common Crawl framing),
+    built with stdlib gzip — independent of the walker under test."""
+    import gzip
+
+    return b"".join(
+        gzip.compress(_warc((headers, body)), compresslevel=compresslevel)
+        for headers, body in recs
+    )
+
+
+def test_warc_gz_members_hand_values():
+    import gzip
+
+    from data_ingestion_py_spark.sources.web import warc_gz_members
+
+    recs = [
+        ({"WARC-Type": "response", "WARC-Target-URI": "https://a/1"}, b"hello"),
+        ({"WARC-Type": "metadata", "WARC-Target-URI": "https://a/2"}, b"wo"),
+        ({"WARC-Type": "response"}, b"x" * 100),
+    ]
+    payload = _warcgz(*recs)
+    got = warc_gz_members(payload)
+    assert got is not None and len(got) == 3
+    # offsets/sizes must tile the payload exactly
+    expect_off = 0
+    for (off, comp, dec, wtype, uri, clen), (hdrs, body) in zip(got, recs):
+        assert off == expect_off
+        expect_off += comp
+        member = payload[off : off + comp]
+        assert member[:2] == b"\x1f\x8b"
+        assert gzip.decompress(member) == _warc((hdrs, body))
+        assert dec == len(_warc((hdrs, body)))
+        assert wtype == hdrs["WARC-Type"]
+        assert uri == hdrs.get("WARC-Target-URI")
+        assert clen == len(body)
+    assert expect_off == len(payload)
+
+
+def test_warc_gz_members_corruption_contract():
+    from data_ingestion_py_spark.sources.web import warc_gz_members
+
+    recs = [
+        ({"WARC-Type": "response"}, b"first"),
+        ({"WARC-Type": "response"}, b"second"),
+        ({"WARC-Type": "response"}, b"third"),
+    ]
+    payload = _warcgz(*recs)
+    full = warc_gz_members(payload)
+    assert [t[3] for t in full] == ["response"] * 3
+
+    # torn tail: truncating the last member keeps the verified prefix
+    assert len(warc_gz_members(payload[:-5])) == 2
+    # corrupt CRC in member 2's trailer: walk stops after member 1
+    off1, comp1 = full[1][0], full[1][1]
+    bad = bytearray(payload)
+    bad[off1 + comp1 - 8] ^= 0xFF
+    assert len(warc_gz_members(bytes(bad))) == 1
+    # flipping a data byte mid-member also fails the gzip CRC check
+    bad2 = bytearray(payload)
+    bad2[off1 + 12] ^= 0x55
+    got2 = warc_gz_members(bytes(bad2))
+    assert got2 is None or len(got2) <= 1
+    # non-gzip payloads: None, never guessed geometry
+    assert warc_gz_members(b"WARC/1.0\r\n...") is None
+    assert warc_gz_members(b"") is None
+    assert warc_gz_members(None) is None
+    # trailing garbage after valid members: prefix kept
+    assert len(warc_gz_members(payload + b"garbage")) == 3
+    # zip-bomb guard: a member inflating past the cap stops the walk
+    assert warc_gz_members(payload, max_member_bytes=4) is None
+    # a member that gunzips but isn't WARC keeps its exact byte range
+    # with null WARC fields (framing is self-delimiting)
+    import gzip as _gz
+
+    mixed = _gz.compress(b"not a warc record") + payload
+    got3 = warc_gz_members(mixed)
+    assert got3[0][3] is None and got3[0][5] is None
+    assert got3[1][3] == "response"
+
+
+def test_warc_gz_manifest_spark(spark):
+    from data_ingestion_py_spark.sources import web
+
+    payload = _warcgz(
+        ({"WARC-Type": "response", "WARC-Target-URI": "https://b/1"}, b"abc"),
+        ({"WARC-Type": "metadata"}, b"defg"),
+    )
+    media = spark.createDataFrame(
+        [(1, payload), (2, b"junk"), (3, None)],
+        "media_id long, payload binary",
+    )
+    rows = sorted(
+        (r.media_id, r.member_index, r.offset, r.comp_size, r.warc_type)
+        for r in web.warc_gz_manifest(media).collect()
+    )
+    assert len(rows) == 2
+    assert rows[0][:2] == (1, 0) and rows[0][4] == "response"
+    assert rows[1][:2] == (1, 1) and rows[1][4] == "metadata"
+    assert rows[1][2] == rows[0][3]  # member 1 starts where member 0 ends
