@@ -107,26 +107,79 @@ def single_partition_windows(df: DataFrame) -> int:
     return hits
 
 
-def _iter_physical_nodes(node):
-    """Pre-order walk of an executed SparkPlan via py4j, following the
-    indirections the plain ``children()`` walk would stop at:
+def _node_children(node):
+    """Children of an executed SparkPlan node via py4j, following the
+    indirections a plain ``children()`` walk would stop at:
     AdaptiveSparkPlan's final plan, QueryStage wrappers' inner plan,
     and ReusedExchange's original exchange (the node that actually
     holds the populated SQL metrics)."""
     name = node.nodeName()
-    yield node
-    kids = []
     if name == "AdaptiveSparkPlan":
-        kids = [node.finalPhysicalPlan()]
-    elif "QueryStage" in name:
-        kids = [node.plan()]
-    elif name == "ReusedExchange":
-        kids = [node.child()]
-    if not kids:
-        ch = node.children()
-        kids = [ch.apply(i) for i in range(ch.size())]
-    for k in kids:
+        return [node.finalPhysicalPlan()]
+    if "QueryStage" in name:
+        return [node.plan()]
+    if name == "ReusedExchange":
+        return [node.child()]
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _iter_physical_nodes(node):
+    """Pre-order walk of an executed SparkPlan via py4j (see
+    ``_node_children`` for the followed indirections)."""
+    yield node
+    for k in _node_children(node):
         yield from _iter_physical_nodes(k)
+
+
+def _first_rowcount(node) -> int | None:
+    """Rows flowing out of the nearest descendant that measures them:
+    a shuffle Exchange's ``shuffleRecordsWritten``, else the first
+    ``numOutputRows`` metric. Multiple measured branches (a join
+    feeding the operator directly) sum."""
+    m = node.metrics()
+    if m.contains("shuffleRecordsWritten"):
+        return int(m.apply("shuffleRecordsWritten").value())
+    if m.contains("numOutputRows"):
+        return int(m.apply("numOutputRows").value())
+    total, found = 0, False
+    for k in _node_children(node):
+        v = _first_rowcount(k)
+        if v is not None:
+            total += v
+            found = True
+    return total if found else None
+
+
+def single_partition_window_input_rows(df: DataFrame) -> list[int]:
+    """EXECUTE ``df`` and return the ACTUAL input row count of every
+    partition-less Window/WindowGroupLimit in the final plan (the
+    nearest measured descendant: the feeding exchange's
+    shuffleRecordsWritten, else the first numOutputRows below).
+
+    This is the measured contract behind the bounded-global-window
+    allowlist: an allowlisted name claims its partition-less windows
+    run over a bounded (calendar/partition-count/shortlist-sized)
+    input — this measures the claim on the executed plan, exactly and
+    without text heuristics (partitionSpec is read off the node), so a
+    window whose input silently grows row-proportional fails the lint
+    even though the plan SHAPE still matches the allowlist."""
+    qe = df._jdf.queryExecution()
+    df.collect()  # populate SQL metrics on this exact plan instance
+    rows: list[int] = []
+    for node in _iter_physical_nodes(qe.executedPlan()):
+        if node.nodeName() not in ("Window", "WindowGroupLimit"):
+            continue
+        if node.partitionSpec().size() != 0:
+            continue
+        got = None
+        for k in _node_children(node):
+            v = _first_rowcount(k)
+            if v is not None:
+                got = (got or 0) + v
+        if got is not None:
+            rows.append(got)
+    return rows
 
 
 def bnlj_broadcast_rows(df: DataFrame) -> list[int]:

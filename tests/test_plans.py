@@ -499,6 +499,50 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
 }
 
 
+def test_single_partition_window_inputs_measured_bounded(spark):
+    """The bounded-window allowlist as a MEASURED contract (the
+    bnlj-broadcast-lint pattern applied to windows): execute EVERY
+    registry query at SF_SMOKE and read the actual input row count of
+    every partition-less Window/WindowGroupLimit off the executed
+    plan's SQL metrics — partitionSpec is read from the node itself,
+    so this also catches partition-less windows the text walk above
+    can't see (e.g. fed by pre-materialized single-partition inputs).
+    Every such window must stay under a grain constant (4096 rows —
+    an order of magnitude above the biggest legitimate bounded input:
+    calendar-day spines, #shuffle-partitions offset tables, top-k
+    shortlists) no matter which query it hides in; a future window
+    over a corpus-proportional input fails here even if its query
+    name is allowlisted for plan SHAPE above."""
+    # calendar-grain overrides: the gap-fill spine is one row per
+    # 10-minute bin over the generator's FIXED event time span —
+    # measured 4274 at every SF (more data densifies the bins, it
+    # doesn't lengthen the calendar), so the input is constant in data
+    # volume; the override leaves room for a longer planted span while
+    # still tripping on anything data-proportional.
+    bounds = {
+        "events_gap_fill_locf": 65536,
+        "events_gap_fill_interp": 65536,
+    }
+    failures: list[str] = []
+    for name, q in QUERIES.items():
+        bound = bounds.get(name, 4096)
+        try:
+            rows = E.single_partition_window_input_rows(
+                q.spark(spark, SF_SMOKE)
+            )
+        except Exception as exc:  # noqa: BLE001 — collect, don't abort
+            failures.append(f"{name}: BROKEN ({type(exc).__name__}: {exc})")
+            continue
+        oversized = [r for r in rows if r > bound]
+        if oversized:
+            failures.append(
+                f"{name}: partition-less window input(s) {oversized} "
+                f"exceed {bound} rows — use the two-phase "
+                "global-rank/offsets form"
+            )
+    assert not failures, "\n".join(failures)
+
+
 def test_no_unbounded_single_partition_windows(spark):
     """No registry query may single-partition a row-proportional input
     through a partition-less Window. The allowlist above enumerates the
