@@ -465,6 +465,43 @@ def _manifest_slope_bench(spark, sf_dir: str) -> dict:
     out["shards_per_sec_x4"] = (
         round(4 * n1 / s4["min"]) if s4["min"] else None
     )
+
+    # SECOND format, same method: the scale claim for the shard walks
+    # should rest on more than tar — a real 3-member ZIP (central
+    # directory walk, stdlib-built) through zip_manifest at the same
+    # two points.
+    import zipfile
+
+    from data_ingestion_py_spark.sources.archive import zip_manifest
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("sample/0001.jpg", b"\xff\xd8" + b"j" * 900)
+        zf.writestr("sample/0001.txt", b"a caption " * 20)
+        zf.writestr("sample/0001.json", b'{"k": 1}')
+    zpayload = zbuf.getvalue()
+
+    def run_zip(n: int):
+        media = spark.range(n).select(
+            F.col("id").alias("media_id"),
+            F.lit(zpayload).alias("payload"),
+        )
+        zip_manifest(media).write.mode("overwrite").format("noop").save()
+
+    run_zip(1_000)
+    z1 = _stats_of(3, lambda: run_zip(n1))
+    z4 = _stats_of(3, lambda: run_zip(4 * n1))
+    _put_stats(out, "zip_x1", z1)
+    _put_stats(out, "zip_x4", z4)
+    out["zip_slope_min"] = (
+        round(z4["min"] / z1["min"], 2) if z1["min"] else None
+    )
+    out["zip_slope_med"] = (
+        round(z4["med"] / z1["med"], 2) if z1["med"] else None
+    )
+    out["zip_shards_per_sec_x4"] = (
+        round(4 * n1 / z4["min"]) if z4["min"] else None
+    )
     return out
 
 
