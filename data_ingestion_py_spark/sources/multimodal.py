@@ -289,10 +289,12 @@ def decode_png_array(
     compressed-image seam for the most common format without the
     ``[ingest]`` extras. Returns (width, height, grayscale uint8
     ndarray row-major) or None for anything it can't decode honestly:
-    non-PNG bytes, bit depths other than 8, palette images (color
-    type 3 — needs PLTE handling this corpus doesn't plant), Adam7
-    interlace, truncated/corrupt zlib streams, or a raster whose
-    unfiltered size disagrees with IHDR.
+    non-PNG bytes, bit depths other than 8, Adam7 interlace,
+    truncated/corrupt zlib streams, a palette image without a (whole)
+    PLTE, or a raster whose unfiltered size disagrees with IHDR.
+    Palette images (color type 3, 8-bit indices) decode through the
+    PLTE chunk: each entry's gray value is the shared (r+g+b)//3, so
+    an indexed re-encode of an RGB image hashes identically.
 
     Grayscale uses the SAME integer (r+g+b)//3 as every other decode
     path (netpbm, Pillow, AVI DIB), so checksums and phashes are
@@ -317,7 +319,7 @@ def decode_png_array(
         w <= 0
         or h <= 0
         or bit_depth != 8
-        or color_type not in _PNG_CHANNELS
+        or (color_type not in _PNG_CHANNELS and color_type != 3)
         or comp != 0
         or filt != 0
         or interlace != 0
@@ -325,6 +327,7 @@ def decode_png_array(
         return None
     # IDAT data may span chunks; concatenate in file order
     idat = bytearray()
+    plte: bytes | None = None
     i, n = 33, len(payload)
     while i + 8 <= n:
         clen = int.from_bytes(payload[i : i + 4], "big")
@@ -333,14 +336,20 @@ def decode_png_array(
             return None  # truncated chunk
         if ctype == b"IDAT":
             idat += payload[i + 8 : i + 8 + clen]
+        elif ctype == b"PLTE":
+            plte = payload[i + 8 : i + 8 + clen]
         elif ctype == b"IEND":
             break
         i += 12 + clen
+    if color_type == 3 and (
+        plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768
+    ):
+        return None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    ch = _PNG_CHANNELS[color_type]
+    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     stride = w * ch
     if len(raw) != h * (stride + 1):
         return None
@@ -375,7 +384,18 @@ def decode_png_array(
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 row[x] = (int(row[x]) + pred) & 0xFF
-    if ch == 1:
+    if color_type == 3:
+        # indexed: a 256-entry gray LUT from the PLTE (entries the
+        # image doesn't reference default to 0; an index past the
+        # palette is technically invalid but maps to 0, not garbage),
+        # then one vectorized gather
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        lut = np.zeros(256, dtype=np.uint8)
+        lut[: pal.shape[0]] = (
+            pal.astype(np.int16).sum(axis=1, dtype=np.int16) // 3
+        ).astype(np.uint8)
+        gray = lut[recon]
+    elif ch == 1:
         gray = recon
     elif ch == 2:  # gray + alpha: keep the gray sample
         gray = recon[:, 0::2]

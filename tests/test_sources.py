@@ -1454,6 +1454,7 @@ def _png_bytes(
     interlace=0,
     split_idat=False,
     corrupt_zlib=False,
+    palette=None,
 ):
     """Reference PNG encoder for the tests: real zlib stream, real
     CRCs, per-row filter choice — the decoder under test shares no
@@ -1511,6 +1512,8 @@ def _png_bytes(
         + bytes([bit_depth, color_type, 0, 0, interlace])
     )
     out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
     if split_idat:
         mid = len(z) // 2
         out += chunk(b"IDAT", z[:mid]) + chunk(b"IDAT", z[mid:])
@@ -1558,6 +1561,26 @@ def test_decode_png_color_types_and_gray_rule():
     # multi-IDAT streams concatenate
     got = decode_png_array(_png_bytes(w, h, 0, base, split_idat=True))
     assert got[2].tolist() == base.tolist()
+    # palette (color type 3): an indexed re-encode of the SAME RGB
+    # image must decode to the identical grayscale
+    uniq = sorted({tuple(px) for px in rgb.tolist()})
+    pal = b"".join(bytes(px) for px in uniq)
+    idx2entry = {px: i for i, px in enumerate(uniq)}
+    indices = np.array(
+        [idx2entry[tuple(px)] for px in rgb.tolist()], dtype=np.int32
+    )
+    got = decode_png_array(
+        _png_bytes(w, h, 3, indices, filters=(0, 1, 2, 3, 4), palette=pal)
+    )
+    assert got is not None
+    assert got[2].tolist() == (rgb.sum(axis=1) // 3).tolist()
+    # honest Nones for broken palettes: truncated entry / missing PLTE
+    assert (
+        decode_png_array(
+            _png_bytes(w, h, 3, indices, palette=pal[:-1])
+        )
+        is None
+    )
 
 
 def test_decode_png_honest_nones():
@@ -1573,7 +1596,7 @@ def test_decode_png_honest_nones():
     assert decode_png_array(b"not a png") is None
     assert decode_png_array(ok[:20]) is None  # truncated
     # unsupported-by-design shapes return None, never garbage
-    assert decode_png_array(_png_bytes(w, h, 3, pix)) is None  # palette
+    assert decode_png_array(_png_bytes(w, h, 3, pix)) is None  # no PLTE
     assert decode_png_array(_png_bytes(w, h, 0, pix, interlace=1)) is None
     assert (
         decode_png_array(_png_bytes(w, h, 0, pix, corrupt_zlib=True)) is None
