@@ -654,10 +654,30 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), F.col("doc_id").alias("seed")
     )
     seed = F.col("seed")
-    W = H = 8
 
     def p(r, c):  # planted base value at (row, col), 0..239
         return (seed * 31 + (r * 8 + c) * (7 + seed % 11)) % 240
+
+    media = corpus.select(
+        "media_id",
+        F.unhex(
+            F.when(
+                F.col("media_id") % 2 == 0, _planted_png_hex(p, 8, 8, 1)
+            ).otherwise(_planted_png_hex(p, 8, 8, 3))
+        ).alias("payload"),
+    )
+    return mm.pixel_checksums(media)
+
+
+def _planted_png_hex(p, w: int, h: int, nch: int) -> "F.Column":
+    """Hex of a COMPLETE valid PNG built in column algebra: ``p(r, c)``
+    is the planted base pixel value (a Column, 0..255); nch=1 emits
+    grayscale (color type 0), nch=3 RGB (color type 2, channels
+    p/(p+85)%256/(p+170)%256). Chunk CRCs are real (F.crc32), the zlib
+    stream is a stored-deflate block with an arithmetic adler32 that
+    ``zlib.decompress`` VERIFIES, and scanline filters cycle
+    None/Sub/Up (r % 3) to exercise the decoder's filter
+    reconstruction — one wrong byte anywhere nulls the row."""
 
     def hx2(col):
         return F.lpad(F.hex(col), 2, "0")
@@ -665,100 +685,167 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def crc_hex(body_hex):
         return F.lpad(F.hex(F.crc32(F.unhex(body_hex))), 8, "0")
 
-    rows = F.sequence(F.lit(0), F.lit(H - 1))
-    cols = F.sequence(F.lit(0), F.lit(W - 1))
+    rows = F.sequence(F.lit(0), F.lit(h - 1))
+    cols = F.sequence(F.lit(0), F.lit(w - 1))
 
-    def sample(r, c, ch, nch):
+    def sample(r, c, ch):
         return F.pmod(p(r, c) + F.lit(ch * 85), F.lit(256)) if nch == 3 else p(r, c)
 
-    def enc_byte(r, c, ch, nch):
+    def enc_byte(r, c, ch):
         # scanline filter f = r % 3: 0 None, 1 Sub (left = previous
         # pixel's same channel), 2 Up (r % 3 == 2 implies r >= 2)
         f = F.pmod(r, F.lit(3))
-        cur = sample(r, c, ch, nch)
+        cur = sample(r, c, ch)
         sub = F.pmod(
-            cur - F.when(c > 0, sample(r, c - 1, ch, nch)).otherwise(F.lit(0)),
+            cur - F.when(c > 0, sample(r, c - 1, ch)).otherwise(F.lit(0)),
             F.lit(256),
         )
-        up = F.pmod(cur - sample(r - 1, c, ch, nch), F.lit(256))
+        up = F.pmod(cur - sample(r - 1, c, ch), F.lit(256))
         return F.when(f == 0, cur).when(f == 1, sub).otherwise(up)
 
-    def payload_hex(nch: int) -> "F.Column":
-        stride = W * nch
-        ln = H * (stride + 1)  # filter byte + samples, per scanline
-        vals = F.flatten(
-            F.transform(
-                rows,
-                lambda r: F.concat(
-                    F.array(F.pmod(r, F.lit(3))),
-                    F.flatten(
-                        F.transform(
-                            cols,
-                            lambda c: F.array(
-                                *[enc_byte(r, c, ch, nch) for ch in range(nch)]
-                            ),
-                        )
-                    ),
+    stride = w * nch
+    ln = h * (stride + 1)  # filter byte + samples, per scanline
+    vals = F.flatten(
+        F.transform(
+            rows,
+            lambda r: F.concat(
+                F.array(F.pmod(r, F.lit(3))),
+                F.flatten(
+                    F.transform(
+                        cols,
+                        lambda c: F.array(
+                            *[enc_byte(r, c, ch) for ch in range(nch)]
+                        ),
+                    )
                 ),
-            )
-        )
-        d_hex = F.concat_ws("", F.transform(vals, hx2))
-        # adler32 of the UNCOMPRESSED stream: A = 1 + Σd, B = L + Σ(L-i)·d_i
-        a = F.pmod(
-            1 + F.aggregate(vals, F.lit(0).cast("long"), lambda acc, x: acc + x),
-            F.lit(65521),
-        )
-        b = F.pmod(
-            F.lit(ln)
-            + F.aggregate(
-                F.zip_with(
-                    vals,
-                    F.sequence(F.lit(ln), F.lit(1), F.lit(-1)),
-                    lambda v, wt: (v * wt).cast("long"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
             ),
-            F.lit(65521),
         )
-        adler_hex = F.concat(F.lpad(F.hex(b), 4, "0"), F.lpad(F.hex(a), 4, "0"))
-        # zlib: 0x78 0x01 | stored block (BFINAL=1): 0x01 LEN NLEN | data | adler
-        idat_data_hex = F.concat(
-            F.lit("780101"),
-            _le_hex(F.lit(ln), 2),
-            _le_hex(F.lit(0xFFFF - ln), 2),
-            d_hex,
-            adler_hex,
+    )
+    d_hex = F.concat_ws("", F.transform(vals, hx2))
+    # adler32 of the UNCOMPRESSED stream: A = 1 + Σd, B = L + Σ(L-i)·d_i
+    a = F.pmod(
+        1 + F.aggregate(vals, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(65521),
+    )
+    b = F.pmod(
+        F.lit(ln)
+        + F.aggregate(
+            F.zip_with(
+                vals,
+                F.sequence(F.lit(ln), F.lit(1), F.lit(-1)),
+                lambda v, wt: (v * wt).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(65521),
+    )
+    adler_hex = F.concat(F.lpad(F.hex(b), 4, "0"), F.lpad(F.hex(a), 4, "0"))
+    # zlib: 0x78 0x01 | stored block (BFINAL=1): 0x01 LEN NLEN | data | adler
+    idat_data_hex = F.concat(
+        F.lit("780101"),
+        _le_hex(F.lit(ln), 2),
+        _le_hex(F.lit(0xFFFF - ln), 2),
+        d_hex,
+        adler_hex,
+    )
+    idat_body = F.concat(F.lit("49444154"), idat_data_hex)
+    idat_hex = F.concat(
+        F.lpad(F.hex(F.lit(11 + ln)), 8, "0"), idat_body, crc_hex(idat_body)
+    )
+    ihdr_body = F.concat(
+        F.lit("49484452"),
+        F.lpad(F.hex(F.lit(w)), 8, "0"),  # width, big-endian
+        F.lpad(F.hex(F.lit(h)), 8, "0"),  # height, big-endian
+        F.lit("08"),  # bit depth
+        F.lit("00" if nch == 1 else "02"),  # color type gray/RGB
+        F.lit("000000"),  # compression/filter/interlace
+    )
+    return F.concat(
+        F.lit("89504E470D0A1A0A"),
+        F.lit("0000000D"),
+        ihdr_body,
+        crc_hex(ihdr_body),
+        idat_hex,
+        F.lit("0000000049454E44AE426082"),
+    )
+
+
+@register(
+    "multimodal_png_phash",
+    """
+WITH corpus AS (
+    SELECT doc_id AS media_id, doc_id AS seed, 0 AS shift FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000 AS media_id, doc_id AS seed, 8 AS shift
+    FROM documents WHERE doc_id % 10 = 0
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 255),
+               i -> (seed * 31 + i * (7 + seed % 11)) % 240 + shift) AS p
+    FROM corpus
+), bl AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 15), b ->
+               list_sum(list_transform(generate_series(0, 15), j ->
+                   p[((b // 4) * 4 + (j // 4)) * 16
+                     + (b % 4) * 4 + (j % 4) + 1]))) AS bs
+    FROM px
+), ph AS (
+    SELECT media_id,
+           list_sum(list_transform(generate_series(0, 15), b ->
+               CASE WHEN bs[b + 1] * 256 > list_sum(bs) * 16
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS phash
+    FROM bl
+)
+SELECT CAST(phash AS BIGINT) AS phash,
+       min(media_id) AS canonical_media_id,
+       count(*) AS n_copies
+FROM ph GROUP BY phash
+""",
+    tags=("multimodal", "dedup", "phash", "png"),
+)
+def q_multimodal_png_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_phash_dedup with the COMPRESSED format as input —
+    proof the stdlib-zlib PNG kernel feeds the near-dup pipeline
+    end-to-end: the same 16×16 planted rasters (every 10th doc cloned
+    at +8 brightness — byte-distinct, average-hash-invariant) arrive
+    as complete valid grayscale PNGs (real zlib stream, verified
+    adler32, None/Sub/Up filters), get pixel-decoded by
+    decode_png_array inside perceptual_hashes, and collapse on the
+    integer average-hash. The ORACLE IS IDENTICAL to the PGM query's —
+    the planted pixels, not the container, determine the hash — which
+    is itself the decoder-independence claim in executable form. One
+    shuffle on phash."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("shift"),
+    ).unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 3000000).alias("media_id"),
+            F.col("doc_id").alias("seed"),
+            F.lit(8).alias("shift"),
         )
-        idat_body = F.concat(F.lit("49444154"), idat_data_hex)
-        idat_hex = F.concat(
-            F.lpad(F.hex(F.lit(11 + ln)), 8, "0"), idat_body, crc_hex(idat_body)
-        )
-        ihdr_body = F.concat(
-            F.lit("49484452"),
-            F.lit("0000000800000008"),  # 8×8 big-endian
-            F.lit("08"),  # bit depth
-            F.lit("00" if nch == 1 else "02"),  # color type gray/RGB
-            F.lit("000000"),  # compression/filter/interlace
-        )
-        return F.concat(
-            F.lit("89504E470D0A1A0A"),
-            F.lit("0000000D"),
-            ihdr_body,
-            crc_hex(ihdr_body),
-            idat_hex,
-            F.lit("0000000049454E44AE426082"),
-        )
+    )
+    seed, shift = F.col("seed"), F.col("shift")
+
+    def p(r, c):  # planted pixel at (row, col), 8..247 for clones
+        return (seed * 31 + (r * 16 + c) * (7 + seed % 11)) % 240 + shift
 
     media = corpus.select(
         "media_id",
-        F.unhex(
-            F.when(F.col("media_id") % 2 == 0, payload_hex(1)).otherwise(
-                payload_hex(3)
-            )
-        ).alias("payload"),
+        F.unhex(_planted_png_hex(p, 16, 16, 1)).alias("payload"),
     )
-    return mm.pixel_checksums(media)
+    return (
+        mm.perceptual_hashes(media, grid=4)
+        .groupBy("phash")
+        .agg(
+            F.min("media_id").alias("canonical_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
 
 
 def _planted_avi_hex(seed, shift):
