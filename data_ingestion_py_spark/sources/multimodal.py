@@ -279,77 +279,27 @@ def decode_pnm(payload: bytes | None) -> tuple[int, int, list[int]] | None:
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
 
+# Adam7 pass grid (PNG spec §8.2): (x start, y start, x step, y step)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-def decode_png_array(
-    payload: bytes | None,
-) -> tuple[int, int, "np.ndarray"] | None:
-    """REAL PNG pixel decode with NOTHING but the stdlib — PNG's pixel
-    stream is zlib (RFC 1950/1951, ``zlib.decompress``) under five
-    per-scanline byte filters (PNG spec §9): this closes the
-    compressed-image seam for the most common format without the
-    ``[ingest]`` extras. Returns (width, height, grayscale uint8
-    ndarray row-major) or None for anything it can't decode honestly:
-    non-PNG bytes, bit depths other than 8, Adam7 interlace,
-    truncated/corrupt zlib streams, a palette image without a (whole)
-    PLTE, or a raster whose unfiltered size disagrees with IHDR.
-    Palette images (color type 3, 8-bit indices) decode through the
-    PLTE chunk: each entry's gray value is the shared (r+g+b)//3, so
-    an indexed re-encode of an RGB image hashes identically.
 
-    Grayscale uses the SAME integer (r+g+b)//3 as every other decode
-    path (netpbm, Pillow, AVI DIB), so checksums and phashes are
-    decoder-independent; alpha channels are dropped (what
-    ``convert("RGB")`` does in the Pillow kernel). Filters None/Sub/Up
-    reconstruct vectorized (Sub is a per-channel-lane uint8 cumulative
-    sum — mod-256 wraps for free); Average/Paeth carry a true
-    left-neighbor dependency and reconstruct per-pixel within the
-    scanline only."""
-    import zlib
-
-    if payload is None or len(payload) < 45:  # sig + IHDR + IDAT + IEND
-        return None
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        return None
-    if payload[12:16] != b"IHDR" or int.from_bytes(payload[8:12], "big") != 13:
-        return None
-    w = int.from_bytes(payload[16:20], "big")
-    h = int.from_bytes(payload[20:24], "big")
-    bit_depth, color_type, comp, filt, interlace = payload[24:29]
-    if (
-        w <= 0
-        or h <= 0
-        or bit_depth != 8
-        or (color_type not in _PNG_CHANNELS and color_type != 3)
-        or comp != 0
-        or filt != 0
-        or interlace != 0
-    ):
-        return None
-    # IDAT data may span chunks; concatenate in file order
-    idat = bytearray()
-    plte: bytes | None = None
-    i, n = 33, len(payload)
-    while i + 8 <= n:
-        clen = int.from_bytes(payload[i : i + 4], "big")
-        ctype = payload[i + 4 : i + 8]
-        if i + 12 + clen > n:
-            return None  # truncated chunk
-        if ctype == b"IDAT":
-            idat += payload[i + 8 : i + 8 + clen]
-        elif ctype == b"PLTE":
-            plte = payload[i + 8 : i + 8 + clen]
-        elif ctype == b"IEND":
-            break
-        i += 12 + clen
-    if color_type == 3 and (
-        plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768
-    ):
-        return None
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
-    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+def _png_unfilter(
+    raw: bytes, w: int, h: int, ch: int
+) -> "np.ndarray | None":
+    """Reconstruct one (sub-)image's pixels from its filtered scanline
+    stream (PNG spec §9): h scanlines of 1 filter byte + w*ch samples.
+    None if the stream length or a filter type is wrong. Filters
+    None/Sub/Up are vectorized (Sub as a per-channel-lane uint8
+    cumulative sum — mod-256 wraps for free); Average/Paeth carry a
+    true left-neighbor dependency and go per-pixel within the line."""
     stride = w * ch
     if len(raw) != h * (stride + 1):
         return None
@@ -384,6 +334,103 @@ def decode_png_array(
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 row[x] = (int(row[x]) + pred) & 0xFF
+    return recon
+
+
+def decode_png_array(
+    payload: bytes | None,
+) -> tuple[int, int, "np.ndarray"] | None:
+    """REAL PNG pixel decode with NOTHING but the stdlib — PNG's pixel
+    stream is zlib (RFC 1950/1951, ``zlib.decompress``) under five
+    per-scanline byte filters (PNG spec §9): this closes the
+    compressed-image seam for the most common format without the
+    ``[ingest]`` extras. Returns (width, height, grayscale uint8
+    ndarray row-major) or None for anything it can't decode honestly:
+    non-PNG bytes, bit depths other than 8, truncated/corrupt zlib
+    streams, a palette image without a (whole) PLTE, or a raster whose
+    unfiltered size disagrees with IHDR. Palette images (color type 3,
+    8-bit indices) decode through the PLTE chunk: each entry's gray
+    value is the shared (r+g+b)//3, so an indexed re-encode of an RGB
+    image hashes identically. Adam7-interlaced images decode for real:
+    the seven independently-filtered passes unfilter separately and
+    scatter back onto the raster (spec §8.2 grid).
+
+    Grayscale uses the SAME integer (r+g+b)//3 as every other decode
+    path (netpbm, Pillow, AVI DIB), so checksums and phashes are
+    decoder-independent; alpha channels are dropped (what
+    ``convert("RGB")`` does in the Pillow kernel). Filters None/Sub/Up
+    reconstruct vectorized (Sub is a per-channel-lane uint8 cumulative
+    sum — mod-256 wraps for free); Average/Paeth carry a true
+    left-neighbor dependency and reconstruct per-pixel within the
+    scanline only."""
+    import zlib
+
+    if payload is None or len(payload) < 45:  # sig + IHDR + IDAT + IEND
+        return None
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if payload[12:16] != b"IHDR" or int.from_bytes(payload[8:12], "big") != 13:
+        return None
+    w = int.from_bytes(payload[16:20], "big")
+    h = int.from_bytes(payload[20:24], "big")
+    bit_depth, color_type, comp, filt, interlace = payload[24:29]
+    if (
+        w <= 0
+        or h <= 0
+        or bit_depth != 8
+        or (color_type not in _PNG_CHANNELS and color_type != 3)
+        or comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+    ):
+        return None
+    # IDAT data may span chunks; concatenate in file order
+    idat = bytearray()
+    plte: bytes | None = None
+    i, n = 33, len(payload)
+    while i + 8 <= n:
+        clen = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        if i + 12 + clen > n:
+            return None  # truncated chunk
+        if ctype == b"IDAT":
+            idat += payload[i + 8 : i + 8 + clen]
+        elif ctype == b"PLTE":
+            plte = payload[i + 8 : i + 8 + clen]
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if color_type == 3 and (
+        plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768
+    ):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    if interlace == 0:
+        recon = _png_unfilter(raw, w, h, ch)
+        if recon is None:
+            return None
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        recon = np.zeros((h, w * ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass contributes no scanlines
+            size = hp * (wp * ch + 1)
+            sub = _png_unfilter(raw[pos : pos + size], wp, hp, ch)
+            if sub is None:
+                return None
+            pos += size
+            # scatter: pass pixel (i, j) -> raster (y0+i*dy, x0+j*dx)
+            view = recon.reshape(h, w, ch)
+            view[y0::dy, x0::dx, :] = sub.reshape(hp, wp, ch)
+        if pos != len(raw):
+            return None  # stream length disagrees with the pass plan
     if color_type == 3:
         # indexed: a 256-entry gray LUT from the PLTE (entries the
         # image doesn't reference default to 0; an index past the
