@@ -128,6 +128,18 @@ def main() -> None:
     result["queries"] = timings
     result["value"] = total
     print(json.dumps(result))
+    print(_compact_line(probes, errors, sf, timings, total))
+    spark.stop()
+
+
+def _compact_line(
+    probes: dict, errors: dict, sf: float, timings: dict, total: float
+) -> str:
+    """The FINAL stdout line — the one the driver's 2000-char tail is
+    guaranteed to contain whole, so it must parse as JSON and carry
+    headline medians + total + one median scalar per probe. Hard size
+    guard: shed the least-load-bearing probe medians (end of the
+    priority order) first; queries + total are never shed."""
     compact = {
         "metric": "headline_queries_total_sec",
         "unit": "sec",
@@ -138,16 +150,12 @@ def main() -> None:
     compact["sf"] = sf
     compact["queries"] = timings
     compact["value"] = total
-    # Hard size guard: the driver tail is 2000 chars; shed the
-    # least-load-bearing probe medians first if a noisy run fattens
-    # the floats. Queries + total are never shed.
     med = compact["probe_medians"]
     for victim in list(med)[::-1]:
         if len(json.dumps(compact)) <= 1900:
             break
         del med[victim]
-    print(json.dumps(compact))
-    spark.stop()
+    return json.dumps(compact)
 
 
 # One headline scalar (or few) per probe for the compact driver line,
