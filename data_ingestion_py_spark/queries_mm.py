@@ -794,10 +794,11 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode end-to-end, no image library: complete VALID
     GIF89a files are constructed in column algebra — gray-ramp global
     color table (entry i = (i,i,i), so index == gray), and a REAL LZW
-    code stream (all-literal 9-bit codes with CLEAR placed so the
-    decoder's dictionary never forces a width bump: CLEAR, 254
-    literals, CLEAR, 2 literals, END — bit-packed LSB-first in column
-    algebra, framed into spec sub-blocks) — then LZW-DECOMPRESSED by
+    code stream (all-literal 9-bit codes with the single leading CLEAR
+    placed so the decoder's dictionary never forces a width bump:
+    CLEAR, 64 literals, END = 66 codes / 594 bits — bit-packed
+    LSB-first in column algebra, framed into spec sub-blocks) — then
+    LZW-DECOMPRESSED by
     the pure-byte kernel (sources/multimodal.decode_gif_array →
     _gif_lzw_decode) for position-weighted integer pixel checksums.
     Adaptive-dictionary streams (width bumps, KwKwK, mid-stream

@@ -555,15 +555,16 @@ def _tc_skip(payload: bytes, i: int, ftype: int) -> int | None:
             if got is None:
                 return None
             size, i = got
-        if etype in (1, 2):
-            # Boolean elements carry no payload bytes: the loop below
-            # would consume nothing per element, so a corrupt footer
-            # declaring a huge bool list spins forever. Skip it whole.
-            return i
         if size > len(payload) - i:
-            # Every non-bool element consumes >= 1 byte, so a declared
-            # size beyond the remaining bytes is corruption, not data.
+            # Every element consumes >= 1 byte (bool COLLECTION
+            # elements occupy one 0x01/0x02 byte each, unlike bool
+            # FIELDS whose value lives in the type header), so a
+            # declared size beyond the remaining bytes is corruption,
+            # not data — and the bound keeps a crafted huge count from
+            # spinning the loop.
             return None
+        if etype in (1, 2):
+            return i + size  # one byte per bool element, bound-checked
         for _ in range(size):
             i = _tc_skip(payload, i, etype)
             if i is None:
@@ -580,16 +581,21 @@ def _tc_skip(payload: bytes, i: int, ftype: int) -> int | None:
             return None
         kv = payload[i]
         i += 1
-        if (kv >> 4) in (1, 2) and (kv & 0x0F) in (1, 2):
-            # bool->bool map: zero bytes per pair (see LIST guard).
-            return i
         if size > len(payload) - i:
+            # each pair consumes >= 2 bytes (bool keys/values occupy
+            # one byte each inside collections — see the LIST guard)
             return None
+
+        def _elem(j: int, t: int) -> int | None:
+            if t in (1, 2):  # bool collection element: one byte
+                return j + 1 if j + 1 <= len(payload) else None
+            return _tc_skip(payload, j, t)
+
         for _ in range(size):
-            i = _tc_skip(payload, i, kv >> 4)
+            i = _elem(i, kv >> 4)
             if i is None:
                 return None
-            i = _tc_skip(payload, i, kv & 0x0F)
+            i = _elem(i, kv & 0x0F)
             if i is None:
                 return None
         return i

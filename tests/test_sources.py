@@ -1334,6 +1334,43 @@ def test_parquet_row_groups_corrupt_footer_no_hang():
     assert _bounded(open(path, "rb").read()) is not None
 
 
+def test_parquet_footer_bool_list_elements_consume_one_byte_each():
+    """Thrift compact LIST/SET elements of bool type occupy ONE byte
+    each (0x01/0x02) — unlike bool FIELDS whose value lives in the
+    type header. A skip that consumes zero bytes per element (the r11
+    guard) desyncs the walk on a VALID footer carrying a bool
+    collection; this pins the fixed walk staying in sync across one."""
+    from data_ingestion_py_spark.sources.archive import parquet_row_groups
+
+    rowgroup = (
+        b"\x19\x1c" + b"\x00"  # field 1: columns = [<empty struct>]
+        + b"\x16" + b"\xc8\x01"  # field 2: total_byte_size = 100
+        + b"\x16" + b"\x32"  # field 3: num_rows = 25
+        + b"\x00"  # STOP
+    )
+    meta = (
+        b"\x19" + b"\x31" + b"\x01\x02\x01"  # field 1: list<bool> [T,F,T]
+        + b"\x26" + b"\x32"  # field 3: num_rows = 25
+        + b"\x19" + b"\x1c" + rowgroup  # field 4: row_groups = [rg]
+        + b"\x00"  # STOP
+    )
+    got = parquet_row_groups(_wrap_footer(meta))
+    assert got == {"num_rows": 25, "row_groups": [(0, 25, 100, 1)]}
+    # and a bool-valued MAP (string keys) stays in sync the same way
+    meta2 = (
+        b"\x1b"  # field 1: map
+        + b"\x02"  # size 2
+        + b"\x81"  # key type 8 (binary), value type 1 (bool)
+        + b"\x01a" + b"\x01"  # "a" -> one bool byte
+        + b"\x01b" + b"\x02"  # "b" -> one bool byte
+        + b"\x26" + b"\x32"  # field 3: num_rows = 25
+        + b"\x19" + b"\x1c" + rowgroup
+        + b"\x00"
+    )
+    got2 = parquet_row_groups(_wrap_footer(meta2))
+    assert got2 == {"num_rows": 25, "row_groups": [(0, 25, 100, 1)]}
+
+
 def test_parquet_rg_manifest_spark(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
