@@ -102,6 +102,7 @@ def main() -> None:
         ("manifest_slope", _manifest_slope_bench),
         ("ivf_index_probe", _ivf_index_probe_bench),
         ("phash_kernel", _phash_kernel_bench),
+        ("jpeg_kernel", _jpeg_kernel_bench),
     ):
         try:
             probes[key] = fn(spark, sf_dir)
@@ -190,7 +191,7 @@ _PROBE_HEADLINE_KEYS = {
     "dedup_slope": ("slope",),
     "iter_slope": ("pagerank_slope", "components_slope", "rank_slope"),
     "manifest_slope": ("slope_med", "shards_per_sec_x4", "zip_slope_med"),
-    "streaming_drain": ("b10_rows_per_sec", "batch_overhead_sec"),
+    "streaming_drain": ("b10_rows_per_sec", "batch_overhead_sec", "rows_slope"),
     "band_index_probe": ("growth", "compaction_recovery"),
     "ivf_index_probe": ("growth", "compaction_recovery"),
     "ann_swap": ("brute_sec", "ivf_sec", "recall_at_10"),
@@ -265,6 +266,44 @@ def _phash_kernel_bench(spark, sf_dir: str) -> dict:
         "mpix_per_sec": (
             round(w * h / 1e6 / vec["med"], 1) if vec["med"] else None
         ),
+    }
+    return out
+
+
+def _jpeg_kernel_bench(spark, sf_dir: str) -> dict:
+    """Decode throughput of the r12 extras-free baseline JPEG kernel
+    (Huffman + dequant + IDCT) on a realistic AC-dense 0.2 MP image
+    produced by the INDEPENDENT reference encoder in tests/test_jpeg —
+    the honest number for the interpreted fallback path (bit-exactness
+    vs the independent IDCT is pinned in pytest; in an ``[ingest]``
+    container the PIL-first dispatch routes JPEG to the C decoder and
+    this kernel never runs in the hot path). ``hashes_identical``
+    confirms the decoded raster feeds the phash pipeline consistently
+    (hash of the JPEG == hash of its decoded raster re-encoded
+    lossless)."""
+    from data_ingestion_py_spark.sources.multimodal import (
+        average_hash,
+        decode_jpeg_array,
+    )
+    from tests.test_jpeg import _jpeg_bytes, _rng_raster
+
+    w, h = 512, 384
+    raster = _rng_raster(w, h, 3)
+    payload, _ = _jpeg_bytes([raster], [(1, 1)], w, h)
+    got: dict = {}
+    st = _stats_of(3, lambda: got.__setitem__("v", decode_jpeg_array(payload)))
+    decoded = got["v"]
+    if decoded is None:
+        return {"err": "decode returned None"}
+    pgm = b"P5\n%d %d\n255\n" % (w, h) + decoded[2].tobytes()
+    out = {
+        "raster_mpix": round(w * h / 1e6, 3),
+        "decode_sec": st["med"],
+        "decode_spread_sec": [st["min"], st["max"]],
+        "mpix_per_sec": (
+            round(w * h / 1e6 / st["med"], 3) if st["med"] else None
+        ),
+        "hashes_identical": average_hash(payload) == average_hash(pgm),
     }
     return out
 
@@ -1063,17 +1102,25 @@ def _streaming_drain_bench(spark, sf_dir: str) -> dict:
     measures it, so 'the streaming path keeps up' is a number
     (rows/sec through the maintained state), not a docstring.
 
-    TWO points (10 and 100 micro-batches over the SAME rows) so the
-    per-batch fixed cost gets a slope like every other scale claim:
-    the handler's work per batch is batch-sized and state is an
-    append-only partial log (not read-modify-write), so drain time at
-    10× the batch count for the same data should grow by the per-batch
-    overhead only — ``batch_overhead_sec`` = (drain_100 − drain_10)/90
-    is the measured cost of one more micro-batch. An incomplete drain
-    (awaitTermination timeout) is flagged, never silently published as
-    throughput."""
+    THREE points so both scale axes get a slope like every other
+    claim: 10 and 100 micro-batches over the SAME rows (the handler's
+    work per batch is batch-sized and state is an append-only partial
+    log, so 10× the batch count for the same data should cost the
+    per-batch overhead only — ``batch_overhead_sec`` =
+    (drain_100 − drain_10)/90 is one more micro-batch's price), and —
+    r12 — 10 batches over TEN id-suffixed copies of the rows (each
+    copy contributes its own event_type groups, so state cardinality
+    scales with the data like a real corpus): ``rows_slope`` =
+    drain(10× rows)/drain(1× rows) at equal batch count, measured as
+    interleaved pairs (``_paired_slope``) so a box stall poisons one
+    pair, not the claim. An incomplete drain (awaitTermination
+    timeout) is flagged, never silently published as throughput."""
     import shutil
     import tempfile
+
+    from functools import reduce
+
+    from pyspark.sql import functions as F
 
     from data_ingestion_py_spark.io import load_table
     from data_ingestion_py_spark.streaming.pipeline import (
@@ -1084,31 +1131,66 @@ def _streaming_drain_bench(spark, sf_dir: str) -> dict:
     ev = load_table(spark, sf_dir, "events")
     n_rows = ev.count()
     out: dict = {"rows": n_rows}
-    for n_batches in (10, 100):
+
+    def _one_drain(df, n_batches: int, report_groups: bool = False) -> float:
         base = tempfile.mkdtemp(prefix="bench_stream_")
         try:
             src = base + "/events"
-            ev.repartition(n_batches).write.parquet(src)
+            df.repartition(n_batches).write.parquet(src)
             t0 = time.perf_counter()
             q = run_rollup_stream(spark, src, base + "/state", base + "/ckpt")
-            finished = q.awaitTermination(600)
+            finished = q.awaitTermination(1200)
             wall = time.perf_counter() - t0
             if not finished:
                 q.stop()
-                out[f"b{n_batches}_timed_out"] = True
-                continue
-            out[f"b{n_batches}_drain_sec"] = round(wall, 3)
-            out[f"b{n_batches}_rows_per_sec"] = int(n_rows / wall)
-            if n_batches == 10:
+                raise TimeoutError(f"drain b{n_batches} timed out")
+            if report_groups:
                 out["state_groups"] = read_rollup_state(
                     spark, base + "/state"
                 ).count()
+            return wall
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+    for n_batches in (10, 100):
+        try:
+            wall = _one_drain(ev, n_batches, report_groups=n_batches == 10)
+        except TimeoutError:
+            out[f"b{n_batches}_timed_out"] = True
+            continue
+        out[f"b{n_batches}_drain_sec"] = round(wall, 3)
+        out[f"b{n_batches}_rows_per_sec"] = int(n_rows / wall)
     if "b10_drain_sec" in out and "b100_drain_sec" in out:
         out["batch_overhead_sec"] = round(
             (out["b100_drain_sec"] - out["b10_drain_sec"]) / 90, 4
         )
+    # 10x-ROWS point: ten copies, each with its own event_type suffix
+    # (group cardinality scales with the data); interleaved pairs
+    ev10 = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ev.withColumn(
+                "event_type",
+                F.concat(F.col("event_type"), F.lit(f"_{c}"))
+                if c
+                else F.col("event_type"),
+            )
+            for c in range(10)
+        ],
+    ).localCheckpoint()
+    try:
+        ps = _paired_slope(
+            2, lambda: _one_drain(ev, 10), lambda: _one_drain(ev10, 10)
+        )
+        _put_stats(out, "rows_x1_b10", ps["small"])
+        _put_stats(out, "rows_x10_b10", ps["big"])
+        out["rows_slope"] = ps["ratio_med"]
+        out["rows_slope_pairs"] = ps["ratios"]
+        out["rows_x10_rows_per_sec"] = (
+            int(10 * n_rows / ps["big"]["min"]) if ps["big"]["min"] else None
+        )
+    except TimeoutError:
+        out["rows_slope_timed_out"] = True
     return out
 
 

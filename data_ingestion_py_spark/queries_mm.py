@@ -419,6 +419,100 @@ def q_multimodal_av_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mp3_ogg_duration",
+    """
+SELECT doc_id AS media_id, 'audio' AS kind,
+       CAST(CASE
+            WHEN doc_id % 2 = 0
+            THEN ((3 + doc_id % 5) * 1152 * 1000) // 44100
+            WHEN doc_id % 4 = 1
+            THEN (((doc_id * 37) % 500000 + 1000) * 1000)
+                 // (8000 + (doc_id % 3) * 4000)
+            ELSE (((doc_id * 53) % 900000 + 48000 - 312) * 1000) // 48000
+       END AS BIGINT) AS duration_ms
+FROM documents
+""",
+    tags=("multimodal", "decode", "audio"),
+)
+def q_multimodal_mp3_ogg_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 + Ogg duration walks end-to-end (the r12 compressed-audio
+    metadata seam): even docs get a complete CBR MPEG-1 Layer III file
+    — (3 + doc%5) identical frames whose header carries a doc-derived
+    bitrate index 1..14 at 44.1 kHz, body zero-filled to the spec
+    length floor(144000·kbps/44100), the whole file a plan-time
+    ``repeat(frame, nf)`` — so the kernel's frame-length formula must
+    step EXACTLY frame to frame or the walk desyncs to None. Odd docs
+    get a two-page Ogg stream: docs ≡1 (mod 4) a Vorbis identification
+    header (doc-derived rate 8/12/16 kHz) + an EOS page with a
+    doc-derived granule position; docs ≡3 (mod 4) an OpusHead (fixed
+    48 kHz granule clock, pre-skip 312) + EOS granule. The oracle
+    recomputes every duration arithmetically (nf·1152·1000/44100,
+    granule·1000/rate, (granule−312)·1000/48000) and never sees a
+    byte. Xing/VBR headers, ID3 skips, lacing, and torn files are
+    pinned in pytest (test_sources). One narrow Arrow stage, no
+    shuffle; at 100 TB this is the pattern that prices out audio
+    corpora without touching a codec."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    kbps_arr = F.array(
+        *[F.lit(v) for v in (32, 40, 48, 56, 64, 80, 96, 112, 128,
+                             160, 192, 224, 256, 320)]
+    )
+    mp3 = (
+        d.where(doc % 2 == 0)
+        .withColumn("bi", (doc % 14 + 1).cast("int"))
+        .withColumn("kbps", F.element_at(kbps_arr, F.col("bi")))
+        .withColumn(
+            "flen",
+            F.floor(F.lit(144000) * F.col("kbps") / F.lit(44100)).cast("int"),
+        )
+        .withColumn("nf", (doc % 5 + 3).cast("int"))
+        .withColumn(
+            "frame_hex",
+            F.concat(
+                F.lit("FFFB"),  # sync + MPEG1 + Layer III + no CRC
+                F.lpad(F.hex(F.col("bi") * 16), 2, "0"),  # bitrate idx<<4
+                F.lit("00"),  # stereo, no ext/copy/orig/emphasis
+                F.expr("repeat('00', flen - 4)"),
+            ),
+        )
+        .select(doc.alias("media_id"), F.expr("repeat(frame_hex, nf)").alias("hx"))
+    )
+    vorbis_g = (doc * 37) % 500000 + 1000
+    vorbis_rate = F.lit(8000) + (doc % 3) * 4000
+    vorbis_hx = F.concat(
+        F.lit("4F676753" "00" "02" + "00" * 8),  # BOS page, granule 0
+        F.lit("01000000" "00000000" "00000000" "01" "1E"),
+        F.lit("01" "766F72626973" "00000000" "01"),  # \x01vorbis v0 ch1
+        _le_hex(vorbis_rate, 4),
+        F.lit("00" * 12 + "00" "01"),  # bitrates, blocksizes, framing
+        F.lit("4F676753" "00" "04"),  # EOS page
+        _le_hex(vorbis_g, 8),
+        F.lit("01000000" "01000000" "00000000" "01" "01" "00"),
+    )
+    opus_g = (doc * 53) % 900000 + 48000
+    opus_hx = F.concat(
+        F.lit("4F676753" "00" "02" + "00" * 8),
+        F.lit("01000000" "00000000" "00000000" "01" "13"),
+        F.lit("4F70757348656164" "01" "01" "3801"),  # OpusHead, pre-skip 312
+        F.lit("80BB0000" "0000" "00"),  # input rate 48k, gain, mapping
+        F.lit("4F676753" "00" "04"),
+        _le_hex(opus_g, 8),
+        F.lit("01000000" "01000000" "00000000" "01" "01" "00"),
+    )
+    ogg = d.where(doc % 2 == 1).select(
+        doc.alias("media_id"),
+        F.when(doc % 4 == 1, vorbis_hx).otherwise(opus_hx).alias("hx"),
+    )
+    media = mp3.unionByName(ogg).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.unhex(F.col("hx")).alias("payload"),
+    )
+    return mm.probe_metadata(media).select("media_id", "kind", "duration_ms")
+
+
+@register(
     "multimodal_wav_pcm_stats",
     """
 WITH waves AS (
@@ -862,6 +956,203 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pixel_checksums(media)
 
 
+def _jpeg_dc_header_hex() -> str:
+    """Constant marker-segment prefix of the planted DC-only baseline
+    JPEGs (everything before the per-row 5-byte entropy stream): 16×16
+    grayscale SOF0, Q[0]=8 (so pixel = dc + 128 exactly — the IDCT of
+    a DC-only block is flat dc·Q00/8, binary-exact), a 4-bit-max DC
+    Huffman table whose category-6 code is '110' (cats 0-6 at length
+    3, cat 7 at 1110 so the all-ones code stays unused per Annex C),
+    and a 1-bit AC table where '0' is EOB."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+    out += bytes([8] + [16] * 63)  # zigzag order; only Q[0] matters
+    out += (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+        + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    out += b"\xff\xc4" + (27).to_bytes(2, "big") + b"\x00"
+    out += bytes([0, 0, 7, 1] + [0] * 12) + bytes(range(8))
+    out += b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x10"
+    out += bytes([1] + [0] * 15) + bytes([0])
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0, 0, 63, 0])
+    return out.hex().upper()
+
+
+@register(
+    "multimodal_jpeg_decode",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id, doc_id AS seed FROM documents
+), d AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 3),
+               b -> CASE WHEN b % 2 = 0
+                         THEN 32 + (seed * 13 + b * 7) % 32
+                         ELSE -(32 + (seed * 13 + b * 7) % 32) END) AS diffs
+    FROM g
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(1, 4),
+               b -> 128 + list_sum(diffs[1:b])) AS bp
+    FROM d
+)
+SELECT media_id, 16 AS width, 16 AS height,
+       CAST(64 * list_sum(bp) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 255),
+            k -> (k + 1) * bp[(k // 128) * 2 + ((k % 16) // 8) + 1]))
+            AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "jpeg"),
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode end-to-end, no image library: complete VALID
+    baseline JPEGs are constructed in column algebra — the constant
+    marker prefix (16×16 grayscale SOF0, custom minimal DC/AC Huffman
+    tables, Q00=8) plus a per-row 40-bit entropy stream of four
+    DC-only blocks, each 10 bits: the 3-bit category-6 code '110', 6
+    magnitude bits (negative diffs in two's-category form v = d + 63,
+    ITU T.81 F.2.2.1), and the 1-bit EOB. Diffs alternate sign
+    (+/-(32 + (seed·13 + 7b) mod 32)) so the CUMULATIVE DC prediction
+    stays in [-62, 94] and every pixel dc+128 avoids the clamp — the
+    oracle recomputes the four flat 8×8 blocks arithmetically (a
+    DC-only block IDCTs to exactly dc·Q00/8 + 128 = dc + 128) and
+    never sees a byte. The decoder (sources/multimodal.
+    decode_jpeg_array) must get marker parsing, canonical Huffman
+    assignment, magnitude extension, DC prediction, dequantization,
+    the IDCT constant term, and MCU raster placement ALL right — one
+    wrong bit anywhere nulls or mismatches the row (the
+    position-weighted checksum pins which 8×8 block lands where).
+    AC-coefficient streams, restart markers, 4:2:0 chroma, and
+    byte stuffing are pinned in pytest against an independent
+    encoder (tests/test_jpeg.py). One narrow Arrow stage, no
+    shuffle. Max run of 1-bits in the stream is 6, so no 0xFF byte
+    ever needs stuffing — the 5 entropy bytes are a plan-time hex
+    projection.
+
+    Reference parity: the reference's OCR fallback writes page
+    rasters to .jpg and re-reads them (data_ingestion.py:148-155);
+    this kernel is what makes that path decodable in-container."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.select(
+        F.col("doc_id").alias("media_id"), F.col("doc_id").alias("seed")
+    )
+    seed = F.col("seed")
+
+    def mag(b: int):  # |diff| of block b, 32..63
+        return F.lit(32) + F.pmod(seed * 13 + b * 7, F.lit(32))
+
+    # block b's 10 bits: 110 (cat 6) | bits6 | 0 (EOB); bits6 = d>0 ?
+    # d : d + 63  (category-6 magnitude extension, F.2.2.1)
+    block_bits = []
+    for b in range(4):
+        bits6 = mag(b) if b % 2 == 0 else F.lit(63) - mag(b)
+        block_bits.append(F.lit(0b110 << 7) + bits6 * 2)
+    v40 = (
+        block_bits[0].cast("long") * F.lit(1 << 30)
+        + block_bits[1].cast("long") * F.lit(1 << 20)
+        + block_bits[2].cast("long") * F.lit(1 << 10)
+        + block_bits[3].cast("long")
+    )
+    payload_hex = F.concat(
+        F.lit(_jpeg_dc_header_hex()),
+        F.lpad(F.hex(v40), 10, "0"),  # 40 bits, MSB-first, byte-aligned
+        F.lit("FFD9"),
+    )
+    media = corpus.select(
+        "media_id", F.unhex(payload_hex).alias("payload")
+    )
+    return mm.pixel_checksums(media)
+
+
+def _bmp_gray8_header_hex() -> str:
+    """Constant prefix of the planted 8-bit 16×16 bottom-up BMPs: 'BM'
+    file header + BITMAPINFOHEADER (BI_RGB) + a 256-entry gray-identity
+    palette (entry i = (i,i,i,0), so palette index == gray via the
+    shared (r+g+b)//3 rule). Width 16 means stride 16 — no row padding
+    — so the raster is exactly the 256 planted bytes."""
+    data_off = 14 + 40 + 1024
+    hdr = b"BM" + (data_off + 256).to_bytes(4, "little")
+    hdr += b"\x00\x00\x00\x00" + data_off.to_bytes(4, "little")
+    dib = (40).to_bytes(4, "little")
+    dib += (16).to_bytes(4, "little") + (16).to_bytes(4, "little")
+    dib += (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    dib += (0).to_bytes(4, "little") + (256).to_bytes(4, "little")
+    dib += b"\x00" * 8  # x/y pixels-per-meter
+    dib += (256).to_bytes(4, "little") + (0).to_bytes(4, "little")
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    return (hdr + dib + pal).hex().upper()
+
+
+@register(
+    "multimodal_bmp_decode",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id, doc_id AS seed FROM documents
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 255),
+               k -> (seed * 29 + k * (5 + seed % 13)) % 256) AS p
+    FROM g
+)
+SELECT media_id, 16 AS width, 16 AS height,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 255),
+            k -> (k + 1) * p[k + 1])) AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "bmp"),
+)
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone BMP decode end-to-end: complete valid 8-bit
+    palettized BI_RGB BMPs built in column algebra — constant 'BM' +
+    BITMAPINFOHEADER + gray-identity palette prefix, then the 256
+    planted raster bytes emitted BOTTOM-UP (file row r carries raster
+    row 15−r, the BMP default orientation), decoded by the factored
+    AVI-DIB kernel (sources/multimodal.decode_bmp_array → _dib_gray)
+    through pixel_checksums. The oracle recomputes the planted TOP-DOWN
+    raster arithmetically, so a decoder that forgets the bottom-up
+    flip, mis-sizes the palette, or misreads the data offset
+    position-weight-mismatches immediately. 24-bit BGR, top-down, row
+    padding, and truncation gates are pinned in pytest
+    (tests/test_jpeg.py). One narrow Arrow stage, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.select(
+        F.col("doc_id").alias("media_id"), F.col("doc_id").alias("seed")
+    )
+    seed = F.col("seed")
+
+    def p(k):  # planted raster byte at flat TOP-DOWN position k
+        return F.pmod(seed * 29 + k * (5 + F.pmod(seed, F.lit(13))), F.lit(256))
+
+    # file rows bottom-up: file row fr = raster row 15 - fr
+    raster_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda i: F.lpad(
+                F.hex(
+                    p(
+                        (F.lit(15) - F.floor(i / 16)) * 16
+                        + F.pmod(i, F.lit(16))
+                    )
+                ),
+                2,
+                "0",
+            ),
+        ),
+    )
+    media = corpus.select(
+        "media_id",
+        F.unhex(
+            F.concat(F.lit(_bmp_gray8_header_hex()), raster_hex)
+        ).alias("payload"),
+    )
+    return mm.pixel_checksums(media)
+
+
 @register(
     "multimodal_png_phash",
     """
@@ -928,6 +1219,127 @@ def q_multimodal_png_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = corpus.select(
         "media_id",
         F.unhex(_planted_png_hex(p, 16, 16, 1)).alias("payload"),
+    )
+    return (
+        mm.perceptual_hashes(media, grid=4)
+        .groupBy("phash")
+        .agg(
+            F.min("media_id").alias("canonical_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_JPEG_PHASH_SIGNS = (
+    (1, 1, -1, 1), (1, 1, -1, -1), (1, -1, 1, 1), (1, -1, 1, -1),
+    (1, -1, -1, 1), (-1, 1, 1, -1), (-1, 1, -1, 1), (-1, 1, -1, -1),
+    (-1, -1, 1, 1), (-1, -1, 1, -1),
+)  # every sign pattern with no 3-run: cumulative DC stays in [-104,114]
+_JPEG_PHASH_PRIMES = (13, 17, 19, 23)
+
+
+@register(
+    "multimodal_jpeg_phash",
+    f"""
+WITH corpus AS (
+    SELECT doc_id AS media_id, doc_id AS seed, 0 AS boost FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000 AS media_id, doc_id AS seed, 8 AS boost
+    FROM documents WHERE doc_id % 10 = 0
+), d AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 3), b ->
+               {str([list(p) for p in _JPEG_PHASH_SIGNS])}[seed % 10 + 1][b + 1]
+               * (32 + (seed * {str(list(_JPEG_PHASH_PRIMES))}[b + 1]
+                        + 7 * b) % 16
+                  + CASE WHEN b = 0 THEN boost ELSE 0 END)) AS diffs
+    FROM corpus
+), dc AS (
+    SELECT media_id,
+           list_transform(generate_series(1, 4),
+               b -> list_sum(diffs[1:b])) AS dcs
+    FROM d
+), ph AS (
+    SELECT media_id,
+           list_sum(list_transform(generate_series(0, 15), b ->
+               CASE WHEN 4 * dcs[((b // 4) // 2) * 2 + ((b % 4) // 2) + 1]
+                         > list_sum(dcs)
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS phash
+    FROM dc
+)
+SELECT CAST(phash AS BIGINT) AS phash,
+       min(media_id) AS canonical_media_id,
+       count(*) AS n_copies
+FROM ph GROUP BY phash
+""",
+    tags=("multimodal", "dedup", "phash", "jpeg"),
+)
+def q_multimodal_jpeg_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multimodal_png_phash with JPEG as the container — proof the r12
+    baseline Huffman+IDCT kernel feeds the near-dup pipeline
+    end-to-end with no extras: DC-only planted JPEGs (four flat 8×8
+    blocks, pixel = dc + 128 exactly) whose DC walk takes a
+    seed-chosen SIGN PATTERN (the ten no-3-run patterns keep every
+    cumulative DC in [-104, 114] — pixels never clamp — while
+    alternating-sign fixtures would make every hash bit provably
+    constant: 3b+d>2c for magnitudes in one category) and
+    seed-varied magnitudes 32..47, yielding 13 distinct hash
+    patterns across the corpus. Every 10th doc is cloned at +8
+    brightness via a +8 DC first-diff — byte-distinct entropy
+    streams, but average-hash compares block sums cross-multiplied
+    against the global sum, so a uniform DC shift provably cancels
+    and clones collapse (magnitudes cap at 47+8 < 64, inside Huffman
+    category 6 — one code path for original and clone). The oracle
+    reduces each hash bit to 4·dc_q > Σdc arithmetically (the 128
+    level-shift cancels) and never sees a byte. One shuffle on
+    phash."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("boost"),
+    ).unionByName(
+        d.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 3000000).alias("media_id"),
+            F.col("doc_id").alias("seed"),
+            F.lit(8).alias("boost"),
+        )
+    )
+    seed, boost = F.col("seed"), F.col("boost")
+    signs_arr = F.array(
+        *[F.array(*[F.lit(s) for s in pat]) for pat in _JPEG_PHASH_SIGNS]
+    )
+
+    def mag(b: int):  # |diff| of block b (block 0 carries the clone boost)
+        m = F.lit(32) + F.pmod(
+            seed * _JPEG_PHASH_PRIMES[b] + 7 * b, F.lit(16)
+        )
+        return m + boost if b == 0 else m
+
+    block_bits = []
+    for b in range(4):
+        sign = F.element_at(
+            F.element_at(signs_arr, F.pmod(seed, F.lit(10)).cast("int") + 1),
+            b + 1,
+        )
+        # category-6 magnitude bits: d>0 -> d; d<0 -> d + 63 = 63 - |d|
+        bits6 = F.when(sign > 0, mag(b)).otherwise(F.lit(63) - mag(b))
+        block_bits.append(F.lit(0b110 << 7) + bits6 * 2)
+    v40 = (
+        block_bits[0].cast("long") * F.lit(1 << 30)
+        + block_bits[1].cast("long") * F.lit(1 << 20)
+        + block_bits[2].cast("long") * F.lit(1 << 10)
+        + block_bits[3].cast("long")
+    )
+    media = corpus.select(
+        "media_id",
+        F.unhex(
+            F.concat(
+                F.lit(_jpeg_dc_header_hex()),
+                F.lpad(F.hex(v40), 10, "0"),
+                F.lit("FFD9"),
+            )
+        ).alias("payload"),
     )
     return (
         mm.perceptual_hashes(media, grid=4)

@@ -139,6 +139,13 @@ def image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
             int.from_bytes(payload[6:8], "little"),
             int.from_bytes(payload[8:10], "little"),
         )
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        # BMP: BITMAPINFOHEADER int32 width/height at file offsets
+        # 18/22; |height| because negative means top-down (r12, with
+        # decode_bmp_array)
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        return (w, abs(h)) if w > 0 and h != 0 else None
     return None
 
 def tiff_dimensions(payload: bytes | None) -> tuple[int, int] | None:
@@ -949,6 +956,18 @@ def decode_jpeg_array(
     if len(segments) < n_segs:
         return None
 
+    # Allocation guard (the parquet-footer crafted-input lesson): a
+    # forged SOF declaring 65535x65535 implies a ~17 GB coefficient
+    # array backed by a few stream bytes. Every block costs >= 2
+    # Huffman symbols >= 2 bits, so more blocks than entropy BITS is
+    # structurally impossible — reject before allocating anything.
+    total_blocks = 0
+    for ci, c in enumerate(comps):
+        hf, vf = (c[1], c[2]) if len(comps) > 1 else (1, 1)
+        total_blocks += (mcus_x * hf) * (mcus_y * vf)
+    if 2 * total_blocks > 8 * sum(len(s) for s in segments):
+        return None
+
     # per component: coefficient batch (n_blocks, 64) + plane geometry
     coefs = []
     for ci, c in enumerate(comps):
@@ -1191,10 +1210,133 @@ def perceptual_hashes(media: DataFrame, grid: int = 4) -> DataFrame:
     return media.mapInPandas(_go, PHASH_SCHEMA)
 
 
+# MPEG audio Layer III tables (ISO 11172-3 / 13818-3): bitrate kbps by
+# header index, sampling rate by version — version bits 3=MPEG1,
+# 2=MPEG2, 0=MPEG2.5 (the unofficial-but-universal extension).
+_MP3_KBPS_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+_MP3_KBPS_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_duration_ms(payload: bytes) -> int | None:
+    """MPEG-1/2/2.5 Layer III frame-header walk — metadata only, no
+    codec: skip an ID3v2 container (syncsafe size), then step frame to
+    frame by the header-derived frame length (144·bitrate/rate + pad
+    for MPEG1, 72· for MPEG2/2.5, since those halve samples-per-frame
+    to 576). Duration = Σ samples-per-frame scaled by each frame's
+    sampling rate, exact integer math — correct for CBR AND headerless
+    VBR. A Xing/Info VBR header in the first frame (after the
+    version/mode-sized side info) short-circuits with its frame count
+    — the standard fast path, identical to the walk on valid files. A
+    trailing 128-byte ID3v1 'TAG' block is tolerated; any other
+    mid-stream desync, reserved version/layer, free-format bitrate, or
+    truncated final frame returns None — never guessed duration."""
+    n = len(payload)
+    i = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        sz = 0
+        for b in payload[6:10]:
+            if b & 0x80:  # syncsafe bytes have the high bit clear
+                return None
+            sz = (sz << 7) | b
+        i = 10 + sz
+    samples_by_rate: dict[int, int] = {}
+    first = True
+    while i < n:
+        if n - i == 128 and payload[i : i + 3] == b"TAG":
+            break  # ID3v1 trailer
+        if i + 4 > n:
+            return None
+        h = int.from_bytes(payload[i : i + 4], "big")
+        if h >> 21 != 0x7FF:
+            return None
+        ver = (h >> 19) & 3
+        layer = (h >> 17) & 3
+        if ver == 1 or layer != 1:  # reserved version / not Layer III
+            return None
+        bi = (h >> 12) & 0xF
+        ri = (h >> 10) & 3
+        pad = (h >> 9) & 1
+        if bi in (0, 15) or ri == 3:  # free-format / reserved: honest None
+            return None
+        kbps = (_MP3_KBPS_V1 if ver == 3 else _MP3_KBPS_V2)[bi]
+        rate = _MP3_RATES[ver][ri]
+        spf = 1152 if ver == 3 else 576
+        flen = (144 if ver == 3 else 72) * kbps * 1000 // rate + pad
+        if flen <= 4 or i + flen > n:
+            return None  # truncated final frame: no guessed tail
+        if first:
+            first = False
+            mono = ((h >> 6) & 3) == 3
+            side = (17 if mono else 32) if ver == 3 else (9 if mono else 17)
+            off = i + 4 + side
+            if payload[off : off + 4] in (b"Xing", b"Info") and off + 12 <= n:
+                flags = int.from_bytes(payload[off + 4 : off + 8], "big")
+                if flags & 0x1:  # FRAMES field present
+                    frames = int.from_bytes(payload[off + 8 : off + 12], "big")
+                    return frames * spf * 1000 // rate
+        samples_by_rate[rate] = samples_by_rate.get(rate, 0) + spf
+        i += flen
+    if not samples_by_rate:
+        return None
+    return sum(s * 1000 // r for r, s in samples_by_rate.items())
+
+
+def _ogg_duration_ms(payload: bytes) -> int | None:
+    """Ogg page walk (RFC 3533) — metadata only, no codec: the LAST
+    page's granule position is the total sample count (Vorbis: at the
+    stream's own rate, read from the '\\x01vorbis' identification
+    header; Opus: always 48 kHz per RFC 7845, minus the OpusHead
+    pre-skip). Pages are validated structurally (capture pattern,
+    version 0, segment table inside the payload); page CRCs are not
+    recomputed (Ogg's CRC-32 is unreflected — a per-page table walk
+    would dominate the metadata parse; torn pages still fail the
+    structural bounds). None for a foreign first packet, truncation,
+    or a stream with no completed packet — never guessed duration."""
+    n = len(payload)
+    rate: int | None = None
+    preskip = 0
+    opus = False
+    granule: int | None = None
+    i = 0
+    first = True
+    while i < n:
+        if i + 27 > n or payload[i : i + 4] != b"OggS" or payload[i + 4] != 0:
+            return None
+        g = int.from_bytes(payload[i + 6 : i + 14], "little", signed=True)
+        nseg = payload[i + 26]
+        if i + 27 + nseg > n:
+            return None
+        body_len = sum(payload[i + 27 : i + 27 + nseg])
+        body_start = i + 27 + nseg
+        if body_start + body_len > n:
+            return None
+        if first:
+            first = False
+            body = payload[body_start : body_start + body_len]
+            if body[:7] == b"\x01vorbis" and len(body) >= 16:
+                rate = int.from_bytes(body[12:16], "little")
+            elif body[:8] == b"OpusHead" and len(body) >= 12:
+                opus = True
+                rate = 48000
+                preskip = int.from_bytes(body[10:12], "little")
+            else:
+                return None
+        if g >= 0:  # -1 = page ends no packet (continuation)
+            granule = g
+        i = body_start + body_len
+    if not rate or granule is None:
+        return None
+    if opus:
+        granule = max(granule - preskip, 0)
+    return granule * 1000 // rate
+
+
 def media_duration_ms(payload: bytes | None) -> int | None:
-    """REAL decode kernel: duration in milliseconds from WAV/RIFF or
-    MP4 (ISO BMFF) header bytes — pure-Python byte parsing, no codec
-    libraries. The audio/video counterpart of ``image_dimensions``.
+    """REAL decode kernel: duration in milliseconds from WAV/RIFF, MP4
+    (ISO BMFF), FLAC, AVI, MP3 (MPEG Layer III), or Ogg (Vorbis/Opus)
+    header bytes — pure-Python byte parsing, no codec libraries. The
+    audio/video counterpart of ``image_dimensions``.
 
     - WAV: 'RIFF'+size+'WAVE', then a word-aligned chunk walk; the
       'fmt ' chunk's little-endian uint32 byte-rate at data offset 8
@@ -1211,6 +1353,15 @@ def media_duration_ms(payload: bytes | None) -> int | None:
     if payload is None:
         return None
     n = len(payload)
+    if n >= 4 and payload[:4] == b"OggS":
+        return _ogg_duration_ms(payload)
+    if n >= 4 and (
+        payload[:3] == b"ID3"
+        or (payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0)
+    ):
+        # MPEG audio sync (11 set bits) or an ID3v2 container; JPEG's
+        # FFD8 can't reach here (0xD8 & 0xE0 != 0xE0)
+        return _mp3_duration_ms(payload)
     if n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12
         byte_rate: int | None = None

@@ -12,6 +12,7 @@ import bench
 
 def _fake_probes() -> dict:
     return {
+        "jpeg_kernel": {"mpix_per_sec": 0.54, "hashes_identical": True},
         "dedup_slope": {"x1_sec": 2.4, "x10_sec": 8.0, "slope": 3.33},
         "iter_slope": {
             "pagerank_slope": 1.9,
@@ -64,6 +65,7 @@ def test_compact_line_sheds_probes_before_queries():
             "rank_slope": 2.4,
         },
     }
+    probes["jpeg_kernel"] = {"mpix_per_sec": 0.54}
     timings = {f"a_very_long_query_name_{i:03d}": i + 0.123456 for i in range(40)}
     line = bench._compact_line(probes, {}, 0.1, timings, 99.9)
     assert len(line) <= 1900
@@ -71,9 +73,9 @@ def test_compact_line_sheds_probes_before_queries():
     # queries and total survive whole when shedding medians suffices
     assert len(d["queries"]) == 40
     assert d["value"] == 99.9
-    # the earliest (most load-bearing) probe median survives longest
+    # the newest-round probe (shed-order head) survives longest
     if d["probe_medians"]:
-        assert "dedup_slope.slope" in d["probe_medians"]
+        assert "jpeg_kernel.mpix_per_sec" in d["probe_medians"]
 
 
 def test_compact_line_hard_ceiling_sheds_fastest_queries_keeps_value():

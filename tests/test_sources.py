@@ -1478,6 +1478,128 @@ def test_flac_duration_streaminfo():
     assert multimodal.media_duration_ms(flac(44100, 100)[:20]) is None
 
 
+def _mp3_frame(kbps_idx=9, rate_idx=0, ver=3, pad=0, mode=0, body=None):
+    """One MPEG Layer III frame with a zeroed body sized per the spec
+    formula — independent of the kernel's own length math only in the
+    sense that a wrong kernel formula desyncs and returns None."""
+    kbps = (
+        (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+        if ver == 3
+        else (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    )[kbps_idx]
+    rate = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+            0: (11025, 12000, 8000)}[ver][rate_idx]
+    flen = (144 if ver == 3 else 72) * kbps * 1000 // rate + pad
+    h = (0x7FF << 21) | (ver << 19) | (1 << 17) | (1 << 16)
+    h |= (kbps_idx << 12) | (rate_idx << 10) | (pad << 9) | (mode << 6)
+    out = bytearray(h.to_bytes(4, "big"))
+    out += body or b""
+    out += bytes(flen - len(out))
+    return bytes(out), flen, rate, 1152 if ver == 3 else 576
+
+
+def test_mp3_duration_frame_walk():
+    f, _, rate, spf = _mp3_frame()  # 128 kbps, 44100, MPEG1
+    assert multimodal.media_duration_ms(f * 10) == 10 * spf * 1000 // rate
+    # mixed bitrates (headerless VBR): the walk sums per-frame samples
+    f2, _, _, _ = _mp3_frame(kbps_idx=14)
+    assert (
+        multimodal.media_duration_ms(f + f2 + f) == 3 * spf * 1000 // rate
+    )
+    # padding bit lengthens the frame by one byte; walk must not desync
+    fp, flen, _, _ = _mp3_frame(pad=1)
+    assert len(fp) == flen
+    assert multimodal.media_duration_ms(fp * 4) == 4 * spf * 1000 // rate
+    # MPEG2 (576 samples/frame, 72-factor length) and MPEG2.5
+    for ver in (2, 0):
+        g, _, grate, gspf = _mp3_frame(kbps_idx=5, rate_idx=2, ver=ver)
+        assert (
+            multimodal.media_duration_ms(g * 6) == 6 * gspf * 1000 // grate
+        )
+
+
+def test_mp3_duration_id3_xing_and_honest_nones():
+    f, _, rate, spf = _mp3_frame()
+    # ID3v2 container with a syncsafe size is skipped
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 1, 3]) + bytes(131)
+    assert multimodal.media_duration_ms(id3 + f * 5) == 5 * spf * 1000 // rate
+    # trailing ID3v1 'TAG' block (exactly 128 bytes) is tolerated
+    assert (
+        multimodal.media_duration_ms(f * 5 + b"TAG" + bytes(125))
+        == 5 * spf * 1000 // rate
+    )
+    # Xing frame count overrides the walk (stereo MPEG1: side info 32)
+    xing = b"Xing" + (1).to_bytes(4, "big") + (250).to_bytes(4, "big")
+    fx, _, _, _ = _mp3_frame(body=bytes(32) + xing)
+    assert (
+        multimodal.media_duration_ms(fx + f)  # walk would say 2 frames
+        == 250 * spf * 1000 // rate
+    )
+    # mono MPEG1 places Xing after 17 side-info bytes
+    fm, _, _, _ = _mp3_frame(mode=3, body=bytes(17) + xing)
+    assert multimodal.media_duration_ms(fm) == 250 * spf * 1000 // rate
+    # honest Nones: truncated final frame, free bitrate, Layer II,
+    # reserved rate index, mid-stream garbage
+    assert multimodal.media_duration_ms((f * 3)[:-10]) is None
+    bad = bytearray(f)
+    bad[2] = 0x00  # bitrate index 0 = free format
+    assert multimodal.media_duration_ms(bytes(bad)) is None
+    bad = bytearray(f)
+    bad[1] = 0xFC  # layer bits 10 = Layer II
+    assert multimodal.media_duration_ms(bytes(bad)) is None
+    assert multimodal.media_duration_ms(f + b"junkjunk") is None
+    assert multimodal.media_duration_ms(b"ID3\x04\x00\x00" + b"\x80\x00\x00\x00") is None
+
+
+def _ogg_page(body, granule, htype, seq):
+    segs = []
+    rem = len(body)
+    while True:  # lacing: 255-chunks, final chunk < 255
+        segs.append(min(rem, 255))
+        rem -= segs[-1]
+        if segs[-1] < 255:
+            break
+    hdr = b"OggS" + bytes([0, htype])
+    hdr += granule.to_bytes(8, "little", signed=True)
+    hdr += (7).to_bytes(4, "little") + seq.to_bytes(4, "little")
+    hdr += bytes(4) + bytes([len(segs)]) + bytes(segs)
+    return hdr + body
+
+
+def _vorbis_id(rate):
+    return (
+        b"\x01vorbis" + bytes(4) + bytes([2])
+        + rate.to_bytes(4, "little") + bytes(12) + b"\xb8\x01"
+    )
+
+
+def test_ogg_duration_vorbis_and_opus():
+    pages = _ogg_page(_vorbis_id(8000), 0, 0x02, 0)
+    pages += _ogg_page(b"\x00" * 20, 12000, 0x04, 1)
+    assert multimodal.media_duration_ms(pages) == 12000 * 1000 // 8000
+    # continuation page with granule -1 is skipped, later granule wins
+    pages = _ogg_page(_vorbis_id(16000), 0, 0x02, 0)
+    pages += _ogg_page(b"\x00" * 300, -1, 0x01, 1)  # exercises lacing
+    pages += _ogg_page(b"\x00", 48000, 0x04, 2)
+    assert multimodal.media_duration_ms(pages) == 3000
+    # Opus: granule at 48 kHz minus the OpusHead pre-skip
+    opus_id = (
+        b"OpusHead\x01\x01" + (312).to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + bytes(2) + b"\x00"
+    )
+    pages = _ogg_page(opus_id, 0, 0x02, 0)
+    pages += _ogg_page(b"\x00", 96312, 0x04, 1)
+    assert multimodal.media_duration_ms(pages) == 96000 * 1000 // 48000
+    # honest Nones: foreign first packet, truncated page, bad capture
+    pages = _ogg_page(b"\x7fFLAC__", 0, 0x02, 0)
+    assert multimodal.media_duration_ms(pages) is None
+    good = _ogg_page(_vorbis_id(8000), 0, 0x02, 0) + _ogg_page(
+        b"\x00" * 50, 4000, 0x04, 1
+    )
+    assert multimodal.media_duration_ms(good[:-20]) is None
+    assert multimodal.media_duration_ms(b"OggS\x01" + bytes(40)) is None
+
+
 # ------------------------------------------------- stdlib-zlib PNG decode
 
 
