@@ -103,6 +103,7 @@ def main() -> None:
         ("ivf_index_probe", _ivf_index_probe_bench),
         ("phash_kernel", _phash_kernel_bench),
         ("jpeg_kernel", _jpeg_kernel_bench),
+        ("pdf_kernel", _pdf_kernel_bench),
     ):
         try:
             probes[key] = fn(spark, sf_dir)
@@ -186,7 +187,8 @@ def _compact_line(
 # claims, then the swap/index probes whose numbers are stable
 # round-over-round and fully recorded in git-committed BASELINE.md.
 _PROBE_HEADLINE_KEYS = {
-    "jpeg_kernel": ("mpix_per_sec", "hashes_identical"),  # r12
+    "pdf_kernel": ("pages_per_sec", "text_ok"),  # r12
+    "jpeg_kernel": ("mpix_per_sec", "prog_mpix_per_sec"),  # r12
     "phash_kernel": ("speedup_x", "mpix_per_sec"),  # r11
     "dedup_slope": ("slope",),
     "iter_slope": ("pagerank_slope", "components_slope", "rank_slope"),
@@ -305,7 +307,70 @@ def _jpeg_kernel_bench(spark, sf_dir: str) -> dict:
         ),
         "hashes_identical": average_hash(payload) == average_hash(pgm),
     }
+    # r12: the SAME raster as a progressive (SOF2) stream — the
+    # multi-scan successive-approximation path most large web JPEGs
+    # take; correctness = bit-match vs the baseline decode
+    try:
+        from tests.test_jpeg import _jpeg_progressive_bytes
+
+        prog, _ = _jpeg_progressive_bytes([raster], [(1, 1)], w, h)
+        pg: dict = {}
+        stp = _stats_of(
+            3, lambda: pg.__setitem__("v", decode_jpeg_array(prog))
+        )
+        pdec = pg["v"]
+        out["prog_mpix_per_sec"] = (
+            round(w * h / 1e6 / stp["med"], 3) if stp["med"] else None
+        )
+        out["prog_matches_baseline"] = pdec is not None and bool(
+            (pdec[2] == decoded[2]).all()
+        )
+    except Exception as exc:  # noqa: BLE001
+        out["prog_err"] = f"{type(exc).__name__}: {exc}"[:120]
     return out
+
+
+def _pdf_kernel_bench(spark, sf_dir: str) -> dict:
+    """Throughput of the r12 pure-byte PDF text parser
+    (sources/pdf_pure.parse_pdf_text) on a 64-page document with
+    FlateDecoded content streams built by the INDEPENDENT test writer
+    — pages/s for the extras-free S1 path (with fitz installed the
+    dispatch never runs this kernel). ``text_ok`` pins the first and
+    last page strings so the number can't be bought by skipping
+    work."""
+    from data_ingestion_py_spark.sources.pdf_pure import parse_pdf_text
+    from tests.test_pdf_pure import _basic_pdf
+
+    n_pages = 64
+    contents = [
+        (
+            "BT /F1 12 Tf (Page %04d of the corpus) Tj T* "
+            "[(second ) -80 (line %04d)] TJ T* (third line) Tj ET"
+            % (i, i)
+        ).encode()
+        for i in range(n_pages)
+    ]
+    pdf = _basic_pdf(contents, compress=True)
+    got: dict = {}
+    st = _stats_of(3, lambda: got.__setitem__("v", parse_pdf_text(pdf)))
+    parsed = got["v"]
+    if parsed is None:
+        return {"err": "parse returned None"}
+    pages, _meta = parsed
+    return {
+        "n_pages": n_pages,
+        "pdf_kb": round(len(pdf) / 1024, 1),
+        "parse_sec": st["med"],
+        "parse_spread_sec": [st["min"], st["max"]],
+        "pages_per_sec": (
+            round(n_pages / st["med"], 1) if st["med"] else None
+        ),
+        "text_ok": (
+            len(pages) == n_pages
+            and pages[0].startswith("Page 0000 of the corpus\nsecond line 0000")
+            and pages[-1].endswith("third line")
+        ),
+    }
 
 
 def _skew_bench(spark, sf_dir: str) -> dict[str, float]:

@@ -2854,3 +2854,562 @@ def q_multimodal_flac_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(flac_hex).alias("payload"),
     )
     return mm.probe_metadata(media).select("media_id", "kind", "duration_ms")
+
+
+@register(
+    "multimodal_webp_dims",
+    """
+SELECT doc_id AS media_id,
+       ['vp8', 'vp8l', 'vp8x'][CAST(doc_id % 3 AS INT) + 1] AS variant,
+       CAST(doc_id % 600 + 8 AS INT) AS width,
+       CAST(doc_id % 400 + 8 AS INT) AS height
+FROM documents
+""",
+    tags=("multimodal", "decode"),
+)
+def q_multimodal_webp_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP dimension probe end-to-end (r12): build all THREE WebP
+    bitstream variants in column algebra — 'VP8 ' lossy (frame tag +
+    9D 01 2A start code + uint14 LE dims), 'VP8L' lossless (0x2F
+    signature + the 14+14-bit packed width-1/height-1 field), and
+    'VP8X' extended (flag bytes + 24-bit LE canvas dims) — with
+    doc_id-derived dimensions, push the bytes through the Arrow
+    mapInPandas probe, and header-parse (width, height) back with the
+    pure-byte kernel (sources/multimodal.image_dimensions). The oracle
+    recomputes the planted dims arithmetically, so a bitfield-shift,
+    endianness, or chunk-offset bug in any variant hash-mismatches.
+    WebP is the #2 web image format — at 100 TB this prices out an
+    image corpus (resize plans, aspect filters) reading ≤30 header
+    bytes per item."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    w = (doc % 600 + 8).cast("int")
+    h = (doc % 400 + 8).cast("int")
+    vp8_hx = F.concat(
+        F.lit("52494646"), _le_hex(F.lit(22), 4), F.lit("57454250"),
+        F.lit("56503820"), _le_hex(F.lit(10), 4),
+        F.lit("000000" "9D012A"),  # key-frame tag + start code
+        _le_hex(w, 2), _le_hex(h, 2),
+    )
+    bits = (w - 1).cast("long") + (h - 1).cast("long") * 16384
+    vp8l_hx = F.concat(
+        F.lit("52494646"), _le_hex(F.lit(13), 4), F.lit("57454250"),
+        F.lit("5650384C"), _le_hex(F.lit(5), 4),
+        F.lit("2F"), _le_hex(bits, 4),
+    )
+    vp8x_hx = F.concat(
+        F.lit("52494646"), _le_hex(F.lit(18), 4), F.lit("57454250"),
+        F.lit("56503858"), _le_hex(F.lit(10), 4),
+        F.lit("00000000"),  # flags + reserved
+        _le_hex(w - 1, 3), _le_hex(h - 1, 3),
+    )
+    hx = (
+        F.when(doc % 3 == 0, vp8_hx)
+        .when(doc % 3 == 1, vp8l_hx)
+        .otherwise(vp8x_hx)
+    )
+    media = d.select(
+        doc.alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(hx).alias("payload"),
+    )
+    variant = F.element_at(
+        F.array(F.lit("vp8"), F.lit("vp8l"), F.lit("vp8x")),
+        (F.col("media_id") % 3 + 1).cast("int"),
+    )
+    return mm.probe_metadata(media).select(
+        "media_id", variant.alias("variant"), "width", "height"
+    )
+
+
+@register(
+    "multimodal_aac_duration",
+    """
+SELECT doc_id AS media_id,
+       'audio' AS kind,
+       CAST((doc_id % 6 + 2) * (doc_id % 2 + 1) * 1024 * 1000
+            // ([96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                 22050, 16000, 12000, 11025, 8000, 7350]
+                [CAST(doc_id % 13 AS INT) + 1]) AS BIGINT) AS duration_ms
+FROM documents
+""",
+    tags=("multimodal", "decode", "audio"),
+)
+def q_multimodal_aac_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC ADTS duration walk end-to-end (r12, the fourth compressed
+    audio container after MP3/Vorbis/Opus): build complete ADTS streams
+    in column algebra — (doc%6 + 2) frames whose 7-byte headers carry a
+    doc-derived sampling-frequency index (all 13 table entries
+    exercised), a doc-derived raw-data-block count (1 or 2 blocks per
+    frame, so the ×1024-samples-per-block rule is load-bearing), and a
+    fixed 23-byte frame length the kernel must step EXACTLY or the
+    walk desyncs to None — then parse duration back with the pure-byte
+    kernel (sources/multimodal._adts_duration_ms via media_duration_ms;
+    the layer-bits dispatch distinguishes ADTS from MP3 on the shared
+    0xFFF sync). The oracle recomputes nf·blocks·1024·1000 div rate
+    arithmetically and never sees a byte."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    sfi = (doc % 13).cast("int")
+    rdb = (doc % 2).cast("int")  # raw_data_blocks - 1
+    media = (
+        d.withColumn("nf", (doc % 6 + 2).cast("int"))
+        .withColumn(
+            "frame_hex",
+            F.concat(
+                F.lit("FFF1"),  # sync + MPEG-4 + layer 00 + no CRC
+                F.lpad(F.hex(F.lit(0x40) + sfi * 4), 2, "0"),  # LC,sfi,1ch
+                F.lit("40" "02" "E0"),  # ch low bits + frame length 23
+                F.lpad(F.hex(rdb), 2, "0"),  # fullness low + rdb count
+                F.lit("00" * 16),  # raw data payload
+            ),
+        )
+        .select(
+            doc.alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.unhex(F.expr("repeat(frame_hex, nf)")).alias("payload"),
+        )
+    )
+    return mm.probe_metadata(media).select("media_id", "kind", "duration_ms")
+
+
+@register(
+    "multimodal_exif_meta",
+    """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'tiff' END AS container,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       'CAM' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS make,
+       'Mk' || CAST(doc_id % 10 AS VARCHAR) AS model,
+       CAST(doc_id % 4000 + 16 AS INT) AS exif_width,
+       CAST(doc_id % 3000 + 16 AS INT) AS exif_height
+FROM documents
+""",
+    tags=("multimodal", "decode"),
+)
+def q_multimodal_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction end-to-end (r12): build complete TIFF
+    IFD structures in column algebra — IFD0 with Make (ASCII, 6 bytes,
+    stored at an absolute OFFSET past the directories — the >4-byte
+    indirection path), Model (ASCII, 4 bytes, stored INLINE in the
+    value field), Orientation (SHORT, doc%8+1 — all eight EXIF
+    orientations exercised), and the Exif sub-IFD pointer (34665),
+    whose directory carries PixelXDimension as a LONG and
+    PixelYDimension as a SHORT (both left-justification rules
+    load-bearing) — wrapped for even docs in a JPEG APP1 'Exif\\0\\0'
+    segment (little-endian 'II' body) and for odd docs as a bare
+    big-endian 'MM' TIFF, so both byte orders AND both container
+    paths of sources/multimodal.exif_metadata are on the hash. The
+    oracle recomputes every field arithmetically. Orientation is the
+    field a 100 TB image pipeline must read before phashing — a
+    sideways phone photo dedups against its rotated twin only if this
+    stage ran."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    orient = (doc % 8 + 1).cast("int")
+    w = (doc % 4000 + 16).cast("int")
+    h = (doc % 3000 + 16).cast("int")
+    make_s = F.concat(
+        F.lit("CAM"), F.lpad((doc % 100).cast("string"), 2, "0")
+    )
+    model_s = F.concat(F.lit("Mk"), (doc % 10).cast("string"))
+    # Fixed layout: 8-byte header, IFD0 (4 entries) at 8 ending at 62,
+    # Exif sub-IFD (2 entries) at 62 ending at 92, Make bytes at 92.
+    ii_hex = F.concat(
+        F.lit("49492A00" "08000000"),
+        F.lit("0400"),
+        F.lit("0F01" "0200" "06000000" "5C000000"),          # Make @92
+        F.lit("1001" "0200" "04000000"), F.hex(model_s), F.lit("00"),
+        F.lit("1201" "0300" "01000000"), _le_hex(orient, 2), F.lit("0000"),
+        F.lit("6987" "0400" "01000000" "3E000000"),          # ExifIFD @62
+        F.lit("00000000"),
+        F.lit("0200"),
+        F.lit("02A0" "0400" "01000000"), _le_hex(w, 4),
+        F.lit("03A0" "0300" "01000000"), _le_hex(h, 2), F.lit("0000"),
+        F.lit("00000000"),
+        F.hex(make_s), F.lit("00"),
+    )
+    mm_hex = F.concat(
+        F.lit("4D4D002A" "00000008"),
+        F.lit("0004"),
+        F.lit("010F" "0002" "00000006" "0000005C"),
+        F.lit("0110" "0002" "00000004"), F.hex(model_s), F.lit("00"),
+        F.lit("0112" "0003" "00000001"), F.lpad(F.hex(orient), 4, "0"),
+        F.lit("0000"),
+        F.lit("8769" "0004" "00000001" "0000003E"),
+        F.lit("00000000"),
+        F.lit("0002"),
+        F.lit("A002" "0004" "00000001"), F.lpad(F.hex(w), 8, "0"),
+        F.lit("A003" "0003" "00000001"), F.lpad(F.hex(h), 4, "0"),
+        F.lit("0000"),
+        F.lit("00000000"),
+        F.hex(make_s), F.lit("00"),
+    )
+    # JPEG wrap: APP1 length = 2 (len field) + 6 (Exif\0\0) + 98 (TIFF)
+    jpeg_hex = F.concat(
+        F.lit("FFD8" "FFE1" "006A" "457869660000"), ii_hex, F.lit("FFD9")
+    )
+    media = d.select(
+        doc.alias("media_id"),
+        F.unhex(
+            F.when(doc % 2 == 0, jpeg_hex).otherwise(mm_hex)
+        ).alias("payload"),
+    )
+    container = F.when(F.col("media_id") % 2 == 0, "jpeg").otherwise("tiff")
+    return mm.exif_probe(media).select(
+        "media_id",
+        container.alias("container"),
+        "orientation",
+        "make",
+        "model",
+        "exif_width",
+        "exif_height",
+    )
+
+
+def _jpeg_prog_header_hex() -> tuple[str, str]:
+    """(prefix, suffix) hex around the 4-byte DC-first entropy stream
+    of the planted PROGRESSIVE JPEGs: prefix = SOI + DQT(Q00=8) + SOF2
+    (16×16 gray) + the same custom DC table as the baseline query + a
+    1-symbol AC table whose single code '0' is EOB2 (symbol 0x20) +
+    the first SOS (DC scan, Ah=0, Al=1). suffix = the DC refinement
+    scan (Ah=1, Al=0; its four 1-bits pad to one 0xFF entropy byte,
+    which the encoder must STUFF to FF 00 — the stuffing path is on
+    the oracle), the AC first scan (Ss=1, Se=63) whose whole payload
+    is one EOB run covering all four blocks ('0' + 2 extra bits = 3
+    bits, padded to 0x1F), and EOI."""
+    pre = bytearray(b"\xff\xd8")
+    pre += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+    pre += bytes([8] + [16] * 63)
+    pre += (
+        b"\xff\xc2" + (11).to_bytes(2, "big") + bytes([8])
+        + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    pre += b"\xff\xc4" + (27).to_bytes(2, "big") + b"\x00"
+    pre += bytes([0, 0, 7, 1] + [0] * 12) + bytes(range(8))
+    pre += b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x10"
+    pre += bytes([1] + [0] * 15) + bytes([0x20])
+    pre += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0, 0, 0, 0x01])
+    suf = bytearray()
+    suf += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0, 0, 0, 0x10])
+    suf += b"\xff\x00"  # four '1' refinement bits + 1-pad, stuffed
+    suf += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0, 1, 63, 0])
+    suf += b"\x1f"  # EOB2 code '0' + extra bits '00' + 1-pad
+    suf += b"\xff\xd9"
+    return pre.hex().upper(), suf.hex().upper()
+
+
+@register(
+    "multimodal_jpeg_progressive",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id, doc_id AS seed FROM documents
+), d AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 3),
+               b -> CASE WHEN b = 0
+                         THEN 2 * (16 + (seed * 13) % 16) + 1
+                         WHEN b % 2 = 1
+                         THEN -2 * (16 + (seed * 13 + b * 7) % 16)
+                         ELSE 2 * (16 + (seed * 13 + b * 7) % 16) END)
+               AS diffs
+    FROM g
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(1, 4),
+               b -> 128 + list_sum(diffs[1:b])) AS bp
+    FROM d
+)
+SELECT media_id, 16 AS width, 16 AS height,
+       CAST(64 * list_sum(bp) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 255),
+            k -> (k + 1) * bp[(k // 128) * 2 + ((k % 16) // 8) + 1]))
+            AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "jpeg"),
+)
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG decode end-to-end (r12, the SOF2 sibling of
+    multimodal_jpeg_decode): complete valid three-scan progressive
+    files built in column algebra — a DC first scan at Al=1 carrying
+    four diff-coded blocks of the HALVED DC sequence (8 bits each:
+    3-bit category-5 code '101' + 5 magnitude bits), a DC refinement
+    scan whose four raw bits restore every block's odd low bit (the
+    planted DCs are all odd: diff₀ = 2·(16+m₀)+1, later diffs even —
+    so the decoder's two's-complement OR of 1<<0 into a possibly
+    NEGATIVE int32 DC is on the hash), and an AC first scan that is
+    one EOB run covering all four blocks (EOB2 + two extra bits).
+    The successive-approximation arithmetic — floor-shift halving,
+    point-transform <<Al on the first pass, bit OR on refinement —
+    must compose to exactly the planted DC or the flat-block pixels
+    dc+128 mismatch the oracle, which recomputes them from the diff
+    formula and never sees a byte. Refinement/EOB-run/ZRL paths over
+    dense AC spectra, color, and restart markers are pinned in pytest
+    against an independent progressive encoder (tests/test_jpeg.py).
+    Progressive is the dominant encoding for large web JPEGs — at
+    100 TB this is the decode path most real crawl images take."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus = d.select(
+        F.col("doc_id").alias("media_id"), F.col("doc_id").alias("seed")
+    )
+    seed = F.col("seed")
+
+    def m(b: int):  # magnitude seed of block b, 0..15
+        return F.pmod(seed * 13 + b * 7, F.lit(16))
+
+    pre_hex, suf_hex = _jpeg_prog_header_hex()
+    block_bytes = []
+    for b in range(4):
+        # byte = '101' (cat 5) << 5 | bits5; bits5 = v>0 ? v : v+31
+        bits5 = (F.lit(16) + m(b)) if b % 2 == 0 else (F.lit(15) - m(b))
+        block_bytes.append(F.lpad(F.hex(F.lit(0xA0) + bits5), 2, "0"))
+    payload_hex = F.concat(
+        F.lit(pre_hex), *block_bytes, F.lit(suf_hex)
+    )
+    media = corpus.select(
+        "media_id", F.unhex(payload_hex).alias("payload")
+    )
+    return mm.pixel_checksums(media)
+
+
+def _tiff_gray_header_hex() -> str:
+    """Constant prefix of the planted 16×16 8-bit grayscale TIFFs:
+    little-endian header + a 9-entry IFD0 (dims, BitsPerSample 8,
+    Compression 1, PhotometricInterpretation 1, SamplesPerPixel 1,
+    RowsPerStrip 16, one strip at offset 122 of 256 bytes) — the
+    raster follows immediately, so the planted bytes ARE the strip."""
+    import struct
+
+    u16 = lambda v: struct.pack("<H", v)  # noqa: E731
+    u32 = lambda v: struct.pack("<I", v)  # noqa: E731
+    out = b"II" + u16(42) + u32(8) + u16(9)
+    for tag, typ, val in (
+        (256, 4, 16), (257, 4, 16), (258, 3, 8), (259, 3, 1),
+        (262, 3, 1), (273, 4, 122), (277, 3, 1), (278, 4, 16),
+        (279, 4, 256),
+    ):
+        raw = u16(val) if typ == 3 else u32(val)
+        out += u16(tag) + u16(typ) + u32(1) + raw.ljust(4, b"\x00")
+    out += u32(0)
+    assert len(out) == 122
+    return out.hex().upper()
+
+
+@register(
+    "multimodal_tiff_decode",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id, doc_id AS seed FROM documents
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 255),
+               k -> (seed * 31 + k * (7 + seed % 11)) % 256) AS p
+    FROM g
+)
+SELECT media_id, 16 AS width, 16 AS height,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 255),
+            k -> (k + 1) * p[k + 1])) AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "tiff"),
+)
+def q_multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip-based TIFF raster decode end-to-end (r12): complete valid
+    8-bit grayscale TIFFs built in column algebra — the constant
+    little-endian header + 9-entry IFD0 prefix, then 256 planted
+    raster bytes as the single strip — decoded by the stdlib-only IFD
+    walk + strip reassembly (sources/multimodal.decode_tiff_array) and
+    checksummed through the Arrow mapInPandas stage. The oracle
+    recomputes the planted top-down raster arithmetically (TIFF rows
+    are stored top-down, unlike the BMP query's bottom-up fixtures —
+    a decoder that flips mismatches the position-weighted checksum).
+    Deflate strips (length-capped against bombs), RGB, 16-bit-ColorMap
+    palettes, WhiteIsZero inversion, both byte orders, and multi-strip
+    reassembly are pinned in pytest against an independent writer.
+    TIFF is the scanned-document format — the reference's PDF/OCR
+    corpus (data_ingestion.py:116-155) is exactly the population where
+    these bytes show up at scale."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    seed = F.col("seed")
+    corpus = d.select(
+        F.col("doc_id").alias("media_id"), F.col("doc_id").alias("seed")
+    )
+    step = F.lit(7) + F.pmod(seed, F.lit(11))
+    px_bytes = [
+        F.lpad(F.hex(F.pmod(seed * 31 + k * step, F.lit(256))), 2, "0")
+        for k in range(256)
+    ]
+    payload_hex = F.concat(F.lit(_tiff_gray_header_hex()), *px_bytes)
+    media = corpus.select(
+        "media_id", F.unhex(payload_hex).alias("payload")
+    )
+    return mm.pixel_checksums(media)
+
+
+@register(
+    "multimodal_id3_tags",
+    """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'v2.3' ELSE 'v2.4' END AS ver,
+       'T' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS title,
+       'A' || CAST(doc_id % 10 AS VARCHAR) AS artist,
+       'LP' || CAST(doc_id % 7 AS VARCHAR) AS album,
+       CAST(1990 + doc_id % 30 AS VARCHAR) AS year
+FROM documents
+""",
+    tags=("multimodal", "audio"),
+)
+def q_multimodal_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 text-tag extraction end-to-end (r12, the audio-metadata
+    sibling of multimodal_exif_meta): complete ID3v2 containers built
+    in column algebra — even docs a v2.3 container (plain big-endian
+    frame sizes, latin-1 encoding byte) with TIT2/TPE1/TALB/TYER
+    frames, odd docs a v2.4 container (SYNCSAFE frame sizes, UTF-8
+    encoding byte, TDRC for the date) — all strings doc-derived, so
+    the pure-byte frame walk (sources/multimodal.id3v2_tags) must get
+    the container-size bound, both size encodings, both text
+    encodings, and the frame-id map right or the row mismatches. The
+    oracle recomputes every tag string arithmetically. One narrow
+    Arrow stage; at 100 TB this is how an audio corpus groups by
+    artist/album without decoding one sample."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    title_s = F.concat(F.lit("T"), F.lpad((doc % 100).cast("string"), 2, "0"))
+    artist_s = F.concat(F.lit("A"), (doc % 10).cast("string"))
+    album_s = F.concat(F.lit("LP"), (doc % 7).cast("string"))
+    year_s = (doc % 30 + 1990).cast("string")
+
+    def fr(fid_hex: str, body_len: int, enc: str, text_col):
+        # frame sizes < 128, so the plain-BE and syncsafe encodings
+        # coincide byte-for-byte; the header path still differs (v2.4
+        # REJECTS high-bit size bytes, pinned in pytest)
+        return F.concat(
+            F.lit(fid_hex),
+            F.lit(f"{body_len:08X}"),
+            F.lit("0000"),
+            F.lit(enc),
+            F.hex(text_col),
+        )
+
+    def container(ver_hex: str, enc: str, year_fid: str):
+        frames = F.concat(
+            fr("54495432", 4, enc, title_s),    # TIT2
+            fr("54504531", 3, enc, artist_s),   # TPE1
+            fr("54414C42", 4, enc, album_s),    # TALB
+            fr(year_fid, 5, enc, year_s),
+        )
+        return F.concat(
+            F.lit("494433" + ver_hex + "00"),  # 'ID3' ver rev flags
+            F.lit(f"{0:06X}" + f"{56:02X}"),  # syncsafe container size 56
+            frames,
+        )
+
+    v23 = container("0300", "00", "54594552")  # TYER, latin-1
+    v24 = container("0400", "03", "54445243")  # TDRC, UTF-8
+    media = d.select(
+        doc.alias("media_id"),
+        F.unhex(F.when(doc % 2 == 0, v23).otherwise(v24)).alias("payload"),
+    )
+    ver = F.when(F.col("media_id") % 2 == 0, "v2.3").otherwise("v2.4")
+    return mm.id3_probe(media).select(
+        "media_id", ver.alias("ver"), "title", "artist", "album", "year"
+    )
+
+
+def _pdf_template() -> str:
+    """``format_string`` template of the planted two-page PDFs: a
+    classic-trailer document (catalog, pages node, two pages, two
+    uncompressed content streams, an Info dict) whose five %s slots
+    are (d6, d2, d6, d2, d6) — page 1 shows text via Tj + T*, page 2
+    via a TJ array with kerning numbers the extractor must skip.
+    Placeholder widths are fixed, so every /Length is a plan-time
+    constant. Literal '%' bytes (header/EOF markers) are %%-escaped."""
+    c1 = "BT /F1 12 Tf (Report %s) Tj T* (alpha %s) Tj ET"
+    c2 = "BT [(P2-) -120 (%s)] TJ T* (tail %s) Tj ET"
+    l1 = len(c1 % ("0" * 6, "00"))
+    l2 = len(c2 % ("0" * 6, "00"))
+
+    def obj(num: int, body: str) -> str:
+        return f"{num} 0 obj\n{body}\nendobj\n"
+
+    t = "%%PDF-1.7\n"
+    t += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    t += obj(2, "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>")
+    t += obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>")
+    t += obj(4, "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+    t += f"5 0 obj\n<< /Length {l1} >>\nstream\n{c1}\nendstream\nendobj\n"
+    t += f"6 0 obj\n<< /Length {l2} >>\nstream\n{c2}\nendstream\nendobj\n"
+    t += obj(7, "<< /Title (Doc %s) >>")
+    t += "trailer\n<< /Size 8 /Root 1 0 R /Info 7 0 R >>\n"
+    t += "startxref\n0\n%%%%EOF"
+    return t
+
+
+@register(
+    "pdf_pure_text_extract",
+    """
+WITH g AS (
+    SELECT doc_id,
+           lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS d6,
+           lpad(CAST(doc_id % 37 AS VARCHAR), 2, '0') AS d2
+    FROM documents
+), p AS (
+    SELECT doc_id, d6, d2, unnest([1, 2]) AS pn FROM g
+)
+SELECT doc_id AS media_id,
+       CAST(pn AS INT) AS page_number,
+       CASE WHEN pn = 1
+            THEN 'Report ' || d6 || chr(10) || 'alpha ' || d2
+            ELSE 'P2-' || d6 || chr(10) || 'tail ' || d2
+       END AS page_text,
+       'Doc ' || d6 AS title,
+       'pure-byte' AS extractor
+FROM p
+""",
+    tags=("S1", "pdf"),
+)
+def q_pdf_pure_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction end-to-end, no fitz (r12): complete
+    valid two-page PDFs are built in column algebra from one
+    format_string template — catalog → pages → two page objects, two
+    uncompressed content streams (page 1 Tj/T*, page 2 a TJ array
+    whose kerning numbers must be skipped), and an Info dict — pushed
+    through the binaryFile-shaped (path, content) frame into
+    ``extract_pages``'s Arrow mapInPandas stage, where the PURE-BYTE
+    parser (sources/pdf_pure.py: object scan, page-tree walk, content
+    tokenizer) extracts per-page text and the Title. The oracle
+    recomputes every page string arithmetically and never sees a PDF
+    byte — a wrong /Length step, string-escape bug, page-tree
+    mis-order, or operator mix-up mismatches immediately. FlateDecode
+    streams, ObjStm, hex/escaped strings, broken /Length recovery,
+    encryption refusal, and the deflate-bomb cap are pinned in pytest
+    (tests/test_pdf_pure.py). This is the reference's CORE loop
+    (data_ingestion.py:110-135) made executable in-container — page
+    text from actual PDF bytes, not a UTF-8 stand-in."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    d6 = F.lpad((doc % 1000000).cast("string"), 6, "0")
+    d2 = F.lpad((doc % 37).cast("string"), 2, "0")
+    binary = d.select(
+        F.concat(
+            F.lit("mem://doc-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.encode(
+            F.format_string(_pdf_template(), d6, d2, d6, d2, d6), "UTF-8"
+        ).alias("content"),
+    )
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    pages = extract_pages(binary)
+    return pages.select(
+        F.regexp_extract("document_name", r"doc-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+        F.col("document_metadata").getItem("Title").alias("title"),
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )

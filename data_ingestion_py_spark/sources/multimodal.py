@@ -146,6 +146,39 @@ def image_dimensions(payload: bytes | None) -> tuple[int, int] | None:
         w = int.from_bytes(payload[18:22], "little", signed=True)
         h = int.from_bytes(payload[22:26], "little", signed=True)
         return (w, abs(h)) if w > 0 and h != 0 else None
+    if (
+        len(payload) >= 25
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+    ):
+        # WebP (r12): the first RIFF chunk at offset 12 is one of three
+        # bitstream variants, each with its own dimension encoding:
+        # - 'VP8 ' lossy: 3-byte frame tag, 3-byte start code 9D 01 2A,
+        #   then uint14 LE width and height (low 14 bits of each uint16;
+        #   the top 2 bits are the horizontal/vertical scale)
+        # - 'VP8L' lossless: 1-byte signature 0x2F, then a uint32 LE
+        #   bitfield — width-1 in bits 0-13, height-1 in bits 14-27
+        # - 'VP8X' extended: 4 flag/reserved bytes, then 24-bit LE
+        #   canvas width-1 and height-1
+        four = payload[12:16]
+        if (
+            four == b"VP8 "
+            and len(payload) >= 30
+            and payload[23:26] == b"\x9d\x01\x2a"
+        ):
+            return (
+                int.from_bytes(payload[26:28], "little") & 0x3FFF,
+                int.from_bytes(payload[28:30], "little") & 0x3FFF,
+            )
+        if four == b"VP8L" and payload[20] == 0x2F:
+            bits = int.from_bytes(payload[21:25], "little")
+            return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        if four == b"VP8X" and len(payload) >= 30:
+            return (
+                int.from_bytes(payload[24:27], "little") + 1,
+                int.from_bytes(payload[27:30], "little") + 1,
+            )
+        return None
     return None
 
 def tiff_dimensions(payload: bytes | None) -> tuple[int, int] | None:
@@ -194,6 +227,268 @@ def tiff_dimensions(payload: bytes | None) -> tuple[int, int] | None:
     if w is None or h is None:
         return None
     return (w, h)
+
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+
+
+def _ifd_value(tiff: bytes, e: int, end: str) -> int | str | None:
+    """One IFD entry's value (TIFF 6.0 §2): SHORT(3)/LONG(4) as int,
+    ASCII(2) as the NUL-terminated string; values whose total size
+    exceeds the 4-byte field live at an absolute offset into the TIFF
+    body, bounds-checked. Other types (rationals, undefined) return
+    None — the metadata fields below never need them."""
+    typ = int.from_bytes(tiff[e + 2 : e + 4], end)
+    cnt = int.from_bytes(tiff[e + 4 : e + 8], end)
+    size = _EXIF_TYPE_SIZE.get(typ)
+    if size is None or cnt > len(tiff):
+        return None
+    total = size * cnt
+    if total <= 4:
+        raw = tiff[e + 8 : e + 8 + total]
+    else:
+        off = int.from_bytes(tiff[e + 8 : e + 12], end)
+        if off + total > len(tiff):
+            return None
+        raw = tiff[off : off + total]
+    if typ == 2:
+        return raw.split(b"\x00")[0].decode("ascii", "replace")
+    if typ == 3 and total >= 2:
+        return int.from_bytes(raw[:2], end)
+    if typ == 4 and total >= 4:
+        return int.from_bytes(raw[:4], end)
+    return None
+
+
+_EXIF_IFD0_TAGS = {271: "make", 272: "model", 274: "orientation",
+                   306: "datetime"}
+_EXIF_SUB_TAGS = {34855: "iso", 40962: "exif_width", 40963: "exif_height"}
+
+
+def exif_metadata(payload: bytes | None) -> dict | None:
+    """EXIF metadata from a JPEG APP1 segment or a standalone TIFF —
+    a REAL IFD walk (both byte orders), the structured-directory
+    sibling of ``tiff_dimensions``: IFD0 carries Make(271)/Model(272)/
+    Orientation(274)/DateTime(306) plus the Exif sub-IFD pointer
+    (34665), whose directory carries PixelXDimension(40962)/
+    PixelYDimension(40963)/ISOSpeedRatings(34855). Orientation is the
+    field every image pipeline must honor before hashing or training
+    (a rotated phone photo is stored sideways + orientation 6) —
+    silently dropping it makes near-dup detection miss 90°-rotated
+    pairs. Returns a dict with None for absent fields, or None when
+    there is no EXIF at all; entry values are bounds-checked against
+    the TIFF body (offsets in crafted files can't read out of range),
+    and only IFD0 + the Exif pointer are walked — no next-IFD chain,
+    so a crafted circular chain can't loop."""
+    if payload is None:
+        return None
+    tiff: bytes | None = None
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            while i + 2 < n and payload[i + 1] == 0xFF:
+                i += 1
+            marker = payload[i + 1]
+            if marker in (0xD9, 0xDA):
+                break  # entropy data / end: no APP1 seen
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seglen < 2 or i + 2 + seglen > n:
+                return None
+            if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+                tiff = payload[i + 10 : i + 2 + seglen]
+                break
+            i += 2 + seglen
+    elif payload[:2] in (b"II", b"MM"):
+        tiff = payload
+    if tiff is None or len(tiff) < 8:
+        return None
+    end = "little" if tiff[:2] == b"II" else "big"
+    if int.from_bytes(tiff[2:4], end) != 42:
+        return None
+    out: dict = {k: None for k in (*_EXIF_IFD0_TAGS.values(),
+                                   *_EXIF_SUB_TAGS.values())}
+    found = False
+
+    def _walk(off: int, tags: dict[int, str]) -> int | None:
+        nonlocal found
+        if off + 2 > len(tiff):
+            return None
+        cnt = int.from_bytes(tiff[off : off + 2], end)
+        sub = None
+        for i in range(cnt):
+            e = off + 2 + 12 * i
+            if e + 12 > len(tiff):
+                return sub
+            tag = int.from_bytes(tiff[e : e + 2], end)
+            if tag in tags:
+                v = _ifd_value(tiff, e, end)
+                if v is not None:
+                    out[tags[tag]] = v
+                    found = True
+            elif tag == 34665 and tags is _EXIF_IFD0_TAGS:
+                p = _ifd_value(tiff, e, end)
+                if isinstance(p, int):
+                    sub = p
+        return sub
+
+    sub = _walk(int.from_bytes(tiff[4:8], end), _EXIF_IFD0_TAGS)
+    if sub is not None:
+        _walk(sub, _EXIF_SUB_TAGS)
+    return out if found else None
+
+
+def decode_tiff_array(
+    payload: bytes | None,
+) -> tuple[int, int, "np.ndarray"] | None:
+    """REAL strip-based TIFF raster decode (TIFF 6.0 baseline) with
+    nothing but the stdlib — the document-pipeline sibling of
+    ``decode_png_array``: full IFD0 field walk (both byte orders,
+    typed multi-value reads with the >4-byte offset indirection),
+    strip reassembly via StripOffsets/StripByteCounts/RowsPerStrip,
+    Deflate (Compression 8/32946) strips inflated with a
+    LENGTH-CAPPED decompressobj so a crafted deflate bomb can't
+    balloon past the strip's declared row budget, and PackBits RLE
+    (32773, bounded by the same budget). Supported: 8-bit
+    grayscale (PhotometricInterpretation 0 WhiteIsZero — inverted —
+    or 1 BlackIsZero), 8-bit RGB (2, chunky planar only), and
+    palette-color (3, the 16-bit ColorMap's high bytes collapsed by
+    the shared (r+g+b)//3 gray rule). Honest None for anything else:
+    LZW/PackBits/CCITT compression, tiled layout, planar=2, non-8-bit
+    samples, missing/short strips, or out-of-range strip offsets."""
+    import zlib
+
+    if (
+        payload is None
+        or len(payload) < 8
+        or payload[:2] not in (b"II", b"MM")
+    ):
+        return None
+    end = "little" if payload[:2] == b"II" else "big"
+    if int.from_bytes(payload[2:4], end) != 42:
+        return None
+    off = int.from_bytes(payload[4:8], end)
+    if off + 2 > len(payload):
+        return None
+    cnt = int.from_bytes(payload[off : off + 2], end)
+    fields: dict[int, list[int]] = {}
+    for i in range(cnt):
+        e = off + 2 + 12 * i
+        if e + 12 > len(payload):
+            return None
+        tag = int.from_bytes(payload[e : e + 2], end)
+        typ = int.from_bytes(payload[e + 2 : e + 4], end)
+        nv = int.from_bytes(payload[e + 4 : e + 8], end)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None or nv > len(payload):
+            continue  # ASCII/rational fields are irrelevant here
+        total = size * nv
+        if total <= 4:
+            raw = payload[e + 8 : e + 8 + total]
+        else:
+            voff = int.from_bytes(payload[e + 8 : e + 12], end)
+            if voff + total > len(payload):
+                return None
+            raw = payload[voff : voff + total]
+        fields[tag] = [
+            int.from_bytes(raw[j * size : (j + 1) * size], end)
+            for j in range(nv)
+        ]
+    w = fields.get(256, [0])[0]
+    h = fields.get(257, [0])[0]
+    if w <= 0 or h <= 0:
+        return None
+    comp = fields.get(259, [1])[0]
+    photo = fields.get(262, [1])[0]
+    spp = fields.get(277, [1])[0]
+    bps = fields.get(258, [8])
+    planar = fields.get(284, [1])[0]
+    offsets = fields.get(273)
+    counts = fields.get(279)
+    rps = fields.get(278, [h])[0] or h
+    rps = min(rps, h)
+    if (
+        offsets is None
+        or counts is None
+        or len(offsets) != len(counts)
+        or planar != 1
+        or any(b != 8 for b in bps)
+        or comp not in (1, 8, 32773, 32946)
+    ):
+        return None
+    cmap = None
+    if photo in (0, 1):
+        if spp != 1:
+            return None
+    elif photo == 2:
+        if spp != 3:
+            return None
+    elif photo == 3:
+        cmap = fields.get(320)
+        if spp != 1 or cmap is None or len(cmap) != 768:
+            return None
+    else:
+        return None
+    n_strips = (h + rps - 1) // rps
+    if len(offsets) < n_strips:
+        return None
+    row_bytes = w * spp
+    data = bytearray()
+    for s in range(n_strips):
+        o, c = offsets[s], counts[s]
+        if o + c > len(payload):
+            return None
+        raw = payload[o : o + c]
+        rows_this = min(rps, h - s * rps)
+        need = rows_this * row_bytes
+        if comp in (8, 32946):
+            try:  # cap inflation at the strip's declared row budget
+                raw = zlib.decompressobj().decompress(raw, need)
+            except zlib.error:
+                return None
+        elif comp == 32773:  # PackBits RLE (TIFF 6.0 §9)
+            out = bytearray()
+            j = 0
+            while j < len(raw) and len(out) < need:
+                nb = raw[j] - 256 if raw[j] > 127 else raw[j]
+                j += 1
+                if nb == -128:  # no-op
+                    continue
+                if nb >= 0:  # literal run of nb+1 bytes
+                    if j + nb + 1 > len(raw):
+                        return None
+                    out += raw[j : j + nb + 1]
+                    j += nb + 1
+                else:  # repeat next byte 1-nb times
+                    if j >= len(raw):
+                        return None
+                    out += bytes([raw[j]]) * (1 - nb)
+                    j += 1
+            raw = bytes(out)
+        if len(raw) < need:
+            return None
+        data += raw[:need]
+    arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if photo == 2:
+        rgb = arr.reshape(h, w, 3).astype(np.int32)
+        gray = ((rgb[..., 0] + rgb[..., 1] + rgb[..., 2]) // 3).astype(
+            np.uint8
+        )
+    elif photo == 3:
+        cm = np.array(cmap, dtype=np.int64).reshape(3, 256)
+        lut = (
+            ((cm[0] >> 8) + (cm[1] >> 8) + (cm[2] >> 8)) // 3
+        ).astype(np.uint8)
+        gray = lut[arr].reshape(h, w)
+    else:
+        gray = arr.reshape(h, w)
+        if photo == 0:  # WhiteIsZero: 0 means white
+            gray = (255 - gray.astype(np.int32)).astype(np.uint8)
+    return w, h, np.ascontiguousarray(gray).reshape(-1)
 
 
 def _parse_pnm_header(
@@ -789,6 +1084,196 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_progressive_fill(
+    scans: list[tuple],
+    coefs: list["np.ndarray"],
+    comps: list[tuple],
+    layout: list[tuple],
+    mcus_x: int,
+    mcus_y: int,
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+    huff_dc: dict[int, tuple],
+    huff_ac: dict[int, tuple],
+) -> bool:
+    """Progressive-JPEG coefficient accumulation (ITU T.81 Annex G):
+    each SOS scan deposits one spectral/bit slice into the shared
+    per-component coefficient arrays — DC first scans are diff-coded
+    like baseline but scaled by the point transform (<< Al), DC
+    refinements read ONE raw bit per block, AC first scans are
+    EOB-run coded (an EOB symbol with run r covers the next 2^r-1+bits
+    blocks of this component), and AC refinements interleave
+    newly-significant ±1<<Al insertions with correction bits for every
+    already-nonzero coefficient crossed (structure follows T.81
+    G.1.2.3, the same control flow libjpeg uses). DC scans may be
+    interleaved (MCU order over all selected components); AC scans are
+    always single-component in raster order over that component's TRUE
+    ceil(cw/8)×ceil(ch/8) block grid — NOT the MCU-padded grid the
+    arrays are allocated at, which is exactly the off-by-padding trap
+    this walk has to avoid. Restart markers reset DC predictors and
+    the EOB run per segment. Returns False (→ honest None upstream)
+    for desync, truncation, missing tables, or out-of-range runs."""
+    n_mcus = mcus_x * mcus_y
+    for sel, ss, se, ah, al, ri, segments in scans:
+        is_dc = ss == 0
+        interleaved = is_dc and len(sel) > 1
+        if interleaved:
+            units = n_mcus
+            bw_t = 0
+        else:
+            c0 = sel[0][0]
+            if len(comps) == 1:
+                bw_t, bh_t = mcus_x, mcus_y
+            else:
+                _, hf0, vf0 = layout[c0]
+                cw = (w * hf0 + hmax - 1) // hmax
+                chh = (h * vf0 + vmax - 1) // vmax
+                bw_t, bh_t = (cw + 7) // 8, (chh + 7) // 8
+            units = bw_t * bh_t
+        if not segments or (ri and len(segments) < (units + ri - 1) // ri):
+            return False
+        dc_t = {c: huff_dc.get(d) for c, d, _ in sel}
+        ac_t = None if is_dc else huff_ac[sel[0][2]]
+        p1, m1 = 1 << al, -(1 << al)
+        seg_i = 0
+        reader = _JpegBitReader(segments[0])
+        pred = dict.fromkeys((c for c, _, _ in sel), 0)
+        eobrun = 0
+        for u in range(units):
+            if ri and u and u % ri == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    return False
+                reader = _JpegBitReader(segments[seg_i])
+                pred = dict.fromkeys(pred, 0)
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(u, mcus_x)
+                targets = []
+                for c, _, _ in sel:
+                    _, hf, vf = layout[c]
+                    bw = mcus_x * hf
+                    for by in range(vf):
+                        for bx in range(hf):
+                            targets.append(
+                                (c, (my * vf + by) * bw + mx * hf + bx)
+                            )
+            else:
+                c0 = sel[0][0]
+                row, col = divmod(u, bw_t)
+                targets = [(c0, row * mcus_x * layout[c0][1] + col)]
+            if is_dc:
+                for c, idx in targets:
+                    block = coefs[c][idx]
+                    if ah == 0:  # first pass: diff-coded, point transform
+                        s = reader.huff(dc_t[c])
+                        if s is None or s > 15:
+                            return False
+                        if s:
+                            v = reader.take(s)
+                            if v is None:
+                                return False
+                            pred[c] += _jpeg_extend(v, s)
+                        block[0] = pred[c] << al
+                    else:  # refinement: one raw bit per block
+                        bit = reader.take(1)
+                        if bit is None:
+                            return False
+                        if bit:
+                            block[0] |= p1
+            elif ah == 0:  # AC first pass: EOB-run coded
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                block = coefs[targets[0][0]][targets[0][1]]
+                k = ss
+                while k <= se:
+                    rs = reader.huff(ac_t)
+                    if rs is None:
+                        return False
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1  # covers SUBSEQUENT blocks
+                        if r:
+                            bits = reader.take(r)
+                            if bits is None:
+                                return False
+                            eobrun += bits
+                        break
+                    k += r
+                    if k > se:
+                        return False
+                    v = reader.take(s)
+                    if v is None:
+                        return False
+                    block[_JPEG_ZIGZAG[k]] = _jpeg_extend(v, s) << al
+                    k += 1
+            else:  # AC refinement
+                block = coefs[targets[0][0]][targets[0][1]]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.huff(ac_t)
+                        if rs is None:
+                            return False
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r < 15:  # EOB run INCLUDING this block
+                                eobrun = 1 << r
+                                if r:
+                                    bits = reader.take(r)
+                                    if bits is None:
+                                        return False
+                                    eobrun += bits
+                                break
+                            # r == 15: skip 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                return False
+                            bit = reader.take(1)
+                            if bit is None:
+                                return False
+                            newval = p1 if bit else m1
+                        # cross r zero-history coefficients, applying a
+                        # correction bit to every nonzero one passed
+                        while k <= se:
+                            z = _JPEG_ZIGZAG[k]
+                            if block[z]:
+                                bit = reader.take(1)
+                                if bit is None:
+                                    return False
+                                if bit and not (block[z] & p1):
+                                    block[z] += p1 if block[z] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            if k > se:
+                                return False
+                            block[_JPEG_ZIGZAG[k]] = newval
+                        k += 1
+                if eobrun:  # tail corrections for the rest of the block
+                    while k <= se:
+                        z = _JPEG_ZIGZAG[k]
+                        if block[z]:
+                            bit = reader.take(1)
+                            if bit is None:
+                                return False
+                            if bit and not (block[z] & p1):
+                                block[z] += p1 if block[z] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return True
+
+
 def decode_jpeg_array(
     payload: bytes | None,
 ) -> tuple[int, int, "np.ndarray"] | None:
@@ -800,13 +1285,16 @@ def decode_jpeg_array(
     faithful extras-free S2 pixel path needs exactly this format).
 
     Supported, honestly: baseline and extended-sequential Huffman DCT
-    (SOF0/SOF1), 8-bit samples, 8- or 16-bit quantization tables,
-    grayscale or 3-component YCbCr with sampling factors ≤2 where each
-    factor divides the max (4:4:4, 4:2:2, 4:2:0), restart markers, and
-    multi-table DQT/DHT segments. Everything else returns None rather
-    than guessed pixels: progressive (SOF2) or arithmetic-coded frames,
-    12-bit precision, truncated entropy streams, Huffman tables that
-    overflow their code space, or streams that end mid-block.
+    (SOF0/SOF1) AND progressive Huffman DCT (SOF2, r12 — spectral
+    selection, successive approximation, EOB runs, DC/AC refinement
+    scans, per `_jpeg_progressive_fill`), 8-bit samples, 8- or 16-bit
+    quantization tables, grayscale or 3-component YCbCr with sampling
+    factors ≤2 where each factor divides the max (4:4:4, 4:2:2,
+    4:2:0), restart markers, and multi-table DQT/DHT segments.
+    Everything else returns None rather than guessed pixels:
+    arithmetic-coded, lossless, or hierarchical frames, 12-bit
+    precision, truncated entropy streams, Huffman tables that overflow
+    their code space, or streams that end mid-block.
 
     The per-symbol Huffman walk is a Python loop (peek-16-and-compare,
     no per-bit iteration) but dequantization, the 2D IDCT, plane
@@ -824,15 +1312,19 @@ def decode_jpeg_array(
     huff_ac: dict[int, tuple] = {}
     frame = None  # (w, h, [(comp_id, hf, vf, tq), ...])
     restart_interval = 0
-    scan = None  # ([(comp_idx, dc_id, ac_id), ...], entropy segments)
+    progressive = False
+    # each scan: (sel, ss, se, ah, al, restart_interval, segments)
+    scans: list[tuple] = []
     while i + 4 <= n:
         if payload[i] != 0xFF:
             return None
         while i + 2 < n and payload[i + 1] == 0xFF:  # legal fill bytes
             i += 1
         marker = payload[i + 1]
-        if marker == 0xD9:  # EOI before a scan completed
-            return None
+        if marker == 0xD9:
+            if scans:  # progressive: EOI terminates the scan sequence
+                break
+            return None  # EOI before a scan completed
         seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
         if seglen < 2 or i + 2 + seglen > n:
             return None
@@ -878,7 +1370,10 @@ def decode_jpeg_array(
                 j += 17 + nv
             if j != len(body):
                 return None
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            if frame is not None:  # second SOF: corrupt
+                return None
+            progressive = marker == 0xC2
             if len(body) < 6 or body[0] != 8:  # 8-bit samples only
                 return None
             h = int.from_bytes(body[1:3], "big")
@@ -894,18 +1389,22 @@ def decode_jpeg_array(
                 hv = body[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
             frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive/lossless/arithmetic: not baseline
-        elif marker == 0xDD:  # DRI
+            return None  # lossless/arithmetic/hierarchical: unsupported
+        elif marker == 0xDD:  # DRI (may change between scans)
             if len(body) != 2:
                 return None
             restart_interval = int.from_bytes(body, "big")
-        elif marker == 0xDA:  # SOS — baseline: single interleaved scan
+        elif marker == 0xDA:  # SOS
             if frame is None or len(body) < 1:
                 return None
             ns = body[0]
-            if ns != len(frame[2]) or len(body) != 1 + 2 * ns + 3:
+            if len(body) != 1 + 2 * ns + 3:
+                return None
+            if not progressive and ns != len(frame[2]):
+                return None  # baseline: single interleaved scan
+            if not 1 <= ns <= len(frame[2]):
                 return None
             sel = []
             for s in range(ns):
@@ -917,16 +1416,21 @@ def decode_jpeg_array(
                     return None
                 tt = body[2 + 2 * s]
                 sel.append((idx, tt >> 4, tt & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             got = _jpeg_entropy_segments(payload, i)
             if got is None:
                 return None
-            scan = (sel, got[0])
-            break
+            scans.append((sel, ss, se, ah, al, restart_interval, got[0]))
+            if not progressive:
+                break
+            i = got[1]  # resume the marker walk after this scan
+            continue
         # APPn / COM / anything else with a length: skipped
-    if frame is None or scan is None:
+    if frame is None or not scans:
         return None
     w, h, comps = frame
-    sel, segments = scan
+    sel, _, _, _, _, restart_interval, segments = scans[0]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if not all(
@@ -935,9 +1439,26 @@ def decode_jpeg_array(
         for c in comps
     ):
         return None
-    for _, dc_id, ac_id in sel:
-        if dc_id not in huff_dc or ac_id not in huff_ac:
-            return None
+    if progressive:
+        # per-scan table/spectral validation (T.81 G.1.1.1.1): a DC
+        # scan (Ss=Se=0) needs its DC table only on the first pass
+        # (refinements read raw bits); an AC scan is single-component
+        # with 1 <= Ss <= Se <= 63 and needs its AC table
+        for s_sel, ss, se, ah, al, _, _ in scans:
+            if ss == 0 and se == 0:
+                if ah == 0 and any(
+                    d not in huff_dc for _, d, _ in s_sel
+                ):
+                    return None
+            elif 1 <= ss <= se <= 63:
+                if len(s_sel) != 1 or s_sel[0][2] not in huff_ac:
+                    return None
+            else:
+                return None
+    else:
+        for _, dc_id, ac_id in sel:
+            if dc_id not in huff_dc or ac_id not in huff_ac:
+                return None
     if len(comps) == 1:
         # non-interleaved single-component scan: MCU = one block over
         # the component's own ceil(w/8) x ceil(h/8) grid (T.81 A.2.2)
@@ -948,24 +1469,28 @@ def decode_jpeg_array(
         mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
         layout = [(ci, c[1], c[2]) for ci, c in enumerate(comps)]
     n_mcus = mcus_x * mcus_y
-    # expected restart segmentation: every restart_interval MCUs
-    if restart_interval:
-        n_segs = (n_mcus + restart_interval - 1) // restart_interval
-    else:
-        n_segs = 1
-    if len(segments) < n_segs:
-        return None
+    if not progressive:
+        # expected restart segmentation: every restart_interval MCUs
+        if restart_interval:
+            n_segs = (n_mcus + restart_interval - 1) // restart_interval
+        else:
+            n_segs = 1
+        if len(segments) < n_segs:
+            return None
 
     # Allocation guard (the parquet-footer crafted-input lesson): a
     # forged SOF declaring 65535x65535 implies a ~17 GB coefficient
-    # array backed by a few stream bytes. Every block costs >= 2
-    # Huffman symbols >= 2 bits, so more blocks than entropy BITS is
-    # structurally impossible — reject before allocating anything.
+    # array backed by a few stream bytes. A baseline block costs >= 2
+    # Huffman symbols >= 2 bits; a progressive file's DC-first scan
+    # still costs >= 1 bit per block — so more blocks than total
+    # entropy BITS is structurally impossible either way. Reject
+    # before allocating anything.
     total_blocks = 0
     for ci, c in enumerate(comps):
         hf, vf = (c[1], c[2]) if len(comps) > 1 else (1, 1)
         total_blocks += (mcus_x * hf) * (mcus_y * vf)
-    if 2 * total_blocks > 8 * sum(len(s) for s in segments):
+    entropy_bytes = sum(len(s) for sc in scans for s in sc[6])
+    if (2 if not progressive else 1) * total_blocks > 8 * entropy_bytes:
         return None
 
     # per component: coefficient batch (n_blocks, 64) + plane geometry
@@ -975,58 +1500,64 @@ def decode_jpeg_array(
         bw = mcus_x * hf
         bh = mcus_y * vf
         coefs.append(np.zeros((bh * bw, 64), dtype=np.int32))
-    dc_tab = {ci: huff_dc[d] for ci, d, _ in sel}
-    ac_tab = {ci: huff_ac[a] for ci, _, a in sel}
-    order = [ci for ci, _, _ in sel]
+    if not progressive:
+        dc_tab = {ci: huff_dc[d] for ci, d, _ in sel}
+        ac_tab = {ci: huff_ac[a] for ci, _, a in sel}
+        order = [ci for ci, _, _ in sel]
 
-    seg_i = 0
-    reader = _JpegBitReader(segments[0])
-    pred = dict.fromkeys(order, 0)
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_i += 1
-            if seg_i >= len(segments):
-                return None
-            reader = _JpegBitReader(segments[seg_i])
-            pred = dict.fromkeys(order, 0)
-        my, mx = divmod(mcu, mcus_x)
-        for ci in order:
-            _, hf, vf = layout[ci]
-            for by in range(vf):
-                for bx in range(hf):
-                    block = np.zeros(64, dtype=np.int32)
-                    s = reader.huff(dc_tab[ci])
-                    if s is None or s > 15:
-                        return None
-                    if s:
-                        v = reader.take(s)
-                        if v is None:
+        seg_i = 0
+        reader = _JpegBitReader(segments[0])
+        pred = dict.fromkeys(order, 0)
+        for mcu in range(n_mcus):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    return None
+                reader = _JpegBitReader(segments[seg_i])
+                pred = dict.fromkeys(order, 0)
+            my, mx = divmod(mcu, mcus_x)
+            for ci in order:
+                _, hf, vf = layout[ci]
+                for by in range(vf):
+                    for bx in range(hf):
+                        block = np.zeros(64, dtype=np.int32)
+                        s = reader.huff(dc_tab[ci])
+                        if s is None or s > 15:
                             return None
-                        pred[ci] += _jpeg_extend(v, s)
-                    block[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.huff(ac_tab[ci])
-                        if rs is None:
-                            return None
-                        r, sz = rs >> 4, rs & 0x0F
-                        if sz == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            return None
-                        v = reader.take(sz)
-                        if v is None:
-                            return None
-                        block[_JPEG_ZIGZAG[k]] = _jpeg_extend(v, sz)
-                        k += 1
-                    bw = mcus_x * (layout[ci][1])
-                    row = my * vf + by
-                    col = mx * hf + bx
-                    coefs[ci][row * bw + col] = block
+                        if s:
+                            v = reader.take(s)
+                            if v is None:
+                                return None
+                            pred[ci] += _jpeg_extend(v, s)
+                        block[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(ac_tab[ci])
+                            if rs is None:
+                                return None
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r == 15:  # ZRL: sixteen zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            v = reader.take(sz)
+                            if v is None:
+                                return None
+                            block[_JPEG_ZIGZAG[k]] = _jpeg_extend(v, sz)
+                            k += 1
+                        bw = mcus_x * (layout[ci][1])
+                        row = my * vf + by
+                        col = mx * hf + bx
+                        coefs[ci][row * bw + col] = block
+    elif not _jpeg_progressive_fill(
+        scans, coefs, comps, layout, mcus_x, mcus_y, hmax, vmax,
+        w, h, huff_dc, huff_ac,
+    ):
+        return None
     # dequantize + IDCT + assemble planes (all batched numpy)
     planes = []
     for ci, c in enumerate(comps):
@@ -1123,9 +1654,10 @@ def decode_image_pixels_free(
     payload: bytes | None,
 ) -> tuple[int, int, "np.ndarray"] | None:
     """The EXTRAS-FREE decode set — netpbm, stdlib-zlib PNG, the
-    pure-byte GIF LZW kernel, baseline JPEG (Huffman + dequant + IDCT,
-    ``decode_jpeg_array``), and standalone BMP (the AVI DIB raster
-    behind a 'BM' file header) — i.e. every format this container
+    pure-byte GIF LZW kernel, baseline AND progressive JPEG (Huffman +
+    dequant + IDCT, ``decode_jpeg_array``), standalone BMP (the AVI
+    DIB raster behind a 'BM' file header), and strip-based TIFF
+    (``decode_tiff_array``) — i.e. every format this container
     really decodes with no optional dependency, and the oracle-pinned
     reference path the PIL swap must match bit-for-bit. The
     ``decoder="stub"`` paths route here so compressed images get real
@@ -1142,7 +1674,10 @@ def decode_image_pixels_free(
     decoded = decode_jpeg_array(payload)
     if decoded is not None:
         return decoded
-    return decode_bmp_array(payload)
+    decoded = decode_bmp_array(payload)
+    if decoded is not None:
+        return decoded
+    return decode_tiff_array(payload)
 
 
 def average_hash(payload: bytes | None, grid: int = 4) -> int | None:
@@ -1282,6 +1817,163 @@ def _mp3_duration_ms(payload: bytes) -> int | None:
     return sum(s * 1000 // r for r, s in samples_by_rate.items())
 
 
+_ID3_TEXT_FRAMES = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TYER": "year", "TDRC": "year",
+}
+
+
+def id3v2_tags(payload: bytes | None) -> dict | None:
+    """Text tags (title/artist/album/year) from an ID3v2.3/2.4
+    container prefix — the audio-corpus sibling of ``exif_metadata``:
+    syncsafe container size, 10-byte frame headers (v2.3 plain
+    big-endian frame sizes, v2.4 syncsafe), text-frame bodies decoded
+    per their encoding byte (0 latin-1, 1 UTF-16 with BOM, 2 UTF-16BE,
+    3 UTF-8), walk stopped at padding or the container boundary. Every
+    frame size is bounds-checked against the declared container, so a
+    crafted size can't read past it or loop. Returns None when there
+    is no ID3v2 header at all, or v2.2 (3-byte frame ids, unsupported)
+    — never guessed tags."""
+    if payload is None or payload[:3] != b"ID3" or len(payload) < 10:
+        return None
+    ver = payload[3]
+    if ver not in (3, 4):
+        return None
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            return None
+        size = (size << 7) | b
+    end = min(10 + size, len(payload))
+    out: dict = {"title": None, "artist": None, "album": None, "year": None}
+    i = 10
+    if payload[5] & 0x40:  # extended header: skip by its own size
+        if i + 4 > end:
+            return None
+        ext = int.from_bytes(payload[i : i + 4], "big")
+        if ver == 4:  # syncsafe
+            ext = sum(
+                (payload[i + j] & 0x7F) << (7 * (3 - j)) for j in range(4)
+            )
+        i += ext if ver == 4 else ext + 4
+    while i + 10 <= end:
+        fid = payload[i : i + 4]
+        if fid[0] == 0:  # padding
+            break
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            return None  # desynced walk
+        if ver == 4:
+            fsz = 0
+            for b in payload[i + 4 : i + 8]:
+                if b & 0x80:
+                    return None
+                fsz = (fsz << 7) | b
+        else:
+            fsz = int.from_bytes(payload[i + 4 : i + 8], "big")
+        if fsz < 0 or i + 10 + fsz > end:
+            return None
+        body = payload[i + 10 : i + 10 + fsz]
+        key = _ID3_TEXT_FRAMES.get(fid.decode("ascii"))
+        if key is not None and len(body) >= 1:
+            enc = body[0]
+            raw = body[1:]
+            try:
+                if enc == 0:
+                    text = raw.decode("latin-1")
+                elif enc == 1:
+                    text = raw.decode("utf-16")
+                elif enc == 2:
+                    text = raw.decode("utf-16-be")
+                elif enc == 3:
+                    text = raw.decode("utf-8")
+                else:
+                    text = None
+            except UnicodeDecodeError:
+                text = None
+            if text is not None and out[key] is None:
+                out[key] = text.split("\x00")[0]
+        i += 10 + fsz
+    return out
+
+
+ID3_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("album", T.StringType(), True),
+        T.StructField("year", T.StringType(), True),
+    ]
+)
+
+
+def id3_probe(media: DataFrame) -> DataFrame:
+    """ID3v2-probe every payload with the pure-byte frame walk
+    (``id3v2_tags``). Arrow ``mapInPandas``, narrow — the stage that
+    groups an audio corpus by artist/album without decoding a sample."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tags = [
+                id3v2_tags(bytes(p) if p is not None else None)
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "title": [t["title"] if t else None for t in tags],
+                    "artist": [t["artist"] if t else None for t in tags],
+                    "album": [t["album"] if t else None for t in tags],
+                    "year": [t["year"] if t else None for t in tags],
+                }
+            )
+
+    return media.mapInPandas(_go, ID3_SCHEMA)
+
+
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000,
+    22050, 16000, 12000, 11025, 8000, 7350,
+)
+
+
+def _adts_duration_ms(payload: bytes) -> int | None:
+    """AAC ADTS frame-header walk (ISO 14496-3 §1.A.2.2) — metadata
+    only, no codec: each frame header carries a 13-bit total frame
+    length (header + optional CRC + raw data blocks), so the walk
+    steps exactly frame to frame like the MP3 walk. Each frame holds
+    1024 samples per raw data block ((b6 & 3) + 1 blocks); duration =
+    Σ samples scaled per-frame by the header's sampling-frequency
+    index, exact integer math. Reserved frequency indices (13/14/15),
+    a desynced header, or a truncated final frame return None — never
+    guessed duration."""
+    n = len(payload)
+    i = 0
+    samples_by_rate: dict[int, int] = {}
+    while i < n:
+        if i + 7 > n:
+            return None
+        if payload[i] != 0xFF or (payload[i + 1] & 0xF6) != 0xF0:
+            return None  # sync 0xFFF + layer 00 required
+        sfi = (payload[i + 2] >> 2) & 0x0F
+        if sfi >= len(_ADTS_RATES):
+            return None
+        flen = (
+            ((payload[i + 3] & 0x03) << 11)
+            | (payload[i + 4] << 3)
+            | (payload[i + 5] >> 5)
+        )
+        if flen < 7 or i + flen > n:
+            return None
+        blocks = (payload[i + 6] & 0x03) + 1
+        rate = _ADTS_RATES[sfi]
+        samples_by_rate[rate] = samples_by_rate.get(rate, 0) + 1024 * blocks
+        i += flen
+    if not samples_by_rate:
+        return None
+    return sum(s * 1000 // r for r, s in samples_by_rate.items())
+
+
 def _ogg_duration_ms(payload: bytes) -> int | None:
     """Ogg page walk (RFC 3533) — metadata only, no codec: the LAST
     page's granule position is the total sample count (Vorbis: at the
@@ -1334,9 +2026,9 @@ def _ogg_duration_ms(payload: bytes) -> int | None:
 
 def media_duration_ms(payload: bytes | None) -> int | None:
     """REAL decode kernel: duration in milliseconds from WAV/RIFF, MP4
-    (ISO BMFF), FLAC, AVI, MP3 (MPEG Layer III), or Ogg (Vorbis/Opus)
-    header bytes — pure-Python byte parsing, no codec libraries. The
-    audio/video counterpart of ``image_dimensions``.
+    (ISO BMFF), FLAC, AVI, MP3 (MPEG Layer III), AAC (ADTS), or Ogg
+    (Vorbis/Opus) header bytes — pure-Python byte parsing, no codec
+    libraries. The audio/video counterpart of ``image_dimensions``.
 
     - WAV: 'RIFF'+size+'WAVE', then a word-aligned chunk walk; the
       'fmt ' chunk's little-endian uint32 byte-rate at data offset 8
@@ -1360,7 +2052,12 @@ def media_duration_ms(payload: bytes | None) -> int | None:
         or (payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0)
     ):
         # MPEG audio sync (11 set bits) or an ID3v2 container; JPEG's
-        # FFD8 can't reach here (0xD8 & 0xE0 != 0xE0)
+        # FFD8 can't reach here (0xD8 & 0xE0 != 0xE0). The layer bits
+        # split the two frame families sharing the sync: ADTS AAC is
+        # layer 00, MP3 is Layer III (01) — an ID3v2 container always
+        # routes to the MP3 walk (ADTS streams don't carry ID3v2).
+        if payload[0] == 0xFF and (payload[1] & 0x06) == 0:
+            return _adts_duration_ms(payload)
         return _mp3_duration_ms(payload)
     if n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12
@@ -1915,6 +2612,50 @@ def probe_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_go, PROBE_SCHEMA)
+
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("exif_width", T.IntegerType(), True),
+        T.StructField("exif_height", T.IntegerType(), True),
+    ]
+)
+
+
+def exif_probe(media: DataFrame) -> DataFrame:
+    """EXIF-probe every payload with the pure-byte IFD walk
+    (``exif_metadata``): orientation / make / model / Exif pixel
+    dimensions per item. Arrow ``mapInPandas``, narrow — parallelizes
+    with the scan; at 100 TB this is the stage that decides rotation
+    normalization and camera-source grouping without decoding a single
+    pixel."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                exif_metadata(bytes(p) if p is not None else None)
+                for p in pdf["payload"]
+            ]
+
+            def col(key: str) -> list:
+                return [m[key] if m else None for m in metas]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "orientation": pd.array(col("orientation"), dtype="Int32"),
+                    "make": col("make"),
+                    "model": col("model"),
+                    "exif_width": pd.array(col("exif_width"), dtype="Int32"),
+                    "exif_height": pd.array(col("exif_height"), dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(_go, EXIF_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -67,7 +67,20 @@ def _extract_pages_fitz(content: bytes) -> tuple[list[str], dict]:
 
 
 def _extract_pages_fallback(content: bytes) -> tuple[list[str], dict]:
-    """Deterministic stand-in: UTF-8 payload, pages split on form-feed."""
+    """Extras-free extraction: REAL pure-byte PDF parse first (object
+    scan → page tree → FlateDecode content streams → Tj/TJ/'/\" text
+    operators, sources/pdf_pure.py — the in-container kernel for the
+    reference's core fitz loop, data_ingestion.py:110-135), then the
+    deterministic UTF-8/form-feed stand-in for non-PDF payloads (the
+    planted test fixtures)."""
+    if content.startswith(b"%PDF-"):
+        from data_ingestion_py_spark.sources.pdf_pure import parse_pdf_text
+
+        parsed = parse_pdf_text(content)
+        if parsed is not None:
+            pages, meta = parsed
+            meta = {**meta, "extractor": "pure-byte"}
+            return pages, meta
     try:
         text = content.decode("utf-8")
     except UnicodeDecodeError:

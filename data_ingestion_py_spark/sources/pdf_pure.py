@@ -1,0 +1,500 @@
+"""Pure-byte PDF text extraction — no fitz, no extras.
+
+The reference's ENTIRE job is PDF page-text ingestion
+(data_ingestion.py:110-135: fitz.open → page.get_text per page). In a
+container without PyMuPDF, ``sources/pdf.py`` used to fall back to
+"decode the payload as UTF-8" — real plumbing, fake parsing. This
+module is the honest in-container kernel, the PDF sibling of the
+stdlib-zlib PNG / pure-Huffman JPEG decoders: a tolerant object scan
+(``N G obj`` … ``endobj``), a recursive-descent value parser for PDF
+dicts/arrays/names/strings/refs, FlateDecode via stdlib zlib with a
+LENGTH-CAPPED inflater, compressed object streams (/Type /ObjStm —
+the layout every modern writer emits), the Catalog → Pages → Kids
+page-tree walk, and a content-stream text interpreter for the
+Tj / TJ / ' / " show operators.
+
+Honest limits (→ None or empty page text, never guessed):
+encrypted documents (/Encrypt in a trailer), LZW/CCITT/DCT content
+filters, and CID/Type0 composite fonts' 2-byte code text (bytes are
+emitted latin-1; ToUnicode CMaps are not applied). Text layout is
+deterministic and documented: show-operator strings concatenate in
+stream order; T* / Td / TD / ' / " and ET insert one newline.
+
+Object offsets come from the scan, NOT the xref table — so damaged or
+xref-stream PDFs parse as long as their objects are intact, which is
+also why the column-algebra fixtures in queries_pdf need no offset
+bookkeeping.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d{1,10})\s+(\d{1,5})\s+obj\b")
+_TRAILER_RE = re.compile(rb"trailer\b")
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+# ~1000x inflation cap per stream: enough for any real content stream,
+# small enough that a crafted deflate bomb can't balloon the executor
+_MAX_INFLATE = 1 << 26
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+
+def _skip_ws(buf: bytes, i: int) -> int:
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c in _WS:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            while i < n and buf[i] not in b"\r\n":
+                i += 1
+        else:
+            break
+    return i
+
+
+def _parse_string(buf: bytes, i: int) -> tuple[bytes, int]:
+    """Literal string after '(' — nested parens, spec escapes."""
+    out = bytearray()
+    depth = 1
+    n = len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = buf[i]
+            if e in b"nrtbf":
+                out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8,
+                            0x66: 12}[e])
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                val = 0
+                for _ in range(3):
+                    if i < n and 0x30 <= buf[i] <= 0x37:
+                        val = val * 8 + (buf[i] - 0x30)
+                        i += 1
+                    else:
+                        break
+                out.append(val & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                i += 1
+                if e == 0x0D and i < n and buf[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _parse_hex_string(buf: bytes, i: int) -> tuple[bytes, int]:
+    digits = bytearray()
+    n = len(buf)
+    while i < n and buf[i] != 0x3E:  # '>'
+        c = buf[i]
+        if c in b"0123456789abcdefABCDEF":
+            digits.append(c)
+        i += 1
+    if len(digits) % 2:
+        digits.append(0x30)  # odd count: pad with '0' per spec
+    return bytes.fromhex(digits.decode("ascii")), i + 1
+
+
+def _parse_name(buf: bytes, i: int) -> tuple[str, int]:
+    out = bytearray()
+    n = len(buf)
+    while i < n and buf[i] not in _WS and buf[i] not in _DELIM:
+        if buf[i] == 0x23 and i + 2 < n:  # #xx escape
+            try:
+                out.append(int(buf[i + 1 : i + 3], 16))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(buf[i])
+        i += 1
+    return out.decode("latin-1"), i
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def _parse_value(buf: bytes, i: int, depth: int = 0):
+    """One PDF value at offset i → (value, next_offset). Refs are
+    returned as _Ref; dicts as {str: value}; names as str prefixed
+    with '/'. Depth-bounded against crafted nesting."""
+    if depth > 48:
+        raise ValueError("nesting")
+    i = _skip_ws(buf, i)
+    n = len(buf)
+    if i >= n:
+        raise ValueError("eof")
+    c = buf[i]
+    if c == 0x3C:  # '<'
+        if i + 1 < n and buf[i + 1] == 0x3C:  # dict
+            i += 2
+            d: dict = {}
+            while True:
+                i = _skip_ws(buf, i)
+                if i + 1 < n and buf[i] == 0x3E and buf[i + 1] == 0x3E:
+                    return d, i + 2
+                if i >= n:
+                    raise ValueError("dict eof")
+                if buf[i] != 0x2F:
+                    raise ValueError("dict key")
+                key, i = _parse_name(buf, i + 1)
+                val, i = _parse_value(buf, i, depth + 1)
+                d[key] = val
+        s, i = _parse_hex_string(buf, i + 1)
+        return s, i
+    if c == 0x28:  # '('
+        return _parse_string(buf, i + 1)
+    if c == 0x2F:  # name
+        name, i = _parse_name(buf, i + 1)
+        return "/" + name, i
+    if c == 0x5B:  # '['
+        i += 1
+        arr = []
+        while True:
+            i = _skip_ws(buf, i)
+            if i < n and buf[i] == 0x5D:
+                return arr, i + 1
+            if i >= n:
+                raise ValueError("array eof")
+            v, i = _parse_value(buf, i, depth + 1)
+            arr.append(v)
+    m = _NUM_RE.match(buf, i)
+    if m:
+        # possibly "num gen R" — an indirect reference
+        j = _skip_ws(buf, m.end())
+        m2 = _NUM_RE.match(buf, j)
+        if m2 and b"." not in m.group():
+            k = _skip_ws(buf, m2.end())
+            if k < n and buf[k : k + 1] == b"R" and (
+                k + 1 >= n or buf[k + 1] in _WS or buf[k + 1] in _DELIM
+            ):
+                return _Ref(int(m.group()), int(m2.group())), k + 1
+        tok = m.group()
+        return (float(tok) if b"." in tok else int(tok)), m.end()
+    for lit, val, ln in ((b"true", True, 4), (b"false", False, 5),
+                         (b"null", None, 4)):
+        if buf[i : i + ln] == lit:
+            return val, i + ln
+    raise ValueError(f"bad token at {i}")
+
+
+def _inflate(raw: bytes) -> bytes | None:
+    try:
+        d = zlib.decompressobj()
+        out = d.decompress(raw, _MAX_INFLATE)
+        if d.unconsumed_tail:  # bomb cap hit
+            return None
+        return out
+    except zlib.error:
+        return None
+
+
+class _PdfDoc:
+    """Scanned object table + lazy stream decoding."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        # (num) -> (dict_or_value, stream_start, stream_dict) ; latest
+        # occurrence wins (incremental updates append newer objects)
+        self.objs: dict[int, tuple] = {}
+
+    def resolve(self, v, depth: int = 0):
+        while isinstance(v, _Ref) and depth < 32:
+            got = self.objs.get(v.num)
+            if got is None:
+                return None
+            v = got[0]
+            depth += 1
+        return v
+
+    def stream_bytes(self, num: int) -> bytes | None:
+        """Decoded stream content of object ``num`` (None if absent or
+        undecodable). Supports no filter and /FlateDecode (scalar or
+        1-element array)."""
+        got = self.objs.get(num)
+        if got is None or got[1] is None:
+            return None
+        d, start = got
+        if not isinstance(d, dict):
+            return None
+        length = self.resolve(d.get("Length"))
+        raw = None
+        if isinstance(length, int) and 0 <= length <= len(self.buf) - start:
+            raw = self.buf[start : start + length]
+            # tolerate writers whose Length is off: verify endstream
+            tail = _skip_ws(self.buf, start + length)
+            if self.buf[tail : tail + 9] != b"endstream":
+                raw = None
+        if raw is None:  # fall back to scanning for endstream
+            end = self.buf.find(b"endstream", start)
+            if end < 0:
+                return None
+            raw = self.buf[start:end]
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith(b"\n") or raw.endswith(b"\r"):
+                raw = raw[:-1]
+        filt = self.resolve(d.get("Filter"))
+        if isinstance(filt, list):
+            filt = [self.resolve(f) for f in filt]
+            if len(filt) == 0:
+                filt = None
+            elif len(filt) == 1:
+                filt = filt[0]
+            else:
+                return None  # filter chains: honest seam
+        if filt is None:
+            return raw
+        if filt == "/FlateDecode":
+            dd = d.get("DecodeParms")
+            if dd not in (None,) and self.resolve(dd) is not None:
+                return None  # predictors: honest seam
+            return _inflate(raw)
+        return None  # LZW/DCT/CCITT...: honest seam
+
+
+def _scan(buf: bytes) -> _PdfDoc:
+    doc = _PdfDoc(buf)
+    for m in _OBJ_RE.finditer(buf):
+        # guard against matches inside streams: require the match to
+        # start at a token boundary
+        if m.start() > 0 and buf[m.start() - 1] not in _WS:
+            continue
+        try:
+            val, i = _parse_value(buf, m.end())
+        except ValueError:
+            continue
+        stream_start = None
+        j = _skip_ws(buf, i)
+        if isinstance(val, dict) and buf[j : j + 6] == b"stream":
+            j += 6
+            if buf[j : j + 2] == b"\r\n":
+                j += 2
+            elif buf[j : j + 1] == b"\n":
+                j += 1
+            stream_start = j
+        doc.objs[int(m.group(1))] = (val, stream_start)
+    # unpack compressed object streams (/Type /ObjStm)
+    for num in list(doc.objs):
+        d, sstart = doc.objs[num]
+        if not isinstance(d, dict) or d.get("Type") != "/ObjStm":
+            continue
+        if sstart is None:
+            continue
+        data = doc.stream_bytes(num)
+        if data is None:
+            continue
+        n_objs = doc.resolve(d.get("N"))
+        first = doc.resolve(d.get("First"))
+        if not isinstance(n_objs, int) or not isinstance(first, int):
+            continue
+        pairs = []
+        i = 0
+        ok = True
+        for _ in range(min(n_objs, 10000)):
+            try:
+                onum, i = _parse_value(data, i)
+                ooff, i = _parse_value(data, i)
+            except ValueError:
+                ok = False
+                break
+            if not (isinstance(onum, int) and isinstance(ooff, int)):
+                ok = False
+                break
+            pairs.append((onum, ooff))
+        if not ok:
+            continue
+        for onum, ooff in pairs:
+            if onum in doc.objs:  # direct objects take precedence
+                continue
+            try:
+                oval, _ = _parse_value(data, first + ooff)
+            except ValueError:
+                continue
+            doc.objs[onum] = (oval, None)
+    return doc
+
+
+def _find_trailer_dicts(doc: _PdfDoc) -> list[dict]:
+    out = []
+    for m in _TRAILER_RE.finditer(doc.buf):
+        try:
+            val, _ = _parse_value(doc.buf, m.end())
+        except ValueError:
+            continue
+        if isinstance(val, dict):
+            out.append(val)
+    # xref-stream PDFs: the /Type /XRef stream dict IS the trailer
+    for num, (d, _s) in doc.objs.items():
+        if isinstance(d, dict) and d.get("Type") == "/XRef":
+            out.append(d)
+    return out
+
+
+_TEXT_SHOW = {b"Tj", b"'", b'"'}
+_TEXT_NL = {b"T*", b"Td", b"TD", b"ET", b"'", b'"'}
+_OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+
+def _page_text(content: bytes) -> str:
+    """Deterministic text from a content stream: show strings in
+    stream order; T*/Td/TD/'/\" and ET insert one newline."""
+    out: list[str] = []
+    line: list[str] = []
+    i = 0
+    n = len(content)
+
+    def newline():
+        if line:
+            out.append("".join(line))
+            line.clear()
+
+    pending: list[bytes] = []  # operand strings since last operator
+    while i < n:
+        i = _skip_ws(content, i)
+        if i >= n:
+            break
+        c = content[i]
+        if c == 0x28:
+            s, i = _parse_string(content, i + 1)
+            pending.append(s)
+        elif c == 0x3C and i + 1 < n and content[i + 1] != 0x3C:
+            s, i = _parse_hex_string(content, i + 1)
+            pending.append(s)
+        elif c == 0x3C:  # inline dict (e.g. BDC properties): parse, drop
+            try:
+                _, i = _parse_value(content, i)
+            except ValueError:
+                i += 2
+            pending.clear()
+        elif c == 0x5B:  # array operand (TJ): keep its strings in order
+            try:
+                arr, i = _parse_value(content, i)
+            except ValueError:
+                break
+            pending = [x for x in arr if isinstance(x, bytes)]
+        elif c == 0x2F:
+            _, i = _parse_name(content, i + 1)
+        else:
+            m = _OP_RE.match(content, i)
+            if m:
+                op = m.group()
+                i = m.end()
+                if op in _TEXT_NL:
+                    newline()
+                if op in _TEXT_SHOW or op == b"TJ":
+                    for s in pending:
+                        line.append(s.decode("latin-1"))
+                pending.clear()
+                if op == b"BI":  # inline image: skip to EI
+                    end = content.find(b"EI", i)
+                    i = n if end < 0 else end + 2
+            else:
+                m = _NUM_RE.match(content, i)
+                i = m.end() if m else i + 1
+    newline()
+    return "\n".join(out)
+
+
+def parse_pdf_text(content: bytes) -> tuple[list[str], dict] | None:
+    """(per-page text, metadata) via the pure-byte parse, or None when
+    the payload is not a parseable unencrypted PDF."""
+    if not content.startswith(b"%PDF-"):
+        return None
+    doc = _scan(content)
+    if not doc.objs:
+        return None
+    trailers = _find_trailer_dicts(doc)
+    if any("Encrypt" in t for t in trailers):
+        return None  # honest: no decryption support
+    root = None
+    for t in trailers:
+        r = t.get("Root")
+        if isinstance(r, _Ref):
+            root = doc.resolve(r)
+            if isinstance(root, dict):
+                break
+    if not isinstance(root, dict):  # fall back: scan for the Catalog
+        for num, (d, _s) in doc.objs.items():
+            if isinstance(d, dict) and d.get("Type") == "/Catalog":
+                root = d
+                break
+    if not isinstance(root, dict):
+        return None
+    pages_root = doc.resolve(root.get("Pages"))
+
+    def walk(node, depth: int = 0):
+        node = doc.resolve(node)
+        if not isinstance(node, dict) or depth > 32:
+            return
+        if node.get("Type") == "/Page":
+            page_objs.append(node)
+            return
+        kids = doc.resolve(node.get("Kids"))
+        if isinstance(kids, list):
+            for k in kids[:10000]:
+                walk(k, depth + 1)
+
+    page_objs: list[dict] = []
+    walk(pages_root)
+    if not page_objs:
+        return None
+    pages: list[str] = []
+    for p in page_objs:
+        contents = p.get("Contents")
+        refs: list[_Ref] = []
+        for x in (contents if isinstance(contents, list) else [contents]):
+            if isinstance(x, _Ref):
+                refs.append(x)
+        data = bytearray()
+        for r in refs:
+            got = doc.stream_bytes(r.num)
+            if got is not None:
+                data += got
+                data += b"\n"
+        pages.append(_page_text(bytes(data)))
+    meta: dict[str, str] = {}
+    for t in trailers:
+        info = doc.resolve(t.get("Info"))
+        if isinstance(info, dict):
+            for k in ("Title", "Author", "Subject", "Producer",
+                      "CreationDate"):
+                v = doc.resolve(info.get(k))
+                if isinstance(v, bytes):
+                    if v[:2] == b"\xfe\xff":
+                        meta[k] = v[2:].decode("utf-16-be", "replace")
+                    else:
+                        meta[k] = v.decode("latin-1")
+    return pages, meta

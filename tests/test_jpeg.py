@@ -1,4 +1,4 @@
-"""Baseline JPEG decoder (sources/multimodal.decode_jpeg_array) pinned
+"""Baseline JPEG decoder (sources/decode_jpeg_array) pinned
 against an INDEPENDENT encoder: a reference baseline-JPEG compressor
 (FDCT + quantization + spec Annex K Huffman tables + byte stuffing +
 restart markers) written here, sharing no code with the decoder, plus
@@ -570,3 +570,352 @@ def test_pil_vs_pure_kernels_bit_identical():  # pragma: no cover
         b = _pil_decode_gray(payload)
         assert a is not None and b is not None
         assert a[:2] == b[:2] and (a[2] == b[2]).all(), fmt
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+# The Annex K sequential AC table has no EOBn symbols (0x10..0xE0), so
+# progressive scans use a full 256-symbol canonical table: 254 codes of
+# 9 bits + 2 of 10 (fits the code space, all-ones code unused).
+_PROG_AC_COUNTS = bytes([0] * 8 + [254, 2] + [0] * 6)
+_PROG_AC_VALS = bytes(range(256))
+
+
+def _emit_eobrun(bw, ac, eobrun, pending):
+    """Flush a pending EOB run: symbol r<<4, r extra bits encoding
+    eobrun - 2^r, then the buffered correction bits of every block the
+    run covers, in block order (the decoder reads them in its per-block
+    refinement tails)."""
+    if eobrun == 0:
+        return
+    r = eobrun.bit_length() - 1
+    code, ln = ac[r << 4]
+    bw.put(code, ln)
+    if r:
+        bw.put(eobrun - (1 << r), r)
+    for bit in pending:
+        bw.put(bit, 1)
+    pending.clear()
+
+
+def _encode_ac_first(bw, ac, band_vals, al, state):
+    """One block of an AC first scan (T.81 G.1.2.2): EOB-run coded
+    runs of point-transformed coefficients. ``state`` carries the
+    cross-block EOB run."""
+    t = [
+        (abs(v) >> al) * (1 if v > 0 else -1) if v else 0
+        for v in band_vals
+    ]
+    last_nz = max((i for i, v in enumerate(t) if v), default=-1)
+    if last_nz < 0:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun(bw, ac, state["eobrun"], state["pending"])
+            state["eobrun"] = 0
+        return
+    _emit_eobrun(bw, ac, state["eobrun"], state["pending"])
+    state["eobrun"] = 0
+    run = 0
+    for i in range(last_nz + 1):
+        v = t[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < len(t) - 1:
+        state["eobrun"] += 1
+
+
+def _encode_ac_refine(bw, ac, band_vals, al, state):
+    """One block of an AC refinement scan, mirroring the decoder's
+    control flow exactly: newly-significant coefficients (|v|>>al == 1)
+    emit a (zero-history-run, 1) symbol + sign bit, with correction
+    bits for every already-nonzero coefficient crossed; trailing
+    corrections ride the EOB run's buffered bits."""
+    L = len(band_vals)
+    hist = [(abs(v) >> (al + 1)) != 0 for v in band_vals]
+    sig = [(abs(v) >> al) == 1 for v in band_vals]
+    corr = [(abs(v) >> al) & 1 for v in band_vals]
+    sign = [1 if v > 0 else 0 for v in band_vals]
+    if not any(sig):
+        state["eobrun"] += 1
+        state["pending"] += [corr[j] for j in range(L) if hist[j]]
+        return
+    _emit_eobrun(bw, ac, state["eobrun"], state["pending"])
+    state["eobrun"] = 0
+    k = 0
+    while k < L:
+        nxt = next((j for j in range(k, L) if sig[j]), None)
+        if nxt is None:
+            break
+        r = sum(1 for j in range(k, nxt) if not hist[j])
+        while r > 15:  # ZRL crosses exactly 16 zero-history positions
+            code, ln = ac[0xF0]
+            bw.put(code, ln)
+            cnt = 0
+            while cnt < 16:
+                if hist[k]:
+                    bw.put(corr[k], 1)
+                else:
+                    cnt += 1
+                k += 1
+            r -= 16
+        code, ln = ac[(r << 4) | 1]
+        bw.put(code, ln)
+        bw.put(sign[nxt], 1)
+        for j in range(k, nxt):  # corrections crossed before the store
+            if hist[j]:
+                bw.put(corr[j], 1)
+        k = nxt + 1
+    if k < L:  # block tail joins the EOB run
+        state["eobrun"] += 1
+        state["pending"] += [corr[j] for j in range(k, L) if hist[j]]
+
+
+def _jpeg_progressive_from_coefs(
+    qcoefs,
+    sampling,
+    w,
+    h,
+    al_dc=1,
+    al_ac=1,
+    ac_bands=((1, 63),),
+    restart=0,
+):
+    """Independent progressive encoder from per-component quantized
+    coefficient arrays (by, bx, 64 natural order). Scan script: one
+    interleaved DC first scan at Al=al_dc, DC refinement chain down to
+    0, then per component and band an AC first scan at Al=al_ac and
+    the refinement chain down to 0. Shares NO code with the decoder."""
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    ncomp = len(qcoefs)
+
+    out = bytearray(b"\xff\xd8")
+    qz = bytes(int(_QTABLE[_ZIGZAG[k]]) for k in range(64))
+    out += _seg(0xDB, b"\x00" + qz)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for ci, (hf, vf) in enumerate(sampling):
+        sof += bytes([ci + 1, (hf << 4) | vf, 0])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, b"\x00" + _STD_DC_COUNTS + _STD_DC_VALS)
+    out += _seg(0xC4, b"\x10" + _PROG_AC_COUNTS + _PROG_AC_VALS)
+    if restart:
+        out += _seg(0xDD, restart.to_bytes(2, "big"))
+    dc = _huff_codes(_STD_DC_COUNTS, _STD_DC_VALS)
+    ac = _huff_codes(_PROG_AC_COUNTS, _PROG_AC_VALS)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, sos)
+
+    def comp_grid(ci):
+        if ncomp == 1:
+            return (w + 7) // 8, (h + 7) // 8
+        hf, vf = sampling[ci]
+        cw = (w * hf + hmax - 1) // hmax
+        ch = (h * vf + vmax - 1) // vmax
+        return (cw + 7) // 8, (ch + 7) // 8
+
+    def dc_scan(al, refine):
+        nonlocal out
+        out += sos_header(list(range(ncomp)), 0, 0, al + 1 if refine else 0, al)
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        rst = 0
+        n_mcus = mcus_x * mcus_y
+        for mcu in range(n_mcus):
+            if restart and mcu and mcu % restart == 0:
+                bw.byte_align()
+                bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * ncomp
+            my, mx = divmod(mcu, mcus_x)
+            for ci in range(ncomp):
+                hf, vf = sampling[ci] if ncomp > 1 else (1, 1)
+                for by in range(vf):
+                    for bx in range(hf):
+                        dcv = int(qcoefs[ci][my * vf + by, mx * hf + bx][0])
+                        if refine:
+                            bw.put((dcv >> al) & 1, 1)
+                            continue
+                        diff = (dcv >> al) - preds[ci]
+                        preds[ci] = dcv >> al
+                        s = abs(diff).bit_length()
+                        code, ln = dc[s]
+                        bw.put(code, ln)
+                        if s:
+                            bw.put(
+                                diff if diff > 0 else diff + (1 << s) - 1, s
+                            )
+        bw.byte_align()
+        out += bw.out
+
+    def ac_scan(ci, ss, se, al, refine):
+        nonlocal out
+        out += sos_header([ci], ss, se, al + 1 if refine else 0, al)
+        bw = _BitWriter()
+        bw_t, bh_t = comp_grid(ci)
+        state = {"eobrun": 0, "pending": []}
+        rst = 0
+        for u in range(bw_t * bh_t):
+            if restart and u and u % restart == 0:
+                _emit_eobrun(bw, ac, state["eobrun"], state["pending"])
+                state["eobrun"] = 0
+                bw.byte_align()
+                bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+            row, col = divmod(u, bw_t)
+            blk = qcoefs[ci][row, col]
+            band = [int(blk[_ZIGZAG[k]]) for k in range(ss, se + 1)]
+            if refine:
+                _encode_ac_refine(bw, ac, band, al, state)
+            else:
+                _encode_ac_first(bw, ac, band, al, state)
+        _emit_eobrun(bw, ac, state["eobrun"], state["pending"])
+        bw.byte_align()
+        out += bw.out
+
+    dc_scan(al_dc, refine=False)
+    for a in range(al_dc - 1, -1, -1):
+        dc_scan(a, refine=True)
+    for ci in range(ncomp):
+        for ss, se in ac_bands:
+            ac_scan(ci, ss, se, al_ac, refine=False)
+    for a in range(al_ac - 1, -1, -1):
+        for ci in range(ncomp):
+            for ss, se in ac_bands:
+                ac_scan(ci, ss, se, a, refine=True)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_progressive_bytes(planes, sampling, w, h, **kw):
+    """Progressive encoder from pixel planes: FDCT+quant per component
+    (MCU-padded like the baseline encoder), then the scan script."""
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    interleaved = len(planes) > 1
+    qcoefs = []
+    for p, (hf, vf) in zip(planes, sampling):
+        if interleaved:
+            padded = np.zeros((mcus_y * vf * 8, mcus_x * hf * 8), p.dtype)
+            rep = _pad_to(p, vf * 8, hf * 8)
+            padded[: rep.shape[0], : rep.shape[1]] = rep[
+                : padded.shape[0], : padded.shape[1]
+            ]
+        else:
+            padded = _pad_to(p, 8, 8)
+        qcoefs.append(_fdct_quant(padded, _QTABLE))
+    return _jpeg_progressive_from_coefs(qcoefs, sampling, w, h, **kw), qcoefs
+
+
+def test_jpeg_progressive_gray_matches_baseline_and_direct_idct():
+    for w, h, seed, kw in (
+        (16, 16, 1, {}),
+        (13, 10, 2, {"ac_bands": ((1, 5), (6, 63))}),
+        (24, 8, 3, {"al_dc": 2, "al_ac": 2}),
+        (7, 7, 4, {"al_dc": 0, "al_ac": 0}),  # no refinement scans
+    ):
+        raster = _rng_raster(w, h, seed)
+        prog, qcoefs = _jpeg_progressive_bytes([raster], [(1, 1)], w, h, **kw)
+        base, _ = _jpeg_bytes([raster], [(1, 1)], w, h)
+        got = decode_jpeg_array(prog)
+        assert got is not None, (w, h, seed, kw)
+        gw, gh, px = got
+        assert (gw, gh) == (w, h)
+        bw_, bh_, bpx = decode_jpeg_array(base)
+        assert np.array_equal(px, bpx), (w, h, seed, kw)
+        exp = _expected_plane(qcoefs[0], _QTABLE)[:h, :w]
+        assert np.array_equal(px.reshape(h, w), exp)
+
+
+def test_jpeg_progressive_color_444_and_420():
+    for sampling in ([(1, 1), (1, 1), (1, 1)], [(2, 2), (1, 1), (1, 1)]):
+        w, h = 20, 12
+        hmax = max(s[0] for s in sampling)
+        vmax = max(s[1] for s in sampling)
+        planes = []
+        for ci, (hf, vf) in enumerate(sampling):
+            cw = (w * hf + hmax - 1) // hmax
+            ch = (h * vf + vmax - 1) // vmax
+            planes.append(_rng_raster(cw, ch, 10 + ci))
+        prog, _ = _jpeg_progressive_bytes(planes, sampling, w, h)
+        base, _ = _jpeg_bytes(planes, sampling, w, h)
+        got = decode_jpeg_array(prog)
+        assert got is not None
+        _, _, px = got
+        _, _, bpx = decode_jpeg_array(base)
+        assert np.array_equal(px, bpx), sampling
+
+
+def test_jpeg_progressive_restart_markers():
+    w, h = 32, 24
+    raster = _rng_raster(w, h, 7)
+    prog, _ = _jpeg_progressive_bytes([raster], [(1, 1)], w, h, restart=3)
+    base, _ = _jpeg_bytes([raster], [(1, 1)], w, h)
+    got = decode_jpeg_array(prog)
+    assert got is not None
+    _, _, px = got
+    _, _, bpx = decode_jpeg_array(base)
+    assert np.array_equal(px, bpx)
+
+
+def test_jpeg_progressive_refine_zrl_and_long_runs():
+    # crafted coefficients exercising the refinement ZRL path: history
+    # coefficients, >16-zero-history gaps before newly-significant
+    # ones, and corrections riding EOB runs across blocks
+    qcoefs = np.zeros((2, 2, 64), dtype=np.int32)
+    qcoefs[0, 0][_ZIGZAG[1]] = 5    # history (|v|>>1 = 2)
+    qcoefs[0, 0][_ZIGZAG[40]] = -1  # newly significant after a long gap
+    qcoefs[0, 1][_ZIGZAG[2]] = -3   # history with a correction bit = 1
+    qcoefs[0, 1][_ZIGZAG[63]] = 1   # significant at the band's last slot
+    qcoefs[1, 0][_ZIGZAG[30]] = 1   # lone late significance
+    # block (1,1) has nothing: pure EOB-run member
+    dc_vals = ((37, -22), (15, 4))
+    for r in range(2):
+        for c in range(2):
+            qcoefs[r, c][0] = dc_vals[r][c]
+    w = h = 16
+    prog = _jpeg_progressive_from_coefs(
+        [qcoefs], [(1, 1)], w, h, al_dc=1, al_ac=1
+    )
+    got = decode_jpeg_array(prog)
+    assert got is not None
+    _, _, px = got
+    exp = _expected_plane(qcoefs, _QTABLE)[:h, :w]
+    assert np.array_equal(px.reshape(h, w), exp)
+
+
+def test_jpeg_progressive_honest_nones():
+    w, h = 16, 16
+    raster = _rng_raster(w, h, 5)
+    prog, _ = _jpeg_progressive_bytes([raster], [(1, 1)], w, h)
+    # truncated mid-scan
+    assert decode_jpeg_array(prog[: len(prog) // 2]) is None
+    # a scan with Ss > Se is structurally invalid
+    bad = bytearray(prog)
+    i = bad.find(bytes([0xFF, 0xDA]))
+    ns = bad[i + 4]
+    bad[i + 5 + 2 * ns] = 40  # Ss
+    bad[i + 6 + 2 * ns] = 10  # Se < Ss
+    assert decode_jpeg_array(bytes(bad)) is None
+    # EOI with zero scans
+    no_scan = prog[: prog.find(bytes([0xFF, 0xDA]))] + b"\xff\xd9"
+    assert decode_jpeg_array(no_scan) is None

@@ -1,0 +1,192 @@
+"""Pure-byte PDF text extraction (sources/pdf_pure.py) pinned against
+independently-built PDFs — catalog/page-tree layouts, FlateDecode and
+ObjStm object streams, literal/hex strings with escapes, indirect and
+broken /Length fields, trailer metadata — plus the honest-None gates
+(encryption, unsupported filters, non-PDF bytes).
+
+Reference tie-in: this kernel is the in-container counterpart of the
+reference's core fitz loop (data_ingestion.py:110-135)."""
+
+from __future__ import annotations
+
+import zlib
+
+from data_ingestion_py_spark.sources import pdf as pdf_mod
+from data_ingestion_py_spark.sources.pdf_pure import parse_pdf_text
+
+
+def _obj(num: int, body: bytes) -> bytes:
+    return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+
+def _stream_obj(
+    num: int,
+    data: bytes,
+    extra: str = "",
+    compress: bool = False,
+    length=None,
+) -> bytes:
+    if compress:
+        data = zlib.compress(data)
+        extra += " /Filter /FlateDecode"
+    ln = len(data) if length is None else length
+    d = f"<< /Length {ln}{extra} >>".encode()
+    return (
+        f"{num} 0 obj\n".encode() + d + b"\nstream\n" + data
+        + b"\nendstream\nendobj\n"
+    )
+
+
+def _basic_pdf(
+    contents: list[bytes],
+    compress: bool = False,
+    info: bytes | None = None,
+    length=None,
+) -> bytes:
+    """One page per content stream, classic trailer."""
+    n = len(contents)
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n))
+    out = b"%PDF-1.7\n"
+    out += _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    out += _obj(
+        2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
+    )
+    for i in range(n):
+        out += _obj(
+            3 + i,
+            f"<< /Type /Page /Parent 2 0 R /Contents {3 + n + i} 0 R >>".encode(),
+        )
+    for i, c in enumerate(contents):
+        out += _stream_obj(3 + n + i, c, compress=compress, length=length)
+    trailer = b"<< /Size 99 /Root 1 0 R"
+    if info is not None:
+        out += _obj(50, info)
+        trailer += b" /Info 50 0 R"
+    out += b"trailer\n" + trailer + b" >>\nstartxref\n0\n%%EOF"
+    return out
+
+
+def test_pdf_text_operators_and_layout_rule():
+    pdf = _basic_pdf(
+        [
+            b"BT /F1 12 Tf (Hello, ) Tj (world) Tj T* (line two) Tj ET",
+            b"BT [(Sp) -120 (lit ) 30 (TJ)] TJ T* (after star) ' ET",
+        ]
+    )
+    pages, meta = parse_pdf_text(pdf)
+    assert pages == ["Hello, world\nline two", "Split TJ\nafter star"]
+    # hex strings, escapes (octal, specials, nested parens, continuation)
+    pdf = _basic_pdf(
+        [
+            rb"BT <48692121> Tj (a\(b\)c) Tj (oct\101) Tj (cont\
+inued) Tj ET",
+        ]
+    )
+    pages, _ = parse_pdf_text(pdf)
+    assert pages == ["Hi!!a(b)coctAcontinued"]
+
+
+def test_pdf_flate_objstm_and_length_quirks():
+    # FlateDecode content stream
+    pages, _ = parse_pdf_text(
+        _basic_pdf([b"BT (zipped) Tj ET"], compress=True)
+    )
+    assert pages == ["zipped"]
+    # broken /Length (off by a lot): endstream-scan fallback
+    pages, _ = parse_pdf_text(
+        _basic_pdf([b"BT (scan me) Tj ET"], length=3)
+    )
+    assert pages == ["scan me"]
+    # ObjStm: catalog/pages/page dicts inside a compressed object
+    # stream, xref-stream style (no classic trailer at all)
+    o1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+    o2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    o3 = b"<< /Type /Page /Contents 5 0 R >>"
+    header = f"1 0 2 {len(o1) + 1} 3 {len(o1) + len(o2) + 2} ".encode()
+    data = header + o1 + b" " + o2 + b" " + o3
+    pdf = b"%PDF-1.7\n"
+    pdf += _stream_obj(
+        8, data, extra=f" /Type /ObjStm /N 3 /First {len(header)}",
+        compress=True,
+    )
+    pdf += _stream_obj(5, b"BT (from objstm) Tj ET")
+    pdf += b"%%EOF"
+    pages, _ = parse_pdf_text(pdf)
+    assert pages == ["from objstm"]
+
+
+def test_pdf_metadata_and_multilevel_tree():
+    info = b"<< /Title (My Doc) /Author <FEFF00C91074> >>"
+    pdf = _basic_pdf([b"BT (x) Tj ET"], info=info)
+    _, meta = parse_pdf_text(pdf)
+    assert meta["Title"] == "My Doc"
+    assert meta["Author"] == "Éၴ"  # UTF-16BE with BOM
+    # nested Pages nodes flatten in order
+    out = b"%PDF-1.7\n"
+    out += _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    out += _obj(2, b"<< /Type /Pages /Kids [10 0 R 4 0 R] /Count 2 >>")
+    out += _obj(10, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    out += _obj(3, b"<< /Type /Page /Contents 5 0 R >>")
+    out += _obj(4, b"<< /Type /Page /Contents 6 0 R >>")
+    out += _stream_obj(5, b"BT (first) Tj ET")
+    out += _stream_obj(6, b"BT (second) Tj ET")
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+    pages, _ = parse_pdf_text(out)
+    assert pages == ["first", "second"]
+
+
+def test_pdf_honest_nones_and_guards():
+    good = _basic_pdf([b"BT (x) Tj ET"])
+    assert parse_pdf_text(b"not a pdf") is None
+    assert parse_pdf_text(b"%PDF-1.7\njunk only") is None
+    # encryption: refuse rather than emit garbage
+    enc = good.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    assert parse_pdf_text(enc) is None
+    # unsupported filter on the content stream -> page decodes empty,
+    # never invented text
+    lzw = _basic_pdf([b"BT (x) Tj ET"]).replace(
+        b" >>\nstream", b" /Filter /LZWDecode >>\nstream"
+    )
+    assert b"LZWDecode" in lzw
+    pages, _ = parse_pdf_text(lzw)
+    assert pages == [""]
+    # a deflate bomb in a content stream is length-capped, not decoded
+    bomb = zlib.compress(b"(A) Tj " * 12_000_000)  # 84 MB > the 64 MB cap
+    pdf = b"%PDF-1.7\n"
+    pdf += _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    pdf += _obj(3, b"<< /Type /Page /Contents 5 0 R >>")
+    pdf += (
+        b"5 0 obj\n"
+        + f"<< /Length {len(bomb)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n" + bomb + b"\nendstream\nendobj\n"
+    )
+    pdf += b"trailer\n<< /Root 1 0 R >>\n%%EOF"
+    pages, _ = parse_pdf_text(pdf)
+    assert pages == [""]
+    # crafted deep nesting can't recurse unboundedly
+    deep = b"%PDF-1.7\n" + _obj(1, b"[" * 500 + b"]" * 500)
+    assert parse_pdf_text(deep) is None
+
+
+def test_extract_pages_routes_through_pure_parser(spark):
+    pdf = _basic_pdf(
+        [b"BT (page one) Tj ET", b"BT (page two) Tj ET"],
+        info=b"<< /Title (T) >>",
+    )
+    df = spark.createDataFrame(
+        [("mem://a.pdf", bytearray(pdf)), ("mem://b.txt", bytearray(b"plain\ftext"))],
+        "path string, content binary",
+    )
+    rows = {
+        (r.document_name, r.page_number): r
+        for r in pdf_mod.extract_pages(df).collect()
+    }
+    assert rows[("a.pdf", 1)].page_text == "page one"
+    assert rows[("a.pdf", 2)].page_text == "page two"
+    assert rows[("a.pdf", 1)].document_metadata["extractor"] == "pure-byte"
+    assert rows[("a.pdf", 1)].document_metadata["Title"] == "T"
+    assert not rows[("a.pdf", 1)].needs_ocr
+    # non-PDF payloads keep the documented UTF-8 fallback
+    assert rows[("b.txt", 2)].page_text == "text"
+    assert rows[("b.txt", 1)].document_metadata["extractor"] == "fallback-utf8"

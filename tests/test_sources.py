@@ -2151,3 +2151,446 @@ def test_decode_gif_honest_nones_and_pipeline():
     pgm = b"P5\n16 16\n255\n" + pix.tobytes()
     assert average_hash(ok) == average_hash(pgm)
     assert average_hash(ok) is not None
+
+
+# --------------------------------------------- WebP / ADTS / EXIF (r12)
+
+
+def _webp(fourcc: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(data)) + b"WEBP"
+        + fourcc + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_webp_dimensions_all_variants():
+    import struct
+
+    w, h = 321, 205
+    vp8 = _webp(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h),
+    )
+    assert multimodal.image_dimensions(vp8) == (w, h)
+    # the top 2 bits of each uint16 are the scale field, masked off
+    vp8_scaled = _webp(
+        b"VP8 ",
+        b"\x00\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", w | 0xC000, h | 0x4000),
+    )
+    assert multimodal.image_dimensions(vp8_scaled) == (w, h)
+    bits = (w - 1) | ((h - 1) << 14)
+    vp8l = _webp(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    assert multimodal.image_dimensions(vp8l) == (w, h)
+    vp8x = _webp(
+        b"VP8X",
+        bytes(4) + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3],
+    )
+    assert multimodal.image_dimensions(vp8x) == (w, h)
+    # honest Nones: bad start code, bad VP8L signature, truncation,
+    # unknown first chunk
+    bad_sc = _webp(
+        b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2b" + struct.pack("<HH", w, h)
+    )
+    assert multimodal.image_dimensions(bad_sc) is None
+    assert multimodal.image_dimensions(
+        _webp(b"VP8L", b"\x30" + struct.pack("<I", bits))
+    ) is None
+    assert multimodal.image_dimensions(vp8[:20]) is None
+    assert multimodal.image_dimensions(
+        _webp(b"ANMF", bytes(10))
+    ) is None
+
+
+def _adts_frame(sfi: int, payload_len: int = 16, blocks: int = 1) -> bytes:
+    flen = 7 + payload_len
+    return bytes(
+        [
+            0xFF,
+            0xF1,
+            0x40 | (sfi << 2),
+            0x40 | ((flen >> 11) & 3),
+            (flen >> 3) & 0xFF,
+            (flen & 7) << 5,
+            blocks - 1,
+        ]
+    ) + b"\x00" * payload_len
+
+
+def test_adts_duration_walk():
+    # 5 frames at 44.1 kHz (sfi 4), one raw data block each
+    s = _adts_frame(4) * 5
+    assert multimodal.media_duration_ms(s) == 5 * 1024 * 1000 // 44100
+    # per-frame rate scaling: mixed 44.1 kHz + 8 kHz frames
+    mixed = _adts_frame(4) * 2 + _adts_frame(11) * 3
+    assert multimodal.media_duration_ms(mixed) == (
+        2 * 1024 * 1000 // 44100 + 3 * 1024 * 1000 // 8000
+    )
+    # multi-block frames carry blocks*1024 samples
+    assert multimodal.media_duration_ms(_adts_frame(4, blocks=4) * 2) == (
+        8 * 1024 * 1000 // 44100
+    )
+    # honest Nones: truncated final frame, reserved frequency index,
+    # desync mid-stream, frame length below the header size
+    assert multimodal.media_duration_ms(s[:-3]) is None
+    assert multimodal.media_duration_ms(_adts_frame(13)) is None
+    assert multimodal.media_duration_ms(
+        _adts_frame(4) + b"\x00" + _adts_frame(4)
+    ) is None
+    short = bytearray(_adts_frame(4, payload_len=0))
+    short[4] = 0  # flen -> 0
+    short[5] = 3 << 5  # flen = 3 < 7
+    assert multimodal.media_duration_ms(bytes(short)) is None
+    # dispatch: the shared 0xFFF sync routes by layer bits — an MP3
+    # Layer III frame still walks as MP3 (1152 samples, not 1024)
+    f, _, rate, spf = _mp3_frame()
+    assert multimodal.media_duration_ms(f * 2) == 2 * spf * 1000 // rate
+
+
+def _exif_tiff(end: str, orient: int, make: str, model: str,
+               w: int, h: int) -> bytes:
+    """Independent EXIF/TIFF builder for the tests: fixed layout —
+    IFD0 (Make via offset, Model inline, Orientation SHORT, Exif
+    pointer) at 8, Exif sub-IFD (LONG width, SHORT height) at 62,
+    Make bytes at 92."""
+    import struct
+
+    e = "<" if end == "II" else ">"
+    u16 = lambda v: struct.pack(e + "H", v)  # noqa: E731
+    u32 = lambda v: struct.pack(e + "I", v)  # noqa: E731
+    mk = make.encode() + b"\x00"
+    md = (model.encode() + b"\x00").ljust(4, b"\x00")[:4]
+    ifd0 = u16(4)
+    ifd0 += u16(271) + u16(2) + u32(len(mk)) + u32(92)
+    ifd0 += u16(272) + u16(2) + u32(4) + md
+    ifd0 += u16(274) + u16(3) + u32(1) + u16(orient) + b"\x00\x00"
+    ifd0 += u16(34665) + u16(4) + u32(1) + u32(62)
+    ifd0 += u32(0)
+    sub = u16(2)
+    sub += u16(40962) + u16(4) + u32(1) + u32(w)
+    sub += u16(40963) + u16(3) + u32(1) + u16(h) + b"\x00\x00"
+    sub += u32(0)
+    hdr = (b"II" if end == "II" else b"MM") + u16(42) + u32(8)
+    return hdr + ifd0 + sub + mk
+
+
+def test_exif_metadata_both_orders_and_wrapping():
+    import struct
+
+    t = _exif_tiff("II", 6, "CAM42", "Mk7", 4032, 3024)
+    got = multimodal.exif_metadata(t)
+    assert got["orientation"] == 6
+    assert got["make"] == "CAM42"
+    assert got["model"] == "Mk7"
+    assert (got["exif_width"], got["exif_height"]) == (4032, 3024)
+    # big-endian body: SHORT left-justification is load-bearing
+    got = multimodal.exif_metadata(_exif_tiff("MM", 3, "CAM07", "Mk1", 640, 480))
+    assert got["orientation"] == 3 and got["exif_height"] == 480
+    # JPEG APP1 wrapping, with a preceding APP0 segment to skip
+    app1 = b"Exif\x00\x00" + t
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
+        + b"\xff\xd9"
+    )
+    got = multimodal.exif_metadata(jpeg)
+    assert got["make"] == "CAM42" and got["orientation"] == 6
+
+
+def test_exif_metadata_honest_nones_and_bounds():
+    t = _exif_tiff("II", 1, "CAM00", "Mk0", 16, 16)
+    # no APP1 at all / no EXIF fields / wrong magic
+    assert multimodal.exif_metadata(b"\xff\xd8\xff\xd9") is None
+    assert multimodal.exif_metadata(b"II\x2b\x00" + bytes(8)) is None
+    assert multimodal.exif_metadata(None) is None
+    # crafted out-of-range value offset: field skipped, no crash
+    bad = bytearray(t)
+    bad[18:22] = (10**6).to_bytes(4, "little")  # Make value offset
+    got = multimodal.exif_metadata(bytes(bad))
+    assert got is not None and got["make"] is None
+    assert got["orientation"] == 1  # later entries still parsed
+    # truncated mid-directory: bounds stop the walk, partial result
+    got = multimodal.exif_metadata(t[:40])
+    assert got is not None and got["model"] == "Mk0"
+    assert got["exif_width"] is None
+
+
+# --------------------------------------------------- TIFF strip decode
+
+
+def _tiff_bytes(end, w, h, photo, strips, comp=1, rps=None, cmap=None,
+                spp=1):
+    """Independent TIFF writer for the tests (shares no code with the
+    decoder): header, IFD0 with inline or offset-valued fields, value
+    blobs, then the strip data."""
+    import struct
+
+    e = "<" if end == "II" else ">"
+    u16 = lambda v: struct.pack(e + "H", v)  # noqa: E731
+    u32 = lambda v: struct.pack(e + "I", v)  # noqa: E731
+    rps = rps or h
+    entries = []
+
+    def add(tag, typ, vals):
+        raw = b"".join((u16(v) if typ == 3 else u32(v)) for v in vals)
+        entries.append([tag, typ, len(vals), raw, len(raw) > 4, None])
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [8] * spp)
+    add(259, 3, [comp])
+    add(262, 3, [photo])
+    add(277, 3, [spp])
+    add(278, 4, [rps])
+    add(273, 4, [0] * len(strips))
+    add(279, 4, [len(s) for s in strips])
+    if cmap is not None:
+        add(320, 3, cmap)
+    n = len(entries)
+    dir_end = 8 + 2 + 12 * n + 4
+    blobs = bytearray()
+    for ent in entries:
+        if ent[4]:
+            ent[5] = dir_end + len(blobs)
+            blobs += ent[3]
+    pos = dir_end + len(blobs)
+    offs = []
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    for ent in entries:
+        if ent[0] == 273:
+            ent[3] = b"".join(u32(v) for v in offs)
+            if ent[4]:
+                j = ent[5] - dir_end
+                blobs[j : j + len(ent[3])] = ent[3]
+    out = (b"II" if end == "II" else b"MM") + u16(42) + u32(8) + u16(n)
+    for tag, typ, cnt, raw, is_off, voff in entries:
+        out += u16(tag) + u16(typ) + u32(cnt)
+        out += u32(voff) if is_off else raw.ljust(4, b"\x00")[:4]
+    out += u32(0) + bytes(blobs) + b"".join(strips)
+    return bytes(out)
+
+
+def test_tiff_decode_gray_strips_and_byte_orders():
+    import numpy as np
+
+    w, h = 16, 12
+    pix = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    for end in ("II", "MM"):
+        t = _tiff_bytes(
+            end, w, h, 1, [pix[:6].tobytes(), pix[6:].tobytes()], rps=6
+        )
+        got = multimodal.decode_tiff_array(t)
+        assert got is not None and got[:2] == (w, h)
+        assert np.array_equal(got[2].reshape(h, w), pix)
+    # WhiteIsZero inverts
+    got = multimodal.decode_tiff_array(
+        _tiff_bytes("II", w, h, 0, [pix.tobytes()])
+    )
+    assert np.array_equal(got[2].reshape(h, w), 255 - pix)
+
+
+def test_tiff_decode_rgb_palette_and_deflate():
+    import zlib
+
+    import numpy as np
+
+    w, h = 16, 12
+    pix = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    rgb = ((np.arange(w * h * 3, dtype=np.int64) * 37 + 11) % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    got = multimodal.decode_tiff_array(
+        _tiff_bytes("II", w, h, 2, [rgb.tobytes()], spp=3)
+    )
+    exp = (
+        (rgb[..., 0].astype(int) + rgb[..., 1] + rgb[..., 2]) // 3
+    ).astype(np.uint8)
+    assert np.array_equal(got[2].reshape(h, w), exp)
+    # palette: 16-bit ColorMap (all R, all G, all B), gray from the
+    # high bytes
+    cmap = (
+        [i * 257 for i in range(256)]
+        + [(i * 131) % 65536 for i in range(256)]
+        + [(i * 17) % 65536 for i in range(256)]
+    )
+    got = multimodal.decode_tiff_array(
+        _tiff_bytes("II", w, h, 3, [pix.tobytes()], cmap=cmap)
+    )
+    cm = np.array(cmap).reshape(3, 256)
+    lut = (((cm[0] >> 8) + (cm[1] >> 8) + (cm[2] >> 8)) // 3).astype(
+        np.uint8
+    )
+    assert np.array_equal(got[2].reshape(h, w), lut[pix])
+    # Deflate strips (Compression 8), multi-strip
+    t = _tiff_bytes(
+        "II", w, h, 1,
+        [zlib.compress(pix[:8].tobytes()), zlib.compress(pix[8:].tobytes())],
+        comp=8, rps=8,
+    )
+    got = multimodal.decode_tiff_array(t)
+    assert np.array_equal(got[2].reshape(h, w), pix)
+
+
+def test_tiff_decode_honest_nones_and_bomb_guard():
+    import zlib
+
+    import numpy as np
+
+    w, h = 16, 12
+    pix = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    good = _tiff_bytes("II", w, h, 1, [pix.tobytes()])
+    assert multimodal.decode_tiff_array(good[:-10]) is None  # short strip
+    # unsupported compression (LZW=5) / planar / 16-bit samples
+    assert multimodal.decode_tiff_array(
+        _tiff_bytes("II", w, h, 1, [pix.tobytes()], comp=5)
+    ) is None
+    # strip offset out of range
+    bad = bytearray(good)
+    i = bad.find((273).to_bytes(2, "little"))
+    bad[i + 8 : i + 12] = (10**7).to_bytes(4, "little")
+    assert multimodal.decode_tiff_array(bytes(bad)) is None
+    # a deflate bomb can't inflate past the strip's declared rows
+    bomb = zlib.compress(b"\x00" * 10_000_000)
+    got = multimodal.decode_tiff_array(
+        _tiff_bytes("II", w, h, 1, [bomb], comp=8)
+    )
+    assert got is not None and len(got[2]) == w * h
+    # flows through the extras-free dispatch + average_hash
+    assert multimodal.decode_image_pixels_free(good)[:2] == (w, h)
+    assert multimodal.average_hash(good) is not None
+
+
+# ------------------------------------------------------ ID3v2 text tags
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _id3_frame(fid: str, text: str, ver: int = 3, enc: int = 0) -> bytes:
+    codec = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}[enc]
+    body = bytes([enc]) + text.encode(codec)
+    size = _syncsafe(len(body)) if ver == 4 else len(body).to_bytes(4, "big")
+    return fid.encode() + size + b"\x00\x00" + body
+
+
+def _id3(frames: list[bytes], ver: int = 3, pad: int = 8) -> bytes:
+    body = b"".join(frames) + b"\x00" * pad
+    return b"ID3" + bytes([ver, 0, 0]) + _syncsafe(len(body)) + body
+
+
+def test_id3v2_tags_both_versions_and_encodings():
+    t = _id3(
+        [
+            _id3_frame("TIT2", "Hello"),
+            _id3_frame("TPE1", "Band"),
+            _id3_frame("TALB", "LP"),
+            _id3_frame("TYER", "1999"),
+        ]
+    )
+    assert multimodal.id3v2_tags(t) == {
+        "title": "Hello", "artist": "Band", "album": "LP", "year": "1999"
+    }
+    # v2.4: syncsafe frame sizes, UTF-8, TDRC date
+    t4 = _id3(
+        [
+            _id3_frame("TIT2", "Héllo", ver=4, enc=3),
+            _id3_frame("TDRC", "2024-01", ver=4),
+        ],
+        ver=4,
+    )
+    got = multimodal.id3v2_tags(t4)
+    assert got["title"] == "Héllo" and got["year"] == "2024-01"
+    # UTF-16 with BOM and UTF-16BE bodies decode
+    assert multimodal.id3v2_tags(
+        _id3([_id3_frame("TIT2", "Wide", enc=1)])
+    )["title"] == "Wide"
+    assert multimodal.id3v2_tags(
+        _id3([_id3_frame("TIT2", "BE", enc=2)])
+    )["title"] == "BE"
+    # unknown text frames skipped, first value wins
+    t = _id3([_id3_frame("TXXX", "x"), _id3_frame("TIT2", "A"),
+              _id3_frame("TIT2", "B")])
+    assert multimodal.id3v2_tags(t)["title"] == "A"
+
+
+def test_id3v2_tags_honest_nones_and_bounds():
+    assert multimodal.id3v2_tags(None) is None
+    assert multimodal.id3v2_tags(b"RIFF....") is None
+    # v2.2 (3-byte frame ids) unsupported
+    assert multimodal.id3v2_tags(
+        b"ID3\x02\x00\x00" + _syncsafe(10) + b"\x00" * 10
+    ) is None
+    # a crafted frame size past the container bound
+    t = bytearray(_id3([_id3_frame("TIT2", "Hi")]))
+    t[14] = 0xFF
+    assert multimodal.id3v2_tags(bytes(t)) is None
+    # garbage where a frame id should be desyncs honestly
+    t = _id3([b"\x01\x02\x03\x04" + b"\x00\x00\x00\x02" + b"\x00\x00" + b"ab"])
+    assert multimodal.id3v2_tags(t) is None
+    # trailing MP3 frames after the container are ignored (bounded walk)
+    good = _id3([_id3_frame("TIT2", "Hi")])
+    f, _, rate, spf = _mp3_frame()
+    assert multimodal.id3v2_tags(good + f)["title"] == "Hi"
+    # and the DURATION walk still skips the container to the frames
+    assert multimodal.media_duration_ms(good + f * 2) == 2 * spf * 1000 // rate
+
+
+def _packbits(data: bytes) -> bytes:
+    """Independent PackBits encoder (TIFF 6.0 §9) for the tests."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            lit = i
+            while i < n and i - lit < 128:
+                if i + 2 < n and data[i + 1] == data[i] == data[i + 2]:
+                    break
+                i += 1
+            out.append(i - lit - 1)
+            out += data[lit:i]
+    return bytes(out)
+
+
+def test_tiff_decode_packbits():
+    import numpy as np
+
+    w, h = 16, 12
+    pix = np.array(
+        [[(r * 7 + c // 3) % 256 for c in range(w)] for r in range(h)],
+        dtype=np.uint8,
+    )
+    t = _tiff_bytes(
+        "II", w, h, 1,
+        [_packbits(pix[:6].tobytes()), _packbits(pix[6:].tobytes())],
+        comp=32773, rps=6,
+    )
+    got = multimodal.decode_tiff_array(t)
+    assert got is not None and np.array_equal(got[2].reshape(h, w), pix)
+    # long repeat runs + a leading no-op (0x80) byte
+    row = bytes([42]) * w
+    t = _tiff_bytes(
+        "II", w, h, 1, [b"\x80" + _packbits(row * h)], comp=32773
+    )
+    got = multimodal.decode_tiff_array(t)
+    assert got is not None and set(got[2].tolist()) == {42}
+    # torn PackBits stream: honest None
+    t = _tiff_bytes(
+        "II", w, h, 1, [_packbits(pix.tobytes())[:-5]], comp=32773
+    )
+    assert multimodal.decode_tiff_array(t) is None
