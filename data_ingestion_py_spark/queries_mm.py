@@ -1526,6 +1526,157 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mjpg_avi_parts_hex() -> tuple[str, str, str]:
+    """Constant hex segments of the planted 2-frame Motion-JPEG AVI.
+    Each '00dc' chunk carries one complete DC-only baseline JPEG —
+    the SAME fixture family as multimodal_jpeg_decode (constant
+    marker prefix ``_jpeg_dc_header_hex``, 5-byte entropy stream,
+    EOI) — so only the two 40-bit entropy streams vary per row.
+    Returns (prefix, mid, suffix): payload = prefix + ent0 + mid +
+    ent1 + suffix. strf carries biCompression='MJPG' and 16×16
+    advisory dims; RIFF chunks are word-aligned per spec (a JPEG of
+    odd length gets a pad byte that is NOT counted in the chunk
+    size)."""
+    jhdr = bytes.fromhex(_jpeg_dc_header_hex())
+    jlen = len(jhdr) + 5 + 2  # header + entropy + EOI
+    pad = b"\x00" if jlen % 2 else b""
+    mjpg = int.from_bytes(b"MJPG", "little")
+
+    def chunk_hdr(cid: bytes, n: int) -> bytes:
+        return cid + n.to_bytes(4, "little")
+
+    strh = chunk_hdr(b"strh", 56) + b"vidsMJPG" + b"\x00" * 48
+    strf = (
+        chunk_hdr(b"strf", 40)
+        + (40).to_bytes(4, "little")
+        + (16).to_bytes(4, "little", signed=True)
+        + (16).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + mjpg.to_bytes(4, "little")
+        + jlen.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    strl = chunk_hdr(b"LIST", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    avih = (
+        chunk_hdr(b"avih", 56)
+        + (40000).to_bytes(4, "little")
+        + b"\x00" * 12
+        + (2).to_bytes(4, "little")
+        + b"\x00" * 36
+    )
+    hdrl = chunk_hdr(b"LIST", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    fchunk = len(chunk_hdr(b"00dc", jlen)) + jlen + len(pad)
+    movi_hdr = chunk_hdr(b"LIST", 4 + 2 * fchunk) + b"movi"
+    riff = b"RIFF" + (
+        4 + len(hdrl) + len(movi_hdr) + 2 * fchunk
+    ).to_bytes(4, "little") + b"AVI "
+    prefix = riff + hdrl + movi_hdr + chunk_hdr(b"00dc", jlen) + jhdr
+    mid = b"\xff\xd9" + pad + chunk_hdr(b"00dc", jlen) + jhdr
+    suffix = b"\xff\xd9" + pad
+    return prefix.hex().upper(), mid.hex().upper(), suffix.hex().upper()
+
+
+@register(
+    "multimodal_avi_mjpeg_frames",
+    """
+WITH vids AS (
+    SELECT doc_id AS media_id, doc_id AS seed FROM documents
+    WHERE doc_id % 3 = 1
+), fr AS (
+    SELECT media_id, seed, unnest([0, 1]) AS f FROM vids
+), d AS (
+    SELECT media_id, f,
+           list_transform(generate_series(0, 3),
+               b -> CASE WHEN b % 2 = 0
+                         THEN 32 + (seed * 13 + b * 7 + f * 5) % 32
+                         ELSE -(32 + (seed * 13 + b * 7 + f * 5) % 32)
+                    END) AS diffs
+    FROM fr
+), px AS (
+    SELECT media_id, f,
+           list_transform(generate_series(1, 4),
+               b -> 128 + list_sum(diffs[1:b])) AS bp
+    FROM d
+)
+SELECT media_id,
+       CAST(f AS INT) AS frame_index,
+       16 AS width, 16 AS height,
+       CAST(64 * list_sum(bp) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 255),
+            k -> (k + 1) * bp[(k // 128) * 2 + ((k % 16) // 8) + 1]))
+            AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "video", "jpeg"),
+)
+def q_multimodal_avi_mjpeg_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL Motion-JPEG video decode end-to-end, zero codec libraries
+    — r12's extension of the de-stubbed ffmpeg seam from uncompressed
+    AVI (multimodal_avi_frames) to the first COMPRESSED video codec:
+    complete valid MJPG AVIs (strf biCompression='MJPG', movi with two
+    '00dc' chunks each holding a complete DC-only baseline JPEG of the
+    multimodal_jpeg_decode fixture family, frame index folded into the
+    DC diffs) are built in column algebra, frame-decoded by
+    decode_avi_frames routing each chunk through the in-container
+    Huffman+IDCT kernel (sources/multimodal.decode_jpeg_array),
+    re-encoded as valid PGM, and round-tripped through the netpbm
+    decoder for position-weighted integer pixel checksums. The oracle
+    recomputes the four flat 8×8 blocks per frame arithmetically (a
+    DC-only block IDCTs to exactly dc·Q00/8 + 128 = dc + 128) and
+    never sees a byte — one wrong bit in marker parsing, RIFF walking,
+    Huffman decode, DC prediction, or MCU placement hash-mismatches
+    the row. 1 media row → 2 frame rows, two chained Arrow stages, no
+    shuffle anywhere. Reference contrast: the reference's only JPEG
+    artifact is the OCR page raster (data_ingestion.py:148-155); here
+    the same kernel decodes whole video streams."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    corpus = d.select(
+        F.col("doc_id").alias("media_id"), F.col("doc_id").alias("seed")
+    )
+    seed = F.col("seed")
+    pre, mid, suf = _mjpg_avi_parts_hex()
+
+    def ent_hex(f: int):
+        # 40-bit entropy stream of frame f: four 10-bit DC-only blocks
+        # (3-bit cat-6 code '110', 6 magnitude bits, 1-bit EOB); diffs
+        # alternate sign so the cumulative DC stays clamp-free.
+        block_bits = []
+        for b in range(4):
+            m = F.lit(32) + F.pmod(seed * 13 + b * 7 + f * 5, F.lit(32))
+            bits6 = m if b % 2 == 0 else F.lit(63) - m
+            block_bits.append(F.lit(0b110 << 7) + bits6 * 2)
+        v40 = (
+            block_bits[0].cast("long") * F.lit(1 << 30)
+            + block_bits[1].cast("long") * F.lit(1 << 20)
+            + block_bits[2].cast("long") * F.lit(1 << 10)
+            + block_bits[3].cast("long")
+        )
+        return F.lpad(F.hex(v40), 10, "0")
+
+    avi_hex = F.concat(
+        F.lit(pre), ent_hex(0), F.lit(mid), ent_hex(1), F.lit(suf)
+    )
+    media = corpus.select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.unhex(avi_hex).alias("payload"),
+    )
+    frames = mm.sample_frames(media, max_frames=4)
+    packed = frames.select(
+        (F.col("media_id") * 4 + F.col("frame_index")).alias("media_id"),
+        F.col("frame_payload").alias("payload"),
+    )
+    cks = mm.pixel_checksums(packed)
+    return cks.select(
+        F.expr("media_id div 4").alias("media_id"),
+        F.pmod("media_id", F.lit(4)).cast("int").alias("frame_index"),
+        "width", "height", "px_sum", "px_wsum",
+    )
+
+
 @register(
     "multimodal_mp4_samples",
     """

@@ -19,9 +19,10 @@ needs a codec library:
   documented NotImplementedError, skipif-gated tests run it where the
   extras exist.
 - Honest STUB (the one remaining seam): ffmpeg COMPRESSED audio/video
-  decode (MJPG/H.264/AAC...) — frame sampling slices bytes
+  decode (H.264/VP9/AAC/Vorbis...) — frame sampling slices bytes
   deterministically there so the schema/fan-out plumbing stays tested.
-  Uncompressed AVI no longer needs it (above).
+  Uncompressed AVI no longer needs it (above); neither does Motion-JPEG
+  AVI (r12: 'MJPG' frame chunks route through ``decode_jpeg_array``).
 
 Reference tie-in: the PDF page images the reference shovels through one
 shared temp file (data_ingestion.py:148-155, S2/S7) are exactly this
@@ -2299,26 +2300,54 @@ def decode_bmp_array(
 def decode_avi_frames(
     payload: bytes | None, max_frames: int
 ) -> list[bytes] | None:
-    """REAL video-frame decode for uncompressed AVI — the codec-free
-    slice of the ffmpeg seam, always on (no extras needed): walks the
-    'movi' LIST for '..db'/'..dc' frame chunks and decodes BI_RGB
-    (biCompression=0) DIB rasters at 24 or 8 bits/pixel. DIB rows are
-    4-byte aligned and stored bottom-up when biHeight is positive
-    (BMP spec); 24-bit pixels are BGR and grayscale via the shared
-    integer (r+g+b)//3 rule, so AVI frames hash identically to the
-    same raster arriving as netpbm/PNG. Each frame re-encodes as a
-    valid binary PGM and flows into the pixel kernels (checksums,
-    resize, perceptual hash). Compressed streams (MJPG etc.) return
-    None — those stay behind the honest ffmpeg seam."""
+    """REAL video-frame decode for uncompressed AND Motion-JPEG AVI —
+    the extras-free slice of the ffmpeg seam, always on: walks the
+    'movi' LIST for '..db'/'..dc' frame chunks and decodes
+
+    - BI_RGB (biCompression=0) DIB rasters at 24 or 8 bits/pixel —
+      rows 4-byte aligned, stored bottom-up when biHeight is positive
+      (BMP spec), 24-bit pixels BGR, grayscale via the shared integer
+      (r+g+b)//3 rule;
+    - 'MJPG' (biCompression=0x47504A4D) streams, r12: each frame chunk
+      is a complete JPEG (OpenDML M-JPEG), handed to the in-container
+      Huffman+IDCT kernel ``decode_jpeg_array`` — frame geometry comes
+      from each JPEG's own SOF (per OpenDML the strf dims are
+      advisory), and a chunk the kernel cannot decode (arithmetic /
+      12-bit / truncated) is skipped, never guessed.
+
+    Either way each frame re-encodes as a valid binary PGM and flows
+    into the pixel kernels (checksums, resize, perceptual hash), so
+    an MJPG frame hashes identically to the same raster arriving as
+    a standalone .jpg. Remaining compressed codecs (H.264/VP9/...)
+    return None — the honest ffmpeg seam."""
     hdr = avi_headers(payload)
+    if not hdr or max_frames <= 0:
+        return None
+    mjpg = hdr["compression"] == 0x47504A4D  # 'MJPG' little-endian
+    if mjpg:
+        frames: list[bytes] = []
+        for cid, ltype, ds, dsz in _riff_children(payload, 12, len(payload)):
+            if cid != b"LIST" or ltype != b"movi":
+                continue
+            for c2, _, ds2, dsz2 in _riff_children(payload, ds, ds + dsz):
+                if c2[2:4] not in (b"db", b"dc"):
+                    continue
+                decoded = decode_jpeg_array(payload[ds2 : ds2 + dsz2])
+                if decoded is None:
+                    continue
+                fw, fh, pix = decoded
+                frames.append(
+                    b"P5\n%d %d\n255\n" % (fw, fh) + pix.tobytes()
+                )
+                if len(frames) == max_frames:
+                    return frames
+        return frames or None
     if (
-        not hdr
-        or hdr["compression"] != 0
+        hdr["compression"] != 0
         or hdr["bit_count"] not in (8, 24)
         or not hdr["width"]
         or not hdr["height"]
         or hdr["width"] <= 0
-        or max_frames <= 0
     ):
         return None
     w, h = hdr["width"], hdr["height"]
@@ -2791,11 +2820,13 @@ def sample_frames(
     schema/fan-out contract without any codec. Uncompressed AVI
     payloads (RIFF/BI_RGB DIB frames) decode for REAL under either
     decoder — pure-Python, no extras (``decode_avi_frames``).
-    ``decoder="real"`` additionally decodes the animation formats
-    Pillow reads (GIF/WebP/TIFF — the ``[ingest]`` extras). All real
-    frames emit as valid PGM payloads; containers neither path can
-    open (compressed MP4/MJPG etc.) fall back to the stub slices —
-    that remaining step is the honest ffmpeg seam."""
+    payloads AND Motion-JPEG AVI (r12: per-frame JPEGs through the
+    in-container Huffman+IDCT kernel). ``decoder="real"``
+    additionally decodes the animation formats Pillow reads
+    (GIF/WebP/TIFF — the ``[ingest]`` extras). All real frames emit
+    as valid PGM payloads; containers neither path can open
+    (compressed MP4/H.264 etc.) fall back to the stub slices — that
+    remaining step is the honest ffmpeg seam."""
     if decoder == "real" and not HAVE_PIL:
         raise NotImplementedError(
             "real frame decode needs the [ingest] extras (pillow for "

@@ -21,10 +21,12 @@ import pytest
 
 from data_ingestion_py_spark.sources.multimodal import (
     average_hash,
+    decode_avi_frames,
     decode_bmp_array,
     decode_image_pixels,
     decode_image_pixels_free,
     decode_jpeg_array,
+    decode_pnm_array,
 )
 
 # ITU T.81 Annex K standard Huffman tables (luminance; legal for any
@@ -421,6 +423,80 @@ def test_jpeg_flows_through_dispatch_and_phash():
     # the hash equals the hash of the DECODED raster re-encoded as PGM
     pgm = b"P5\n32 32\n255\n" + expect.tobytes()
     assert hv == average_hash(pgm)
+
+
+def _mjpg_avi(jpegs: list[bytes], w: int, h: int) -> bytes:
+    """Independent Motion-JPEG AVI builder: RIFF 'AVI ' with a
+    spec-shaped hdrl (avih + strl(strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER biCompression='MJPG')) and one word-aligned
+    '00dc' movi chunk per supplied JPEG."""
+    import struct
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\0" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<10I", 40000, 0, 0, 0, len(jpegs), 0, 1, 0, w, h)
+    avih += b"\0" * 16
+    strh = b"vids" + b"MJPG" + b"\0" * 48
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24,
+        int.from_bytes(b"MJPG", "little"),
+        max(len(j) for j in jpegs), 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_mjpeg_avi_frames_decode_bit_exact():
+    # two frames with different rasters — each decoded frame must be a
+    # valid PGM whose pixels match the independent IDCT expectation
+    rasters = [_rng_raster(16, 16, 21), _rng_raster(16, 16, 22)]
+    jpegs, expects = [], []
+    for r in rasters:
+        payload, (qc,) = _jpeg_bytes([r], [(1, 1)], 16, 16)
+        jpegs.append(payload)
+        expects.append(_expected_plane(qc, _QTABLE))
+    frames = decode_avi_frames(_mjpg_avi(jpegs, 16, 16), 4)
+    assert frames is not None and len(frames) == 2
+    for fb, expect in zip(frames, expects):
+        gw, gh, pix = decode_pnm_array(fb)
+        assert (gw, gh) == (16, 16)
+        assert (pix.reshape(16, 16) == expect).all()
+    # frame geometry comes from each JPEG's own SOF, not the advisory
+    # strf dims: a 24x8 JPEG inside a 16x16-declared stream decodes
+    # at 24x8
+    r = _rng_raster(24, 8, 23)
+    payload, (qc,) = _jpeg_bytes([r], [(1, 1)], 24, 8)
+    (fb,) = decode_avi_frames(_mjpg_avi([payload], 16, 16), 4)
+    gw, gh, pix = decode_pnm_array(fb)
+    assert (gw, gh) == (24, 8)
+    assert (pix.reshape(8, 24) == _expected_plane(qc, _QTABLE)[:8, :24]).all()
+
+
+def test_mjpeg_avi_honest_gates_and_max_frames():
+    raster = _rng_raster(16, 16, 24)
+    payload, _ = _jpeg_bytes([raster], [(1, 1)], 16, 16)
+    # max_frames truncates
+    avi = _mjpg_avi([payload] * 3, 16, 16)
+    assert len(decode_avi_frames(avi, 2)) == 2
+    # an undecodable chunk (truncated entropy stream) is skipped, the
+    # valid neighbor still decodes
+    avi = _mjpg_avi([payload[:-40], payload], 16, 16)
+    frames = decode_avi_frames(avi, 4)
+    assert frames is not None and len(frames) == 1
+    # all chunks undecodable -> honest None, never guessed pixels
+    assert decode_avi_frames(_mjpg_avi([payload[:-40]], 16, 16), 4) is None
+    assert decode_avi_frames(_mjpg_avi([b"not a jpeg"], 16, 16), 4) is None
 
 
 def _bmp_bytes(

@@ -595,8 +595,12 @@ def test_decode_avi_frames_honest_gates():
     from data_ingestion_py_spark.sources import multimodal as mm
 
     px = [list(range(16))]
-    # compressed stream (MJPG fourcc value) stays behind the ffmpeg seam
+    # MJPG stream whose chunks are NOT decodable JPEGs (raw DIB bytes
+    # here): every chunk is skipped, honest None (real MJPEG decode is
+    # pinned in tests/test_jpeg.py)
     assert mm.decode_avi_frames(_avi(px, compression=0x47504A4D), 4) is None
+    # a genuinely unknown codec fourcc stays behind the ffmpeg seam
+    assert mm.decode_avi_frames(_avi(px, compression=0x34363248), 4) is None
     # unsupported depth
     assert mm.decode_avi_frames(_avi(px, bit_count=16), 4) is None
     # truncated frame chunk: skipped, not misdecoded
