@@ -572,6 +572,173 @@ def q_multimodal_wav_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.pcm_stats(media)
 
 
+@register(
+    "multimodal_wav_g711_stats",
+    """
+WITH w AS (
+    SELECT doc_id AS media_id, doc_id % 2 AS par FROM documents
+    WHERE doc_id % 4 = 1
+), s AS (
+    SELECT media_id, par, unnest(generate_series(0, 63)) AS j FROM w
+), b AS (
+    SELECT media_id, par,
+           255 - (media_id * 7 + j * 13) % 256 AS uc,
+           xor((media_id * 7 + j * 13) % 256, 85) AS ac
+    FROM s
+), v AS (
+    SELECT media_id,
+        CASE WHEN par = 0 THEN
+          CASE WHEN uc & 128 = 128
+               THEN -(((uc & 15) * 8 + 132) * (1 << ((uc >> 4) & 7)) - 132)
+               ELSE ((uc & 15) * 8 + 132) * (1 << ((uc >> 4) & 7)) - 132
+          END
+        ELSE
+          CASE WHEN ac & 128 = 128 THEN 1 ELSE -1 END *
+          CASE WHEN (ac >> 4) & 7 = 0
+               THEN (ac & 15) * 16 + 8
+               ELSE ((ac & 15) * 16 + 264) * (1 << (((ac >> 4) & 7) - 1))
+          END
+        END AS val
+    FROM b
+)
+SELECT media_id,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(max(abs(val)) AS INT) AS peak_abs,
+       CAST(sum(val * val) AS BIGINT) AS energy
+FROM v
+GROUP BY media_id
+""",
+    tags=("multimodal", "decode", "audio"),
+)
+def q_multimodal_wav_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode end-to-end — r12's first slice of
+    the audio codec seam: complete valid G.711 WAV files are built in
+    column algebra (even docs μ-law audio_format=7, odd A-law
+    audio_format=6 — the two ITU telephony codecs every speech corpus
+    carries — 8-bit mono, 64 seeded code bytes), pushed through the
+    Arrow mapInPandas stage, expanded to int16 by the vectorized
+    256-entry LUT gather in decode_wav_samples (built once from the
+    G.711 piecewise-linear formulas), and reduced to integer stats.
+    The oracle re-derives every sample from the SAME public formulas
+    written independently in SQL (byte complement / XOR 0x55, 3-bit
+    segment shift, mantissa bias) — it never sees the LUT, so a wrong
+    sign convention, segment bias, or table entry mismatches the
+    energy immediately. No shuffle: plant → LUT decode → stats is one
+    narrow Arrow stage; at 100 TB the LUT gather is a single numpy
+    take per batch, no per-sample Python."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
+    code = lambda j: (F.col("doc_id") * 7 + j * 13) % 256  # noqa: E731
+    data_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.lpad(F.hex(code(j)), 2, "0"),
+        ),
+    )
+    fmt_code = F.when(F.col("doc_id") % 2 == 0, F.lit(7)).otherwise(F.lit(6))
+    wav_hex = F.concat(
+        F.lit("52494646"),           # 'RIFF'
+        _le_hex(F.lit(64 + 36), 4),
+        F.lit("57415645"),           # 'WAVE'
+        F.lit("666D7420"),           # 'fmt '
+        _le_hex(F.lit(16), 4),
+        _le_hex(fmt_code, 2),        # μ-law 7 / A-law 6
+        _le_hex(F.lit(1), 2),        # mono
+        _le_hex(F.lit(8000), 4),     # sample rate
+        _le_hex(F.lit(8000), 4),     # byte rate (1 byte/sample)
+        _le_hex(F.lit(1), 2),        # block align
+        _le_hex(F.lit(8), 2),        # bits/sample
+        F.lit("64617461"),           # 'data'
+        _le_hex(F.lit(64), 4),
+        data_hex,
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(wav_hex).alias("payload")
+    )
+    return mm.pcm_stats(media)
+
+
+@register(
+    "multimodal_wav_adpcm_stats",
+    """
+WITH st AS (
+    SELECT [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31] AS t
+), w AS (
+    SELECT doc_id AS media_id,
+           (doc_id * 37) % 2001 - 1000 AS pred0,
+           doc_id % 16 AS i0
+    FROM documents WHERE doc_id % 4 = 3
+), d AS (
+    SELECT media_id, pred0,
+           list_transform(generate_series(0, 63), k ->
+               CASE WHEN k % 2 = 0
+                    THEN (t[greatest(i0 - k, 0) + 1] >> 3)
+                       + (t[greatest(i0 - k, 0) + 1] >> 2)
+                       + (t[greatest(i0 - k, 0) + 1] >> 1)
+                    ELSE t[greatest(i0 - k, 0) + 1] >> 3
+               END) AS diffs
+    FROM w, st
+), v AS (
+    SELECT media_id,
+           list_prepend(pred0 + 0, list_transform(generate_series(1, 64),
+               j -> pred0 + list_sum(diffs[1:j]))) AS smp
+    FROM d
+)
+SELECT media_id,
+       CAST(len(smp) AS INT) AS n_samples,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak_abs,
+       CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy
+FROM v
+""",
+    tags=("multimodal", "decode", "audio"),
+)
+def q_multimodal_wav_adpcm_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL IMA/DVI ADPCM decode end-to-end — the 4-bit quantizer walk
+    (WAVE format 0x11) that compressed-speech WAV archives use:
+    complete valid ADPCM WAVs are built in column algebra — one
+    36-byte block whose header plants a doc_id-seeded int16 predictor
+    and step index 0..15, then 32 constant 0x03 bytes (nibbles
+    LOW-first: 3, 0, 3, 0, ...) — decoded by the sequential per-spec
+    recurrence in sources/multimodal._ima_adpcm_decode and reduced to
+    integer stats. The planting makes the recurrence CLOSED-FORM: both
+    nibble values adjust the index by −1 (floor 0), so nibble k sees
+    step table entry max(i0−k, 0); nibble 3 adds (s>>3)+(s>>2)+(s>>1),
+    nibble 0 adds s>>3, nothing ever clamps — the oracle re-derives
+    all 65 samples arithmetically from the first 16 step-table entries
+    and never sees a byte. Nibble ORDER matters to the energy (the
+    diff sequence alternates large/small), so a high-nibble-first bug
+    mismatches; clamping, sign nibbles, and the full 89-entry table
+    are pinned against an independent reference implementation in
+    pytest. One narrow Arrow stage, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 3)
+    pred0 = (F.col("doc_id") * 37) % 2001 - 1000
+    i0 = F.col("doc_id") % 16
+    wav_hex = F.concat(
+        F.lit("52494646"),           # 'RIFF'
+        _le_hex(F.lit(36 + 36), 4),
+        F.lit("57415645"),           # 'WAVE'
+        F.lit("666D7420"),           # 'fmt '
+        _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(0x11), 2),     # IMA ADPCM
+        _le_hex(F.lit(1), 2),        # mono
+        _le_hex(F.lit(8000), 4),     # sample rate
+        _le_hex(F.lit(4055), 4),     # avg byte rate (informative)
+        _le_hex(F.lit(36), 2),       # block align
+        _le_hex(F.lit(4), 2),        # bits/sample
+        F.lit("64617461"),           # 'data'
+        _le_hex(F.lit(36), 4),
+        _le_hex((pred0 + 65536) % 65536, 2),   # predictor, two's compl.
+        _le_hex(i0, 1),
+        F.lit("00"),                 # reserved
+        F.lit("03" * 32),            # 64 nibbles: 3,0,3,0,...
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(wav_hex).alias("payload")
+    )
+    return mm.pcm_stats(media)
+
 
 @register(
     "multimodal_tiff_meta",

@@ -2957,28 +2957,125 @@ def resize_plan(
     return media.mapInPandas(_go, RESIZE_SCHEMA)
 
 
+def _g711_tables() -> tuple["np.ndarray", "np.ndarray"]:
+    """256-entry int16 decode LUTs for G.711 μ-law and A-law — built
+    once from the ITU-T G.711 piecewise-linear formulas (the public
+    CCITT reference implementation's arithmetic: μ-law complements the
+    byte, A-law XORs 0x55; 3-bit segment, 4-bit mantissa). Known
+    anchors pinned in tests: μ-law 0xFF→0 and 0x7F→0 (the two zeros),
+    max magnitudes 32124 (μ) and 32256 (A)."""
+    u = (~np.arange(256, dtype=np.int32)) & 0xFF
+    e = (u >> 4) & 7
+    mag = (((u & 0x0F) << 3) + 0x84 << e) - 0x84
+    ulaw = np.where(u & 0x80, -mag, mag).astype(np.int16)
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0x0F) << 4
+    mag = np.where(
+        seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0)
+    )
+    alaw = np.where(a & 0x80, mag, -mag).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_LUT, _ALAW_LUT = _g711_tables()
+
+# IMA/DVI ADPCM quantizer tables (public spec: IMA "Recommended
+# Practices for Enhancing Digital Audio Compatibility", rev 3.00)
+_IMA_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_decode(
+    data: bytes, block_align: int
+) -> "np.ndarray | None":
+    """Decode mono IMA ADPCM (WAVE format 0x11) sample data: each
+    ``block_align``-byte block opens with a 4-byte header (int16
+    predictor = the block's first OUTPUT sample, uint8 step index,
+    reserved) followed by 4-bit codes packed LOW nibble first. The
+    quantizer recurrence (diff from 3 step shifts + sign bit, predictor
+    clamped to int16, index walked by the adjust table and clamped to
+    [0, 88]) is inherently sequential — predictor and step index feed
+    every next code — so like the GIF LZW kernel this is an honest
+    per-code Python loop; there is no vectorizable form. A block header
+    with index > 88 is corrupt → None, never guessed samples. A short
+    final block decodes the codes it has (valid per spec: the data
+    chunk bounds the stream)."""
+    out: list[int] = []
+    n = len(data)
+    if block_align < 4:
+        return None
+    for off in range(0, n - 3, block_align):
+        blk = data[off : off + block_align]
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        idx = blk[2]
+        if idx > 88:
+            return None
+        out.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEP[idx]
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                if pred < -32768:
+                    pred = -32768
+                elif pred > 32767:
+                    pred = 32767
+                idx += _IMA_ADJ[nib]
+                if idx < 0:
+                    idx = 0
+                elif idx > 88:
+                    idx = 88
+                out.append(pred)
+    return np.array(out, dtype=np.int16) if out else None
+
+
 def decode_wav_samples(
     payload: bytes | None,
 ) -> tuple[int, "np.ndarray"] | None:
-    """REAL sample-level decode kernel: parse a PCM WAV payload down to
+    """REAL sample-level decode kernel: parse a WAV payload down to
     ``(sample_rate, int16 waveform array)`` — the audio sibling of
     ``decode_pnm_array``'s pixel raster (header walk done by the same
-    RIFF rules as ``media_duration_ms``, then the actual waveform
-    bytes decoded with one numpy ``frombuffer``, never a per-sample
-    Python loop).
+    RIFF rules as ``media_duration_ms``).
 
-    Strict by design: requires uncompressed PCM (audio_format=1),
-    mono, 16-bit — anything else returns None (compressed codecs are
-    the honest out-of-container seam). Samples are little-endian
-    signed int16."""
+    Decodes, extras-free:
+
+    - audio_format 1, 16-bit PCM — one numpy ``frombuffer``, never a
+      per-sample Python loop;
+    - audio_format 7 (G.711 μ-law) and 6 (A-law), 8-bit — r12: one
+      vectorized 256-entry LUT gather (``_g711_tables``), the two
+      telephony codecs every speech corpus carries;
+    - audio_format 0x11 (IMA/DVI ADPCM), 4-bit — r12: the per-block
+      quantizer walk ``_ima_adpcm_decode`` (sequential by spec).
+
+    Anything else (mono-only throughout; MS-ADPCM, float, multichannel)
+    returns None — the honest out-of-container seam. All four paths
+    yield int16, so ``decode_wav_pcm`` stats, ``resample_wav``, and the
+    duration math downstream are codec-independent."""
     if payload is None:
         return None
     n = len(payload)
     if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     i = 12
-    fmt_ok = False
+    audio_format = 0
     rate = 0
+    block_align = 0
+    fmt_ok = False
     while i + 8 <= n:
         cid = payload[i : i + 4]
         csz = int.from_bytes(payload[i + 4 : i + 8], "little")
@@ -2986,25 +3083,47 @@ def decode_wav_samples(
             audio_format = int.from_bytes(payload[i + 8 : i + 10], "little")
             channels = int.from_bytes(payload[i + 10 : i + 12], "little")
             rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            block_align = int.from_bytes(payload[i + 20 : i + 22], "little")
             bits = int.from_bytes(payload[i + 22 : i + 24], "little")
-            fmt_ok = audio_format == 1 and channels == 1 and bits == 16
+            fmt_ok = channels == 1 and (
+                (audio_format == 1 and bits == 16)
+                or (audio_format in (6, 7) and bits == 8)
+                or (audio_format == 0x11 and bits == 4)
+            )
         elif cid == b"data":
             if not fmt_ok:
                 return None
-            m = min(csz, n - i - 8) // 2
-            if m == 0:
-                return None
-            return rate, np.frombuffer(
-                payload, dtype="<i2", count=m, offset=i + 8
+            avail = min(csz, n - i - 8)
+            if audio_format == 1:
+                m = avail // 2
+                if m == 0:
+                    return None
+                return rate, np.frombuffer(
+                    payload, dtype="<i2", count=m, offset=i + 8
+                )
+            if audio_format in (6, 7):
+                if avail == 0:
+                    return None
+                lut = _ULAW_LUT if audio_format == 7 else _ALAW_LUT
+                codes = np.frombuffer(
+                    payload, dtype=np.uint8, count=avail, offset=i + 8
+                )
+                return rate, lut[codes]
+            samples = _ima_adpcm_decode(
+                payload[i + 8 : i + 8 + avail], block_align
             )
+            if samples is None:
+                return None
+            return rate, samples
         i += 8 + csz + (csz & 1)  # word-aligned RIFF chunks
     return None
 
 
 def decode_wav_pcm(payload: bytes | None) -> tuple[int, int, int] | None:
-    """(n_samples, peak_abs, energy) from a PCM WAV payload via
-    ``decode_wav_samples``: ``energy`` is the exact integer Σ v²
-    (int64 lanes, bounded by n·2³⁰), ``peak_abs`` handles the −32768
+    """(n_samples, peak_abs, energy) from a WAV payload via
+    ``decode_wav_samples`` (PCM, G.711 μ/A-law, or IMA ADPCM — all
+    land as int16): ``energy`` is the exact integer Σ v² (int64
+    lanes, bounded by n·2³⁰), ``peak_abs`` handles the −32768
     asymmetry — all vectorized."""
     decoded = decode_wav_samples(payload)
     if decoded is None:
@@ -3045,8 +3164,10 @@ def resample_wav(payload: bytes | None, dst_rate: int) -> bytes | None:
     ``n_src·dst_rate div src_rate``; output sample j takes source
     sample ``j·src_rate div dst_rate`` (the same floor mapping the
     image resample uses — exact decimation when the ratio is integer).
-    Non-PCM payloads return None: compressed codecs stay behind the
-    honest ffmpeg seam."""
+    Any input ``decode_wav_samples`` reads (PCM, G.711 μ/A-law, IMA
+    ADPCM) resamples; so a μ-law telephony capture transcodes to
+    linear PCM here with no audio library. Other codecs return None:
+    the honest ffmpeg seam."""
     if dst_rate <= 0:
         return None
     decoded = decode_wav_samples(payload)

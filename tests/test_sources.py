@@ -362,6 +362,136 @@ def test_decode_wav_pcm_truncated_data_chunk():
     assert out == (2, 7, 98)
 
 
+def _codec_wav(data: bytes, *, audio_format, bits, block_align, channels=1):
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", audio_format, channels, 8000, 8000, block_align, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_luts_match_independent_decoders_and_anchors():
+    from data_ingestion_py_spark.sources.multimodal import (
+        _ALAW_LUT, _ULAW_LUT,
+    )
+
+    # published anchors (CCITT g711.c): the two μ-law zeros, both maxima
+    assert _ULAW_LUT[0xFF] == 0 and _ULAW_LUT[0x7F] == 0
+    assert _ULAW_LUT[0x00] == -32124 and _ULAW_LUT[0x80] == 32124
+    assert _ALAW_LUT[0x55] == -8 and _ALAW_LUT[0xD5] == 8
+    assert _ALAW_LUT[0x2A] == -32256 and _ALAW_LUT[0xAA] == 32256
+
+    # independent straightforward per-byte decoders, written from the
+    # G.711 spec separately from the vectorized table builder
+    def ulaw(b):
+        u = ~b & 0xFF
+        mag = (((u & 0xF) * 8 + 0x84) << ((u >> 4) & 7)) - 0x84
+        return -mag if u & 0x80 else mag
+
+    def alaw(b):
+        a = b ^ 0x55
+        t, seg = (a & 0xF) << 4, (a >> 4) & 7
+        t = t + 8 if seg == 0 else (t + 0x108) << (seg - 1)
+        return t if a & 0x80 else -t
+
+    for b in range(256):
+        assert _ULAW_LUT[b] == ulaw(b), b
+        assert _ALAW_LUT[b] == alaw(b), b
+
+
+def _ref_ima_adpcm(data: bytes, block_align: int) -> list[int]:
+    """Independent per-spec IMA ADPCM reference (IMA rev 3.00)."""
+    from data_ingestion_py_spark.sources.multimodal import (
+        _IMA_ADJ, _IMA_STEP,
+    )
+
+    out = []
+    for off in range(0, len(data) - 3, block_align):
+        blk = data[off : off + block_align]
+        pred = int.from_bytes(blk[:2], "little", signed=True)
+        idx = blk[2]
+        out.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                s = _IMA_STEP[idx]
+                d = (s >> 3) + (s >> 2 if nib & 1 else 0)
+                d += (s >> 1 if nib & 2 else 0) + (s if nib & 4 else 0)
+                pred = max(-32768, min(32767, pred - d if nib & 8 else pred + d))
+                idx = max(0, min(88, idx + _IMA_ADJ[nib]))
+                out.append(pred)
+    return out
+
+
+def test_ima_adpcm_matches_reference_including_clamps():
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.multimodal import _ima_adpcm_decode
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        ba = int(rng.integers(4, 40))
+        data = bytearray()
+        for _ in range(int(rng.integers(1, 4))):
+            pred = int(rng.integers(-32768, 32768))  # extremes can clamp
+            data += pred.to_bytes(2, "little", signed=True)
+            data += bytes([int(rng.integers(0, 89)), 0])
+            data += bytes(rng.integers(0, 256, ba - 4, dtype=np.uint8))
+        got = _ima_adpcm_decode(bytes(data), ba)
+        assert got is not None
+        assert got.tolist() == _ref_ima_adpcm(bytes(data), ba), trial
+    # guaranteed clamp exercise: max predictor, max step, all-add codes
+    blk = (32767).to_bytes(2, "little", signed=True) + bytes([88, 0]) + b"\x77" * 4
+    got = _ima_adpcm_decode(blk, len(blk))
+    assert got.tolist() == _ref_ima_adpcm(blk, len(blk))
+    assert got.max() == 32767  # clamped
+    # short final block decodes the codes it has
+    two = blk + blk[:6]
+    assert _ima_adpcm_decode(two, len(blk)).tolist() == _ref_ima_adpcm(
+        two, len(blk)
+    )
+
+
+def test_decode_wav_samples_codec_formats_end_to_end():
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.multimodal import (
+        _ALAW_LUT, _ULAW_LUT, decode_wav_pcm, decode_wav_samples,
+        resample_wav,
+    )
+
+    codes = bytes(range(256))
+    for fmt, lut in ((7, _ULAW_LUT), (6, _ALAW_LUT)):
+        wav = _codec_wav(codes, audio_format=fmt, bits=8, block_align=1)
+        rate, v = decode_wav_samples(wav)
+        assert rate == 8000 and (v == lut[np.frombuffer(codes, np.uint8)]).all()
+    adata = (64).to_bytes(2, "little") + bytes([5, 0]) + b"\x03" * 8
+    wav = _codec_wav(adata, audio_format=0x11, bits=4, block_align=12)
+    rate, v = decode_wav_samples(wav)
+    assert v.tolist() == _ref_ima_adpcm(adata, 12)
+    # decoded codec audio flows through stats and the resampler
+    n, peak, energy = decode_wav_pcm(wav)
+    assert n == 17 and energy == sum(x * x for x in v.tolist())
+    out = resample_wav(
+        _codec_wav(codes, audio_format=7, bits=8, block_align=1), 4000
+    )
+    assert out is not None and decode_wav_samples(out)[0] == 4000
+    # honest gates: corrupt step index, stereo, truncated header
+    bad = _codec_wav(
+        bytes([0, 0, 89, 0]) + bytes(8), audio_format=0x11, bits=4,
+        block_align=12,
+    )
+    assert decode_wav_samples(bad) is None
+    assert decode_wav_samples(
+        _codec_wav(codes, audio_format=7, bits=8, block_align=1, channels=2)
+    ) is None
+    assert decode_wav_samples(
+        _codec_wav(codes, audio_format=2, bits=4, block_align=12)
+    ) is None  # MS-ADPCM: still the honest seam
+
+
 def _png_multi(chunks: list[tuple[bytes, bytes]]) -> bytes:
     out = b"\x89PNG\r\n\x1a\n"
     for ctype, data in chunks:
