@@ -3174,6 +3174,117 @@ def q_multimodal_flac_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.probe_metadata(media).select("media_id", "kind", "duration_ms")
 
 
+def _flac_fixture_parts() -> dict:
+    """Constant segments + CRC-16 linearity tables for the planted
+    2-frame FLAC fixtures (frame 0: blocksize-16 CONSTANT subframe
+    with value v0 ∈ [0,128); frame 1 — the legally-short last frame —
+    blocksize-4 VERBATIM with samples s1..s4 ∈ [0,128)). FLAC's frame
+    CRC-16 (poly 0x8005, init 0, no xor-out) is GF(2)-LINEAR, so the
+    CRC of a mostly-constant frame is a constant base XOR one toggle
+    mask per varying bit: crc = base ⊕ ⊕_{set bits} T — T for a bit
+    with tz trailing zero BYTES is crc16(one-hot byte + tz zero
+    bytes). That makes the whole payload, CRCs included, expressible
+    in column algebra. CRC functions are the decoder's own, pinned
+    against published check values in tests/test_flac.py so a wrong
+    polynomial cannot cancel between planting and decoding."""
+    crc8, crc16 = mm._crc8_flac, mm._crc16_flac
+    si = bytearray(b"fLaC")
+    body = (16).to_bytes(2, "big") * 2 + b"\x00\x00\x00" * 2
+    body += ((8000 << 44) | (0 << 41) | (15 << 36) | 20).to_bytes(8, "big")
+    body += b"\x00" * 16
+    si += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+    # frame 0: sync+reserved FF F8, bs_code 6 | sr 0 -> 0x60,
+    # chan 0 | ss 100 | res -> 0x08, frame_no 0, blocksize-1 = 15
+    h0 = b"\xff\xf8\x60\x08\x00\x0f"
+    f0_const = h0 + bytes([crc8(h0)]) + b"\x00"  # + 00 v0 crc16
+    h1 = b"\xff\xf8\x60\x08\x01\x03"
+    f1_const = h1 + bytes([crc8(h1)]) + b"\x02"  # + (00 sj)*4 crc16
+    base0 = crc16(f0_const + b"\x00\x00")
+    t0 = [crc16(bytes([1 << i])) for i in range(7)]
+    base1 = crc16(f1_const + b"\x00" * 8)
+    t1 = [
+        [crc16(bytes([1 << i]) + b"\x00" * (2 * (4 - j))) for i in range(7)]
+        for j in range(1, 5)
+    ]
+    return {
+        "pre0": (si + f0_const + b"\x00").hex().upper(),
+        "base0": base0,
+        "t0": t0,
+        "h1": f1_const.hex().upper(),
+        "base1": base1,
+        "t1": t1,
+    }
+
+
+@register(
+    "multimodal_flac_decode",
+    """
+WITH w AS (
+    SELECT doc_id AS media_id,
+           (doc_id * 29) % 128 AS v0,
+           list_transform(generate_series(1, 4),
+               j -> (doc_id * 13 + j * 37) % 128) AS s
+    FROM documents WHERE doc_id % 5 = 2
+)
+SELECT media_id,
+       CAST(20 AS INT) AS n_samples,
+       CAST(greatest(v0, list_max(s)) AS INT) AS peak_abs,
+       CAST(16 * v0 * v0
+            + list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy
+FROM w
+""",
+    tags=("multimodal", "decode", "audio", "flac"),
+)
+def q_multimodal_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC sample decode end-to-end, no audio library — r12's
+    closure of the lossless-audio seam (FLAC is the 'PNG of audio'):
+    complete VALID two-frame FLAC streams are built in column algebra
+    — STREAMINFO (8 kHz mono 16-bit, 20 total samples), a
+    blocksize-16 CONSTANT subframe carrying a seeded value, and a
+    legally-short blocksize-4 VERBATIM last frame carrying four
+    seeded samples — including BOTH integrity fields: the constant
+    frame-header CRC-8s and the per-row frame CRC-16s, synthesized in
+    column algebra via the CRC's GF(2) linearity (constant base XOR a
+    toggle mask per varying bit; see _flac_fixture_parts). The
+    decoder (sources/multimodal.decode_flac_samples) must get the
+    metadata walk, frame-header bit layout, UTF-8 frame numbers, both
+    CRC verifications, subframe typing, and sample reconstruction ALL
+    right — any wrong bit nulls the row (CRC gate) or mismatches the
+    energy. The oracle recomputes the 20 samples arithmetically and
+    never sees a byte. FIXED/LPC predictors, Rice partitions, escapes,
+    and wasted bits are pinned against an independent encoder in
+    tests/test_flac.py. One narrow Arrow stage, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 2)
+    parts = _flac_fixture_parts()
+    v0 = (F.col("doc_id") * 29) % 128
+    s = [(F.col("doc_id") * 13 + j * 37) % 128 for j in range(1, 5)]
+
+    def crc_hex(base: int, toggles, vals) -> "F.Column":
+        crc = F.lit(base)
+        for tbl, v in zip(toggles, vals):
+            for i, mask in enumerate(tbl):
+                crc = crc.bitwiseXOR(
+                    F.when(F.shiftright(v, i) % 2 == 1, F.lit(mask))
+                    .otherwise(F.lit(0))
+                )
+        return F.lpad(F.hex(crc), 4, "0")
+
+    flac_hex = F.concat(
+        F.lit(parts["pre0"]),                     # ... + 00 (v0 high byte)
+        F.lpad(F.hex(v0), 2, "0"),
+        crc_hex(parts["base0"], [parts["t0"]], [v0]),
+        F.lit(parts["h1"]),
+        F.concat(*[
+            F.concat(F.lit("00"), F.lpad(F.hex(sj), 2, "0")) for sj in s
+        ]),
+        crc_hex(parts["base1"], parts["t1"], s),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"), F.unhex(flac_hex).alias("payload")
+    )
+    return mm.pcm_stats(media)
+
+
 @register(
     "multimodal_webp_dims",
     """
