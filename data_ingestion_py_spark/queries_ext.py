@@ -1359,6 +1359,7 @@ import data_ingestion_py_spark.queries_mm  # noqa: E402,F401
 import data_ingestion_py_spark.queries_pipeline  # noqa: E402,F401
 import data_ingestion_py_spark.queries_rel  # noqa: E402,F401
 import data_ingestion_py_spark.queries_retrieval  # noqa: E402,F401
+import data_ingestion_py_spark.queries_shards  # noqa: E402,F401
 import data_ingestion_py_spark.queries_timeseries  # noqa: E402,F401
 
 
