@@ -305,3 +305,68 @@ def q_corpus_tar_zst_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shards.compressed_tar_manifest(media).where(
         F.col("typeflag") == "0"
     ).select("media_id", "name", "size", "byte_offset")
+
+
+@register(
+    "archive_orc_stripes",
+    """
+SELECT doc_id AS media_id, 0 AS stripe_index,
+       CAST(3 AS BIGINT) AS offset,
+       CAST(0 AS BIGINT) AS index_length,
+       CAST(64 + doc_id % 60 AS BIGINT) AS data_length,
+       CAST(0 AS BIGINT) AS footer_length,
+       CAST(doc_id % 100 + 1 AS BIGINT) AS n_rows,
+       CAST(doc_id % 100 + 1 AS BIGINT) AS file_rows,
+       'none' AS compression
+FROM documents
+""",
+    tags=("shards", "source", "orc"),
+)
+def q_archive_orc_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC stripe SPLIT PLAN end-to-end — the parquet-footer walk
+    (archive_parquet_rowgroups) re-expressed for the other columnar
+    format: complete valid ORC files planted in column algebra ('ORC'
+    magic, a data region of varying size, an UNCOMPRESSED protobuf
+    footer whose stripe directory / type tree / row counts are
+    hand-encoded varint fields — all planted values < 128 so every
+    varint is one arithmetic byte — and the never-compressed postscript
+    with the field-8000 'ORC' magic), walked TAIL-FIRST by
+    ``sources/archive.orc_file_info`` into per-stripe byte ranges. The
+    oracle restates the directory arithmetically — a walk that misreads
+    the postscript length byte, the footer length, or any varint tag
+    emits zero or shifted rows. Real files from pyarrow's C++ writer at
+    all five compression kinds (zlib/snappy/lz4/zstd chunk framing
+    through the pure kernels) and from Spark's own ORC writer are
+    pinned in tests/test_orc.py. One narrow Arrow stage, no shuffle;
+    stripes are independently readable, so these rows are exactly what
+    a 1000-executor scheduler fans out."""
+    from data_ingestion_py_spark.sources.archive import orc_stripe_manifest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    dlen = doc % 60 + 64   # data_length: 1-byte varint
+    rows = doc % 100 + 1   # numberOfRows: 1-byte varint
+    b = lambda col: F.lpad(F.hex(col), 2, "0")  # noqa: E731
+    footer_hex = F.concat(
+        F.lit("0803"), F.lit("10"), b(dlen + 3),      # headerLen, contentLen
+        F.lit("1a0a" "0803" "1000" "18"), b(dlen),    # stripe: off 3, idx 0
+        F.lit("2000" "28"), b(rows),                  #   ftr 0, rows
+        F.lit("2208" "080c" "120101" "1a0161"),       # struct{a: int}
+        F.lit("2202" "0803"),                         # child type INT
+        F.lit("30"), b(rows),                         # numberOfRows
+    )
+    payload_hex = F.concat(
+        F.lit("4f5243"),                              # 'ORC'
+        F.repeat(F.lit("7a"), dlen.cast("int")),      # stripe data region
+        footer_hex,
+        F.lit("0820" "1000" "82f40303" "4f5243"),     # postscript
+        F.lit("0b"),                                  # postscript length
+    )
+    media = d.select(
+        doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return orc_stripe_manifest(media).select(
+        "media_id", "stripe_index", "offset", "index_length",
+        "data_length", "footer_length", "n_rows", "file_rows",
+        "compression",
+    )

@@ -938,3 +938,299 @@ def npy_header(payload: bytes | None) -> dict | None:
         "shape": [int(x) for x in d["shape"]],
         "data_offset": start + hlen,
     }
+
+
+# ---------------------------------------------------------------------------
+# ORC — postscript/footer walk + stripe split plan (ORC v1 spec, public)
+# ---------------------------------------------------------------------------
+
+_ORC_COMPRESSION = {
+    0: "none",
+    1: "zlib",
+    2: "snappy",
+    3: "lzo",
+    4: "lz4",
+    5: "zstd",
+}
+
+
+def _pb_varint(payload: bytes, i: int, end: int) -> tuple[int, int] | None:
+    """Protobuf base-128 varint at ``payload[i:end]`` → (value, next_i);
+    bounded at 10 bytes (the 64-bit maximum) and at ``end`` so a crafted
+    footer can neither run away nor read past its message."""
+    v = 0
+    for k in range(10):
+        if i + k >= end:
+            return None
+        b = payload[i + k]
+        v |= (b & 0x7F) << (7 * k)
+        if not b & 0x80:
+            return v, i + k + 1
+    return None
+
+
+def _pb_fields(payload: bytes, start: int, end: int):
+    """Iterate protobuf fields of the message at ``payload[start:end]``
+    as ``(field_no, wire_type, value)`` — varints decoded, length-
+    delimited fields yielded as (offset, length) into ``payload``,
+    fixed32/fixed64 skipped with their exact width (the forward-
+    compatible walk: unknown fields never desync known ones). Yields
+    nothing further on any malformed field."""
+    i = start
+    while i < end:
+        tag = _pb_varint(payload, i, end)
+        if tag is None:
+            return
+        key, i = tag
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            got = _pb_varint(payload, i, end)
+            if got is None:
+                return
+            v, i = got
+            yield fno, wt, v
+        elif wt == 2:
+            got = _pb_varint(payload, i, end)
+            if got is None:
+                return
+            ln, i = got
+            if i + ln > end:
+                return
+            yield fno, wt, (i, ln)
+            i += ln
+        elif wt == 1:
+            if i + 8 > end:
+                return
+            yield fno, wt, None
+            i += 8
+        elif wt == 5:
+            if i + 4 > end:
+                return
+            yield fno, wt, None
+            i += 4
+        else:
+            return  # groups (3/4) are not valid in ORC protos
+
+
+def _orc_decompress(
+    payload: bytes,
+    start: int,
+    length: int,
+    kind: str,
+    max_bytes: int = 1 << 26,
+) -> bytes | None:
+    """Inflate an ORC compressed STREAM (footer/metadata/stripe-footer):
+    a sequence of chunks, each with a 3-byte little-endian header
+    ``(chunk_length << 1) | is_original`` — original chunks are stored
+    raw, others decompress per the postscript's compression kind (raw
+    deflate for ZLIB via stdlib; snappy via pyarrow with the exact size
+    read from snappy's own leading varint; LZ4 block via the pure
+    decoder in sources/shards; zstd via the FCS-aware frame kernel).
+    ``kind == 'none'`` streams are not chunk-framed at all. Unknown
+    codecs (lzo) or any undecodable chunk → None."""
+    if kind == "none":
+        return payload[start : start + length]
+    out = bytearray()
+    i, end = start, start + length
+    while i < end:
+        if i + 3 > end:
+            return None
+        hdr = int.from_bytes(payload[i : i + 3], "little")
+        clen = hdr >> 1
+        i += 3
+        if i + clen > end or len(out) + clen > max_bytes:
+            return None
+        chunk = payload[i : i + clen]
+        i += clen
+        if hdr & 1:  # is_original: stored raw
+            out += chunk
+            continue
+        if kind == "zlib":
+            import zlib
+
+            try:
+                piece = zlib.decompressobj(-15).decompress(
+                    chunk, max_bytes + 1 - len(out)
+                )
+            except zlib.error:
+                return None
+        elif kind == "snappy":
+            got = _pb_varint(chunk, 0, len(chunk))
+            if got is None or got[0] > max_bytes - len(out):
+                return None
+            import pyarrow as pa
+
+            try:
+                piece = bytes(pa.Codec("snappy").decompress(chunk, got[0]))
+            except Exception:
+                return None
+        elif kind == "lz4":
+            from data_ingestion_py_spark.sources.shards import (
+                lz4_block_decompress,
+            )
+
+            piece = lz4_block_decompress(chunk, max_bytes - len(out))
+            if piece is None:
+                return None
+        elif kind == "zstd":
+            from data_ingestion_py_spark.sources.shards import (
+                zstd_frame_decompress,
+            )
+
+            piece = zstd_frame_decompress(
+                bytes(chunk), 0, max_bytes - len(out)
+            )
+            if piece is None:
+                return None
+        else:
+            return None
+        out += piece
+        if len(out) > max_bytes:
+            return None
+    return bytes(out)
+
+
+def orc_file_info(payload: bytes | None, max_stripes: int = 4096):
+    """Walk an ORC file TAIL-FIRST — the reader pattern the format is
+    designed for: last byte = postscript length; the (never-compressed)
+    postscript protobuf gives the footer length and compression kind;
+    the footer protobuf gives row count, the type tree, and the STRIPE
+    DIRECTORY. Returns ``{"n_rows", "compression", "n_stripes",
+    "n_types", "field_names", "content_length", "stripes": [(offset,
+    index_length, data_length, footer_length, n_rows), ...]}``.
+
+    The stripe directory IS the split plan: ORC stripes are
+    independently readable (each carries its own indexes, data, and
+    footer), so these byte ranges are exactly what a 1000-executor
+    scheduler fans out — the parquet row-group walk
+    (``parquet_row_groups``) re-expressed for the other columnar
+    format. Pinned in pytest against files written by pyarrow's C++
+    ORC writer at every compression kind it ships.
+
+    Corruption contract: missing 'ORC' magic in the postscript → None;
+    truncated/malformed protobufs, a footer that overruns the file, or
+    an undecodable compressed footer → None (tail-first walks have no
+    verified prefix to keep)."""
+    if payload is None or len(payload) < 5:
+        return None
+    n = len(payload)
+    ps_len = payload[-1]
+    if ps_len == 0 or 1 + ps_len > n:
+        return None
+    ps_start = n - 1 - ps_len
+    footer_len = 0
+    metadata_len = 0
+    kind_code = 0
+    magic_ok = False
+    for fno, wt, v in _pb_fields(payload, ps_start, n - 1):
+        if fno == 1 and wt == 0:
+            footer_len = v
+        elif fno == 2 and wt == 0:
+            kind_code = v
+        elif fno == 5 and wt == 0:
+            metadata_len = v
+        elif fno == 8000 and wt == 2:
+            off, ln = v
+            magic_ok = payload[off : off + ln] == b"ORC"
+    if not magic_ok:
+        return None
+    kind = _ORC_COMPRESSION.get(kind_code)
+    if kind is None:
+        return None
+    footer_start = ps_start - footer_len
+    if footer_start < 3 or footer_len == 0:
+        return None
+    footer = _orc_decompress(payload, footer_start, footer_len, kind)
+    if footer is None:
+        return None
+    info = {
+        "n_rows": 0,
+        "compression": kind,
+        "n_stripes": 0,
+        "n_types": 0,
+        "field_names": [],
+        "content_length": 0,
+        "metadata_length": metadata_len,
+        "stripes": [],
+    }
+    first_type = True
+    for fno, wt, v in _pb_fields(footer, 0, len(footer)):
+        if fno == 2 and wt == 0:
+            info["content_length"] = v
+        elif fno == 6 and wt == 0:
+            info["n_rows"] = v
+        elif fno == 3 and wt == 2 and len(info["stripes"]) < max_stripes:
+            off, ln = v
+            stripe = [0, 0, 0, 0, 0]
+            for sfno, swt, sv in _pb_fields(footer, off, off + ln):
+                if swt == 0 and 1 <= sfno <= 5:
+                    stripe[sfno - 1] = sv
+            info["stripes"].append(tuple(stripe))
+            info["n_stripes"] += 1
+        elif fno == 4 and wt == 2:
+            info["n_types"] += 1
+            if first_type:  # top-level struct: its fieldNames = columns
+                first_type = False
+                off, ln = v
+                for tfno, twt, tv in _pb_fields(footer, off, off + ln):
+                    if tfno == 3 and twt == 2:
+                        noff, nln = tv
+                        try:
+                            info["field_names"].append(
+                                footer[noff : noff + nln].decode("utf-8")
+                            )
+                        except UnicodeDecodeError:
+                            return None
+    return info
+
+
+def orc_stripe_manifest(media: DataFrame, max_stripes: int = 4096) -> DataFrame:
+    """(media_id, payload) → one row per ORC stripe (the byte-range
+    split plan) plus the file-level row count and compression, via
+    Arrow ``mapInPandas``. Non-ORC payloads emit no rows. Narrow
+    stage, no shuffle."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id",
+                    "stripe_index",
+                    "offset",
+                    "index_length",
+                    "data_length",
+                    "footer_length",
+                    "n_rows",
+                    "file_rows",
+                    "compression",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = orc_file_info(
+                    None if payload is None else bytes(payload), max_stripes
+                )
+                if info is None:
+                    continue
+                for si, (off, iln, dln, fln, rows) in enumerate(
+                    info["stripes"]
+                ):
+                    cols["media_id"].append(int(mid))
+                    cols["stripe_index"].append(si)
+                    cols["offset"].append(off)
+                    cols["index_length"].append(iln)
+                    cols["data_length"].append(dln)
+                    cols["footer_length"].append(fln)
+                    cols["n_rows"].append(rows)
+                    cols["file_rows"].append(info["n_rows"])
+                    cols["compression"].append(info["compression"])
+            yield pd.DataFrame(cols)
+
+    return media.mapInPandas(
+        _go,
+        schema=(
+            "media_id long, stripe_index int, offset long,"
+            " index_length long, data_length long, footer_length long,"
+            " n_rows long, file_rows long, compression string"
+        ),
+    )
