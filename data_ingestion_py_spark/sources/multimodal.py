@@ -1657,8 +1657,11 @@ def decode_image_pixels_free(
     """The EXTRAS-FREE decode set — netpbm, stdlib-zlib PNG, the
     pure-byte GIF LZW kernel, baseline AND progressive JPEG (Huffman +
     dequant + IDCT, ``decode_jpeg_array``), standalone BMP (the AVI
-    DIB raster behind a 'BM' file header), and strip-based TIFF
-    (``decode_tiff_array``) — i.e. every format this container
+    DIB raster behind a 'BM' file header), strip-based TIFF
+    (``decode_tiff_array``), and WebP-lossless via the pure VP8L
+    decoder (``sources/vp8l.decode_webp_array`` — prefix codes, LZ77
+    plane codes, color cache, all four transforms; lossy VP8 stays the
+    honest codec seam) — i.e. every format this container
     really decodes with no optional dependency, and the oracle-pinned
     reference path the PIL swap must match bit-for-bit. The
     ``decoder="stub"`` paths route here so compressed images get real
@@ -1678,7 +1681,12 @@ def decode_image_pixels_free(
     decoded = decode_bmp_array(payload)
     if decoded is not None:
         return decoded
-    return decode_tiff_array(payload)
+    decoded = decode_tiff_array(payload)
+    if decoded is not None:
+        return decoded
+    from data_ingestion_py_spark.sources.vp8l import decode_webp_array
+
+    return decode_webp_array(payload)
 
 
 def average_hash(payload: bytes | None, grid: int = 4) -> int | None:
