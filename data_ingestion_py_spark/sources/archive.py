@@ -1184,6 +1184,21 @@ def orc_file_info(payload: bytes | None, max_stripes: int = 4096):
     return info
 
 
+ORC_STRIPE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("stripe_index", T.IntegerType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("index_length", T.LongType(), False),
+        T.StructField("data_length", T.LongType(), False),
+        T.StructField("footer_length", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("file_rows", T.LongType(), False),
+        T.StructField("compression", T.StringType(), False),
+    ]
+)
+
+
 def orc_stripe_manifest(media: DataFrame, max_stripes: int = 4096) -> DataFrame:
     """(media_id, payload) → one row per ORC stripe (the byte-range
     split plan) plus the file-level row count and compression, via
@@ -1226,14 +1241,7 @@ def orc_stripe_manifest(media: DataFrame, max_stripes: int = 4096) -> DataFrame:
                     cols["compression"].append(info["compression"])
             yield pd.DataFrame(cols)
 
-    return media.mapInPandas(
-        _go,
-        schema=(
-            "media_id long, stripe_index int, offset long,"
-            " index_length long, data_length long, footer_length long,"
-            " n_rows long, file_rows long, compression string"
-        ),
-    )
+    return media.mapInPandas(_go, schema=ORC_STRIPE_SCHEMA)
 
 
 def avro_block_decompress(

@@ -50,9 +50,53 @@ import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
+from pyspark.sql import types as T
+
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
     from pyspark.sql import DataFrame
+
+
+def _schema(*fields: tuple[str, "T.DataType", bool]) -> "T.StructType":
+    return T.StructType([T.StructField(n, t, nul) for n, t, nul in fields])
+
+
+JSONL_RECORD_SCHEMA = _schema(
+    ("media_id", T.LongType(), False),
+    ("line_index", T.IntegerType(), False),
+    ("line_bytes", T.IntegerType(), False),
+    ("json_ok", T.BooleanType(), False),
+    ("rec_id", T.StringType(), True),
+    ("n_text_chars", T.IntegerType(), True),
+)
+
+ZSTD_FRAME_SCHEMA = _schema(
+    ("media_id", T.LongType(), False),
+    ("frame_index", T.IntegerType(), False),
+    ("offset", T.LongType(), False),
+    ("comp_size", T.LongType(), False),
+    ("content_size", T.LongType(), True),
+    ("kind", T.StringType(), False),
+    ("n_blocks", T.IntegerType(), False),
+)
+
+LZ4_BLOCK_SCHEMA = _schema(
+    ("media_id", T.LongType(), False),
+    ("frame_index", T.IntegerType(), False),
+    ("block_index", T.IntegerType(), False),
+    ("offset", T.LongType(), False),
+    ("comp_size", T.LongType(), False),
+    ("stored", T.BooleanType(), False),
+)
+
+CTAR_MEMBER_SCHEMA = _schema(
+    ("media_id", T.LongType(), False),
+    ("member_index", T.IntegerType(), False),
+    ("name", T.StringType(), False),
+    ("size", T.LongType(), False),
+    ("typeflag", T.StringType(), False),
+    ("byte_offset", T.LongType(), False),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -776,13 +820,7 @@ def jsonl_shard_manifest(media: "DataFrame", max_lines: int = 4096) -> "DataFram
                     cols["n_text_chars"].append(n_text)
             yield pd.DataFrame(cols)
 
-    return media.mapInPandas(
-        _go,
-        schema=(
-            "media_id long, line_index int, line_bytes int, json_ok boolean,"
-            " rec_id string, n_text_chars int"
-        ),
-    )
+    return media.mapInPandas(_go, schema=JSONL_RECORD_SCHEMA)
 
 
 def compressed_tar_members(
@@ -839,13 +877,7 @@ def compressed_tar_manifest(
                     cols["byte_offset"].append(off)
             yield pd.DataFrame(cols)
 
-    return media.mapInPandas(
-        _go,
-        schema=(
-            "media_id long, member_index int, name string, size long,"
-            " typeflag string, byte_offset long"
-        ),
-    )
+    return media.mapInPandas(_go, schema=CTAR_MEMBER_SCHEMA)
 
 
 def zstd_frame_manifest(media: "DataFrame", max_frames: int = 64) -> "DataFrame":
@@ -883,13 +915,7 @@ def zstd_frame_manifest(media: "DataFrame", max_frames: int = 64) -> "DataFrame"
                     cols["n_blocks"].append(nb)
             yield pd.DataFrame(cols)
 
-    return media.mapInPandas(
-        _go,
-        schema=(
-            "media_id long, frame_index int, offset long, comp_size long,"
-            " content_size long, kind string, n_blocks int"
-        ),
-    )
+    return media.mapInPandas(_go, schema=ZSTD_FRAME_SCHEMA)
 
 
 def lz4_block_manifest(media: "DataFrame", max_blocks: int = 256) -> "DataFrame":
@@ -926,10 +952,4 @@ def lz4_block_manifest(media: "DataFrame", max_blocks: int = 256) -> "DataFrame"
                     cols["stored"].append(stored)
             yield pd.DataFrame(cols)
 
-    return media.mapInPandas(
-        _go,
-        schema=(
-            "media_id long, frame_index int, block_index int, offset long,"
-            " comp_size long, stored boolean"
-        ),
-    )
+    return media.mapInPandas(_go, schema=LZ4_BLOCK_SCHEMA)

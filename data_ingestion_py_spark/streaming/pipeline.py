@@ -756,13 +756,21 @@ def _manifest_walkers():
     module doesn't pay the source modules' import cost up front."""
     from pyspark.sql import types as T
 
-    from data_ingestion_py_spark.sources import archive, web
+    from data_ingestion_py_spark.sources import archive, shards, web
 
     return {
         "tar": (archive.tar_manifest, archive.TAR_MEMBER_SCHEMA),
         "zip": (archive.zip_manifest, archive.ZIP_MEMBER_SCHEMA),
         "tfrecord": (archive.tfrecord_manifest, archive.TFRECORD_SCHEMA),
         "warc": (web.warc_manifest, web.WARC_RECORD_SCHEMA),
+        # r12: compressed-shard intake — the .jsonl.zst / .tar.zst /
+        # .lz4 / ORC corpus formats stream through the same durable
+        # manifest log (walkers from sources/shards + the ORC walk)
+        "jsonl": (shards.jsonl_shard_manifest, shards.JSONL_RECORD_SCHEMA),
+        "zstd": (shards.zstd_frame_manifest, shards.ZSTD_FRAME_SCHEMA),
+        "lz4": (shards.lz4_block_manifest, shards.LZ4_BLOCK_SCHEMA),
+        "ctar": (shards.compressed_tar_manifest, shards.CTAR_MEMBER_SCHEMA),
+        "orc": (archive.orc_stripe_manifest, archive.ORC_STRIPE_SCHEMA),
     }, T
 
 

@@ -1096,3 +1096,88 @@ def test_manifest_stream_warc_and_compaction(spark, tmp_path):
 
     manifest_batch_processor(compacted, fmt="warc")(df, 0)
     assert canon(read_manifest_state(spark, compacted, fmt="warc")) == got
+
+
+def test_manifest_stream_jsonl_zst_corpus_intake(spark, tmp_path):
+    """r12: the Dolma-layout corpus intake — .jsonl.zst shards stream
+    through the durable manifest log with fmt='jsonl': availableNow
+    equals the batch jsonl_shard_manifest; a second lifetime ingests
+    only the newly landed shard; re-delivery no-ops. Same contract for
+    fmt='zstd' (the frame split plan) over the same shards."""
+    import pyarrow as pa
+
+    from data_ingestion_py_spark.sources.shards import (
+        jsonl_shard_manifest,
+        zstd_frame_manifest,
+    )
+    from data_ingestion_py_spark.streaming.pipeline import (
+        manifest_batch_processor,
+        read_manifest_state,
+        run_manifest_stream,
+    )
+
+    def shard(recs):
+        body = b"".join(
+            b'{"id":"%s","text":"%s"}\n' % (i.encode(), t.encode())
+            for i, t in recs
+        )
+        return bytes(pa.Codec("zstd").compress(body))
+
+    shards_dir = str(tmp_path / "shards")
+    rows1 = [
+        (1, shard([("d1", "hello world"), ("d2", "spark")])),
+        (2, shard([("d3", "zstd corpus")])),
+    ]
+    df1 = spark.createDataFrame(rows1, "media_id long, payload binary")
+    df1.coalesce(1).write.parquet(shards_dir)
+
+    state_j = str(tmp_path / "state_jsonl")
+    ckpt_j = str(tmp_path / "ckpt_jsonl")
+    q = run_manifest_stream(spark, shards_dir, state_j, ckpt_j, fmt="jsonl")
+    assert q.awaitTermination(300)
+
+    def canon(df):
+        return sorted(
+            (r.media_id, r.line_index, r.line_bytes, r.rec_id,
+             r.n_text_chars)
+            for r in df.collect()
+        )
+
+    got = canon(read_manifest_state(spark, state_j, fmt="jsonl"))
+    assert got == canon(jsonl_shard_manifest(df1)) and len(got) == 3
+    # re-delivery no-op
+    manifest_batch_processor(state_j, fmt="jsonl")(df1, 0)
+    assert canon(read_manifest_state(spark, state_j, fmt="jsonl")) == got
+
+    # second lifetime: only the new shard is parsed
+    rows2 = [(3, shard([("d4", "late arrival")]))]
+    spark.createDataFrame(rows2, "media_id long, payload binary").coalesce(
+        1
+    ).write.mode("append").parquet(shards_dir)
+    q2 = run_manifest_stream(spark, shards_dir, state_j, ckpt_j, fmt="jsonl")
+    assert q2.awaitTermination(300)
+    got2 = canon(read_manifest_state(spark, state_j, fmt="jsonl"))
+    assert len(got2) == 4 and got2 == canon(
+        jsonl_shard_manifest(
+            spark.createDataFrame(
+                rows1 + rows2, "media_id long, payload binary"
+            )
+        )
+    )
+
+    # the zstd frame split plan streams through the same machinery
+    state_z = str(tmp_path / "state_zstd")
+    ckpt_z = str(tmp_path / "ckpt_zstd")
+    qz = run_manifest_stream(spark, shards_dir, state_z, ckpt_z, fmt="zstd")
+    assert qz.awaitTermination(300)
+    gz = sorted(
+        (r.media_id, r.frame_index, r.comp_size, r.content_size)
+        for r in read_manifest_state(spark, state_z, fmt="zstd").collect()
+    )
+    all_df = spark.createDataFrame(
+        rows1 + rows2, "media_id long, payload binary"
+    )
+    assert gz == sorted(
+        (r.media_id, r.frame_index, r.comp_size, r.content_size)
+        for r in zstd_frame_manifest(all_df).collect()
+    )
