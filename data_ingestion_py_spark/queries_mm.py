@@ -4016,3 +4016,92 @@ def q_multimodal_webp_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@register(
+    "multimodal_tiff_lzw_decode",
+    """
+WITH px AS (
+    SELECT doc_id AS media_id,
+           list_transform(generate_series(0, 15),
+               j -> (doc_id * 37 + j * (11 + doc_id % 9)) % 256) AS p
+    FROM documents
+)
+SELECT media_id, 4 AS width, 4 AS height,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 15),
+                k -> (k + 1) * p[k + 1])) AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "tiff", "lzw"),
+)
+def q_multimodal_tiff_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF-LZW decode end-to-end (r12): complete valid TIFF 6.0
+    files with Compression 5 built in column algebra — a constant
+    little-endian header+IFD (strip length is constant because the
+    planted stream is all-literal), then a REAL MSB-first LZW stream:
+    CLEAR, 16 planted 9-bit literal codes, EOI, bit-packed by emitting
+    each stream byte as plan-time-constant bits plus
+    ``shiftright(pixel, 8-k) % 2`` terms for the pixel codes (the GIF
+    query's planting pattern in the OTHER bit order). Decoded by
+    ``lzw_msb_decode`` inside ``decode_tiff_array`` through
+    pixel_checksums; the oracle recomputes the planted raster
+    arithmetically — one wrong bit in the width/packing/table math
+    desyncs the stream and nulls the row (the kernel never guesses).
+    Width bumps to 12 bits, CLEAR resets, KwKwK, early-change OFF, and
+    the TIFF Predictor-2 path are pinned against an independent
+    compressing encoder in test_sources.py; the same kernel decodes
+    PDF /LZWDecode streams (test_pdf_pure.py). One narrow Arrow
+    stage, no shuffle."""
+    import struct
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+
+    def p(j: int) -> "F.Column":
+        return F.pmod(doc * 37 + j * (11 + F.pmod(doc, F.lit(9))), F.lit(256))
+
+    # constant header + IFD (II, 4x4 gray, comp 5, one 21-byte strip)
+    entries = [
+        (256, 3, 1, 4), (257, 3, 1, 4), (258, 3, 1, 8), (259, 3, 1, 5),
+        (262, 3, 1, 1), (273, 4, 1, None), (277, 3, 1, 1),
+        (278, 4, 1, 4), (279, 4, 1, 21),
+    ]
+    strip_off = 8 + 2 + 12 * len(entries) + 4
+    hdr = (
+        b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+        + struct.pack("<H", len(entries))
+    )
+    for tag, typ, cnt, val in entries:
+        raw = struct.pack("<H" if typ == 3 else "<I",
+                          strip_off if val is None else val)
+        hdr += struct.pack("<HHI", tag, typ, cnt) + raw.ljust(4, b"\x00")
+    hdr += struct.pack("<I", 0)
+
+    # the 21 stream bytes: 18 MSB-first 9-bit codes CLEAR,p0..p15,EOI
+    codes: list = [256] + [("px", j) for j in range(16)] + [257]
+    byte_cols = []
+    for n in range(21):
+        const = 0
+        terms = []
+        for jbit in range(8):
+            g = n * 8 + jbit
+            if g >= 18 * 9:
+                break  # zero padding after EOI
+            ci, k = divmod(g, 9)
+            weight = 1 << (7 - jbit)
+            if isinstance(codes[ci], int):
+                const += ((codes[ci] >> (8 - k)) & 1) * weight
+            else:
+                terms.append(
+                    F.pmod(F.shiftright(p(codes[ci][1]), 8 - k), F.lit(2))
+                    * weight
+                )
+        byte_cols.append(
+            F.lpad(F.hex(sum(terms, F.lit(const))), 2, "0")
+        )
+    payload_hex = F.concat(F.lit(hdr.hex()), *byte_cols)
+    media = d.select(
+        doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return mm.pixel_checksums(media)

@@ -358,9 +358,12 @@ def decode_tiff_array(
     grayscale (PhotometricInterpretation 0 WhiteIsZero — inverted —
     or 1 BlackIsZero), 8-bit RGB (2, chunky planar only), and
     palette-color (3, the 16-bit ColorMap's high bytes collapsed by
-    the shared (r+g+b)//3 gray rule). Honest None for anything else:
-    LZW/PackBits/CCITT compression, tiled layout, planar=2, non-8-bit
-    samples, missing/short strips, or out-of-range strip offsets."""
+    the shared (r+g+b)//3 gray rule). LZW (Compression 5, MSB-first
+    early-change codes via ``lzw_msb_decode``) and horizontal-
+    differencing Predictor 2 decode too (r12). Honest None for
+    anything else: CCITT compression, tiled layout, planar=2,
+    non-8-bit samples, float predictors, missing/short strips, or
+    out-of-range strip offsets."""
     import zlib
 
     if (
@@ -418,9 +421,12 @@ def decode_tiff_array(
         or len(offsets) != len(counts)
         or planar != 1
         or any(b != 8 for b in bps)
-        or comp not in (1, 8, 32773, 32946)
+        or comp not in (1, 5, 8, 32773, 32946)
     ):
         return None
+    predictor = fields.get(317, [1])[0]
+    if predictor not in (1, 2):
+        return None  # floating-point predictor 3 etc.: honest seam
     cmap = None
     if photo in (0, 1):
         if spp != 1:
@@ -451,6 +457,11 @@ def decode_tiff_array(
                 raw = zlib.decompressobj().decompress(raw, need)
             except zlib.error:
                 return None
+        elif comp == 5:  # TIFF LZW (MSB-first, early change)
+            got = lzw_msb_decode(raw, need)
+            if got is None:
+                return None
+            raw = got
         elif comp == 32773:  # PackBits RLE (TIFF 6.0 §9)
             out = bytearray()
             j = 0
@@ -472,6 +483,14 @@ def decode_tiff_array(
             raw = bytes(out)
         if len(raw) < need:
             return None
+        if predictor == 2 and comp != 1:
+            # horizontal differencing: undo per row, per channel lane
+            rows = np.frombuffer(
+                bytes(raw[:need]), dtype=np.uint8
+            ).reshape(rows_this, w, spp)
+            raw = (
+                np.cumsum(rows.astype(np.int64), axis=1) % 256
+            ).astype(np.uint8).tobytes()
         data += raw[:need]
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     if photo == 2:
@@ -753,6 +772,61 @@ def decode_png_array(
         rgb = recon.reshape(h, w, ch)[:, :, :3].astype(np.int16)
         gray = (rgb.sum(axis=2, dtype=np.int16) // 3).astype(np.uint8)
     return w, h, np.ascontiguousarray(gray).reshape(-1)
+
+
+def lzw_msb_decode(
+    data: bytes,
+    max_out: int,
+    early_change: bool = True,
+) -> bytes | None:
+    """MSB-first variable-width LZW — the OTHER LZW convention: TIFF
+    Compression 5 and PDF /LZWDecode (vs GIF's LSB-first packing).
+    Fixed 8-bit roots, CLEAR=256, EOI=257, widths 9→12, KwKwK, and the
+    ubiquitous "early change" (width bumps when the table reaches
+    2^w − 1 — what every TIFF writer and PDF's EarlyChange=1 default
+    emit). Pinned against the PDF spec's worked example and an
+    independent compressing encoder in pytest. Returns None for torn
+    streams (no EOI), codes past the table (other than KwKwK), or
+    output past ``max_out`` — the bomb guard."""
+    nbits = len(data) * 8
+    pos = 0
+    width = 9
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        if pos + width > nbits:
+            return None  # torn: EOI never arrived
+        code = 0
+        for k in range(width):
+            code = (code << 1) | (
+                (data[(pos + k) >> 3] >> (7 - ((pos + k) & 7))) & 1
+            )
+        pos += width
+        if code == 256:  # CLEAR
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            return bytes(out)
+        if code < len(table) and code != 256 and code != 257:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            return None
+        out += entry
+        if len(out) > max_out:
+            return None
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        if (
+            width < 12
+            and len(table) >= (1 << width) - (1 if early_change else 0)
+        ):
+            width += 1
 
 
 def _gif_lzw_decode(

@@ -282,7 +282,21 @@ class _PdfDoc:
             if dd not in (None,) and self.resolve(dd) is not None:
                 return None  # predictors: honest seam
             return _inflate(raw)
-        return None  # LZW/DCT/CCITT...: honest seam
+        if filt == "/LZWDecode":
+            dd = self.resolve(d.get("DecodeParms"))
+            early = 1
+            if isinstance(dd, dict):
+                if self.resolve(dd.get("Predictor", 1)) not in (None, 1):
+                    return None  # predictors: honest seam
+                early = self.resolve(dd.get("EarlyChange", 1))
+                if early not in (0, 1):
+                    return None
+            from data_ingestion_py_spark.sources.multimodal import (
+                lzw_msb_decode,
+            )
+
+            return lzw_msb_decode(raw, _MAX_INFLATE, early_change=bool(early))
+        return None  # DCT/CCITT/RunLength...: honest seam
 
 
 def _scan(buf: bytes) -> _PdfDoc:

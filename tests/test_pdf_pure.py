@@ -190,3 +190,45 @@ def test_extract_pages_routes_through_pure_parser(spark):
     # non-PDF payloads keep the documented UTF-8 fallback
     assert rows[("b.txt", 2)].page_text == "text"
     assert rows[("b.txt", 1)].document_metadata["extractor"] == "fallback-utf8"
+
+
+def test_lzwdecode_content_stream():
+    """LZWDecode content streams (r12): the MSB-first early-change LZW
+    kernel shared with TIFF Compression 5 decodes PDF text streams;
+    EarlyChange 0 honored via DecodeParms; predictors stay the honest
+    seam."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_sources import _lzw_msb_encode
+
+    content = b"BT (lzw says hi) Tj T* (line two) Tj ET"
+    enc = _lzw_msb_encode(content)
+    pdf = (
+        b"%PDF-1.7\n"
+        + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+        + _stream_obj(4, enc, extra=" /Filter /LZWDecode")
+        + b"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+    pages, _meta = parse_pdf_text(pdf)
+    assert pages == ["lzw says hi\nline two"]
+
+    # EarlyChange 0
+    enc0 = _lzw_msb_encode(content, early_change=False)
+    pdf0 = pdf.replace(
+        b"/Filter /LZWDecode",
+        b"/Filter /LZWDecode /DecodeParms << /EarlyChange 0 >>",
+    ).replace(enc, enc0)
+    pages0, _ = parse_pdf_text(pdf0)
+    assert pages0 == ["lzw says hi\nline two"]
+
+    # predictors: honest None (page extracts empty)
+    pdfp = pdf.replace(
+        b"/Filter /LZWDecode",
+        b"/Filter /LZWDecode /DecodeParms << /Predictor 2 >>",
+    )
+    pagesp, _ = parse_pdf_text(pdfp)
+    assert pagesp == [""]

@@ -2456,7 +2456,7 @@ def test_exif_metadata_honest_nones_and_bounds():
 
 
 def _tiff_bytes(end, w, h, photo, strips, comp=1, rps=None, cmap=None,
-                spp=1):
+                spp=1, predictor=None):
     """Independent TIFF writer for the tests (shares no code with the
     decoder): header, IFD0 with inline or offset-valued fields, value
     blobs, then the strip data."""
@@ -2483,6 +2483,8 @@ def _tiff_bytes(end, w, h, photo, strips, comp=1, rps=None, cmap=None,
     add(279, 4, [len(s) for s in strips])
     if cmap is not None:
         add(320, 3, cmap)
+    if predictor is not None:
+        add(317, 3, [predictor])
     n = len(entries)
     dir_end = 8 + 2 + 12 * n + 4
     blobs = bytearray()
@@ -2775,3 +2777,150 @@ def test_avro_block_decompress_all_codecs():
     assert avro_block_decompress(payload, off, size, "snappy") is None
     # unknown codec → None
     assert avro_block_decompress(b"xx", 0, 2, "lzo") is None
+
+
+def _lzw_msb_encode(data: bytes, early_change: bool = True) -> bytes:
+    """Independent MSB-first LZW compressor for the tests (TIFF
+    Compression 5 / PDF LZWDecode conventions: CLEAR first, EOI last,
+    early-change width bumps, CLEAR before the table overflows 12
+    bits). Shares no code with the decoder."""
+    codes = [256]
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        codes.append(table[w])
+        table[wc] = nxt
+        nxt += 1
+        if nxt > 4093:
+            codes.append(256)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+        w = bytes([ch])
+    if w:
+        codes.append(table[w])
+    codes.append(257)
+    bits = []
+    width, size, first = 9, 258, True
+    for c in codes:
+        for k in reversed(range(width)):
+            bits.append((c >> k) & 1)
+        if c == 256:
+            width, size, first = 9, 258, True
+            continue
+        if c == 257:
+            break
+        if first:
+            first = False
+        else:
+            size += 1
+        if width < 12 and size >= (1 << width) - (1 if early_change else 0):
+            width += 1
+    out = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        out[i >> 3] |= b << (7 - (i & 7))
+    return bytes(out)
+
+
+def test_lzw_msb_hand_vector_and_kwkwk():
+    """'AAAAA' by hand: CLEAR(256), 'A'(65), 258 (KwKwK — a code equal
+    to the table size), 258, EOI — packed MSB-first at width 9."""
+    from data_ingestion_py_spark.sources.multimodal import lzw_msb_decode
+
+    bits = []
+    for c in (256, 65, 258, 258, 257):
+        for k in reversed(range(9)):
+            bits.append((c >> k) & 1)
+    enc = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        enc[i >> 3] |= b << (7 - (i & 7))
+    assert lzw_msb_decode(bytes(enc), 1 << 10) == b"AAAAA"
+
+
+def test_lzw_msb_roundtrip_widths_and_clears():
+    import random
+
+    from data_ingestion_py_spark.sources.multimodal import lzw_msb_decode
+
+    rng = random.Random(42)
+    # low-entropy 60k bytes: width climbs 9->12 and CLEAR fires mid-
+    # stream; high-entropy 10k: the no-matches path
+    lo = bytes(rng.randrange(8) for _ in range(60_000))
+    hi = bytes(rng.randrange(256) for _ in range(10_000))
+    for data in (lo, hi, b"", b"x"):
+        assert lzw_msb_decode(_lzw_msb_encode(data), 1 << 20) == data
+    # non-early-change variant (PDF EarlyChange 0)
+    assert (
+        lzw_msb_decode(
+            _lzw_msb_encode(lo, early_change=False),
+            1 << 20,
+            early_change=False,
+        )
+        == lo
+    )
+    # torn stream (EOI cut off) and bomb guard
+    enc = _lzw_msb_encode(lo)
+    assert lzw_msb_decode(enc[:-2], 1 << 20) is None
+    assert lzw_msb_decode(enc, 1000) is None
+    # a code past the table (not KwKwK) is corrupt
+    bits = []
+    for c in (256, 65, 300, 257):
+        for k in reversed(range(9)):
+            bits.append((c >> k) & 1)
+    bad = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        bad[i >> 3] |= b << (7 - (i & 7))
+    assert lzw_msb_decode(bytes(bad), 1 << 10) is None
+
+
+def test_tiff_decode_lzw_and_predictor2():
+    from data_ingestion_py_spark.sources.multimodal import decode_tiff_array
+
+    w, h = 13, 6
+    raster = bytes((r * 31 + c * 7) % 256 for r in range(h) for c in range(w))
+    # comp 5, no predictor
+    tif = _tiff_bytes("II", w, h, 1, [_lzw_msb_encode(raster)], comp=5)
+    got = decode_tiff_array(tif)
+    assert got is not None and bytes(got[2]) == raster
+    # comp 5 + horizontal differencing (predictor 2): strip carries the
+    # per-row deltas; the decoder must cumsum them back
+    diffed = bytearray(raster)
+    for r in range(h):
+        for c in range(w - 1, 0, -1):
+            diffed[r * w + c] = (raster[r * w + c] - raster[r * w + c - 1]) % 256
+    tif2 = _tiff_bytes(
+        "MM", w, h, 1, [_lzw_msb_encode(bytes(diffed))], comp=5, predictor=2
+    )
+    got2 = decode_tiff_array(tif2)
+    assert got2 is not None and bytes(got2[2]) == raster
+    # predictor 2 over RGB: per-channel lanes
+    rgb = bytes((r * 5 + c * 3 + ch * 11) % 256
+                for r in range(h) for c in range(w) for ch in range(3))
+    diff3 = bytearray(rgb)
+    for r in range(h):
+        for c in range(w - 1, 0, -1):
+            for ch in range(3):
+                k = (r * w + c) * 3 + ch
+                diff3[k] = (rgb[k] - rgb[k - 3]) % 256
+    tif3 = _tiff_bytes(
+        "II", w, h, 2, [_lzw_msb_encode(bytes(diff3))], comp=5, spp=3,
+        predictor=2,
+    )
+    got3 = decode_tiff_array(tif3)
+    expect = bytes(
+        (rgb[k * 3] + rgb[k * 3 + 1] + rgb[k * 3 + 2]) // 3
+        for k in range(w * h)
+    )
+    assert got3 is not None and bytes(got3[2]) == expect
+    # float predictor (3): honest None
+    tif4 = _tiff_bytes(
+        "II", w, h, 1, [_lzw_msb_encode(raster)], comp=5, predictor=3
+    )
+    assert decode_tiff_array(tif4) is None
+    # corrupt LZW stream: honest None
+    bad = _tiff_bytes("II", w, h, 1, [b"\xff\xff\xff\xff"], comp=5)
+    assert decode_tiff_array(bad) is None
