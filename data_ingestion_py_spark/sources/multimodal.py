@@ -420,10 +420,15 @@ def decode_tiff_array(
         or counts is None
         or len(offsets) != len(counts)
         or planar != 1
-        or any(b != 8 for b in bps)
+        or (bps not in ([1], [4]) and any(b != 8 for b in bps))
         or comp not in (1, 5, 8, 32773, 32946)
     ):
         return None
+    depth = bps[0] if bps in ([1], [4]) else 8
+    if depth != 8 and (photo not in (0, 1) or spp != 1):
+        return None  # sub-byte depths: bilevel/gray only
+    if depth != 8 and fields.get(317, [1])[0] == 2:
+        return None  # predictor 2 is defined on 8-bit samples
     predictor = fields.get(317, [1])[0]
     if predictor not in (1, 2):
         return None  # floating-point predictor 3 etc.: honest seam
@@ -443,7 +448,7 @@ def decode_tiff_array(
     n_strips = (h + rps - 1) // rps
     if len(offsets) < n_strips:
         return None
-    row_bytes = w * spp
+    row_bytes = (w * depth + 7) // 8 if depth != 8 else w * spp
     data = bytearray()
     for s in range(n_strips):
         o, c = offsets[s], counts[s]
@@ -493,6 +498,19 @@ def decode_tiff_array(
             ).astype(np.uint8).tobytes()
         data += raw[:need]
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
+    if depth != 8:
+        # unpack MSB-first (FillOrder 1) depth-bit samples per row,
+        # keep the first w, scale to the full 8-bit range exactly
+        rows = arr.reshape(h, row_bytes)
+        bits = np.unpackbits(rows, axis=1)
+        groups = bits[:, : row_bytes * 8].reshape(
+            h, (row_bytes * 8) // depth, depth
+        )
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (groups * weights).sum(axis=2)[:, :w]
+        arr = (
+            vals.astype(np.int64) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8).reshape(-1)
     if photo == 2:
         rgb = arr.reshape(h, w, 3).astype(np.int32)
         gray = ((rgb[..., 0] + rgb[..., 1] + rgb[..., 2]) // 3).astype(
@@ -614,16 +632,17 @@ _ADAM7_PASSES = (
 
 
 def _png_unfilter(
-    raw: bytes, w: int, h: int, ch: int
+    raw: bytes, stride: int, h: int, bpp: int
 ) -> "np.ndarray | None":
-    """Reconstruct one (sub-)image's pixels from its filtered scanline
-    stream (PNG spec §9): h scanlines of 1 filter byte + w*ch samples.
-    None if the stream length or a filter type is wrong. Filters
-    None/Sub/Up are vectorized (Sub as a per-channel-lane uint8
-    cumulative sum — mod-256 wraps for free); Average/Paeth carry a
-    true left-neighbor dependency and go per-pixel within the line."""
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    """Reconstruct one (sub-)image's SCANLINE BYTES from its filtered
+    stream (PNG spec §9): h scanlines of 1 filter byte + ``stride``
+    bytes, with ``bpp`` = the filter unit in BYTES (channels×depth/8,
+    min 1 — sub-byte depths filter on whole bytes per spec). None if
+    the stream length or a filter type is wrong. Filters None/Sub/Up
+    are vectorized (Sub as a per-byte-lane uint8 cumulative sum —
+    mod-256 wraps for free); Average/Paeth carry a true left-neighbor
+    dependency and go per-byte within the line."""
+    if stride % bpp or len(raw) != h * (stride + 1):
         return None
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = lines[:, 0]
@@ -636,22 +655,22 @@ def _png_unfilter(
         if f == 0:
             continue
         up = recon[r - 1] if r else zero
-        if f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch]
-            lanes = recon[r].reshape(w, ch)
+        if f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]
+            lanes = recon[r].reshape(stride // bpp, bpp)
             np.add.accumulate(lanes, axis=0, out=lanes)
         elif f == 2:  # Up
             recon[r] += up
         elif f == 3:  # Average
             row = recon[r]
             for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
+                left = int(row[x - bpp]) if x >= bpp else 0
                 row[x] = (int(row[x]) + (left + int(up[x])) // 2) & 0xFF
         else:  # Paeth
             row = recon[r]
             for x in range(stride):
-                a = int(row[x - ch]) if x >= ch else 0
+                a = int(row[x - bpp]) if x >= bpp else 0
                 b = int(up[x])
-                c = int(up[x - ch]) if x >= ch else 0
+                c = int(up[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
@@ -668,7 +687,7 @@ def decode_png_array(
     compressed-image seam for the most common format without the
     ``[ingest]`` extras. Returns (width, height, grayscale uint8
     ndarray row-major) or None for anything it can't decode honestly:
-    non-PNG bytes, bit depths other than 8, truncated/corrupt zlib
+    non-PNG bytes, Adam7 at non-8 depths, truncated/corrupt zlib
     streams, a palette image without a (whole) PLTE, or a raster whose
     unfiltered size disagrees with IHDR. Palette images (color type 3,
     8-bit indices) decode through the PLTE chunk: each entry's gray
@@ -696,14 +715,22 @@ def decode_png_array(
     w = int.from_bytes(payload[16:20], "big")
     h = int.from_bytes(payload[20:24], "big")
     bit_depth, color_type, comp, filt, interlace = payload[24:29]
+    ok_depths = (
+        (1, 2, 4, 8, 16)
+        if color_type == 0
+        else (1, 2, 4, 8)
+        if color_type == 3
+        else (8, 16)
+    )
     if (
         w <= 0
         or h <= 0
-        or bit_depth != 8
         or (color_type not in _PNG_CHANNELS and color_type != 3)
+        or bit_depth not in ok_depths
         or comp != 0
         or filt != 0
         or interlace not in (0, 1)
+        or (interlace == 1 and bit_depth != 8)  # Adam7 at depth 8 only
     ):
         return None
     # IDAT data may span chunks; concatenate in file order
@@ -731,10 +758,32 @@ def decode_png_array(
     except zlib.error:
         return None
     ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    if bit_depth < 8:
+        stride = (w * bit_depth + 7) // 8
+        bpp = 1
+    else:
+        stride = w * ch * (bit_depth // 8)
+        bpp = ch * (bit_depth // 8)
     if interlace == 0:
-        recon = _png_unfilter(raw, w, h, ch)
+        recon = _png_unfilter(raw, stride, h, bpp)
         if recon is None:
             return None
+        if bit_depth < 8:
+            # unpack MSB-first depth-bit samples, keep the first w
+            bits = np.unpackbits(recon, axis=1)
+            groups = bits[:, : stride * 8].reshape(
+                h, (stride * 8) // bit_depth, bit_depth
+            )
+            weights = 1 << np.arange(bit_depth - 1, -1, -1)
+            vals = (groups * weights).sum(axis=2)[:, :w].astype(np.uint8)
+            if color_type == 0:  # scale to full 8-bit range exactly
+                vals = (
+                    vals.astype(np.int64) * 255 // ((1 << bit_depth) - 1)
+                ).astype(np.uint8)
+            recon = vals
+        elif bit_depth == 16:
+            # big-endian samples: the high byte IS the 8-bit reduction
+            recon = recon.reshape(h, w * ch, 2)[:, :, 0]
     else:  # Adam7: 7 independently-filtered sub-images, scattered back
         recon = np.zeros((h, w * ch), dtype=np.uint8)
         pos = 0
@@ -744,7 +793,7 @@ def decode_png_array(
             if wp <= 0 or hp <= 0:
                 continue  # empty pass contributes no scanlines
             size = hp * (wp * ch + 1)
-            sub = _png_unfilter(raw[pos : pos + size], wp, hp, ch)
+            sub = _png_unfilter(raw[pos : pos + size], wp * ch, hp, ch)
             if sub is None:
                 return None
             pos += size

@@ -2456,7 +2456,7 @@ def test_exif_metadata_honest_nones_and_bounds():
 
 
 def _tiff_bytes(end, w, h, photo, strips, comp=1, rps=None, cmap=None,
-                spp=1, predictor=None):
+                spp=1, predictor=None, bps=8):
     """Independent TIFF writer for the tests (shares no code with the
     decoder): header, IFD0 with inline or offset-valued fields, value
     blobs, then the strip data."""
@@ -2474,7 +2474,7 @@ def _tiff_bytes(end, w, h, photo, strips, comp=1, rps=None, cmap=None,
 
     add(256, 4, [w])
     add(257, 4, [h])
-    add(258, 3, [8] * spp)
+    add(258, 3, [bps] * spp)
     add(259, 3, [comp])
     add(262, 3, [photo])
     add(277, 3, [spp])
@@ -2924,3 +2924,128 @@ def test_tiff_decode_lzw_and_predictor2():
     # corrupt LZW stream: honest None
     bad = _tiff_bytes("II", w, h, 1, [b"\xff\xff\xff\xff"], comp=5)
     assert decode_tiff_array(bad) is None
+
+
+def test_tiff_decode_bilevel_and_4bit():
+    """r12: sub-byte TIFF depths — 1-bit bilevel (the scanned-document
+    norm) and 4-bit gray, MSB-first (FillOrder 1) with row padding,
+    scaled to the exact full 8-bit range; WhiteIsZero inverts; LZW
+    composes; predictor 2 at sub-byte depth is the honest None."""
+    from data_ingestion_py_spark.sources.multimodal import decode_tiff_array
+
+    w, h = 11, 3
+    bits = [[(r * 3 + c * 5) % 2 for c in range(w)] for r in range(h)]
+    raw = b""
+    for r in range(h):
+        row = 0
+        for c in range(w):
+            row |= bits[r][c] << (15 - c)
+        raw += row.to_bytes(2, "big")
+    want = [b * 255 for row in bits for b in row]
+    got = decode_tiff_array(_tiff_bytes("II", w, h, 1, [raw], bps=1))
+    assert got is not None and list(got[2]) == want
+    got = decode_tiff_array(_tiff_bytes("MM", w, h, 0, [raw], bps=1))
+    assert got is not None and list(got[2]) == [255 - v for v in want]
+    # 1-bit + LZW (how fax-scanned TIFFs actually ship, minus CCITT)
+    got = decode_tiff_array(
+        _tiff_bytes("II", w, h, 1, [_lzw_msb_encode(raw)], comp=5, bps=1)
+    )
+    assert got is not None and list(got[2]) == want
+    # 4-bit gray: two samples per byte, x17 scaling
+    vals = [[(r * 5 + c * 3) % 16 for c in range(w)] for r in range(h)]
+    raw4 = b""
+    for r in range(h):
+        packed = bytearray((w + 1) // 2)
+        for c in range(w):
+            packed[c // 2] |= vals[r][c] << (4 if c % 2 == 0 else 0)
+        raw4 += bytes(packed)
+    got = decode_tiff_array(_tiff_bytes("II", w, h, 1, [raw4], bps=4))
+    assert got is not None and list(got[2]) == [
+        v * 17 for row in vals for v in row
+    ]
+    # predictor 2 at sub-byte depth: honest None
+    assert (
+        decode_tiff_array(
+            _tiff_bytes("II", w, h, 1, [raw], bps=1, predictor=2)
+        )
+        is None
+    )
+    # 1-bit RGB: not a thing -> None
+    assert (
+        decode_tiff_array(_tiff_bytes("II", w, h, 2, [raw], spp=3, bps=1))
+        is None
+    )
+
+
+def test_png_decode_low_and_high_depths():
+    """r12: PNG bit depths 1/2/4 (gray + palette, MSB-first packing,
+    byte-unit filters) and 16 (big-endian, high byte = the 8-bit
+    reduction, filters on 2-byte units); Adam7 at non-8 depth stays
+    the honest None."""
+    import struct
+    import zlib
+
+    from data_ingestion_py_spark.sources.multimodal import decode_png_array
+
+    def chunk(tag, body):
+        c = tag + body
+        return struct.pack(">I", len(body)) + c + struct.pack(
+            ">I", zlib.crc32(c)
+        )
+
+    def png(w, h, depth, ctype, raw, plte=None, interlace=0):
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                                 interlace)
+        )
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # 2-bit gray with an Up filter row (filters act on bytes)
+    w, h = 9, 3
+    vals = [[(r + c) % 4 for c in range(w)] for r in range(h)]
+    rows = []
+    for r in range(h):
+        packed = bytearray(3)
+        for c in range(w):
+            packed[c // 4] |= vals[r][c] << (6 - 2 * (c % 4))
+        rows.append(bytes(packed))
+    raw = b"\x00" + rows[0] + b"\x00" + rows[1]
+    up = bytes((rows[2][i] - rows[1][i]) % 256 for i in range(3))
+    raw += b"\x02" + up
+    got = decode_png_array(png(w, h, 2, 0, raw))
+    assert got is not None and list(got[2]) == [
+        v * 85 for row in vals for v in row
+    ]
+    # 1-bit palette (two entries)
+    plte = bytes([10, 20, 30, 200, 100, 60])  # grays 20 and 120
+    bits = [[(r * c) % 2 for c in range(w)] for r in range(h)]
+    raw = b""
+    for r in range(h):
+        packed = bytearray(2)
+        for c in range(w):
+            packed[c // 8] |= bits[r][c] << (7 - (c % 8))
+        raw += b"\x00" + bytes(packed)
+    got = decode_png_array(png(w, h, 1, 3, raw, plte=plte))
+    assert got is not None and list(got[2]) == [
+        (20, 120)[b] for row in bits for b in row
+    ]
+    # 16-bit gray with a Sub filter row (2-byte filter unit)
+    w16, h16 = 5, 2
+    vals16 = [[(r * 9000 + c * 777) % 65536 for c in range(w16)]
+              for r in range(h16)]
+    line0 = b"".join(v.to_bytes(2, "big") for v in vals16[0])
+    plain1 = b"".join(v.to_bytes(2, "big") for v in vals16[1])
+    sub1 = bytearray(plain1)
+    for x in range(len(sub1) - 1, 1, -1):
+        sub1[x] = (plain1[x] - plain1[x - 2]) % 256
+    raw16 = b"\x00" + line0 + b"\x01" + bytes(sub1)
+    got = decode_png_array(png(w16, h16, 16, 0, raw16))
+    assert got is not None and list(got[2]) == [
+        v >> 8 for row in vals16 for v in row
+    ]
+    # Adam7 at depth 1: honest None
+    assert decode_png_array(png(w, h, 1, 0, raw, interlace=1)) is None
+    # depth 2 RGB is not legal PNG: None
+    assert decode_png_array(png(w, h, 2, 2, raw)) is None
