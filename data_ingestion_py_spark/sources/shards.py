@@ -22,10 +22,10 @@ Decode kernels, in the established honest-seam order:
   are exactly the frames the planted column-algebra fixtures emit, so the
   oracle-gated queries decode with zero libraries.
 - zstd compressed blocks: ``pyarrow.Codec("zstd")`` (baked into this
-  container), which requires the frame's exact content size — frames that
-  carry a Frame_Content_Size field decode; streaming-written frames without
-  one are the documented seam (byte-range rows still emit; content is
-  ``None``).
+  container) when the frame carries its exact content size; frames
+  WITHOUT a Frame_Content_Size field (streaming writers) decode through
+  the r12 pure FSE/Huffman decoder (``sources/zstd_pure`` — RFC 8878
+  complete), so the former no-FCS seam is closed.
 - gzip / bz2 / xz: stdlib (``zlib``/``bz2``/``lzma``), multi-member gzip
   via the same trailer-verifying loop as the warc.gz walker.
 
@@ -608,17 +608,28 @@ def zstd_frame_decompress(
         return b""
     data = _zstd_pure_decode(payload, offset, max_content_bytes)
     if data is None:
-        if content_size is None or content_size > max_content_bytes:
-            return None
-        import pyarrow as pa
+        if content_size is not None and content_size <= max_content_bytes:
+            import pyarrow as pa
 
-        try:
-            data = bytes(
-                pa.Codec("zstd").decompress(
-                    payload[offset : offset + comp], content_size
+            try:
+                data = bytes(
+                    pa.Codec("zstd").decompress(
+                        payload[offset : offset + comp], content_size
+                    )
                 )
+            except Exception:
+                data = None
+        if data is None:
+            # no FCS (streaming-written frame) or a C-kernel refusal:
+            # the r12 pure FSE/Huffman decoder (sources/zstd_pure)
+            from data_ingestion_py_spark.sources.zstd_pure import (
+                zstd_decompress_frame,
             )
-        except Exception:
+
+            data = zstd_decompress_frame(
+                bytes(payload), offset, max_content_bytes
+            )
+        if data is None:
             return None
     if content_size is not None and len(data) != content_size:
         return None

@@ -236,18 +236,21 @@ def test_zstd_corruption_contract():
     assert S.zstd_frame_decompress(big, max_content_bytes=1 << 10) is None
 
 
-def test_zstd_no_fcs_compressed_block_is_honest_none():
+def test_zstd_no_fcs_compressed_block_decodes_pure():
     """A streaming-written frame (no FCS) whose blocks are entropy-coded
-    can't use the exact-size pyarrow kernel: byte-range rows still ship,
-    decompress returns None rather than guessing."""
-    comp = bytearray(pa.Codec("zstd").compress(b"q" * 5000))
+    can't use the exact-size pyarrow kernel; the byte-range rows ship
+    with content_size None and decompression routes through the r12
+    pure FSE/Huffman decoder (sources/zstd_pure) — the former honest
+    seam, closed (tests/test_zstd_pure.py has the full matrix)."""
+    plain = b"q" * 5000
+    comp = bytearray(pa.Codec("zstd").compress(plain))
     fhd = comp[4]
     assert fhd >> 6 == 1 and (fhd >> 5) & 1  # pyarrow writes 2-byte FCS
     # rebuild header: drop single-segment + FCS, add window descriptor
     rebuilt = comp[:4] + bytes([0x00, 0x88]) + comp[7:]
     frames = S.zstd_frames(bytes(rebuilt))
     assert frames is not None and frames[0][2] is None
-    assert S.zstd_frame_decompress(bytes(rebuilt)) is None
+    assert S.zstd_frame_decompress(bytes(rebuilt)) == plain
 
 
 # ------------------------------------------------- sniff / auto / jsonl
