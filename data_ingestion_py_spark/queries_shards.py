@@ -370,3 +370,111 @@ def q_archive_orc_stripes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "data_length", "footer_length", "n_rows", "file_rows",
         "compression",
     )
+
+
+@register(
+    "corpus_zstd_entropy_records",
+    """
+SELECT doc_id AS media_id,
+       CAST(0 AS INT) AS line_index,
+       CAST(13 AS INT) AS line_bytes,
+       TRUE AS json_ok,
+       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS rec_id
+FROM documents
+""",
+    tags=("shards", "source", "zstd", "corpus", "decode"),
+)
+def q_corpus_zstd_entropy_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r12 PURE zstd ENTROPY decoder (sources/zstd_pure.py) in the
+    driver's correctness gate: a REAL Huffman-compressed zstd block
+    planted in column algebra. The trick that makes an entropy stream
+    plantable: a 32-symbol alphabet whose weights are all 1 yields
+    constant-width 5-bit canonical codes (code = the symbol's rank),
+    so every bit position is plan-time constant and only the four
+    digit codes of the record id vary per row — each stream byte is a
+    constant plus shiftright(digit-code) terms, the TIFF-LZW planting
+    pattern applied to zstd's BACKWARD bitstream (marker bit on top,
+    codes MSB-first downward). The frame is a complete
+    zstd frame holding one Compressed_Block: literals header
+    (type 2, 1-stream, regen 14 / comp 73), a 64-byte direct-weights
+    Huffman tree description (symbols 0..125 listed, the implied last
+    weight completing the Kraft sum at '~'), the 9-byte code stream,
+    and a zero sequence count — and carries NO Frame_Content_Size
+    (window-descriptor form, the streaming-writer shape), so the
+    exact-size pyarrow kernel cannot run and decoding goes through the
+    pure FSE/Huffman decoder unconditionally. jsonl_shard_manifest
+    parses the regenerated '{"id":"NNNN"}' JSON record, and the oracle
+    restates the id arithmetically — one wrong weight, rank, bit
+    position, or literals-header field and the frame refuses to decode
+    (zero rows) or the id mismatches. One narrow Arrow stage, no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+
+    chars = sorted(
+        [10, 34] + list(range(48, 58)) + [58, 100, 105]
+        + list(range(109, 123)) + [123, 125, 126]
+    )
+    rank = {c: i for i, c in enumerate(chars)}
+
+    # tree description: constant (symbols 0..125 direct 4-bit weights)
+    weights = [0] * 126
+    for c in chars:
+        if c != 126:
+            weights[c] = 1
+    wb = bytearray(63)
+    for i, w in enumerate(weights):
+        wb[i // 2] |= w << (4 if i % 2 == 0 else 0)
+    tree_hex = (bytes([127 + 126]) + bytes(wb)).hex()
+
+    # the 14-char content '{"id":"NNNN"}\n'; codes are 5-bit ranks,
+    # packed below the marker bit (bit 70), MSB-first per char
+    content = '{"id":"' + "????" + '"}\n'
+    digit_pos = {7: 3, 8: 2, 9: 1, 10: 0}  # char index -> 10^k place
+
+    def digit_code(k: int) -> "F.Column":
+        return (
+            F.pmod(F.floor(F.pmod(doc, F.lit(10000)) / (10**k)), F.lit(10))
+            + 2  # rank('0') == 2 and digits are contiguous ranks
+        ).cast("int")
+
+    stream_bytes = []
+    for n in range(9):
+        const = 0
+        terms = []
+        for j in range(8 * n, 8 * n + 8):
+            if j == 70:
+                const += 1 << (j - 8 * n)  # the padding marker bit
+                continue
+            if j > 70:
+                continue
+            ci = (70 - 1 - j) // 5  # which char covers bit j
+            lo = 70 - 5 * (ci + 1)
+            if ci in digit_pos:
+                terms.append(
+                    F.pmod(
+                        F.shiftright(digit_code(digit_pos[ci]), j - lo),
+                        F.lit(2),
+                    )
+                    * (1 << (j - 8 * n))
+                )
+            else:
+                code = rank[ord(content[ci])]
+                const += ((code >> (j - lo)) & 1) << (j - 8 * n)
+        stream_bytes.append(
+            F.lpad(F.hex(sum(terms, F.lit(const))), 2, "0")
+        )
+
+    lit_hdr = (2 | (14 << 4) | (73 << 14)).to_bytes(3, "little").hex()
+    block_hdr = ((77 << 3) | (2 << 1) | 1).to_bytes(3, "little").hex()
+    payload_hex = F.concat(
+        F.lit(_ZSTD_MAGIC_HEX + "0088" + block_hdr + lit_hdr + tree_hex),
+        *stream_bytes,
+        F.lit("00"),  # Number_of_Sequences = 0
+    )
+    media = d.select(
+        doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return shards.jsonl_shard_manifest(media).select(
+        "media_id", "line_index", "line_bytes", "json_ok", "rec_id"
+    )

@@ -429,6 +429,8 @@ def lz4_frame_decompress(
         return None
     _off, _comp, declared, nb, indep, ccksum = frames[0]
     flg = payload[offset + 4]
+    if flg & 1:
+        return None  # dictionary-keyed frame, no dictionary: never guess
     bcksum = bool((flg >> 4) & 1)
     j = (
         offset + 6 + (8 if (flg >> 3) & 1 else 0) + (4 if flg & 1 else 0) + 1
@@ -606,6 +608,8 @@ def zstd_frame_decompress(
     _off, comp, content_size, kind, _nb, has_cksum = frames[0]
     if kind == "skippable":
         return b""
+    if payload[offset + 4] & 3:
+        return None  # dictionary-keyed frame, no dictionary: never guess
     data = _zstd_pure_decode(payload, offset, max_content_bytes)
     if data is None:
         if content_size is not None and content_size <= max_content_bytes:

@@ -728,6 +728,8 @@ def zstd_decompress_frame(
     if kind == "skippable":
         return b""
     fhd = payload[offset + 4]
+    if fhd & 3:
+        return None  # dictionary frames: honest seam (no dict content)
     j = (
         offset
         + 5

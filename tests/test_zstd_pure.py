@@ -142,3 +142,20 @@ def test_checksummed_frame_verifies_through_shards():
     # corrupt the checksum: decode refuses
     bad = rebuilt[:-1] + bytes([rebuilt[-1] ^ 1])
     assert S.zstd_frame_decompress(bad) is None
+
+
+def test_dictionary_frames_are_refused():
+    """A frame that declares a Dictionary_ID cannot decode without the
+    dictionary's window/entropy state — both the pure decoder and the
+    shards path refuse rather than emit wrong bytes."""
+    data = b"dict frame " * 50
+    comp = bytearray(pa.Codec("zstd").compress(data))
+    # FHD: set dictid flag to 1-byte, drop single-segment (add WD),
+    # keep no FCS; insert the dict id byte after the window descriptor
+    rebuilt = (
+        bytes(comp[:4]) + bytes([0x01, 0x88, 0x2A]) + bytes(comp[7:])
+    )
+    frames = S.zstd_frames(rebuilt)
+    assert frames is not None  # the walk still yields byte ranges
+    assert zstd_decompress_frame(rebuilt) is None
+    assert S.zstd_frame_decompress(rebuilt) is None
