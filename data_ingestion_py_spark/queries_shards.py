@@ -160,6 +160,26 @@ def q_corpus_jsonl_zst_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle — shards decode independently, the 100 TB shape."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     doc = F.col("doc_id")
+    content, total = _jsonl_content(doc)
+    payload_hex = F.concat(
+        F.lit(_ZSTD_MAGIC_HEX + "20"),
+        _le_hex(total, 1),
+        _le_hex(total * 8 + 1, 3),
+        F.hex(F.encode(content, "UTF-8")),
+    )
+    media = d.select(
+        doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return shards.jsonl_shard_manifest(media).select(
+        "media_id", "line_index", "line_bytes", "rec_id", "n_text_chars"
+    )
+
+
+def _jsonl_content(doc: Column) -> tuple[Column, Column]:
+    """The shared planted jsonl shard body: 3-6 REAL JSON records
+    ``{"id":"<doc>-<j>","text":"<c×L>"}`` with arithmetic shapes;
+    returns (content string, total byte length — ASCII so chars ==
+    bytes, < 256 per shard)."""
     k = (doc % 4 + 3).cast("int")
 
     def line(j: Column) -> Column:
@@ -178,19 +198,7 @@ def q_corpus_jsonl_zst_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.concat_ws(
         "", F.transform(F.sequence(F.lit(0), k - 1), line)
     )
-    total = F.length(content)  # ASCII: chars == bytes, < 256 per shard
-    payload_hex = F.concat(
-        F.lit(_ZSTD_MAGIC_HEX + "20"),
-        _le_hex(total, 1),
-        _le_hex(total * 8 + 1, 3),
-        F.hex(F.encode(content, "UTF-8")),
-    )
-    media = d.select(
-        doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
-    )
-    return shards.jsonl_shard_manifest(media).select(
-        "media_id", "line_index", "line_bytes", "rec_id", "n_text_chars"
-    )
+    return content, F.length(content)
 
 
 @register(
@@ -477,4 +485,53 @@ def q_corpus_zstd_entropy_records(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return shards.jsonl_shard_manifest(media).select(
         "media_id", "line_index", "line_bytes", "json_ok", "rec_id"
+    )
+
+
+@register(
+    "corpus_jsonl_lz4_lines",
+    """
+WITH recs AS (
+    SELECT doc_id,
+           unnest(generate_series(0, 2 + doc_id % 4)) AS j
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(j AS INT) AS line_index,
+       CAST(19 + length(CAST(doc_id AS VARCHAR)) + 1
+               + length(CAST(j AS VARCHAR))
+               + 5 + (doc_id + j * 5) % 11 AS INT) AS line_bytes,
+       CAST(doc_id AS VARCHAR) || '-' || CAST(j AS VARCHAR) AS rec_id,
+       CAST(5 + (doc_id + j * 5) % 11 AS INT) AS n_text_chars
+FROM recs
+""",
+    tags=("shards", "source", "lz4", "corpus"),
+)
+def q_corpus_jsonl_lz4_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_jsonl_zst_lines with the OTHER container — the
+    codec-agnostic intake claim in executable form: the IDENTICAL
+    planted jsonl records (same `_jsonl_content` fixture, same oracle
+    arithmetic) arrive as an LZ4 frame (FLG 0x60 with the REAL
+    verified XXH32 header-checksum byte, one stored block, EndMark)
+    instead of a zstd frame, and the same sniff-and-decompress reader
+    (`jsonl_shard_manifest` → `decompress_auto`) emits byte-identical
+    rows. A reader that special-cases one codec, mis-walks the LZ4
+    stored-block size word, or mis-plants the checksum emits zero or
+    shifted rows. One narrow Arrow stage, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    content, total = _jsonl_content(doc)
+    hc = (xxh32(bytes([0x60, 0x40])) >> 8) & 0xFF
+    payload_hex = F.concat(
+        F.lit(_LZ4_MAGIC_HEX + "6040" + format(hc, "02x")),
+        _le_hex(total, 3),
+        F.lit("80"),  # stored-block flag on the size word
+        F.hex(F.encode(content, "UTF-8")),
+        F.lit("00000000"),  # EndMark
+    )
+    media = d.select(
+        doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return shards.jsonl_shard_manifest(media).select(
+        "media_id", "line_index", "line_bytes", "rec_id", "n_text_chars"
     )
