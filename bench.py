@@ -30,6 +30,7 @@ behind the skew-mitigation machinery.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -40,6 +41,76 @@ from pathlib import Path
 _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+
+
+_PLANS_MANIFEST = os.path.join(_REPO, "bench_plans.json")
+
+
+def _plan_fingerprint(df) -> str:
+    """8-hex fingerprint of a query's INITIAL physical plan, normalized
+    for the run-to-run noise that is NOT plan identity: expression ids
+    (#123), plan/codegen/subquery/RDD ids, and temp paths all vary
+    between sessions on identical code; the operators, join strategies,
+    pushed filters, and exchange layout do not.
+
+    Purpose (r13, VERDICT task #1): BENCH_r12 recorded a 1.34× total
+    inflation the judge had to adjudicate as box contention by reading
+    git history — the artifact itself could not show "no plan change".
+    With per-query fingerprints checked against the committed
+    bench_plans.json manifest, the compact tail carries
+    ``plans_changed`` (names whose plan differs from the committed
+    hash), so identical-plan-slower-wall — the contention signature —
+    is distinguishable from a real plan regression from the artifact
+    alone."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+L?", "#x", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    s = re.sub(r"\[id=#?\d+\]", "[id=x]", s)
+    s = re.sub(r"RDD\[\d+\]", "RDD[x]", s)
+    s = re.sub(r"RDD at \S+", "RDD at x", s)
+    s = re.sub(r"/tmp/\S+", "/tmp/x", s)
+    return hashlib.md5(s.encode()).hexdigest()[:8]
+
+
+def _plans_overall(plan_fp: dict[str, str]) -> str:
+    joined = "|".join(f"{n}:{h}" for n, h in sorted(plan_fp.items()))
+    return hashlib.md5(joined.encode()).hexdigest()[:8]
+
+
+def _plans_vs_manifest(
+    plan_fp: dict[str, str], sf: float
+) -> tuple[list[str], bool]:
+    """(names whose plan hash differs from or is missing in the
+    committed manifest, manifest_comparable). Writes the manifest when
+    absent or when SPARK_GRAFT_WRITE_PLANS=1 (the builder commits it;
+    the driver's runs then only compare). A manifest recorded at a
+    different sf is not comparable (file statistics legitimately change
+    join strategies across scale factors)."""
+    rewrite = os.environ.get("SPARK_GRAFT_WRITE_PLANS") == "1"
+    manifest = None
+    if not rewrite and os.path.exists(_PLANS_MANIFEST):
+        try:
+            with open(_PLANS_MANIFEST) as f:
+                manifest = json.load(f)
+        except (OSError, ValueError):
+            manifest = None
+    if manifest is None or manifest.get("sf") != sf:
+        if manifest is None:
+            try:
+                with open(_PLANS_MANIFEST, "w") as f:
+                    json.dump(
+                        {"sf": sf, "plans": plan_fp}, f, indent=1,
+                        sort_keys=True,
+                    )
+                    f.write("\n")
+            except OSError:
+                pass
+        return [], False
+    committed = manifest.get("plans", {})
+    changed = sorted(
+        n for n, h in plan_fp.items() if committed.get(n) != h
+    )
+    return changed, True
 
 
 def main() -> None:
@@ -73,8 +144,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    plan_fp: dict[str, str] = {}
     for name, q in bench_queries.items():
         try:
+            plan_fp[name] = _plan_fingerprint(q.spark(spark, sf_dir))
 
             def _run(q=q):
                 q.spark(spark, sf_dir).write.mode("overwrite").format(
@@ -86,6 +159,7 @@ def main() -> None:
             spreads[name] = [st["min"], st["max"]]
         except Exception as exc:  # noqa: BLE001 — bench must survive anything
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    plans_changed, plans_comparable = _plans_vs_manifest(plan_fp, sf)
 
     probes: dict[str, dict] = {}
     for key, fn in (
@@ -123,6 +197,7 @@ def main() -> None:
         "unit": "sec",
         **probes,
         "queries_spread": spreads,
+        "plan_fp": plan_fp,
     }
     if errors:
         result["errors"] = errors
@@ -130,28 +205,54 @@ def main() -> None:
     result["queries"] = timings
     result["value"] = total
     print(json.dumps(result))
-    print(_compact_line(probes, errors, sf, timings, total))
+    print(
+        _compact_line(
+            probes, errors, sf, timings, total,
+            plan_fp, plans_changed, plans_comparable,
+        )
+    )
     spark.stop()
 
 
 def _compact_line(
-    probes: dict, errors: dict, sf: float, timings: dict, total: float
+    probes: dict,
+    errors: dict,
+    sf: float,
+    timings: dict,
+    total: float,
+    plan_fp: dict[str, str] | None = None,
+    plans_changed: list[str] | None = None,
+    plans_comparable: bool = False,
 ) -> str:
     """The FINAL stdout line — the one the driver's 2000-char tail is
     guaranteed to contain whole, so it must parse as JSON and carry
-    headline medians + total + one median scalar per probe. TOTAL size
-    guard (r12 — the r11 guard only shed probe medians, so the ≤1900
-    promise silently failed once enough bench queries existed): shed
-    the least-load-bearing probe medians (end of the priority order)
-    first, then error details (a count survives), then the FASTEST
-    per-query timings (a ``queries_dropped`` count survives — the slow
-    queries are the load-bearing ones); ``value`` (the total) is never
-    shed, so the headline number always lands in the driver artifact."""
+    headline medians + total + one median scalar per probe, PLUS the
+    r13 self-adjudication evidence: per-pair ratio lists for the slope
+    probes (``*_pairs`` — a stall poisons one visible pair, a real
+    regression moves them all) and the plan-fingerprint verdict vs the
+    committed bench_plans.json (``plans_hash`` over all per-query plan
+    hashes + ``plans_changed`` names). TOTAL size guard (r12 — the r11
+    guard only shed probe medians, so the ≤1900 promise silently failed
+    once enough bench queries existed), shed order rewritten r13 so
+    the adjudication evidence survives: the least-load-bearing
+    NON-pair probe medians (end of the priority order) first, then
+    error details (a count survives), then the FASTEST per-query
+    timings (a ``queries_dropped`` count survives — the slow queries
+    are the load-bearing ones), and only in desperation the protected
+    ``*_pairs`` evidence; ``value``/``plans_*`` are never shed."""
     compact = {
         "metric": "headline_queries_total_sec",
         "unit": "sec",
         "probe_medians": _probe_medians(probes),
     }
+    if plan_fp is not None:
+        compact["plans_hash"] = _plans_overall(plan_fp)
+        if plans_comparable:
+            compact["plans_changed"] = (plans_changed or [])[:8]
+            if plans_changed and len(plans_changed) > 8:
+                compact["plans_changed_n"] = len(plans_changed)
+        else:
+            compact["plans_baseline"] = "new"  # manifest just recorded
     if errors:
         compact["errors"] = {k: v[:80] for k, v in errors.items()}
     compact["sf"] = sf
@@ -165,6 +266,8 @@ def _compact_line(
     for victim in list(med)[::-1]:
         if _fits():
             break
+        if victim.endswith("_pairs"):
+            continue  # protected: the stall-vs-regression evidence
         del med[victim]
     if not _fits() and errors:
         compact["errors"] = {"count": len(errors)}
@@ -177,6 +280,10 @@ def _compact_line(
                 break
             del q[name]
             compact["queries_dropped"] += 1
+    for victim in list(med)[::-1]:  # desperation only
+        if _fits():
+            break
+        del med[victim]
     return json.dumps(compact)
 
 
@@ -190,9 +297,21 @@ _PROBE_HEADLINE_KEYS = {
     "pdf_kernel": ("pages_per_sec", "text_ok"),  # r12
     "jpeg_kernel": ("mpix_per_sec", "prog_mpix_per_sec"),  # r12
     "phash_kernel": ("speedup_x", "mpix_per_sec"),  # r11
-    "dedup_slope": ("slope",),
-    "iter_slope": ("pagerank_slope", "components_slope", "rank_slope"),
-    "manifest_slope": ("slope_med", "shards_per_sec_x4", "zip_slope_med"),
+    "dedup_slope": ("slope", "slope_pairs"),
+    "iter_slope": (
+        "pagerank_slope",
+        "components_slope",
+        "rank_slope",
+        "pagerank_slope_pairs",
+        "components_slope_pairs",
+        "rank_slope_pairs",
+    ),
+    "manifest_slope": (
+        "slope_med",
+        "shards_per_sec_x4",
+        "zip_slope_med",
+        "slope_pairs",
+    ),
     "streaming_drain": ("b10_rows_per_sec", "batch_overhead_sec", "rows_slope"),
     "band_index_probe": ("growth", "compaction_recovery"),
     "ivf_index_probe": ("growth", "compaction_recovery"),
@@ -205,16 +324,21 @@ _PROBE_HEADLINE_KEYS = {
 }
 
 
-def _probe_medians(probes: dict[str, dict]) -> dict[str, float]:
-    out: dict[str, float] = {}
+def _probe_medians(probes: dict[str, dict]) -> dict:
+    out: dict = {}
     for probe, keys in _PROBE_HEADLINE_KEYS.items():
         vals = probes.get(probe) or {}
         if "err" in vals:
             out[f"{probe}.err"] = 1
             continue
         for k in keys:
-            if k in vals and isinstance(vals[k], (int, float)):
-                out[f"{probe}.{k}"] = vals[k]
+            v = vals.get(k)
+            if isinstance(v, (int, float)) or (
+                k.endswith("_pairs")
+                and isinstance(v, list)
+                and all(isinstance(x, (int, float)) for x in v)
+            ):
+                out[f"{probe}.{k}"] = v
     return out
 
 

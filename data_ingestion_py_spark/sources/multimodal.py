@@ -488,8 +488,12 @@ def decode_tiff_array(
             raw = bytes(out)
         if len(raw) < need:
             return None
-        if predictor == 2 and comp != 1:
-            # horizontal differencing: undo per row, per channel lane
+        if predictor == 2:
+            # horizontal differencing: undo per row, per channel lane.
+            # Applied regardless of compression — Predictor=2 on an
+            # UNCOMPRESSED strip is legal (if unusual) per TIFF 6.0
+            # §14, and skipping the inverse there emitted differenced
+            # bytes as pixels (advisor finding, r12).
             rows = np.frombuffer(
                 bytes(raw[:need]), dtype=np.uint8
             ).reshape(rows_this, w, spp)

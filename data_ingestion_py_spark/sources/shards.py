@@ -293,7 +293,7 @@ def lz4_block_decompress(
 
 def lz4_frames(
     payload: bytes | None,
-    max_frames: int = 64,
+    max_frames: int | None = None,
 ) -> list[tuple[int, int, int | None, int, bool, bool]] | None:
     """Walk concatenated LZ4 frames into ``[(offset, comp_size,
     content_size, n_blocks, block_independent, has_content_checksum),
@@ -317,7 +317,7 @@ def lz4_frames(
         return None
     out: list[tuple[int, int, int | None, int, bool, bool]] = []
     i = 0
-    while i + 4 <= n and len(out) < max_frames:
+    while i + 4 <= n and (max_frames is None or len(out) < max_frames):
         magic = u32(i)
         if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
             if i + 8 > n or i + 8 + u32(i + 4) > n:
@@ -472,7 +472,7 @@ ZSTD_FRAME_MAGIC = 0xFD2FB528
 
 def zstd_frames(
     payload: bytes | None,
-    max_frames: int = 64,
+    max_frames: int | None = None,
 ) -> list[tuple[int, int, int | None, str, int, bool]] | None:
     """Walk concatenated zstd frames into ``[(offset, comp_size,
     content_size, kind, n_blocks, has_checksum), ...]`` WITHOUT
@@ -498,7 +498,7 @@ def zstd_frames(
         return None
     out: list[tuple[int, int, int | None, str, int, bool]] = []
     i = 0
-    while i + 4 <= n and len(out) < max_frames:
+    while i + 4 <= n and (max_frames is None or len(out) < max_frames):
         magic = u32(i)
         if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
             if i + 8 > n or i + 8 + u32(i + 4) > n:
@@ -653,10 +653,16 @@ def zstd_decompress_all(
     """Concatenated-frame decompress (skippable frames contribute
     nothing) — how a ``.jsonl.zst`` shard regenerates. Any undecodable
     frame fails the whole shard (ingestion must not silently drop a
-    frame's worth of documents)."""
+    frame's worth of documents). The frame walk is UNCAPPED (a pzstd /
+    frame-per-chunk shard routinely holds hundreds of frames) and must
+    cover the whole payload — a torn tail or mid-shard corruption fails
+    the shard rather than returning a silent prefix."""
     frames = zstd_frames(payload)
     if frames is None or payload is None:
         return None
+    last_off, last_comp = frames[-1][0], frames[-1][1]
+    if last_off + last_comp != len(payload):
+        return None  # walk stopped early: never ship a prefix as success
     out = bytearray()
     for off, _comp, _cs, kind, _nb, _ck in frames:
         if kind == "skippable":
@@ -694,8 +700,22 @@ def sniff_compression(payload: bytes | None) -> str | None:
         if magic == LZ4_FRAME_MAGIC:
             return "lz4"
         if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
-            # skippable frames are shared by both; zstd walk handles them
-            return "zstd"
+            # Skippable frames are shared by zstd AND lz4: peek past
+            # them to the first non-skippable magic before choosing a
+            # walker (a skippable-then-LZ4 shard routed to the zstd
+            # walker would truncate at the LZ4 magic and ship b"").
+            i = 0
+            n = len(payload)
+            while i + 8 <= n:
+                m = int.from_bytes(payload[i : i + 4], "little")
+                if not (_SKIPPABLE_LO <= m <= _SKIPPABLE_HI):
+                    break
+                i += 8 + int.from_bytes(payload[i + 4 : i + 8], "little")
+            if i + 4 <= n:
+                m = int.from_bytes(payload[i : i + 4], "little")
+                if m == LZ4_FRAME_MAGIC:
+                    return "lz4"
+            return "zstd"  # all-skippable or zstd follower: zstd walk
     return "raw"
 
 
@@ -753,6 +773,8 @@ def decompress_auto(
     frames = lz4_frames(payload)
     if frames is None:
         return None
+    if frames[-1][0] + frames[-1][1] != len(payload):
+        return None  # walk stopped early: never ship a prefix as success
     out = bytearray()
     for off, _comp, _cs, nb, _ind, _cc in frames:
         if nb == 0:
@@ -768,28 +790,37 @@ def decompress_auto(
 
 def shard_text_lines(
     payload: bytes | None,
-    max_lines: int = 4096,
+    max_lines: int = 1 << 20,
     max_content_bytes: int = 1 << 26,
 ) -> list[bytes] | None:
     """Decompress a text shard and split records on ``\\n`` (the jsonl
     framing; a trailing newline does not produce an empty record).
-    Returns at most ``max_lines`` lines; undecodable shards → None."""
+    Undecodable shards → None. A shard holding MORE than ``max_lines``
+    records also returns None — ingestion must never silently drop the
+    tail of a shard (the default of 2^20 lines is above any real
+    Dolma/Pile shard at the 2^26-byte content bound; raise it alongside
+    ``max_content_bytes`` for bigger shards)."""
     data = decompress_auto(payload, max_content_bytes)
     if data is None:
         return None
     lines = data.split(b"\n")
     if lines and lines[-1] == b"":
         lines.pop()
-    return lines[:max_lines]
+    return lines if len(lines) <= max_lines else None
 
 
-def jsonl_shard_manifest(media: "DataFrame", max_lines: int = 4096) -> "DataFrame":
+def jsonl_shard_manifest(
+    media: "DataFrame", max_lines: int = 1 << 20
+) -> "DataFrame":
     """(media_id, payload) → one row per record of a compressed jsonl
     shard via Arrow ``mapInPandas``: (media_id, line_index, line_bytes,
     json_ok, rec_id, n_text_chars) — ``rec_id``/``n_text_chars`` parsed
     from the record's ``id``/``text`` fields when the line is JSON (the
     Dolma/Pile layout), nulls when it isn't. Narrow stage, no shuffle;
-    undecodable shards emit no rows (the walk never guesses)."""
+    undecodable shards emit no rows (the walk never guesses), and a
+    shard exceeding ``max_lines`` records ALSO emits no rows rather
+    than a silently-truncated prefix (``shard_text_lines`` returns None
+    above the cap) — downstream counts are never quietly short."""
     import json
 
     import pandas as pd
@@ -895,9 +926,15 @@ def compressed_tar_manifest(
     return media.mapInPandas(_go, schema=CTAR_MEMBER_SCHEMA)
 
 
-def zstd_frame_manifest(media: "DataFrame", max_frames: int = 64) -> "DataFrame":
+def zstd_frame_manifest(
+    media: "DataFrame", max_frames: int = 65536
+) -> "DataFrame":
     """(media_id, payload) → one row per zstd frame (byte-range split
-    plan) via Arrow ``mapInPandas``. Narrow stage, no shuffle."""
+    plan) via Arrow ``mapInPandas``. Narrow stage, no shuffle.
+    ``max_frames`` bounds per-shard output rows; a real pzstd shard is
+    hundreds of frames, so the default is sized never to bite in
+    practice — pass a smaller cap only for preview-style views where
+    truncation is acceptable and visible to the caller."""
     import pandas as pd
 
     def _go(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

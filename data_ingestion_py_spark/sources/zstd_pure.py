@@ -360,13 +360,26 @@ class _HufTable:
             return None
         out = bytearray()
         log = self.log
+        val = bits.val
+        mask = (1 << log) - 1
+        pos = bits.pos
         while len(out) < n_out:
-            got, _done = bits.read_flush(log)
-            # peek semantics: we consumed `log`, give back log-nbits
+            # True peek: never mutate the cursor while looking up the
+            # table slot.  Near the stream tail (pos < log) the spec
+            # pads LOW with zeros for the lookup, but the cursor must
+            # advance by exactly nbits from the ORIGINAL position —
+            # the old read_flush-then-restore dance zeroed pos first
+            # and re-read already-consumed bits (advisor-verified
+            # corruption on ~10% of skewed level-19 frames).
+            if pos >= log:
+                got = (val >> (pos - log)) & mask
+            elif pos > 0:
+                got = (val & ((1 << pos) - 1)) << (log - pos)
+            else:
+                got = 0
             s = self.sym[got]
-            nb = self.nbits[got]
-            bits.pos += log - nb
-            if bits.pos < 0:
+            pos -= self.nbits[got]
+            if pos < 0:
                 return None  # consumed past the start: corrupt
             out.append(s)
         return bytes(out)

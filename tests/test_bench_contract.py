@@ -127,3 +127,107 @@ def test_paired_slope_median_of_ratios_discards_one_stalled_pair():
     assert 30.0 in ps["ratios"]  # but the poisoned pair stays visible
     assert ps["small"]["med"] == 0.1
     assert ps["big"]["min"] == 0.2
+
+
+def test_compact_line_carries_and_protects_slope_pairs():
+    """r13 (VERDICT task #1): per-pair slope ratios must land in the
+    compact tail and survive shedding AHEAD of per-query timings —
+    BENCH_r12 shipped dedup_slope 12.55 with no way to tell stall from
+    regression because the tail carried medians only."""
+    probes = dict(_fake_probes())
+    probes["dedup_slope"] = {
+        "slope": 2.63,
+        "slope_pairs": [2.43, 2.63, 2.84],
+    }
+    probes["manifest_slope"]["slope_pairs"] = [1.4, 1.5, 1.6]
+    probes["iter_slope"]["pagerank_slope_pairs"] = [1.8, 1.9, 2.0]
+    timings = {f"query_{i:02d}": round(0.5 + i * 0.037, 3) for i in range(40)}
+    line = bench._compact_line(probes, {}, 0.1, timings, 38.4)
+    assert len(line) <= 1900
+    d = json.loads(line)
+    assert d["probe_medians"]["dedup_slope.slope_pairs"] == [2.43, 2.63, 2.84]
+    # under pressure (200 queries) the pairs still survive; queries shed
+    big = {
+        f"an_extremely_long_query_name_{i:03d}": round(0.1 + i * 0.01, 3)
+        for i in range(200)
+    }
+    line2 = bench._compact_line(probes, {}, 0.1, big, 123.4)
+    assert len(line2) <= 1900
+    d2 = json.loads(line2)
+    assert d2["probe_medians"]["dedup_slope.slope_pairs"] == [2.43, 2.63, 2.84]
+    assert d2.get("queries_dropped", 0) > 0
+
+
+def test_compact_line_plan_fingerprint_verdict(tmp_path, monkeypatch):
+    """The artifact must self-certify "no plan change": plans_hash over
+    every per-query plan hash + plans_changed vs the committed
+    bench_plans.json manifest."""
+    monkeypatch.setattr(bench, "_PLANS_MANIFEST", str(tmp_path / "bp.json"))
+    fp = {"q1": "aaaa1111", "q6": "bbbb2222"}
+    # first run: no manifest → it is recorded, comparison not claimed
+    changed, comparable = bench._plans_vs_manifest(fp, 0.1)
+    assert changed == [] and comparable is False
+    line = bench._compact_line(
+        _fake_probes(), {}, 0.1, {"q1": 0.5}, 0.5, fp, changed, comparable
+    )
+    d = json.loads(line)
+    assert d["plans_baseline"] == "new"
+    assert d["plans_hash"] == bench._plans_overall(fp)
+    # second run, same plans → comparable, nothing changed
+    changed, comparable = bench._plans_vs_manifest(fp, 0.1)
+    assert changed == [] and comparable is True
+    d2 = json.loads(
+        bench._compact_line(
+            _fake_probes(), {}, 0.1, {"q1": 0.5}, 0.5, fp, changed, comparable
+        )
+    )
+    assert d2["plans_changed"] == []
+    # a plan change and a new query are both named
+    fp2 = {"q1": "aaaa1111", "q6": "cccc3333", "q9": "dddd4444"}
+    changed, comparable = bench._plans_vs_manifest(fp2, 0.1)
+    assert comparable is True and changed == ["q6", "q9"]
+    # manifest recorded at another sf is not comparable
+    changed, comparable = bench._plans_vs_manifest(fp, 0.01)
+    assert comparable is False
+
+
+def test_plan_fingerprint_normalizes_session_noise():
+    class FakeQE:
+        def __init__(self, s):
+            self.s = s
+
+        def executedPlan(self):
+            class P:
+                def __init__(self, s):
+                    self._s = s
+
+                def toString(self):
+                    return self._s
+
+            return P(self.s)
+
+    class FakeJdf:
+        def __init__(self, s):
+            self._qe = FakeQE(s)
+
+        def queryExecution(self):
+            return self._qe
+
+    class FakeDF:
+        def __init__(self, s):
+            self._jdf = FakeJdf(s)
+
+    a = FakeDF(
+        "Exchange hashpartitioning(x#123L, 32), plan_id=17\n"
+        "  Scan parquet [x#123L] Batched: true, RDD[42] [id=#9]"
+    )
+    b = FakeDF(
+        "Exchange hashpartitioning(x#9876L, 32), plan_id=3\n"
+        "  Scan parquet [x#9876L] Batched: true, RDD[7] [id=#2]"
+    )
+    c = FakeDF(
+        "Exchange rangepartitioning(x#123L, 32), plan_id=17\n"
+        "  Scan parquet [x#123L] Batched: true, RDD[42] [id=#9]"
+    )
+    assert bench._plan_fingerprint(a) == bench._plan_fingerprint(b)
+    assert bench._plan_fingerprint(a) != bench._plan_fingerprint(c)

@@ -393,3 +393,59 @@ def test_lz4_block_manifest_dataframe(spark):
             piece = S.lz4_block_decompress(piece, prefix=data[-65536:])
         data += piece
     assert data == orig
+
+
+def test_multi_frame_shard_never_truncates():
+    """r13 advisor regression: a 70-frame concatenated shard (the
+    pzstd / frame-per-chunk shape) used to hit the old max_frames=64
+    walk cap and return 64 frames' content AS SUCCESS. The walks are
+    now uncapped by default; all 70 records come back, for zstd and
+    LZ4 alike."""
+    zc = pa.Codec("zstd")
+    lc = pa.Codec("lz4")
+    recs = [b'{"id":%d,"text":"rec"}' % i for i in range(70)]
+    zpay = b"".join(bytes(zc.compress(r + b"\n")) for r in recs)
+    lpay = b"".join(bytes(lc.compress(r + b"\n")) for r in recs)
+    assert len(S.zstd_frames(zpay)) == 70
+    assert len(S.lz4_frames(lpay)) == 70
+    assert S.shard_text_lines(zpay) == recs
+    assert S.shard_text_lines(lpay) == recs
+    assert S.zstd_frames(zpay, max_frames=8) is not None  # plan views may cap
+
+
+def test_decompress_all_refuses_partial_walk():
+    """A shard whose frame walk stops early (torn tail / garbage after
+    a valid frame) must fail the WHOLE shard — returning the verified
+    prefix as success silently drops documents."""
+    zc = pa.Codec("zstd")
+    good = bytes(zc.compress(b"l1\nl2\n"))
+    assert S.zstd_decompress_all(good + b"\xfdgarbage") is None
+    assert S.zstd_decompress_all(good + good[: len(good) // 2]) is None
+    lgood = bytes(pa.Codec("lz4").compress(b"l1\nl2\n"))
+    assert S.decompress_auto(lgood + lgood[:6]) is None
+
+
+def test_sniff_skippable_first_frame_routes_by_follower():
+    """r13 advisor regression: a shard whose FIRST frame is skippable
+    (magic 0x184D2A5x — shared by zstd and LZ4) must be routed by the
+    first NON-skippable magic; routing skippable+LZ4 to the zstd
+    walker used to drop the whole shard's content as an empty
+    success."""
+    skip = (0x184D2A50).to_bytes(4, "little") + (4).to_bytes(4, "little") + b"meta"
+    lz = bytes(pa.Codec("lz4").compress(b"l1\nl2\n"))
+    zs = bytes(pa.Codec("zstd").compress(b"l1\nl2\n"))
+    assert S.sniff_compression(skip + lz) == "lz4"
+    assert S.sniff_compression(skip + zs) == "zstd"
+    assert S.sniff_compression(skip + skip + lz) == "lz4"
+    assert S.sniff_compression(skip) == "zstd"  # all-skippable: empty ok
+    assert S.decompress_auto(skip + lz) == b"l1\nl2\n"
+    assert S.decompress_auto(skip + zs) == b"l1\nl2\n"
+    assert S.decompress_auto(skip) == b""
+
+
+def test_shard_text_lines_over_cap_fails_not_truncates():
+    """A shard holding more records than max_lines returns None (never
+    a silently-truncated prefix)."""
+    payload = bytes(pa.Codec("zstd").compress(b"x\n" * 100))
+    assert S.shard_text_lines(payload, max_lines=99) is None
+    assert len(S.shard_text_lines(payload, max_lines=100)) == 100

@@ -3049,3 +3049,21 @@ def test_png_decode_low_and_high_depths():
     assert decode_png_array(png(w, h, 1, 0, raw, interlace=1)) is None
     # depth 2 RGB is not legal PNG: None
     assert decode_png_array(png(w, h, 2, 2, raw)) is None
+
+
+def test_tiff_predictor2_on_uncompressed_strip():
+    """r13 advisor regression: Predictor=2 on an UNCOMPRESSED strip is
+    legal (if unusual) per TIFF 6.0 §14 — the differencing inverse
+    used to be skipped when comp == 1, emitting differenced bytes as
+    pixels."""
+    from data_ingestion_py_spark.sources.multimodal import decode_tiff_array
+
+    w, h = 11, 5
+    raster = bytes((r * 29 + c * 13) % 256 for r in range(h) for c in range(w))
+    diffed = bytearray(raster)
+    for r in range(h):
+        for c in range(w - 1, 0, -1):
+            diffed[r * w + c] = (raster[r * w + c] - raster[r * w + c - 1]) % 256
+    tif = _tiff_bytes("II", w, h, 1, [bytes(diffed)], comp=1, predictor=2)
+    got = decode_tiff_array(tif)
+    assert got is not None and bytes(got[2]) == raster
