@@ -108,7 +108,8 @@ def _plans_vs_manifest(
         return [], False
     committed = manifest.get("plans", {})
     changed = sorted(
-        n for n, h in plan_fp.items() if committed.get(n) != h
+        {n for n, h in plan_fp.items() if committed.get(n) != h}
+        | {n for n in committed if n not in plan_fp}
     )
     return changed, True
 
@@ -147,7 +148,10 @@ def main() -> None:
     plan_fp: dict[str, str] = {}
     for name, q in bench_queries.items():
         try:
-            plan_fp[name] = _plan_fingerprint(q.spark(spark, sf_dir))
+            try:
+                plan_fp[name] = _plan_fingerprint(q.spark(spark, sf_dir))
+            except Exception:  # noqa: BLE001 — fingerprint is advisory
+                pass  # timing still runs; the name shows in plans_changed
 
             def _run(q=q):
                 q.spark(spark, sf_dir).write.mode("overwrite").format(
