@@ -104,14 +104,33 @@ def _farthest_first_seeds(vq: DataFrame, k: int) -> list[list[float]]:
     in the DuckDB oracle."""
     first = vq.orderBy("vec_id").limit(1).collect()[0]
     seeds: list[list[float]] = [list(first.v)]
-    vv = dot(F.col("v"), F.col("v"))
+
+    # The whole per-round min-distance expression is built as ONE SQL
+    # string (r13): the Column-API form issued ~65 py4j round-trips
+    # per seed literal (64 F.lit + F.array), ~0.55 s of driver time
+    # just CONSTRUCTING round 7's expression at dim 64 — pure fixed
+    # overhead that the unrolled-iterative family pays per query
+    # build. One F.expr call is plan-identical (same zip_with/
+    # aggregate fold, same literal doubles via repr's exact shortest
+    # round-trip) so the DuckDB oracle replay is unchanged.
+    def _term(sv: list[float]) -> str:
+        lit = "array(" + ",".join(repr(float(x)) + "D" for x in sv) + ")"
+        ss = repr(float(sum(x * x for x in sv)))  # exact: ints < 2^53
+        return (
+            "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x)"
+            f" - 2 * aggregate(zip_with(v, {lit}, (x, y) -> x * y),"
+            " 0.0D, (acc, x) -> acc + x)"
+            f" + {ss}D"
+        )
+
     for _ in range(1, k):
-        terms = []
-        for sv in seeds:
-            lit_s = F.array(*[F.lit(float(x)) for x in sv])
-            ss = float(sum(x * x for x in sv))  # exact: ints < 2^53
-            terms.append(vv - 2 * dot(F.col("v"), lit_s) + F.lit(ss))
-        mind2 = F.least(*terms) if len(terms) > 1 else terms[0]
+        terms = [_term(sv) for sv in seeds]
+        mind2 = (
+            F.expr(f"least({', '.join(terms)})")
+            if len(terms) > 1
+            else F.expr(terms[0])
+        )
         nxt = (
             vq.select("vec_id", "v", mind2.alias("_d"))
             .orderBy(F.desc("_d"), F.asc("vec_id"))

@@ -629,6 +629,10 @@ ORDER BY cosine_sim DESC, a.vec_id
 LIMIT {_K}
 """,
         tags=("similarity", "clustering", "iterative"),
+        # bench=True (r13): the unrolled-iterative family's worst fixed
+        # plan overhead (VERDICT r12 measured 17 s at sf0.01 outside the
+        # bench set) now has a standing driver number.
+        bench=True,
     )
     def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         """IVF ANN with LEARNED clusters, end-to-end under one hash
