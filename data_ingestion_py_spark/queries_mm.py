@@ -4105,3 +4105,354 @@ def q_multimodal_tiff_lzw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
     )
     return mm.pixel_checksums(media)
+
+
+# --------------------------------------------------------------- scanned PDFs
+
+
+def _scanned_pdf_parts(w: int, h: int, jpeg_len: int) -> tuple[str, str]:
+    """(prefix_hex, suffix_hex) of the planted one-page scanned PDF
+    around its JPEG bytes: catalog → pages → one page whose /Contents
+    paints /Im0 and says NOTHING in text operators (so the P9
+    empty-text predicate fires, exactly the reference's OCR trigger,
+    data_ingestion.py:136-143), plus the image XObject header with
+    /Filter /DCTDecode. Every /Length is a plan-time constant."""
+    c4 = f"q {w} 0 0 {h} 0 0 cm /Im0 Do Q"
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += (
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+        "<< /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+    )
+    pre += f"4 0 obj\n<< /Length {len(c4)} >>\nstream\n{c4}\nendstream\nendobj\n"
+    pre += (
+        f"5 0 obj\n<< /Type /XObject /Subtype /Image /Width {w} "
+        f"/Height {h} /ColorSpace /DeviceGray /BitsPerComponent 8 "
+        f"/Filter /DCTDecode /Length {jpeg_len} >>\nstream\n"
+    )
+    suf = (
+        "\nendstream\nendobj\ntrailer\n"
+        "<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+    return pre.encode().hex().upper(), suf.encode().hex().upper()
+
+
+@register(
+    "pdf_dct_image_extract",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id, doc_id AS seed FROM documents
+), d AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 3),
+               b -> CASE WHEN b % 2 = 0
+                         THEN 32 + (seed * 13 + b * 7) % 32
+                         ELSE -(32 + (seed * 13 + b * 7) % 32) END) AS diffs
+    FROM g
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(1, 4),
+               b -> 128 + list_sum(diffs[1:b])) AS bp
+    FROM d
+)
+SELECT media_id, 1 AS page_number, 0 AS image_index, 'jpeg' AS kind,
+       16 AS width, 16 AS height,
+       CAST(64 * list_sum(bp) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 255),
+            k -> (k + 1) * bp[(k // 128) * 2 + ((k % 16) // 8) + 1]))
+            AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("S2", "pdf", "multimodal", "decode"),
+)
+def q_pdf_dct_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/DCTDecode XObject extraction through the in-container JPEG
+    kernel (r13, VERDICT task #4) — the reference's scanned-page image
+    access (data_ingestion.py:148-155) extras-free: each doc plants a
+    COMPLETE one-page scanned PDF whose image XObject stream is the
+    multimodal_jpeg_decode DC-only baseline JPEG (16×16 gray, four
+    flat blocks, per-doc 40-bit entropy stream). The pure-byte PDF
+    parser walks catalog → page → /Resources → /XObject, applies the
+    filter chain UP TO the terminal /DCTDecode (pdf_pure.image_stream),
+    and ships the JPEG bytes out of sources/pdf.extract_image_xobjects;
+    pixel_checksums then decodes them with decode_jpeg_array. The
+    oracle recomputes the four flat blocks arithmetically and never
+    sees a byte — a wrong stream boundary, filter-chain slip, or
+    XObject walk bug mismatches the position-weighted checksum. Two
+    narrow Arrow stages + one broadcast-sized join, no wide shuffle."""
+    from data_ingestion_py_spark.sources import pdf as pdf_src
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    seed = F.col("doc_id")
+
+    def mag(b: int):
+        return F.lit(32) + F.pmod(seed * 13 + b * 7, F.lit(32))
+
+    block_bits = []
+    for b in range(4):
+        bits6 = mag(b) if b % 2 == 0 else F.lit(63) - mag(b)
+        block_bits.append(F.lit(0b110 << 7) + bits6 * 2)
+    v40 = (
+        block_bits[0].cast("long") * F.lit(1 << 30)
+        + block_bits[1].cast("long") * F.lit(1 << 20)
+        + block_bits[2].cast("long") * F.lit(1 << 10)
+        + block_bits[3].cast("long")
+    )
+    jpeg_hex = F.concat(
+        F.lit(_jpeg_dc_header_hex()),
+        F.lpad(F.hex(v40), 10, "0"),
+        F.lit("FFD9"),
+    )
+    jpeg_len = len(_jpeg_dc_header_hex()) // 2 + 5 + 2
+    pre, suf = _scanned_pdf_parts(16, 16, jpeg_len)
+    binary = d.select(
+        F.concat(
+            F.lit("mem://scan-"), seed.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(F.concat(F.lit(pre), jpeg_hex, F.lit(suf))).alias("content"),
+    )
+    imgs = pdf_src.extract_image_xobjects(binary).select(
+        F.regexp_extract("document_name", r"scan-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "image_index",
+        "kind",
+        F.col("data").alias("payload"),
+    )
+    checks = mm.pixel_checksums(
+        imgs.select("media_id", "payload")
+    )
+    return imgs.select(
+        "media_id", "page_number", "image_index", "kind"
+    ).join(checks, "media_id")
+
+
+def _scan_jpeg_header_hex(w: int, h: int) -> str:
+    """Constant marker prefix of the planted GLYPH-GRID scanned-page
+    JPEGs: the _jpeg_dc_header_hex table set (Q00=8, cat-7 DC code
+    1110, 1-bit AC EOB) at w×h gray with a DRI=1 segment — restart
+    markers reset DC prediction every MCU, so each 8×8 block is one of
+    exactly TWO byte-aligned 2-byte constants (dark dc −96 → pixel 32:
+    E3EF; light dc +96 → pixel 224: EC0F) and the whole entropy stream
+    is column-algebra-composable per glyph bit."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00"
+    out += bytes([8] + [16] * 63)
+    out += (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    out += b"\xff\xc4" + (27).to_bytes(2, "big") + b"\x00"
+    out += bytes([0, 0, 7, 1] + [0] * 12) + bytes(range(8))
+    out += b"\xff\xc4" + (20).to_bytes(2, "big") + b"\x10"
+    out += bytes([1] + [0] * 15) + bytes([0])
+    out += b"\xff\xdd" + (4).to_bytes(2, "big") + (1).to_bytes(2, "big")
+    out += b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0, 0, 63, 0])
+    return out.hex().upper()
+
+
+@register(
+    "pdf_scanned_text_extract",
+    """
+SELECT doc_id AS media_id,
+       1 AS page_number,
+       lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') AS page_text,
+       TRUE AS needs_ocr,
+       'ocr-lite' AS extractor,
+       1 AS snippet_id,
+       lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0') AS snippet_text
+FROM documents
+""",
+    tags=("S2", "pdf", "ocr"),
+)
+def q_pdf_scanned_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SECOND entry point — scanned-PDF OCR
+    (data_ingestion.py:136-168) — end-to-end extras-free (r13, VERDICT
+    task #5): each doc plants a one-page PDF with NO text operators and
+    one /DCTDecode image XObject whose JPEG paints the document id's
+    five digits in the house bitmap font (3×2 cells of 8×8 flat
+    blocks per glyph, restart markers resetting DC prediction so every
+    block is one of two 2-byte constants). extract_pages finds zero
+    text (the P9 predicate), falls into the OCR branch, and — with no
+    pytesseract in the container — runs OCR-lite: XObject walk →
+    filter chain → JPEG kernel decode → strict glyph-grid match
+    (sources/ocr_pure). The recovered text then runs through the REAL
+    snippetize operator (T2), closing scanned PDF → raster → text →
+    snippets. The oracle recomputes the expected digits arithmetically
+    and never sees a byte: one wrong Huffman bit, restart slip, block
+    placement, threshold, or glyph template mismatches the row. One
+    narrow Arrow stage + the snippetize explode, no wide shuffle."""
+    from data_ingestion_py_spark.operators.snippetize import snippetize
+    from data_ingestion_py_spark.sources import pdf as pdf_src
+    from data_ingestion_py_spark.sources.ocr_pure import DIGIT_TEMPLATES
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    d5 = F.lpad(F.pmod(doc, F.lit(100000)).cast("string"), 5, "0")
+    bw, bh = 10, 3  # blocks: 5 glyphs × 2 cols, 3 rows
+    hdr = _scan_jpeg_header_hex(bw * 8, bh * 8)
+    parts: list = [F.lit(hdr)]
+    n = bw * bh
+    for i in range(n):
+        r, c = divmod(i, bw)
+        g, gc = divmod(c, 2)
+        digit = F.substring(d5, g + 1, 1).cast("int")
+        cells = F.array(
+            *[
+                F.lit("E3EF" if DIGIT_TEMPLATES[str(t)][r][gc] else "EC0F")
+                for t in range(10)
+            ]
+        )
+        parts.append(F.element_at(cells, digit + 1))
+        if i != n - 1:
+            parts.append(F.lit(f"FFD{i % 8:X}"))
+    parts.append(F.lit("FFD9"))
+    jpeg_hex = F.concat(*parts)
+    jpeg_len = len(hdr) // 2 + n * 2 + (n - 1) * 2 + 2
+    pre, suf = _scanned_pdf_parts(bw * 8, bh * 8, jpeg_len)
+    binary = d.select(
+        F.concat(
+            F.lit("mem://scan-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(F.concat(F.lit(pre), jpeg_hex, F.lit(suf))).alias("content"),
+    )
+    pages = pdf_src.extract_pages(binary).select(
+        F.regexp_extract("document_name", r"scan-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+        "needs_ocr",
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )
+    return snippetize(
+        pages,
+        text_col="page_text",
+        id_cols=("media_id", "page_number"),
+        carry_cols=("page_text", "needs_ocr", "extractor"),
+    )
+
+
+@register(
+    "multimodal_mp4_mjpeg_frames",
+    """
+WITH vids AS (
+    SELECT doc_id AS media_id, doc_id AS seed,
+           (doc_id % 9 + 1) * 100 AS ts,
+           (doc_id % 10 + 1) * 100 AS d1
+    FROM documents WHERE doc_id % 3 = 2
+), fr AS (
+    SELECT media_id, seed, ts, d1, unnest([0, 1]) AS f FROM vids
+), d AS (
+    SELECT media_id, f, ts, d1,
+           list_transform(generate_series(0, 3),
+               b -> CASE WHEN b % 2 = 0
+                         THEN 32 + (seed * 13 + b * 7 + f * 5) % 32
+                         ELSE -(32 + (seed * 13 + b * 7 + f * 5) % 32)
+                    END) AS diffs
+    FROM fr
+), px AS (
+    SELECT media_id, f, ts, d1,
+           list_transform(generate_series(1, 4),
+               b -> 128 + list_sum(diffs[1:b])) AS bp
+    FROM d
+)
+SELECT media_id,
+       CAST(f AS INT) AS frame_index,
+       CAST(f * d1 * 1000 // ts AS BIGINT) AS dts_ms,
+       16 AS width, 16 AS height,
+       CAST(64 * list_sum(bp) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 255),
+            k -> (k + 1) * bp[(k // 128) * 2 + ((k % 16) // 8) + 1]))
+            AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "video", "jpeg"),
+)
+def q_multimodal_mp4_mjpeg_frames(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL Motion-JPEG decode inside the ISO-BMFF container (r13,
+    VERDICT stretch #8 — composing r12's two halves): complete valid
+    MP4s are built in column algebra — ftyp, moov→trak→mdia with a
+    doc-varying mdhd timescale, an stbl whose stts run covers two
+    samples at a doc-varying delta, UNIFORM stsz (the branch the
+    multimodal_mp4_samples fixture's per-sample list never hits), one
+    stsc chunk run, an stco entry pointing into the mdat — and an mdat
+    holding two complete DC-only baseline JPEGs of the
+    multimodal_jpeg_decode family (frame index folded into the DC
+    diffs). decode_mp4_mjpeg_frames plans each frame's byte range from
+    the sample table and decodes it through the in-container
+    Huffman+IDCT kernel; frames re-encode as valid PGM and round-trip
+    through the netpbm decoder for position-weighted checksums. The
+    oracle recomputes the sample geometry (dts in ms, floor division
+    by the timescale) AND the flat-block pixels arithmetically — a
+    wrong stco base, uniform-stsz misread, or any JPEG-kernel slip
+    hash-mismatches. 1 media row → 2 frame rows, two chained Arrow
+    stages + one derived-key join, no wide shuffle. This shrinks the
+    ffmpeg seam to true inter-frame codecs."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    corpus = d.select(
+        F.col("doc_id").alias("media_id"), F.col("doc_id").alias("seed")
+    )
+    seed = F.col("seed")
+    be4 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    ts = (seed % 9 + 1) * 100
+    d1 = (seed % 10 + 1) * 100
+
+    def ent_hex(f: int):
+        # 40-bit entropy stream of frame f (the AVI-MJPEG formula)
+        block_bits = []
+        for b in range(4):
+            m = F.lit(32) + F.pmod(seed * 13 + b * 7 + f * 5, F.lit(32))
+            bits6 = m if b % 2 == 0 else F.lit(63) - m
+            block_bits.append(F.lit(0b110 << 7) + bits6 * 2)
+        v40 = (
+            block_bits[0].cast("long") * F.lit(1 << 30)
+            + block_bits[1].cast("long") * F.lit(1 << 20)
+            + block_bits[2].cast("long") * F.lit(1 << 10)
+            + block_bits[3].cast("long")
+        )
+        return F.lpad(F.hex(v40), 10, "0")
+
+    jpeg_len = len(_jpeg_dc_header_hex()) // 2 + 5 + 2  # 152
+    base = 16 + 164 + 8  # ftyp + moov + mdat header
+    mp4_hex = F.concat(
+        F.lit("000000106674797069736F6D00000000"),      # ftyp isom
+        F.lit("000000A46D6F6F76"),                      # moov (164)
+        F.lit("0000009C7472616B"),                      # trak (156)
+        F.lit("000000946D646961"),                      # mdia (148)
+        F.lit("000000206D646864" + "00000000" * 3),     # mdhd v0
+        be4(ts), F.lit("00000000" * 2),                 # timescale, dur/lang
+        F.lit("0000006C6D696E66"),                      # minf (108)
+        F.lit("000000647374626C"),                      # stbl (100)
+        F.lit("0000001873747473" + "00000000"), be4(F.lit(1)),   # stts
+        be4(F.lit(2)), be4(d1),
+        F.lit("000000147374737A" + "00000000"),         # stsz UNIFORM
+        be4(F.lit(jpeg_len)), be4(F.lit(2)),
+        F.lit("0000001C73747363" + "00000000"), be4(F.lit(1)),   # stsc
+        be4(F.lit(1)), be4(F.lit(2)), be4(F.lit(1)),
+        F.lit("000000147374636F" + "00000000"), be4(F.lit(1)),   # stco
+        be4(F.lit(base)),
+        F.lit(f"{8 + 2 * jpeg_len:08X}6D646174"),       # mdat
+        F.lit(_jpeg_dc_header_hex()), ent_hex(0), F.lit("FFD9"),
+        F.lit(_jpeg_dc_header_hex()), ent_hex(1), F.lit("FFD9"),
+    )
+    media = corpus.select(
+        "media_id", F.unhex(mp4_hex).alias("payload")
+    )
+    frames = mm.mp4_mjpeg_frame_images(media, max_frames=4)
+    packed = frames.select(
+        (F.col("media_id") * 4 + F.col("frame_index")).alias("media_id"),
+        "dts_ms",
+        F.col("frame_payload").alias("payload"),
+    )
+    cks = mm.pixel_checksums(packed.select("media_id", "payload"))
+    return cks.join(packed.select("media_id", "dts_ms"), "media_id").select(
+        F.expr("media_id div 4").alias("media_id"),
+        F.pmod("media_id", F.lit(4)).cast("int").alias("frame_index"),
+        "dts_ms", "width", "height", "px_sum", "px_wsum",
+    )

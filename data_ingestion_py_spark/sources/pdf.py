@@ -92,17 +92,29 @@ def _ocr_pages(content: bytes) -> list[str]:
     """Real OCR kernel: rasterize each page with PyMuPDF, run
     tesseract on the pixmap. Executable wherever the ``[ingest]``
     extras (pymupdf + pytesseract + pillow, see pyproject.toml) are
-    installed; in this container the libs are absent and the honest
-    NotImplementedError below is the documented seam. The reference
-    does the same work serially through one shared temp file
-    (data_ingestion.py:136-168); here the rasterize+OCR runs per
+    installed. Without them (this container), the extras-free OCR-lite
+    path runs first (r13): extract the page image XObjects
+    (``pdf_pure.extract_page_images`` — /DCTDecode streams decode
+    through the in-container JPEG kernel), then STRICT bitmap-font
+    glyph matching (``sources/ocr_pure``) — strict meaning any page
+    whose rasters don't match the font exactly falls through to the
+    honest NotImplementedError seam rather than reading as garbage.
+    The reference does the same work serially through one shared temp
+    file (data_ingestion.py:136-168); here the rasterize+OCR runs per
     document inside the Arrow-batched mapInPandas, no temp files.
     """
-    if not (HAVE_OCR and HAVE_FITZ):  # pragma: no cover - env seam
+    if not (HAVE_OCR and HAVE_FITZ):  # env seam: try OCR-lite first
+        from data_ingestion_py_spark.sources.ocr_pure import ocr_pdf_pages
+
+        lite = ocr_pdf_pages(content, strict=True)
+        if lite is not None:
+            return lite
         raise NotImplementedError(
             "OCR fallback requires pytesseract + pymupdf + pillow "
             "(pip install 'data-ingestion-py-spark[ingest]'); not "
-            "available in this environment "
+            "available in this environment, and the document's page "
+            "images are not bitmap-font rasters the extras-free "
+            "OCR-lite path recognizes "
             "(reference: data_ingestion.py:136-168)"
         )
     from PIL import Image  # pragma: no cover - exercised via extras
@@ -157,8 +169,13 @@ def extract_pages(binary_df: DataFrame) -> DataFrame:
                     pages, meta = _extract_pages_fallback(content)
                 # P9: whole-document empty-text predicate decides OCR
                 needs_ocr = sum(len(p.strip()) for p in pages) == 0
-                if needs_ocr and HAVE_OCR:
-                    pages = _ocr_pages(content)
+                if needs_ocr:
+                    try:
+                        pages = _ocr_pages(content)
+                        meta = {**meta, "extractor": "ocr"
+                                if HAVE_OCR else "ocr-lite"}
+                    except NotImplementedError:
+                        pass  # honest: text stays empty, flag stays set
                 name = path.rsplit("/", 1)[-1]
                 for i, text in enumerate(pages):
                     out["file_path"].append(path)
@@ -170,6 +187,63 @@ def extract_pages(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binary_df.mapInPandas(_extract, PAGE_ROW_SCHEMA)
+
+
+IMAGE_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("document_name", T.StringType(), False),
+        T.StructField("page_number", T.IntegerType(), False),
+        T.StructField("image_index", T.IntegerType(), False),
+        T.StructField("xobject_name", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def extract_image_xobjects(binary_df: DataFrame) -> DataFrame:
+    """binaryFile rows → one row per page image XObject (r13, VERDICT
+    task #4): the scanned-PDF entry point the reference rasterizes for
+    OCR (data_ingestion.py:136-168), extras-free. ``kind='jpeg'`` rows
+    carry the COMPLETE JPEG file a terminal /DCTDecode stream stores
+    (decodable downstream by the in-container kernel —
+    ``multimodal.pixel_checksums`` / ``decode_jpeg_array``);
+    ``kind='raw'`` rows carry 8-bit /DeviceGray samples. Arrow-batched
+    mapInPandas, one narrow stage, no shuffle; documents that aren't
+    parseable unencrypted PDFs (or whose images hide behind
+    CCITT/JBIG2/JPX) emit no rows — never guessed pixels."""
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        extract_page_images,
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in IMAGE_ROW_SCHEMA.fields
+            }
+            for path, content in zip(
+                pdf_batch["path"], pdf_batch["content"]
+            ):
+                imgs = extract_page_images(bytes(content))
+                if not imgs:
+                    continue
+                name = path.rsplit("/", 1)[-1]
+                for pno, idx, xname, w, h, _bpc, kind, data in imgs:
+                    out["file_path"].append(path)
+                    out["document_name"].append(name)
+                    out["page_number"].append(pno)
+                    out["image_index"].append(idx)
+                    out["xobject_name"].append(xname)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["kind"].append(kind)
+                    out["data"].append(data)
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(_extract, IMAGE_ROW_SCHEMA)
 
 
 def pages_with_links(pages: DataFrame, link_col: str = "file_path") -> DataFrame:

@@ -3067,3 +3067,63 @@ def test_tiff_predictor2_on_uncompressed_strip():
     tif = _tiff_bytes("II", w, h, 1, [bytes(diffed)], comp=1, predictor=2)
     got = decode_tiff_array(tif)
     assert got is not None and bytes(got[2]) == raster
+
+
+def test_mp4_mjpeg_frame_decode_end_to_end():
+    """r13: MJPEG samples inside an independently-written ISO-BMFF
+    container decode through the sample-table → JPEG-kernel
+    composition; a non-JPEG sample fails honestly."""
+    import struct
+
+    from data_ingestion_py_spark.sources.multimodal import (
+        decode_mp4_mjpeg_frames,
+        decode_pnm,
+    )
+    from tests.test_ocr_pure import jpeg_digits
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    def mp4(samples: list[bytes], ts: int = 600, delta: int = 200) -> bytes:
+        ftyp = box(b"ftyp", b"isom" + b"\x00" * 4)
+        stts = box(b"stts", struct.pack(">III I", 0, 1, len(samples), delta))
+        sizes = {len(s) for s in samples}
+        if len(sizes) == 1:
+            stsz = box(b"stsz", struct.pack(">III", 0, sizes.pop(), len(samples)))
+        else:
+            stsz = box(b"stsz", struct.pack(">III", 0, 0, len(samples))
+                       + b"".join(struct.pack(">I", len(s)) for s in samples))
+        stsc = box(b"stsc", struct.pack(">II III", 0, 1, 1, len(samples), 1))
+        # stco offset filled after sizes known: compute moov size first
+        def build(base: int) -> bytes:
+            stco = box(b"stco", struct.pack(">III", 0, 1, base))
+            stbl = box(b"stbl", stts + stsz + stsc + stco)
+            minf = box(b"minf", stbl)
+            mdhd = box(b"mdhd", struct.pack(">I II I I HH", 0, 0, 0, ts, 0, 0, 0))
+            mdia = box(b"mdia", mdhd + minf)
+            trak = box(b"trak", mdia)
+            return box(b"moov", trak)
+        moov = build(0)
+        base = len(ftyp) + len(moov) + 8
+        moov = build(base)
+        mdat = box(b"mdat", b"".join(samples))
+        return ftyp + moov + mdat
+
+    j0, j1 = jpeg_digits("01234"), jpeg_digits("98765")
+    got = decode_mp4_mjpeg_frames(mp4([j0, j1]))
+    assert got is not None
+    ts, frames = got
+    assert ts == 600 and [f[0] for f in frames] == [0, 1]
+    assert [f[1] for f in frames] == [0, 200]
+    for pgm, src in zip(frames, (j0, j1)):
+        w, h, pix = decode_pnm(pgm[2])
+        assert (w, h) == (80, 24)
+    # distinct content survives: frame pixel sums differ
+    s0 = sum(decode_pnm(frames[0][2])[2])
+    s1 = sum(decode_pnm(frames[1][2])[2])
+    assert s0 != s1
+    # a sample that is not a JPEG → honest None
+    assert decode_mp4_mjpeg_frames(mp4([j0, b"\x00" * len(j1)])) is None
+    # truncated mdat (sample range past EOF) → honest None
+    full = mp4([j0, j1])
+    assert decode_mp4_mjpeg_frames(full[:-10]) is None
