@@ -165,6 +165,23 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
     plans_changed, plans_comparable = _plans_vs_manifest(plan_fp, sf)
 
+    # Release the query loop's leftovers before the probes (r13): the
+    # headline builds pin/localCheckpoint small tables whose JVM blocks
+    # are only reaped by the ContextCleaner once the PYTHON refs die —
+    # after 42 queries × 3 runs the accumulated storage turned the
+    # memory-hungry dedup x10 probe leg from 5.3 s (isolated, quiet
+    # box, pairs 2.51/2.54/2.60) into 54 s with 4×-scattered pairs
+    # INSIDE the same bench process. gc + clearCache makes the probe
+    # environment match the isolated measurement instead of inheriting
+    # the query phase's heap.
+    import gc
+
+    gc.collect()
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
+
     probes: dict[str, dict] = {}
     for key, fn in (
         ("skew_join", _skew_bench),
@@ -187,6 +204,7 @@ def main() -> None:
             probes[key] = fn(spark, sf_dir)
         except Exception as exc:  # noqa: BLE001
             probes[key] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+        gc.collect()  # reap this probe's checkpoints before the next
 
     total = round(sum(timings.values()), 3)
     # ORDER MATTERS: the driver keeps the last 2000 chars of stdout.
