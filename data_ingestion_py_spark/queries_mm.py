@@ -4456,3 +4456,119 @@ def q_multimodal_mp4_mjpeg_frames(
         F.pmod("media_id", F.lit(4)).cast("int").alias("frame_index"),
         "dts_ms", "width", "height", "px_sum", "px_wsum",
     )
+
+
+def _cid_pdf_template() -> str:
+    """``format_string`` template of the planted Type0/Identity-H PDFs
+    (r13): one page mixing a simple Type1 line with a CID line whose
+    show string is 2-byte codes through a ToUnicode CMap that
+    exercises BOTH mapping forms — an offset bfrange (<0020><007E> →
+    identity ASCII, covering the d6 digit codes) and a bfchar
+    (<E000> → '#'). Slots: (d2 plain-text, 36-hex-char code string,
+    d6 title) — all fixed width, so every /Length is a plan-time
+    constant."""
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "begincmap\n"
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        "1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\n"
+        "1 beginbfchar\n<E000> <0023>\nendbfchar\n"
+        "endcmap end"
+    )
+    c = "BT /F1 12 Tf (plain %s) Tj T* /F2 12 Tf <%s> Tj ET"
+    lc = len(c % ("00", "0" * 36))
+
+    def obj(num: int, body: str) -> str:
+        return f"{num} 0 obj\n{body}\nendobj\n"
+
+    t = "%%PDF-1.7\n"
+    t += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    t += obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    t += obj(
+        3,
+        "<< /Type /Page /Parent 2 0 R /Resources "
+        "<< /Font << /F1 6 0 R /F2 7 0 R >> >> /Contents 4 0 R >>",
+    )
+    t += f"4 0 obj\n<< /Length {lc} >>\nstream\n{c}\nendstream\nendobj\n"
+    t += (
+        f"5 0 obj\n<< /Length {len(cmap)} >>\nstream\n{cmap}"
+        "\nendstream\nendobj\n"
+    )
+    t += obj(6, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    t += obj(
+        7,
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Planted "
+        "/Encoding /Identity-H /ToUnicode 5 0 R >>",
+    )
+    t += obj(8, "<< /Title (CID %s) >>")
+    t += "trailer\n<< /Size 9 /Root 1 0 R /Info 8 0 R >>\n"
+    t += "startxref\n0\n%%%%EOF"
+    return t
+
+
+@register(
+    "pdf_cid_text_extract",
+    """
+WITH g AS (
+    SELECT doc_id,
+           lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS d6,
+           lpad(CAST(doc_id % 37 AS VARCHAR), 2, '0') AS d2
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       1 AS page_number,
+       'plain ' || d2 || chr(10) || 'id ' || d6 || '#' AS page_text,
+       'CID ' || d6 AS title,
+       'pure-byte' AS extractor
+FROM g
+""",
+    tags=("S1", "pdf", "cid"),
+)
+def q_pdf_cid_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type0/Identity-H (CID) text extraction end-to-end (r13) — the
+    encoding nearly every MODERN PDF writer emits, previously the
+    documented 2-byte-code seam (module docstring): planted one-page
+    PDFs mix a simple Type1 line with a CID line whose show string is
+    2-byte big-endian codes — 'id ' + six digits + '#' — decoded
+    through a real ToUnicode CMap (offset-form bfrange for the ASCII
+    range, bfchar for the '#' private code). The pure-byte parser must
+    track the active font across Tf operators, split the hex string
+    into 2-byte codes, and apply the right mapping form; the oracle
+    recomputes both lines arithmetically and never sees a PDF byte —
+    a code-splitting slip, bfrange offset bug, or font-tracking miss
+    mismatches every row. Torn cmaps, unmapped-code U+FFFD, and the
+    no-ToUnicode honest refusal are pinned in tests/test_pdf_pure.py.
+    One narrow Arrow stage, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    d6 = F.lpad((doc % 1000000).cast("string"), 6, "0")
+    d2 = F.lpad((doc % 37).cast("string"), 2, "0")
+    # 2-byte codes of 'id ' + d6 + '#': constant prefix, per-digit
+    # "003X" identity codes, bfchar E000 for '#' — 36 hex chars total
+    codes = F.concat(
+        F.lit("006900640020"),  # 'i' 'd' ' '
+        F.concat(
+            *[F.concat(F.lit("003"), F.substring(d6, k, 1))
+              for k in range(1, 7)]
+        ),
+        F.lit("E000"),
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://cid-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.encode(
+            F.format_string(_cid_pdf_template(), d2, codes, d6), "UTF-8"
+        ).alias("content"),
+    )
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    return extract_pages(binary).select(
+        F.regexp_extract("document_name", r"cid-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+        F.col("document_metadata").getItem("Title").alias("title"),
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )

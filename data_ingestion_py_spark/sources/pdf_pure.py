@@ -10,15 +10,21 @@ stdlib-zlib PNG / pure-Huffman JPEG decoders: a tolerant object scan
 dicts/arrays/names/strings/refs, FlateDecode via stdlib zlib with a
 LENGTH-CAPPED inflater, compressed object streams (/Type /ObjStm —
 the layout every modern writer emits), the Catalog → Pages → Kids
-page-tree walk, and a content-stream text interpreter for the
-Tj / TJ / ' / " show operators.
+page-tree walk, a content-stream text interpreter for the
+Tj / TJ / ' / " show operators with Tf font tracking, Type0/
+Identity-H composite fonts' 2-byte code text through their ToUnicode
+CMaps (r13 — bfchar + both bfrange forms; the encoding nearly every
+modern writer emits), and page image XObjects incl. terminal
+/DCTDecode streams handed whole to the in-container JPEG kernel
+(r13, ``extract_page_images``).
 
 Honest limits (→ None or empty page text, never guessed):
-encrypted documents (/Encrypt in a trailer), LZW/CCITT/DCT content
-filters, and CID/Type0 composite fonts' 2-byte code text (bytes are
-emitted latin-1; ToUnicode CMaps are not applied). Text layout is
-deterministic and documented: show-operator strings concatenate in
-stream order; T* / Td / TD / ' / " and ET insert one newline.
+encrypted documents (/Encrypt in a trailer), CCITT/JBIG2/JPX content
+filters, Type0 fonts WITHOUT a ToUnicode CMap (their codes are glyph
+ids — no text is invented; unmapped codes surface as U+FFFD), and
+non-Identity CMap encodings. Text layout is deterministic and
+documented: show-operator strings concatenate in stream order;
+T* / Td / TD / ' / " and ET insert one newline.
 
 Object offsets come from the scan, NOT the xref table — so damaged or
 xref-stream PDFs parse as long as their objects are intact, which is
@@ -521,21 +527,158 @@ _TEXT_SHOW = {b"Tj", b"'", b'"'}
 _TEXT_NL = {b"T*", b"Td", b"TD", b"ET", b"'", b'"'}
 _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
+_HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 
-def _page_text(content: bytes) -> str:
+
+def _parse_tounicode(data: bytes) -> dict[int, str] | None:
+    """ToUnicode CMap → {2-byte code: text} (r13, the Type0/CID seam):
+    ``beginbfchar``/``endbfchar`` pairs and ``beginbfrange``/
+    ``endbfrange`` runs (both the dstStart-offset and the explicit
+    destination-array forms), destinations decoded as UTF-16BE per PDF
+    32000 §9.10.3. Only the sections matter — codespace/usecmap are
+    skipped (Identity-H codes are always 2 bytes here). None when no
+    mapping parses — the caller's cue that the font's text is
+    unrecoverable (honest: no glyph-id guessing)."""
+    cmap: dict[int, str] = {}
+
+    def dst_text(h: bytes) -> str:
+        raw = bytes.fromhex(h.decode("ascii"))
+        return raw.decode("utf-16-be", "replace")
+
+    i = 0
+    while True:
+        b = data.find(b"beginbfchar", i)
+        if b < 0:
+            break
+        e = data.find(b"endbfchar", b)
+        if e < 0:
+            return None  # torn section: never half-trust a cmap
+        toks = _HEXSTR_RE.findall(data[b + 11 : e])
+        if len(toks) % 2:
+            return None
+        for src, dst in zip(toks[::2], toks[1::2]):
+            src_h = b"".join(src.split())
+            dst_h = b"".join(dst.split())
+            if len(src_h) != 4 or len(dst_h) % 4:
+                return None
+            cmap[int(src_h, 16)] = dst_text(dst_h)
+        i = e + 9
+    i = 0
+    while True:
+        b = data.find(b"beginbfrange", i)
+        if b < 0:
+            break
+        e = data.find(b"endbfrange", b)
+        if e < 0:
+            return None
+        body = data[b + 12 : e]
+        j = 0
+        while True:
+            m1 = _HEXSTR_RE.search(body, j)
+            if m1 is None:
+                break
+            m2 = _HEXSTR_RE.search(body, m1.end())
+            if m2 is None:
+                return None
+            lo = int(b"".join(m1.group(1).split()), 16)
+            hi = int(b"".join(m2.group(1).split()), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                return None
+            j = _skip_ws(body, m2.end())
+            if j < len(body) and body[j] == 0x5B:  # explicit dst array
+                end = body.find(b"]", j)
+                if end < 0:
+                    return None
+                dsts = _HEXSTR_RE.findall(body[j : end + 1])
+                if len(dsts) != hi - lo + 1:
+                    return None
+                for k, dst in enumerate(dsts):
+                    cmap[lo + k] = dst_text(b"".join(dst.split()))
+                j = end + 1
+            else:
+                m3 = _HEXSTR_RE.search(body, j)
+                if m3 is None:
+                    return None
+                start_h = b"".join(m3.group(1).split())
+                if len(start_h) % 4:
+                    return None
+                start = int(start_h, 16)
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = chr(start + k)
+                j = m3.end()
+        i = e + 8
+    return cmap or None
+
+
+def _page_fonts(doc: "_PdfDoc", page: dict) -> dict[str, dict | None]:
+    """Per-page font table for the content tokenizer: resource name →
+    ToUnicode cmap for 2-byte Type0/Identity-H fonts, None for simple
+    (1-byte, latin-1-decoded) fonts. A Type0 font WITHOUT a parseable
+    ToUnicode maps to {} — its codes are glyph ids, so its show
+    strings yield no text (honest refusal, never glyph-id guessing;
+    the reference's fitz reads the embedded font's own cmap instead,
+    data_ingestion.py:122)."""
+    res = doc.resolve(page.get("Resources"))
+    fonts: dict[str, dict | None] = {}
+    if not isinstance(res, dict):
+        return fonts
+    fdict = doc.resolve(res.get("Font"))
+    if not isinstance(fdict, dict):
+        return fonts
+    for name, ref in fdict.items():
+        fd = doc.resolve(ref)
+        if not isinstance(fd, dict):
+            continue
+        if doc.resolve(fd.get("Subtype")) != "/Type0":
+            fonts[name] = None
+            continue
+        enc = doc.resolve(fd.get("Encoding"))
+        if enc not in ("/Identity-H", "/Identity-V"):
+            fonts[name] = {}  # exotic CMap encodings: unrecoverable
+            continue
+        tu = fd.get("ToUnicode")
+        cmap = None
+        if isinstance(tu, _Ref):
+            data = doc.stream_bytes(tu.num)
+            if data is not None:
+                cmap = _parse_tounicode(data)
+        fonts[name] = cmap if cmap is not None else {}
+    return fonts
+
+
+def _page_text(
+    content: bytes, fonts: dict[str, dict | None] | None = None
+) -> str:
     """Deterministic text from a content stream: show strings in
-    stream order; T*/Td/TD/'/\" and ET insert one newline."""
+    stream order; T*/Td/TD/'/\" and ET insert one newline. ``fonts``
+    (from ``_page_fonts``) drives per-font decoding: simple fonts
+    decode latin-1; Type0/Identity-H fonts split show strings into
+    2-byte big-endian codes mapped through their ToUnicode cmap
+    (unmapped codes → U+FFFD, so a partial cmap is visible rather than
+    silently dropped; a Type0 font with NO cmap contributes nothing)."""
     out: list[str] = []
     line: list[str] = []
     i = 0
     n = len(content)
+    cur: dict | None = None  # active font's cmap (None = simple)
 
     def newline():
         if line:
             out.append("".join(line))
             line.clear()
 
+    def show(s: bytes) -> None:
+        if cur is None:
+            line.append(s.decode("latin-1"))
+            return
+        if not cur:
+            return  # Type0 without ToUnicode: unrecoverable
+        for k in range(0, len(s) - 1, 2):
+            code = (s[k] << 8) | s[k + 1]
+            line.append(cur.get(code, "�"))
+
     pending: list[bytes] = []  # operand strings since last operator
+    last_name: str | None = None
     while i < n:
         i = _skip_ws(content, i)
         if i >= n:
@@ -560,17 +703,22 @@ def _page_text(content: bytes) -> str:
                 break
             pending = [x for x in arr if isinstance(x, bytes)]
         elif c == 0x2F:
-            _, i = _parse_name(content, i + 1)
+            last_name, i = _parse_name(content, i + 1)
         else:
             m = _OP_RE.match(content, i)
             if m:
                 op = m.group()
                 i = m.end()
+                if op == b"Tf" and fonts is not None:
+                    # /Name size Tf — the name operand selects the
+                    # font (resource-dict keys parse slash-less, as
+                    # does the content tokenizer's name operand)
+                    cur = fonts.get(last_name or "")
                 if op in _TEXT_NL:
                     newline()
                 if op in _TEXT_SHOW or op == b"TJ":
                     for s in pending:
-                        line.append(s.decode("latin-1"))
+                        show(s)
                 pending.clear()
                 if op == b"BI":  # inline image: skip to EI
                     end = content.find(b"EI", i)
@@ -717,7 +865,7 @@ def parse_pdf_text(content: bytes) -> tuple[list[str], dict] | None:
             if got is not None:
                 data += got
                 data += b"\n"
-        pages.append(_page_text(bytes(data)))
+        pages.append(_page_text(bytes(data), _page_fonts(doc, p)))
     meta: dict[str, str] = {}
     for t in trailers:
         info = doc.resolve(t.get("Info"))

@@ -303,3 +303,82 @@ def test_filter_chains_runlength_ascii_armor():
         pdf_with(a85f, b"[/ASCII85Decode /DCTDecode]")
     )
     assert pages == [""]
+
+
+def test_type0_identity_h_tounicode_text():
+    """r13: 2-byte Type0/Identity-H show strings decode through the
+    font's ToUnicode CMap (bfchar, offset-form bfrange, array-form
+    bfrange incl. a multi-char destination); simple and CID fonts mix
+    on one page via Tf tracking; a Type0 font WITHOUT ToUnicode
+    contributes no text (honest — codes are glyph ids); unmapped codes
+    surface as U+FFFD, never vanish."""
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        _parse_tounicode,
+        parse_pdf_text,
+    )
+
+    cmap_body = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\n"
+        b"1 beginbfrange\n<E100> <E102> [<0058> <0059005A> <005A>]\n"
+        b"endbfrange\n"
+        b"2 beginbfchar\n<E000> <0023>\n<E001> <0040>\nendbfchar\n"
+        b"endcmap end"
+    )
+    m = _parse_tounicode(cmap_body)
+    assert m[0x20] == " " and m[0x41] == "A" and m[0x7E] == "~"
+    assert m[0xE000] == "#" and m[0xE001] == "@"
+    assert m[0xE100] == "X" and m[0xE101] == "YZ" and m[0xE102] == "Z"
+    # torn sections and odd token counts refuse the whole cmap
+    assert _parse_tounicode(b"1 beginbfchar <0041> <0042>") is None
+    assert _parse_tounicode(
+        b"1 beginbfchar <0041> endbfchar"
+    ) is None
+
+    def pdf(with_tounicode: bool, codes_hex: str) -> bytes:
+        c = (
+            b"BT /F1 12 Tf (plain) Tj T* /F2 12 Tf <"
+            + codes_hex.encode() + b"> Tj ET"
+        )
+        tu = b" /ToUnicode 5 0 R" if with_tounicode else b""
+        parts = [b"%PDF-1.7\n"]
+        parts.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+        parts.append(
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        )
+        parts.append(
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 6 0 R /F2 7 0 R >> >> /Contents 4 0 R "
+            b">>\nendobj\n"
+        )
+        parts.append(
+            b"4 0 obj\n<< /Length %d >>\nstream\n" % len(c)
+            + c + b"\nendstream\nendobj\n"
+        )
+        parts.append(
+            b"5 0 obj\n<< /Length %d >>\nstream\n" % len(cmap_body)
+            + cmap_body + b"\nendstream\nendobj\n"
+        )
+        parts.append(
+            b"6 0 obj\n<< /Type /Font /Subtype /Type1 >>\nendobj\n"
+        )
+        parts.append(
+            b"7 0 obj\n<< /Type /Font /Subtype /Type0 /Encoding "
+            b"/Identity-H" + tu + b" >>\nendobj\n"
+        )
+        parts.append(
+            b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+        )
+        return b"".join(parts)
+
+    codes = "".join(f"{ord(ch):04X}" for ch in "Hi 42") + "E000E101"
+    pages, _meta = parse_pdf_text(pdf(True, codes))
+    assert pages == ["plain\nHi 42#YZ"]
+    # unmapped code -> U+FFFD (visible, not dropped)
+    pages2, _ = parse_pdf_text(pdf(True, "F0F0"))
+    assert pages2 == ["plain\n�"]
+    # no ToUnicode: the CID line yields nothing, the simple line stays
+    pages3, _ = parse_pdf_text(pdf(False, codes))
+    assert pages3 == ["plain"]
