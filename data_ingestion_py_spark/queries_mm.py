@@ -4572,3 +4572,179 @@ def q_pdf_cid_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("document_metadata").getItem("Title").alias("title"),
         F.col("document_metadata").getItem("extractor").alias("extractor"),
     )
+
+
+def _encrypted_pdf_parts() -> tuple[str, list[list[str]], str, list[list[str]], str]:
+    """Plan-time constants of the planted RC4-encrypted PDFs (r13):
+    (hex before the content ciphertext's digit bytes — including the
+    ciphertext of the constant plaintext prefix —, per-digit-position
+    10-entry hex tables for the content, hex between content and
+    title digits, per-digit tables for the title, trailing hex).
+
+    Why this is column-algebra-able at all: with constant /O, /P and
+    /ID the file key — and so each object's RC4 KEYSTREAM — is one
+    plan-time constant, and RC4 is a stream cipher: cipher[i] =
+    plain[i] XOR ks[i]. Constant plaintext positions XOR to constant
+    hex; each of the six doc-varying digit positions XORs to one of
+    ten plan-time constants selected by the digit. The security
+    handler math itself (Algorithms 2/3/5, the 50-fold MD5, /U
+    verification) runs ONCE here on the driver — never per row."""
+    import hashlib
+
+    from data_ingestion_py_spark.sources.pdf_pure import _PW_PAD, _rc4
+
+    md5 = lambda b: hashlib.md5(b).digest()  # noqa: E731
+    nbytes, r, p = 16, 3, -44
+    id0 = bytes(range(16))
+    h = md5((b"graft-owner" + _PW_PAD)[:32])
+    for _ in range(50):
+        h = md5(h[:nbytes])
+    okey = h[:nbytes]
+    o = _rc4(okey, _PW_PAD)
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    h = md5(_PW_PAD + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0)
+    for _ in range(50):
+        h = md5(h[:nbytes])
+    key = h[:nbytes]
+    u = _rc4(key, md5(_PW_PAD + id0))
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+
+    def objkey(num: int) -> bytes:
+        return md5(
+            key + (num & 0xFFFFFF).to_bytes(3, "little") + b"\x00\x00"
+        )[:16]
+
+    c_pt = b"BT /F1 12 Tf (Doc %s) Tj ET"
+    c_pos = c_pt.index(b"%s")
+    c_pt = c_pt % (b"0" * 6)
+    ks4 = _rc4(objkey(4), bytes(len(c_pt)))
+    t_pt = b"Doc " + b"0" * 6
+    t_pos = 4
+    ks8 = _rc4(objkey(8), bytes(len(t_pt)))
+
+    def xor_hex(pt: bytes, ks: bytes, lo: int, hi: int) -> str:
+        return bytes(a ^ b for a, b in zip(pt[lo:hi], ks[lo:hi])).hex().upper()
+
+    def tables(ks: bytes, pos: int) -> list[list[str]]:
+        return [
+            [f"{(0x30 + d) ^ ks[pos + k]:02X}" for d in range(10)]
+            for k in range(6)
+        ]
+
+    def obj(num: int, body: bytes) -> bytes:
+        return b"%d 0 obj\n%s\nendobj\n" % (num, body)
+
+    head = b"%PDF-1.7\n"
+    head += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    head += obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    head += obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    head += b"4 0 obj\n<< /Length %d >>\nstream\n" % len(c_pt)
+    pre = head.hex().upper() + xor_hex(c_pt, ks4, 0, c_pos)
+    mid_bytes = b"\nendstream\nendobj\n"
+    mid_bytes += obj(
+        5,
+        b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O <"
+        + o.hex().encode() + b"> /U <" + u.hex().encode()
+        + b"> /P %d >>" % p,
+    )
+    mid_bytes += b"8 0 obj\n<< /Title <"
+    # mid = content-cipher tail + the bytes up to the title hex
+    # string + the title's CONSTANT cipher prefix. The title lives in
+    # a PDF HEX string, so its cipher bytes appear in the FILE as
+    # ASCII hex chars — hex-of-hex here: 4 output chars per byte.
+    mid = xor_hex(c_pt, ks4, c_pos + 6, len(c_pt)) + mid_bytes.hex().upper()
+    mid += xor_hex(t_pt, ks8, 0, t_pos).encode().hex().upper()
+    tail_bytes = b"> >>\nendobj\n"
+    tail_bytes += (
+        b"trailer\n<< /Size 9 /Root 1 0 R /Info 8 0 R /Encrypt 5 0 R"
+        b" /ID [<" + id0.hex().encode() + b"> <" + id0.hex().encode()
+        + b">] >>\nstartxref\n0\n%%EOF"
+    )
+    tail = tail_bytes.hex().upper()
+    c_tables = tables(ks4, c_pos)
+    # title digit bytes live inside a hex string: each cipher byte is
+    # TWO ASCII hex chars in the file, i.e. four hex chars here
+    t_tables = [
+        [f"{(0x30 + d) ^ ks8[t_pos + k]:02X}".encode().hex().upper()
+         for d in range(10)]
+        for k in range(6)
+    ]
+    return pre, c_tables, mid, t_tables, tail
+
+
+@register(
+    "pdf_encrypted_text_extract",
+    """
+WITH g AS (
+    SELECT doc_id,
+           lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS d6
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       1 AS page_number,
+       'Doc ' || d6 AS page_text,
+       'Doc ' || d6 AS title,
+       'pure-byte' AS extractor
+FROM g
+""",
+    tags=("S1", "pdf", "crypto"),
+)
+def q_pdf_encrypted_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RC4-ENCRYPTED PDF text extraction end-to-end (r13) — the
+    /Encrypt refusal narrowed to what is genuinely unreadable: each doc
+    plants a complete V2/R3 128-bit standard-security PDF (the
+    owner-locked-but-readable shape most encrypted PDFs in the wild
+    have: owner password set, USER password empty) whose content
+    stream and Info /Title are real RC4 ciphertext. The pure-byte
+    parser must verify the empty user password against /U (Algorithm
+    5 with the 50-fold MD5), derive the file key from /O + /P + /ID
+    (Algorithm 2), derive each object's key (Algorithm 1), and RC4
+    the stream AND the title string before any text shows. The
+    ciphertext is exact column algebra — cipher = plaintext XOR the
+    plan-time-constant keystream (see _encrypted_pdf_parts) — and the
+    oracle recomputes the expected text arithmetically, never seeing a
+    byte: one wrong MD5 round, key truncation, object-key byte, or
+    stream boundary mismatches every row. Wrong-password and
+    non-standard-handler refusals are pinned in tests/test_pdf_pure.py.
+    One narrow Arrow stage, no shuffle."""
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    pre, c_tables, mid, t_tables, tail = _encrypted_pdf_parts()
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    d6 = F.lpad((doc % 1000000).cast("string"), 6, "0")
+
+    def digit_hex(tables: list[list[str]]) -> F.Column:
+        return F.concat(
+            *[
+                F.element_at(
+                    F.array(*[F.lit(h) for h in tables[k]]),
+                    F.substring(d6, k + 1, 1).cast("int") + 1,
+                )
+                for k in range(6)
+            ]
+        )
+
+    pdf_hex = F.concat(
+        F.lit(pre), digit_hex(c_tables),
+        F.lit(mid), digit_hex(t_tables),
+        F.lit(tail),
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://enc-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(pdf_hex).alias("content"),
+    )
+    return extract_pages(binary).select(
+        F.regexp_extract("document_name", r"enc-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+        F.col("document_metadata").getItem("Title").alias("title"),
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )

@@ -18,11 +18,19 @@ modern writer emits), and page image XObjects incl. terminal
 /DCTDecode streams handed whole to the in-container JPEG kernel
 (r13, ``extract_page_images``).
 
+RC4 standard-security encryption (V1/V2, R2/R3) decrypts when the
+USER password is empty — the owner-locked-but-readable shape most
+encrypted PDFs in the wild have (r13: Algorithm 2 file key from
+/O + /P + /ID with /U verification, per-object keys, streams and
+object-graph strings).
+
 Honest limits (→ None or empty page text, never guessed):
-encrypted documents (/Encrypt in a trailer), CCITT/JBIG2/JPX content
-filters, Type0 fonts WITHOUT a ToUnicode CMap (their codes are glyph
-ids — no text is invented; unmapped codes surface as U+FFFD), and
-non-Identity CMap encodings. Text layout is deterministic and
+documents with a REAL user password or a non-standard/AES security
+handler, CCITT/JBIG2/JPX content filters, Type0 fonts WITHOUT a
+ToUnicode CMap (their codes are glyph ids — no text is invented;
+unmapped codes surface as U+FFFD), non-Identity CMap encodings, and
+ObjStm objects inside encrypted documents (the scan parses object
+streams before decryption arms). Text layout is deterministic and
 documented: show-operator strings concatenate in stream order;
 T* / Td / TD / ' / " and ET insert one newline.
 
@@ -227,6 +235,86 @@ def _inflate(raw: bytes) -> bytes | None:
         return None
 
 
+# PDF 32000-1 §7.6.3.3 Algorithm 2 password padding string
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    s = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % kl]) & 255
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 255
+        j = (j + s[i]) & 255
+        s[i], s[j] = s[j], s[i]
+        out[k] = b ^ s[(s[i] + s[j]) & 255]
+    return bytes(out)
+
+
+def _std_security_key(
+    enc: dict, id0: bytes, password: bytes = b""
+) -> bytes | None:
+    """Standard security handler file key (PDF 32000-1 §7.6.3.3
+    Algorithm 2) for RC4 revisions 2/3, VERIFYING the user password
+    against /U (Algorithms 4/5 — the check that distinguishes the
+    ubiquitous owner-locked-but-readable PDF, where the USER password
+    is empty, from a genuinely password-protected one). Returns the
+    n-byte file key, or None when the revision is unsupported or the
+    password does not verify — the caller refuses the document rather
+    than emitting RC4 noise as text."""
+    import hashlib
+
+    r = enc.get("R")
+    v = enc.get("V")
+    o = enc.get("O")
+    u = enc.get("U")
+    p = enc.get("P")
+    if (
+        r not in (2, 3)
+        or v not in (1, 2)
+        or not isinstance(o, bytes)
+        or not isinstance(u, bytes)
+        or not isinstance(p, int)
+        or len(o) != 32
+        or len(u) < 16
+    ):
+        return None
+    length = enc.get("Length", 40)
+    if not isinstance(length, int) or length % 8 or not 40 <= length <= 128:
+        return None
+    n = 5 if r == 2 else length // 8
+    padded = (password + _PW_PAD)[:32]
+    h = hashlib.md5(
+        padded + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    # verify the (empty) user password against /U
+    if r == 2:
+        ok = _rc4(key, _PW_PAD) == u[:32]
+    else:  # Algorithm 5
+        t = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+        for i in range(1, 20):
+            t = _rc4(bytes(b ^ i for b in key), t)
+        ok = t == u[:16]
+    return key if ok else None
+
+
 class _PdfDoc:
     """Scanned object table + lazy stream decoding."""
 
@@ -235,6 +323,34 @@ class _PdfDoc:
         # (num) -> (dict_or_value, stream_start, stream_dict) ; latest
         # occurrence wins (incremental updates append newer objects)
         self.objs: dict[int, tuple] = {}
+        # RC4 standard-security file key once _setup_encryption
+        # verifies the empty user password; None = unencrypted doc
+        self.enc_key: bytes | None = None
+        self.enc_num: int | None = None  # the /Encrypt object: never
+        # decrypted (its own O/U strings are stored in the clear)
+
+    def _object_key(self, num: int, gen: int = 0) -> bytes:
+        """Per-object RC4 key (§7.6.2 Algorithm 1): MD5(file key +
+        low 3 bytes of the object number + low 2 bytes of the
+        generation), truncated to min(n+5, 16). The scan stores one
+        object per number, so generation is 0 — true for every
+        non-incrementally-rewritten file."""
+        import hashlib
+
+        assert self.enc_key is not None
+        h = hashlib.md5(
+            self.enc_key
+            + (num & 0xFFFFFF).to_bytes(3, "little")
+            + (gen & 0xFFFF).to_bytes(2, "little")
+        ).digest()
+        return h[: min(len(self.enc_key) + 5, 16)]
+
+    def decrypt_string(self, num: int, s: bytes) -> bytes:
+        """Strings stored directly in object ``num``'s graph (e.g. the
+        Info dict's /Title) are RC4-encrypted with that object's key."""
+        if self.enc_key is None:
+            return s
+        return _rc4(self._object_key(num), s)
 
     def resolve(self, v, depth: int = 0):
         while isinstance(v, _Ref) and depth < 32:
@@ -275,6 +391,11 @@ class _PdfDoc:
                 raw = raw[:-2]
             elif raw.endswith(b"\n") or raw.endswith(b"\r"):
                 raw = raw[:-1]
+        if self.enc_key is not None and num != self.enc_num:
+            # §7.6.2: every stream (except the Encrypt dict's own, and
+            # cross-reference streams — which this scan-based parser
+            # never decodes as content) is RC4'd with the object key
+            raw = _rc4(self._object_key(num), raw)
         filt = self.resolve(d.get("Filter"))
         filts = (
             [] if filt is None
@@ -730,12 +851,49 @@ def _page_text(
     return "\n".join(out)
 
 
+def _setup_encryption(doc: _PdfDoc, trailers: list[dict]) -> bool:
+    """Arm the document's RC4 standard-security decryption (r13,
+    closing the /Encrypt refusal for the COMMON case): V1/V2 R2/R3
+    with an EMPTY user password — the owner-locked-but-readable shape
+    most encrypted PDFs in the wild have. Returns False (caller
+    refuses, honest) for any other handler (AESV2/V3, crypt filters),
+    a missing /ID, or a real user password."""
+    enc_ref = None
+    id0 = None
+    for t in trailers:
+        if "Encrypt" in t:
+            enc_ref = t["Encrypt"]
+            fid = t.get("ID")
+            if (
+                isinstance(fid, list)
+                and fid
+                and isinstance(fid[0], bytes)
+            ):
+                id0 = fid[0]
+            break
+    if enc_ref is None:
+        return True  # unencrypted
+    enc = doc.resolve(enc_ref)
+    if not isinstance(enc, dict) or id0 is None:
+        return False
+    if enc.get("Filter") != "/Standard":
+        return False
+    key = _std_security_key(enc, id0, b"")
+    if key is None:
+        return False
+    doc.enc_key = key
+    doc.enc_num = enc_ref.num if isinstance(enc_ref, _Ref) else None
+    return True
+
+
 def _walk_pages(doc: _PdfDoc) -> list[dict] | None:
     """Page objects in document order (shared by the text and image
-    extractors), or None when no catalog/page tree parses."""
+    extractors), or None when no catalog/page tree parses. Encrypted
+    documents arm RC4 decryption when the standard handler verifies
+    the empty user password; otherwise honest None."""
     trailers = _find_trailer_dicts(doc)
-    if any("Encrypt" in t for t in trailers):
-        return None  # honest: no decryption support
+    if not _setup_encryption(doc, trailers):
+        return None  # unsupported handler or a real password: honest
     root = None
     for t in trailers:
         r = t.get("Root")
@@ -868,12 +1026,17 @@ def parse_pdf_text(content: bytes) -> tuple[list[str], dict] | None:
         pages.append(_page_text(bytes(data), _page_fonts(doc, p)))
     meta: dict[str, str] = {}
     for t in trailers:
-        info = doc.resolve(t.get("Info"))
+        iref = t.get("Info")
+        info = doc.resolve(iref)
         if isinstance(info, dict):
             for k in ("Title", "Author", "Subject", "Producer",
                       "CreationDate"):
                 v = doc.resolve(info.get(k))
                 if isinstance(v, bytes):
+                    if doc.enc_key is not None and isinstance(iref, _Ref):
+                        # strings in an encrypted doc's object graph
+                        # are RC4'd with their OWNER object's key
+                        v = doc.decrypt_string(iref.num, v)
                     if v[:2] == b"\xfe\xff":
                         meta[k] = v[2:].decode("utf-16-be", "replace")
                     else:

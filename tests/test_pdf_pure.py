@@ -382,3 +382,125 @@ def test_type0_identity_h_tounicode_text():
     # no ToUnicode: the CID line yields nothing, the simple line stays
     pages3, _ = parse_pdf_text(pdf(False, codes))
     assert pages3 == ["plain"]
+
+
+def _std_encrypt_keys(owner_pw, user_pw, p, id0, r, nbytes):
+    """Independent standard-security ENCRYPTER for the tests
+    (PDF 32000-1 Algorithms 2/3/4/5) — shares only _rc4/_PW_PAD
+    primitives with the decoder under test."""
+    import hashlib
+
+    from data_ingestion_py_spark.sources.pdf_pure import _PW_PAD, _rc4
+
+    md5 = lambda b: hashlib.md5(b).digest()  # noqa: E731
+    h = md5((owner_pw + _PW_PAD)[:32])
+    if r >= 3:
+        for _ in range(50):
+            h = md5(h[:nbytes])
+    okey = h[:nbytes]
+    o = _rc4(okey, (user_pw + _PW_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    h = md5(
+        (user_pw + _PW_PAD)[:32] + o
+        + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    )
+    if r >= 3:
+        for _ in range(50):
+            h = md5(h[:nbytes])
+    key = h[:nbytes]
+    if r == 2:
+        u = _rc4(key, _PW_PAD)
+    else:
+        u = _rc4(key, md5(_PW_PAD + id0))
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u += b"\x00" * 16
+    return o, u, key
+
+
+def _rc4_objkey(key, num, gen=0):
+    import hashlib
+
+    return hashlib.md5(
+        key + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+    ).digest()[: min(len(key) + 5, 16)]
+
+
+def _encrypted_pdf(r=2, nbytes=5, user_pw=b"", deflate=False,
+                   filt_name=b"/Standard"):
+    import zlib
+
+    from data_ingestion_py_spark.sources.pdf_pure import _rc4
+
+    p = -44
+    id0 = bytes(range(16))
+    o, u, key = _std_encrypt_keys(b"owner-secret", user_pw, p, id0, r, nbytes)
+    content = b"BT /F1 12 Tf (Secret 123456) Tj ET"
+    stored, filt = (
+        (zlib.compress(content), b" /Filter /FlateDecode")
+        if deflate else (content, b"")
+    )
+    c_enc = _rc4(_rc4_objkey(key, 4), stored)
+    title = _rc4(_rc4_objkey(key, 8), b"Locked Doc")
+    hx = lambda b: b"<" + b.hex().encode() + b">"  # noqa: E731
+    parts = [b"%PDF-1.7\n"]
+    parts.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    parts.append(
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    )
+    parts.append(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    )
+    parts.append(
+        b"4 0 obj\n<< /Length %d%s >>\nstream\n" % (len(c_enc), filt)
+        + c_enc + b"\nendstream\nendobj\n"
+    )
+    v = 1 if r == 2 else 2
+    lenfld = b"" if r == 2 else b" /Length %d" % (nbytes * 8)
+    parts.append(
+        b"5 0 obj\n<< /Filter " + filt_name
+        + b" /V %d /R %d%s /O " % (v, r, lenfld) + hx(o)
+        + b" /U " + hx(u) + b" /P %d >>\nendobj\n" % p
+    )
+    parts.append(b"8 0 obj\n<< /Title " + hx(title) + b" >>\nendobj\n")
+    parts.append(
+        b"trailer\n<< /Size 9 /Root 1 0 R /Info 8 0 R /Encrypt 5 0 R"
+        b" /ID [" + hx(id0) + b" " + hx(id0) + b"] >>\nstartxref\n0\n%%EOF"
+    )
+    return b"".join(parts)
+
+
+def test_rc4_encrypted_pdf_decrypts_with_empty_user_password():
+    """r13: the /Encrypt refusal narrowed to what is genuinely
+    unreadable — V1/V2 R2/R3 standard security with an EMPTY user
+    password (the owner-locked-but-readable shape most encrypted PDFs
+    have) now decrypts: file key from O/P/ID (Algorithm 2, incl. the
+    R3 50-fold MD5), /U verification (Algorithms 4/5), per-object RC4
+    of streams AND Info strings, composing with FlateDecode."""
+    from data_ingestion_py_spark.sources.pdf_pure import parse_pdf_text
+
+    for r, nb, defl in ((2, 5, False), (3, 16, False), (3, 16, True),
+                        (3, 5, False)):
+        got = parse_pdf_text(_encrypted_pdf(r=r, nbytes=nb, deflate=defl))
+        assert got is not None, (r, nb, defl)
+        pages, meta = got
+        assert pages == ["Secret 123456"], (r, nb, defl)
+        assert meta.get("Title") == "Locked Doc"
+
+
+def test_encrypted_pdf_honest_refusals():
+    """A REAL user password, a non-standard handler, or a mangled /U
+    must refuse the whole document (None) — never RC4 noise as text."""
+    from data_ingestion_py_spark.sources.pdf_pure import parse_pdf_text
+
+    assert parse_pdf_text(_encrypted_pdf(user_pw=b"real-pw")) is None
+    assert parse_pdf_text(
+        _encrypted_pdf(filt_name=b"/MyCustomSecurity")
+    ) is None
+    pdf = _encrypted_pdf()
+    o_at = pdf.find(b"/U <") + 4
+    bad = pdf[:o_at] + b"00" + pdf[o_at + 2 :]
+    assert parse_pdf_text(bad) is None
