@@ -264,6 +264,117 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# AES-128 (FIPS 197) decryption, pure stdlib — the AESV2 crypt filter
+# (PDF 32000-1 §7.6.2, /V 4 /R 4). Tables derive from the forward
+# S-box at import; ~10 µs/block in CPython, fine for the per-document
+# scale this parser runs at (one content stream per page).
+_AES_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_AES_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_AES_SBOX):
+    _AES_INV_SBOX[_v] = _i
+_AES_INV_SBOX = bytes(_AES_INV_SBOX)
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        b >>= 1
+        a = _xtime(a)
+    return p
+
+
+_AES_MUL9 = bytes(_gmul(9, x) for x in range(256))
+_AES_MUL11 = bytes(_gmul(11, x) for x in range(256))
+_AES_MUL13 = bytes(_gmul(13, x) for x in range(256))
+_AES_MUL14 = bytes(_gmul(14, x) for x in range(256))
+_AES_RCON = bytes.fromhex("01020408102040801b36")
+
+
+def _aes128_round_keys(key: bytes) -> list[bytes]:
+    w = [key[4 * i : 4 * i + 4] for i in range(4)]
+    for i in range(4, 44):
+        t = w[i - 1]
+        if i % 4 == 0:
+            t = bytes(
+                _AES_SBOX[t[(j + 1) % 4]] for j in range(4)
+            )
+            t = bytes([t[0] ^ _AES_RCON[i // 4 - 1], t[1], t[2], t[3]])
+        w.append(bytes(a ^ b for a, b in zip(w[i - 4], t)))
+    return [b"".join(w[4 * r : 4 * r + 4]) for r in range(11)]
+
+
+def _aes128_decrypt_block(rks: list[bytes], block: bytes) -> bytes:
+    s = bytes(a ^ b for a, b in zip(block, rks[10]))
+    for rnd in range(9, 0, -1):
+        # InvShiftRows + InvSubBytes (column-major state layout)
+        s = bytes(
+            _AES_INV_SBOX[s[(i - 4 * (i % 4)) % 16]] for i in range(16)
+        )
+        s = bytes(a ^ b for a, b in zip(s, rks[rnd]))
+        # InvMixColumns
+        out = bytearray(16)
+        for c in range(4):
+            a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+            out[4 * c] = (
+                _AES_MUL14[a0] ^ _AES_MUL11[a1]
+                ^ _AES_MUL13[a2] ^ _AES_MUL9[a3]
+            )
+            out[4 * c + 1] = (
+                _AES_MUL9[a0] ^ _AES_MUL14[a1]
+                ^ _AES_MUL11[a2] ^ _AES_MUL13[a3]
+            )
+            out[4 * c + 2] = (
+                _AES_MUL13[a0] ^ _AES_MUL9[a1]
+                ^ _AES_MUL14[a2] ^ _AES_MUL11[a3]
+            )
+            out[4 * c + 3] = (
+                _AES_MUL11[a0] ^ _AES_MUL13[a1]
+                ^ _AES_MUL9[a2] ^ _AES_MUL14[a3]
+            )
+        s = bytes(out)
+    s = bytes(
+        _AES_INV_SBOX[s[(i - 4 * (i % 4)) % 16]] for i in range(16)
+    )
+    return bytes(a ^ b for a, b in zip(s, rks[0]))
+
+
+def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
+    """AESV2 stream layout (§7.6.2): 16-byte IV prefix, CBC body,
+    PKCS#7-style padding (1..16, always present). None on any length
+    or padding violation — corrupt ciphertext never returns bytes."""
+    if len(key) != 16 or len(data) < 32 or len(data) % 16:
+        return None
+    rks = _aes128_round_keys(key)
+    prev = data[:16]
+    out = bytearray()
+    for off in range(16, len(data), 16):
+        blk = data[off : off + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes128_decrypt_block(rks, blk), prev)
+        )
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or any(b != pad for b in out[-pad:]):
+        return None
+    return bytes(out[:-pad])
+
+
 def _std_security_key(
     enc: dict, id0: bytes, password: bytes = b""
 ) -> bytes | None:
@@ -283,8 +394,9 @@ def _std_security_key(
     u = enc.get("U")
     p = enc.get("P")
     if (
-        r not in (2, 3)
-        or v not in (1, 2)
+        r not in (2, 3, 4)
+        or v not in (1, 2, 4)
+        or (r == 4) != (v == 4)
         or not isinstance(o, bytes)
         or not isinstance(u, bytes)
         or not isinstance(p, int)
@@ -292,13 +404,16 @@ def _std_security_key(
         or len(u) < 16
     ):
         return None
-    length = enc.get("Length", 40)
+    length = enc.get("Length", 40 if r == 2 else 128)
     if not isinstance(length, int) or length % 8 or not 40 <= length <= 128:
         return None
     n = 5 if r == 2 else length // 8
     padded = (password + _PW_PAD)[:32]
+    suffix = b""
+    if r == 4 and enc.get("EncryptMetadata") is False:
+        suffix = b"\xff\xff\xff\xff"
     h = hashlib.md5(
-        padded + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        padded + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0 + suffix
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -307,7 +422,7 @@ def _std_security_key(
     # verify the (empty) user password against /U
     if r == 2:
         ok = _rc4(key, _PW_PAD) == u[:32]
-    else:  # Algorithm 5
+    else:  # Algorithm 5 (R3 and R4 alike)
         t = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
         for i in range(1, 20):
             t = _rc4(bytes(b ^ i for b in key), t)
@@ -323,18 +438,20 @@ class _PdfDoc:
         # (num) -> (dict_or_value, stream_start, stream_dict) ; latest
         # occurrence wins (incremental updates append newer objects)
         self.objs: dict[int, tuple] = {}
-        # RC4 standard-security file key once _setup_encryption
-        # verifies the empty user password; None = unencrypted doc
+        # standard-security file key once _setup_encryption verifies
+        # the empty user password; None = unencrypted doc. enc_aes
+        # selects the AESV2 crypt filter (V4/R4) over plain RC4.
         self.enc_key: bytes | None = None
+        self.enc_aes: bool = False
         self.enc_num: int | None = None  # the /Encrypt object: never
         # decrypted (its own O/U strings are stored in the clear)
 
     def _object_key(self, num: int, gen: int = 0) -> bytes:
-        """Per-object RC4 key (§7.6.2 Algorithm 1): MD5(file key +
-        low 3 bytes of the object number + low 2 bytes of the
-        generation), truncated to min(n+5, 16). The scan stores one
-        object per number, so generation is 0 — true for every
-        non-incrementally-rewritten file."""
+        """Per-object key (§7.6.2 Algorithm 1): MD5(file key + low 3
+        bytes of the object number + low 2 bytes of the generation
+        [+ the AESV2 'sAlT' marker]), truncated to min(n+5, 16). The
+        scan stores one object per number, so generation is 0 — true
+        for every non-incrementally-rewritten file."""
         import hashlib
 
         assert self.enc_key is not None
@@ -342,15 +459,23 @@ class _PdfDoc:
             self.enc_key
             + (num & 0xFFFFFF).to_bytes(3, "little")
             + (gen & 0xFFFF).to_bytes(2, "little")
+            + (b"sAlT" if self.enc_aes else b"")
         ).digest()
         return h[: min(len(self.enc_key) + 5, 16)]
 
+    def _decrypt(self, num: int, data: bytes) -> bytes | None:
+        key = self._object_key(num)
+        if self.enc_aes:
+            return _aes128_cbc_decrypt(key, data)
+        return _rc4(key, data)
+
     def decrypt_string(self, num: int, s: bytes) -> bytes:
         """Strings stored directly in object ``num``'s graph (e.g. the
-        Info dict's /Title) are RC4-encrypted with that object's key."""
+        Info dict's /Title) are encrypted with that object's key."""
         if self.enc_key is None:
             return s
-        return _rc4(self._object_key(num), s)
+        got = self._decrypt(num, s)
+        return got if got is not None else b""
 
     def resolve(self, v, depth: int = 0):
         while isinstance(v, _Ref) and depth < 32:
@@ -394,8 +519,11 @@ class _PdfDoc:
         if self.enc_key is not None and num != self.enc_num:
             # §7.6.2: every stream (except the Encrypt dict's own, and
             # cross-reference streams — which this scan-based parser
-            # never decodes as content) is RC4'd with the object key
-            raw = _rc4(self._object_key(num), raw)
+            # never decodes as content) is encrypted with the object
+            # key: RC4, or AES-CBC under the AESV2 crypt filter
+            raw = self._decrypt(num, raw)
+            if raw is None:
+                return None  # bad AES padding/length: corrupt
         filt = self.resolve(d.get("Filter"))
         filts = (
             [] if filt is None
@@ -878,10 +1006,26 @@ def _setup_encryption(doc: _PdfDoc, trailers: list[dict]) -> bool:
         return False
     if enc.get("Filter") != "/Standard":
         return False
+    aes = False
+    if enc.get("V") == 4:
+        # V4 routes through named crypt filters: only the ubiquitous
+        # /StdCF /AESV2 shape with both stream AND string filters
+        # pointed at it is supported — anything else refuses
+        cf = doc.resolve(enc.get("CF"))
+        stdcf = doc.resolve(cf.get("StdCF")) if isinstance(cf, dict) else None
+        if (
+            not isinstance(stdcf, dict)
+            or doc.resolve(stdcf.get("CFM")) != "/AESV2"
+            or enc.get("StmF") != "/StdCF"
+            or enc.get("StrF") != "/StdCF"
+        ):
+            return False
+        aes = True
     key = _std_security_key(enc, id0, b"")
     if key is None:
         return False
     doc.enc_key = key
+    doc.enc_aes = aes
     doc.enc_num = enc_ref.num if isinstance(enc_ref, _Ref) else None
     return True
 

@@ -504,3 +504,139 @@ def test_encrypted_pdf_honest_refusals():
     o_at = pdf.find(b"/U <") + 4
     bad = pdf[:o_at] + b"00" + pdf[o_at + 2 :]
     assert parse_pdf_text(bad) is None
+
+
+def _aes_enc_block(rks, b):
+    """Independent FORWARD AES-128 (the decoder under test only
+    implements the inverse cipher)."""
+    from data_ingestion_py_spark.sources.pdf_pure import _AES_SBOX
+
+    def xt(a):
+        a <<= 1
+        return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+    s = bytes(x ^ y for x, y in zip(b, rks[0]))
+    for r in range(1, 10):
+        s = bytes(_AES_SBOX[x] for x in s)
+        s = bytes(s[(i + 4 * (i % 4)) % 16] for i in range(16))
+        o = bytearray(16)
+        for c in range(4):
+            a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+            o[4 * c] = xt(a0) ^ (xt(a1) ^ a1) ^ a2 ^ a3
+            o[4 * c + 1] = a0 ^ xt(a1) ^ (xt(a2) ^ a2) ^ a3
+            o[4 * c + 2] = a0 ^ a1 ^ xt(a2) ^ (xt(a3) ^ a3)
+            o[4 * c + 3] = (xt(a0) ^ a0) ^ a1 ^ a2 ^ xt(a3)
+        s = bytes(x ^ y for x, y in zip(o, rks[r]))
+    s = bytes(_AES_SBOX[x] for x in s)
+    s = bytes(s[(i + 4 * (i % 4)) % 16] for i in range(16))
+    return bytes(x ^ y for x, y in zip(s, rks[10]))
+
+
+def _aes_cbc_encrypt(key, iv, data):
+    from data_ingestion_py_spark.sources.pdf_pure import _aes128_round_keys
+
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    rks = _aes128_round_keys(key)
+    prev = iv
+    out = bytearray(iv)
+    for off in range(0, len(data), 16):
+        blk = bytes(x ^ y for x, y in zip(data[off : off + 16], prev))
+        e = _aes_enc_block(rks, blk)
+        out += e
+        prev = e
+    return bytes(out)
+
+
+def _aesv2_pdf(user_pw=b""):
+    import hashlib
+
+    from data_ingestion_py_spark.sources.pdf_pure import _rc4  # noqa: F401
+
+    p = -3904
+    id0 = bytes(range(15, -1, -1))
+    o, u, key = _std_encrypt_keys(b"owner-x", user_pw, p, id0, 4, 16)
+
+    def objkey(num):
+        return hashlib.md5(
+            key + (num & 0xFFFFFF).to_bytes(3, "little")
+            + b"\x00\x00" + b"sAlT"
+        ).digest()[:16]
+
+    content = b"BT /F1 12 Tf (AES page text) Tj ET"
+    c_enc = _aes_cbc_encrypt(objkey(4), bytes(range(16)), content)
+    title = _aes_cbc_encrypt(objkey(8), bytes(range(16, 32)), b"AES Doc")
+    hx = lambda b: b"<" + b.hex().encode() + b">"  # noqa: E731
+    parts = [b"%PDF-1.7\n"]
+    parts.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    parts.append(
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    )
+    parts.append(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    )
+    parts.append(
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(c_enc)
+        + c_enc + b"\nendstream\nendobj\n"
+    )
+    parts.append(
+        b"5 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128"
+        b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen >> >>"
+        b" /StmF /StdCF /StrF /StdCF /O " + hx(o) + b" /U " + hx(u)
+        + b" /P %d >>\nendobj\n" % p
+    )
+    parts.append(b"8 0 obj\n<< /Title " + hx(title) + b" >>\nendobj\n")
+    parts.append(
+        b"trailer\n<< /Size 9 /Root 1 0 R /Info 8 0 R /Encrypt 5 0 R"
+        b" /ID [" + hx(id0) + b" " + hx(id0) + b"] >>\nstartxref\n0\n%%EOF"
+    )
+    return b"".join(parts)
+
+
+def test_aesv2_encrypted_pdf_decrypts():
+    """r13: V4/R4 AESV2 — the MODERN encrypted-PDF shape — decrypts
+    with an empty user password: crypt-filter dict validation, the
+    sAlT object-key marker, 16-byte IV prefix, CBC, padding strip;
+    the same handler math otherwise. FIPS-197-vector and CBC
+    properties are pinned separately below."""
+    from data_ingestion_py_spark.sources.pdf_pure import parse_pdf_text
+
+    got = parse_pdf_text(_aesv2_pdf())
+    assert got is not None
+    pages, meta = got
+    assert pages == ["AES page text"]
+    assert meta.get("Title") == "AES Doc"
+    # real user password: refusal
+    assert parse_pdf_text(_aesv2_pdf(user_pw=b"pw")) is None
+    # a non-AESV2 crypt filter name: refusal
+    bad = _aesv2_pdf().replace(b"/CFM /AESV2", b"/CFM /AESV3")
+    assert parse_pdf_text(bad) is None
+    # corrupt ciphertext (bad padding) never returns text
+    pdf = _aesv2_pdf()
+    at = pdf.find(b"stream\n") + 7
+    corrupt = pdf[:at + 20] + bytes([pdf[at + 20] ^ 0xFF]) + pdf[at + 21:]
+    got2 = parse_pdf_text(corrupt)
+    assert got2 is None or got2[0] == [""]
+
+
+def test_aes128_fips_vector_and_cbc_contract():
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        _aes128_cbc_decrypt,
+        _aes128_decrypt_block,
+        _aes128_round_keys,
+    )
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert _aes128_decrypt_block(_aes128_round_keys(key), ct) == pt
+    assert _aes_enc_block(_aes128_round_keys(key), pt) == ct
+    # CBC roundtrip at every length mod 16, incl. empty
+    for n in range(0, 49):
+        data = bytes(range(n % 251, n % 251 + n)) if n else b""
+        enc = _aes_cbc_encrypt(key, bytes(16), data)
+        assert _aes128_cbc_decrypt(key, enc) == data
+    # length/padding violations refuse
+    assert _aes128_cbc_decrypt(key, b"\x00" * 16) is None  # no body
+    assert _aes128_cbc_decrypt(key, b"\x00" * 33) is None  # not 16-mult
+    assert _aes128_cbc_decrypt(key, bytes(32)) is None  # pad byte 0
