@@ -25,14 +25,15 @@ encrypted PDFs in the wild have (r13: Algorithm 2 file key from
 object-graph strings).
 
 Honest limits (→ None or empty page text, never guessed):
-documents with a REAL user password or a non-standard/AES security
-handler, CCITT/JBIG2/JPX content filters, Type0 fonts WITHOUT a
-ToUnicode CMap (their codes are glyph ids — no text is invented;
-unmapped codes surface as U+FFFD), non-Identity CMap encodings, and
-ObjStm objects inside encrypted documents (the scan parses object
-streams before decryption arms). Text layout is deterministic and
-documented: show-operator strings concatenate in stream order;
-T* / Td / TD / ' / " and ET insert one newline.
+documents with a REAL user password or a non-standard security
+handler (AESV3/256, custom crypt filters), CCITT/JBIG2/JPX content
+filters, Type0 fonts WITHOUT a ToUnicode CMap (their codes are glyph
+ids — no text is invented; unmapped codes surface as U+FFFD), and
+non-Identity CMap encodings. ObjStm expansion is deferred for
+encrypted documents and re-runs once decryption arms, so the modern
+ObjStm+XRef-stream+encrypted layout parses (r13). Text layout is
+deterministic and documented: show-operator strings concatenate in
+stream order; T* / Td / TD / ' / " and ET insert one newline.
 
 Object offsets come from the scan, NOT the xref table — so damaged or
 xref-stream PDFs parse as long as their objects are intact, which is
@@ -445,6 +446,9 @@ class _PdfDoc:
         self.enc_aes: bool = False
         self.enc_num: int | None = None  # the /Encrypt object: never
         # decrypted (its own O/U strings are stored in the clear)
+        # objects unpacked from /ObjStm: their strings are already
+        # plaintext (the WHOLE stream was encrypted, §7.6.2)
+        self.from_objstm: set[int] = set()
 
     def _object_key(self, num: int, gen: int = 0) -> bytes:
         """Per-object key (§7.6.2 Algorithm 1): MD5(file key + low 3
@@ -471,8 +475,10 @@ class _PdfDoc:
 
     def decrypt_string(self, num: int, s: bytes) -> bytes:
         """Strings stored directly in object ``num``'s graph (e.g. the
-        Info dict's /Title) are encrypted with that object's key."""
-        if self.enc_key is None:
+        Info dict's /Title) are encrypted with that object's key —
+        EXCEPT objects that came out of an ObjStm, whose strings were
+        encrypted (and already decrypted) wholesale with the stream."""
+        if self.enc_key is None or num in self.from_objstm:
             return s
         got = self._decrypt(num, s)
         return got if got is not None else b""
@@ -715,7 +721,25 @@ def _scan(buf: bytes) -> _PdfDoc:
                 j += 1
             stream_start = j
         doc.objs[int(m.group(1))] = (val, stream_start)
-    # unpack compressed object streams (/Type /ObjStm)
+    # unpack compressed object streams (/Type /ObjStm) — but NOT for
+    # encrypted documents: their ObjStm bytes are ciphertext until
+    # _setup_encryption arms the key, which re-runs this expansion
+    # (r13; the /Encrypt dict itself is always a DIRECT object per
+    # spec, so trailer detection needs no expansion)
+    if not any("Encrypt" in t for t in _find_trailer_dicts(doc)):
+        _expand_objstms(doc)
+    return doc
+
+
+def _expand_objstms(doc: "_PdfDoc") -> None:
+    """Unpack /Type /ObjStm compressed object streams into the object
+    table (direct objects take precedence). Runs from ``_scan`` for
+    unencrypted documents and again from ``_setup_encryption`` once
+    decryption is armed — the stream decodes through ``stream_bytes``
+    either way, so the encrypted path decrypts transparently. Objects
+    sourced from an ObjStm are recorded in ``doc.from_objstm``:
+    per §7.6.2 their strings are NOT individually encrypted (the
+    whole stream was), so ``decrypt_string`` must skip them."""
     for num in list(doc.objs):
         d, sstart = doc.objs[num]
         if not isinstance(d, dict) or d.get("Type") != "/ObjStm":
@@ -753,7 +777,7 @@ def _scan(buf: bytes) -> _PdfDoc:
             except ValueError:
                 continue
             doc.objs[onum] = (oval, None)
-    return doc
+            doc.from_objstm.add(onum)
 
 
 def _find_trailer_dicts(doc: _PdfDoc) -> list[dict]:
@@ -1027,6 +1051,9 @@ def _setup_encryption(doc: _PdfDoc, trailers: list[dict]) -> bool:
     doc.enc_key = key
     doc.enc_aes = aes
     doc.enc_num = enc_ref.num if isinstance(enc_ref, _Ref) else None
+    # the scan deferred ObjStm expansion for encrypted docs (their
+    # stream bytes were ciphertext); expand now that decryption works
+    _expand_objstms(doc)
     return True
 
 

@@ -640,3 +640,62 @@ def test_aes128_fips_vector_and_cbc_contract():
     assert _aes128_cbc_decrypt(key, b"\x00" * 16) is None  # no body
     assert _aes128_cbc_decrypt(key, b"\x00" * 33) is None  # not 16-mult
     assert _aes128_cbc_decrypt(key, bytes(32)) is None  # pad byte 0
+
+
+def test_encrypted_objstm_layout_decrypts():
+    """r13: the MODERN encrypted layout — page-tree objects and the
+    Info dict packed in a (deflated, encrypted) /ObjStm, an
+    xref-stream-style trailer — parses end-to-end: the scan defers
+    ObjStm expansion, _setup_encryption arms the key and re-expands,
+    and per §7.6.2 the strings INSIDE ObjStm objects are NOT
+    separately decrypted (they were encrypted wholesale with the
+    stream)."""
+    import zlib
+
+    from data_ingestion_py_spark.sources.pdf_pure import _rc4, parse_pdf_text
+
+    p = -44
+    id0 = bytes(range(16))
+    o, u, key = _std_encrypt_keys(b"own", b"", p, id0, 3, 16)
+    content = b"BT /F1 12 Tf (inside objstm) Tj ET"
+    c_enc = _rc4(_rc4_objkey(key, 4), content)
+    # objects 1,2,3,8 live in the ObjStm (object 9); strings inside
+    # stay PLAINTEXT (the stream is encrypted as a whole)
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"),
+        (8, b"<< /Title (Packed Title) >>"),
+    ]
+    offs, body = [], b""
+    for num, ob in inner:
+        offs.append((num, len(body)))
+        body += ob + b" "
+    header = " ".join(f"{n} {off}" for n, off in offs).encode() + b" "
+    stm_plain = header + body
+    stm = _rc4(_rc4_objkey(key, 9), zlib.compress(stm_plain))
+    hx = lambda b: b"<" + b.hex().encode() + b">"  # noqa: E731
+    parts = [b"%PDF-1.7\n"]
+    parts.append(
+        b"9 0 obj\n<< /Type /ObjStm /N %d /First %d /Length %d"
+        b" /Filter /FlateDecode >>\nstream\n" % (
+            len(inner), len(header), len(stm))
+        + stm + b"\nendstream\nendobj\n"
+    )
+    parts.append(
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(c_enc)
+        + c_enc + b"\nendstream\nendobj\n"
+    )
+    parts.append(
+        b"5 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /O "
+        + hx(o) + b" /U " + hx(u) + b" /P %d >>\nendobj\n" % p
+    )
+    parts.append(
+        b"trailer\n<< /Size 10 /Root 1 0 R /Info 8 0 R /Encrypt 5 0 R"
+        b" /ID [" + hx(id0) + b" " + hx(id0) + b"] >>\nstartxref\n0\n%%EOF"
+    )
+    got = parse_pdf_text(b"".join(parts))
+    assert got is not None
+    pages, meta = got
+    assert pages == ["inside objstm"]
+    assert meta.get("Title") == "Packed Title"
