@@ -4748,3 +4748,193 @@ def q_pdf_encrypted_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("document_metadata").getItem("Title").alias("title"),
         F.col("document_metadata").getItem("extractor").alias("extractor"),
     )
+
+
+def _glyph_jpeg_hex(glyph_rows: list) -> tuple["F.Column", int]:
+    """(hex column, byte length) of a DC-only glyph-grid JPEG (the
+    _scan_jpeg_header_hex fixture family): ``glyph_rows`` is rows of
+    glyph items — a constant char from the TEXT font ('.'/' '/digit)
+    or a Column holding a digit 0..9 (rendered as a 10-entry lookup
+    per 8×8 block). Every block is one of two 2-byte constants thanks
+    to the DRI=1 restart discipline, so the whole image is column
+    algebra."""
+    from data_ingestion_py_spark.sources.ocr_pure import TEXT_TEMPLATES
+
+    bw = len(glyph_rows[0]) * 2
+    bh = 3 * len(glyph_rows)
+    hdr = _scan_jpeg_header_hex(bw * 8, bh * 8)
+    parts: list = [F.lit(hdr)]
+    n = bw * bh
+    for i in range(n):
+        r, c = divmod(i, bw)
+        grow, rr = divmod(r, 3)
+        g, gc = divmod(c, 2)
+        item = glyph_rows[grow][g]
+        if isinstance(item, str):
+            bit = TEXT_TEMPLATES[item][rr][gc]
+            parts.append(F.lit("E3EF" if bit else "EC0F"))
+        else:
+            cells = F.array(
+                *[
+                    F.lit(
+                        "E3EF"
+                        if TEXT_TEMPLATES[str(t)][rr][gc]
+                        else "EC0F"
+                    )
+                    for t in range(10)
+                ]
+            )
+            parts.append(F.element_at(cells, item + 1))
+        if i != n - 1:
+            parts.append(F.lit(f"FFD{i % 8:X}"))
+    parts.append(F.lit("FFD9"))
+    return F.concat(*parts), len(hdr) // 2 + n * 2 + (n - 1) * 2 + 2
+
+
+def _scanned_pdf2_parts(
+    w1: int, h1: int, len1: int, w2: int, h2: int, len2: int
+) -> tuple[str, str, str]:
+    """(pre, mid, tail) hex of a TWO-page scanned PDF: each page shows
+    only its image XObject (no text operators — the P9 predicate fires
+    on the whole doc); the JPEGs slot between the segments."""
+    c5 = f"q {w1} 0 0 {h1} 0 0 cm /Im0 Do Q"
+    c6 = f"q {w2} 0 0 {h2} 0 0 cm /Im0 Do Q"
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n"
+    pre += (
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+        "<< /XObject << /Im0 7 0 R >> >> /Contents 5 0 R >>\nendobj\n"
+    )
+    pre += (
+        "4 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+        "<< /XObject << /Im0 8 0 R >> >> /Contents 6 0 R >>\nendobj\n"
+    )
+    pre += f"5 0 obj\n<< /Length {len(c5)} >>\nstream\n{c5}\nendstream\nendobj\n"
+    pre += f"6 0 obj\n<< /Length {len(c6)} >>\nstream\n{c6}\nendstream\nendobj\n"
+    pre += (
+        f"7 0 obj\n<< /Type /XObject /Subtype /Image /Width {w1} "
+        f"/Height {h1} /ColorSpace /DeviceGray /BitsPerComponent 8 "
+        f"/Filter /DCTDecode /Length {len1} >>\nstream\n"
+    )
+    mid = (
+        "\nendstream\nendobj\n"
+        f"8 0 obj\n<< /Type /XObject /Subtype /Image /Width {w2} "
+        f"/Height {h2} /ColorSpace /DeviceGray /BitsPerComponent 8 "
+        f"/Filter /DCTDecode /Length {len2} >>\nstream\n"
+    )
+    tail = (
+        "\nendstream\nendobj\ntrailer\n"
+        "<< /Size 9 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+    return (
+        pre.encode().hex().upper(),
+        mid.encode().hex().upper(),
+        tail.encode().hex().upper(),
+    )
+
+
+@register(
+    "pdf_scanned_multipage_snippets",
+    """
+WITH g AS (
+    SELECT doc_id,
+           lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS sa,
+           lpad(CAST(doc_id * 7 % 100 AS VARCHAR), 2, '0') AS sb,
+           lpad(CAST(doc_id * 13 % 100 AS VARCHAR), 2, '0') AS sc,
+           lpad(CAST(doc_id * 31 % 100 AS VARCHAR), 2, '0') AS sd,
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS se
+    FROM documents WHERE doc_id % 5 = 0
+), r AS (
+    SELECT doc_id, unnest([
+        {'pn': 1, 'sid': 1,
+         'pt': sa || '. ' || sb || '.' || chr(10) || sc || '. ' || sd || '.',
+         'txt': sa || '. ' || sb || '. ' || sc || '. ' || sd || '.'},
+        {'pn': 1, 'sid': 2,
+         'pt': sa || '. ' || sb || '.' || chr(10) || sc || '. ' || sd || '.',
+         'txt': sd || '.'},
+        {'pn': 2, 'sid': 1, 'pt': se || '.', 'txt': se || '.'}
+    ]) AS u
+    FROM g
+)
+SELECT doc_id AS media_id,
+       CAST(u.pn AS INT) AS page_number,
+       u.pt AS page_text,
+       CAST(u.sid AS INT) AS snippet_id,
+       u.txt AS snippet_text
+FROM r
+""",
+    tags=("S2", "pdf", "ocr", "T2"),
+)
+def q_pdf_scanned_multipage_snippets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL reference pipeline on scanned input (r13 — deepening
+    pdf_scanned_text_extract from one glyph row to real documents):
+    two-page scanned PDFs whose page images are MULTI-ROW glyph grids
+    in the extended bitmap font (digits + '.' + space), so the OCR'd
+    text has sentence structure — page 1 reads two lines of two
+    sentences each, page 2 one sentence. extract_scanned_text (the
+    caller-chosen-font OCR-lite stage) recovers the text, then the
+    REAL snippetize operator windows it in punctuation mode: page 1's
+    four sentences produce TWO overlapping windows (stride 3 over
+    num_sent 5 — the reference's 181-191 loop shape actually
+    exercised, not the single-window degenerate case). The oracle
+    recomputes every page text AND every snippet window arithmetically
+    — a glyph slip, row-join bug, sentence-split or window-boundary
+    error mismatches rows. Two narrow Arrow stages + the snippetize
+    explode, no wide shuffle."""
+    from data_ingestion_py_spark.operators.snippetize import snippetize
+    from data_ingestion_py_spark.sources import pdf as pdf_src
+    from data_ingestion_py_spark.sources.ocr_pure import TEXT_TEMPLATES
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id")
+    doc = F.col("doc_id")
+
+    def digits(col: "F.Column", width: int) -> list:
+        s = F.lpad(col.cast("string"), width, "0")
+        return [
+            F.substring(s, k + 1, 1).cast("int") for k in range(width)
+        ]
+
+    a = digits(doc % 100, 2)
+    b = digits(doc * 7 % 100, 2)
+    c2 = digits(doc * 13 % 100, 2)
+    dd = digits(doc * 31 % 100, 2)
+    e3 = digits(doc % 1000, 3)
+    jpeg1, len1 = _glyph_jpeg_hex(
+        [
+            [a[0], a[1], ".", " ", b[0], b[1], "."],
+            [c2[0], c2[1], ".", " ", dd[0], dd[1], "."],
+        ]
+    )
+    jpeg2, len2 = _glyph_jpeg_hex([[e3[0], e3[1], e3[2], "."]])
+    pre, mid, tail = _scanned_pdf2_parts(
+        7 * 16, 2 * 24, len1, 4 * 16, 24, len2
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://scan2-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(
+            F.concat(F.lit(pre), jpeg1, F.lit(mid), jpeg2, F.lit(tail))
+        ).alias("content"),
+    )
+    pages = pdf_src.extract_scanned_text(
+        binary, templates=TEXT_TEMPLATES
+    ).select(
+        F.regexp_extract("document_name", r"scan2-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+    )
+    return snippetize(
+        pages,
+        text_col="page_text",
+        id_cols=("media_id", "page_number"),
+        carry_cols=("page_text",),
+        mode="punctuation",
+    )

@@ -52,6 +52,18 @@ DIGIT_TEMPLATES: dict[str, tuple[tuple[int, ...], ...]] = {
     "9": ((1, 1), (1, 1), (0, 1)),
 }
 
+#: Digits + sentence punctuation + inter-word space. NOT the default:
+#: with a space glyph (all-paper) a strictly-blank region reads as
+#: whitespace instead of refusing, which is the right behavior only
+#: when the caller KNOWS the page is typeset in this font — the PDF
+#: ingestion fallback keeps the digits-only font so unknown scans
+#: still fall through to the pytesseract seam.
+TEXT_TEMPLATES: dict[str, tuple[tuple[int, ...], ...]] = {
+    **DIGIT_TEMPLATES,
+    ".": ((0, 0), (0, 0), (1, 0)),
+    " ": ((0, 0), (0, 0), (0, 0)),
+}
+
 
 def _pool_cells(gray: np.ndarray, cell: tuple[int, int]) -> np.ndarray:
     """Average-pool a (H, W) uint8 raster to cell means — H and W must
@@ -122,7 +134,11 @@ def match_glyph_grid(
     return "\n".join(lines)
 
 
-def ocr_pdf_pages(content: bytes, strict: bool = True) -> list[str] | None:
+def ocr_pdf_pages(
+    content: bytes,
+    strict: bool = True,
+    templates: dict[str, tuple[tuple[int, ...], ...]] | None = None,
+) -> list[str] | None:
     """Bitmap-font OCR of a scanned PDF: extract every page's image
     XObjects (``pdf_pure.extract_page_images``), decode them with the
     in-container kernels (JPEG via ``decode_jpeg_array``, raw gray8
@@ -153,7 +169,7 @@ def ocr_pdf_pages(content: bytes, strict: bool = True) -> list[str] | None:
             gray = np.asarray(arr, dtype=np.uint8).reshape(dh, dw)
         else:  # raw gray8, validated by extract_page_images
             gray = np.frombuffer(data, dtype=np.uint8).reshape(h, w)
-        text = match_glyph_grid(gray, strict=strict)
+        text = match_glyph_grid(gray, templates=templates, strict=strict)
         if text is None:
             return None
         pages[pno - 1].append(text)

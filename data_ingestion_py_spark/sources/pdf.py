@@ -246,6 +246,55 @@ def extract_image_xobjects(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(_extract, IMAGE_ROW_SCHEMA)
 
 
+SCANNED_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("document_name", T.StringType(), False),
+        T.StructField("page_number", T.IntegerType(), False),
+        T.StructField("page_text", T.StringType(), False),
+    ]
+)
+
+
+def extract_scanned_text(
+    binary_df: DataFrame,
+    templates: dict | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """binaryFile rows → one row per OCR-lite-recognized page of a
+    scanned PDF: the dedicated stage for corpora KNOWN to be typeset
+    in a bitmap font (pass ``ocr_pure.TEXT_TEMPLATES`` for digits +
+    '.'/' ' running text). Unlike ``extract_pages`` — whose OCR branch
+    keeps the digits-only default so unknown scans fall through to the
+    pytesseract seam — this stage lets the caller choose the font.
+    Documents with no recognizable page images emit no rows. One
+    narrow Arrow stage, no shuffle."""
+    from data_ingestion_py_spark.sources.ocr_pure import ocr_pdf_pages
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in SCANNED_TEXT_SCHEMA.fields
+            }
+            for path, content in zip(
+                pdf_batch["path"], pdf_batch["content"]
+            ):
+                pages = ocr_pdf_pages(
+                    bytes(content), strict=strict, templates=templates
+                )
+                if pages is None:
+                    continue
+                name = path.rsplit("/", 1)[-1]
+                for i, text in enumerate(pages):
+                    out["file_path"].append(path)
+                    out["document_name"].append(name)
+                    out["page_number"].append(i + 1)
+                    out["page_text"].append(text)
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(_extract, SCANNED_TEXT_SCHEMA)
+
+
 def pages_with_links(pages: DataFrame, link_col: str = "file_path") -> DataFrame:
     """T4 derived page link: file_link + '#page=' + n (reference :128)."""
     return pages.withColumn(

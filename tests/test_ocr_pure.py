@@ -232,3 +232,47 @@ def test_extract_image_xobjects_dataframe_stage(spark):
         "a.pdf", 1, 0, "jpeg",
     )
     assert bytes(r.data) == jpeg_digits("12345")
+
+
+def test_text_templates_and_extract_scanned_text(spark):
+    """r13: the extended font (digits + '.' + ' ') reads running text
+    with sentence structure; extract_scanned_text is the
+    caller-chosen-font stage (extract_pages keeps the digits-only
+    default so unknown scans still refuse)."""
+    from data_ingestion_py_spark.sources import pdf as pdf_src
+    from data_ingestion_py_spark.sources.ocr_pure import TEXT_TEMPLATES
+
+    flat = {d: tuple(x for row in t for x in row)
+            for d, t in TEXT_TEMPLATES.items()}
+    assert len(set(flat.values())) == 12  # all distinct
+
+    def render_ext(text, cell=8):
+        img = np.full((3 * cell, len(text) * 2 * cell), 224, np.uint8)
+        for g, ch in enumerate(text):
+            t = TEXT_TEMPLATES[ch]
+            for r in range(3):
+                for c in range(2):
+                    if t[r][c]:
+                        img[r * cell:(r + 1) * cell,
+                            (g * 2 + c) * cell:(g * 2 + c + 1) * cell] = 32
+        return img
+
+    img = render_ext("12. 34.")
+    assert match_glyph_grid(img, templates=TEXT_TEMPLATES) == "12. 34."
+    # digits-only font refuses the same raster ('.' and ' ' unknown)
+    assert match_glyph_grid(img) is None
+
+    raw = render_ext("08. 15.").tobytes()
+    pdf = scanned_pdf("08. 15.", jpeg=raw, filters="")
+    pdf = pdf.replace(b" /Filter  /Length", b" /Length")
+    binary = spark.createDataFrame(
+        [("mem://t.pdf", pdf), ("mem://x.pdf", b"not a pdf")],
+        "path string, content binary",
+    )
+    rows = pdf_src.extract_scanned_text(
+        binary, templates=TEXT_TEMPLATES
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].page_text == "08. 15." and rows[0].page_number == 1
+    # strict default font through the same stage: refused, no rows
+    assert pdf_src.extract_scanned_text(binary).collect() == []
