@@ -4938,3 +4938,120 @@ def q_pdf_scanned_multipage_snippets(
         carry_cols=("page_text",),
         mode="punctuation",
     )
+
+
+#: G4 (ITU-T T.6) streams of the ten single-glyph 16×24 bitmap-font
+#: pages — plan-time constants for the CCITT fixture. Regenerable from
+#: the independent test encoder; tests/test_ccitt.py asserts these
+#: exact bytes re-encode from the font (so a font or encoder change
+#: can't silently diverge from the fixture).
+_G4_DIGIT_HEX = {
+    "0": "26A0BFFFFFFFFFFFE0020020",
+    "1": "3317FFFFFFFFFFF0010010",
+    "2": "26A0BFFFE662FFFE4D45FFFFFC004004",
+    "3": "26A0BFFFE662FFFE4D417FFFC0040040",
+    "4": "26A2FFFFFF20B9AFFFE662FFFE002002",
+    "5": "26A0BFFFF22CFFFFFE662FFFE0020020",
+    "6": "26A2FFFFFF20B9AFFFFFFFE0020020",
+    "7": "26A0BFFFE662FFFFFFFE002002",
+    "8": "3317FFF26A0BFFFFFFFE002002",
+    "9": "26A0BFFFFFFFE662FFFE002002",
+}
+
+
+@register(
+    "pdf_ccitt_scanned_digits",
+    """
+SELECT doc_id AS media_id,
+       1 AS page_number,
+       CAST(doc_id % 10 AS VARCHAR) || chr(10) ||
+       CAST((doc_id // 10) % 10 AS VARCHAR) AS page_text,
+       TRUE AS needs_ocr,
+       'ocr-lite' AS extractor
+FROM documents
+""",
+    tags=("S2", "pdf", "ocr", "ccitt"),
+)
+def q_pdf_ccitt_scanned_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER wild scanned-PDF encoding end-to-end (r13): fax-style
+    /CCITTFaxDecode (pure Group 4, /K -1) image XObjects — with
+    /DCTDecode this covers what real scanned PDFs actually contain.
+    Each doc plants a one-page PDF with TWO bilevel CCITT XObjects
+    (the doc id's last two digits as single-glyph pages); the pure
+    parser routes each stream through the T.6 kernel (sources/ccitt:
+    pass/vertical/horizontal modes against the reference line, T.4
+    run tables), the raster feeds strict OCR-lite, and the page text
+    is the two recognized digits. Streams are plan-time constants
+    selected per digit (G4's 2D context makes doc-varying ciphertext
+    non-composable, unlike the XOR-able RC4 fixture); /Length lookup
+    tables vary with them. The oracle recomputes the digits
+    arithmetically — a mode-code slip, run-table transcription error,
+    reference-line bug, or EOFB mishandling mismatches rows. One
+    narrow Arrow stage, no shuffle."""
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    digits = [
+        F.pmod(doc, F.lit(10)).cast("int"),
+        F.pmod(F.floor(doc / 10), F.lit(10)).cast("int"),
+    ]
+    hex_tab = F.array(*[F.lit(_G4_DIGIT_HEX[str(t)]) for t in range(10)])
+    len_tab = F.array(
+        *[F.lit(str(len(_G4_DIGIT_HEX[str(t)]) // 2)) for t in range(10)]
+    )
+
+    def obj_hex(s: str) -> "F.Column":
+        return F.lit(s.encode().hex().upper())
+
+    # ascii pieces as hex; the digit-chosen /Length decimal as hex
+    def ascii_hex(col: "F.Column") -> "F.Column":
+        return F.upper(F.hex(F.encode(col, "UTF-8")))
+
+    c4 = "q 16 0 0 24 0 0 cm /Im0 Do Q q 16 0 0 24 16 0 cm /Im1 Do Q"
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += (
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+        "<< /Im0 5 0 R /Im1 6 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+    )
+    pre += f"4 0 obj\n<< /Length {len(c4)} >>\nstream\n{c4}\nendstream\nendobj\n"
+
+    def img_piece(num: int, digit: "F.Column") -> "F.Column":
+        head = (
+            f"{num} 0 obj\n<< /Type /XObject /Subtype /Image /Width 16 "
+            "/Height 24 /ColorSpace /DeviceGray /BitsPerComponent 1 "
+            "/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns 16 "
+            "/Rows 24 >> /Length "
+        )
+        return F.concat(
+            obj_hex(head),
+            ascii_hex(F.element_at(len_tab, digit + 1)),
+            obj_hex(" >>\nstream\n"),
+            F.element_at(hex_tab, digit + 1),
+            obj_hex("\nendstream\nendobj\n"),
+        )
+
+    tail = "trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    pdf_hex = F.concat(
+        obj_hex(pre),
+        img_piece(5, digits[0]),
+        img_piece(6, digits[1]),
+        obj_hex(tail),
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://fax-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(pdf_hex).alias("content"),
+    )
+    return extract_pages(binary).select(
+        F.regexp_extract("document_name", r"fax-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+        "needs_ocr",
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )

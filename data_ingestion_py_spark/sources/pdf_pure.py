@@ -570,7 +570,7 @@ class _PdfDoc:
         got = self._raw_stream(num)
         if got is None:
             return None
-        _d, data, filts, parms = got
+        d, data, filts, parms = got
         for i, (f, dp) in enumerate(zip(filts, parms)):
             name = self.resolve(f)
             if name == "/DCTDecode":
@@ -580,6 +580,36 @@ class _PdfDoc:
                 if rdp is not None and not isinstance(rdp, dict):
                     return None
                 return ("jpeg", data)
+            if name == "/CCITTFaxDecode":
+                # terminal fax-compressed bilevel (r13): pure Group 4
+                # (K < 0) decodes through sources/ccitt into an 8-bit
+                # gray raster; Group 3 / EncodedByteAlign stay honest
+                # seams. /BlackIs1 only flips the STORED bit polarity,
+                # which this gray-emitting path never materializes.
+                if i != len(filts) - 1:
+                    return None
+                rdp = self.resolve(dp)
+                if rdp is not None and not isinstance(rdp, dict):
+                    return None
+                rdp = rdp or {}
+                if self.resolve(rdp.get("K", 0)) >= 0:
+                    return None  # Group 3: honest seam
+                if self.resolve(rdp.get("EncodedByteAlign")) is True:
+                    return None
+                cols = self.resolve(rdp.get("Columns", 1728))
+                rows = self.resolve(
+                    rdp.get("Rows", self.resolve(d.get("Height")))
+                )
+                if not isinstance(cols, int) or not isinstance(rows, int):
+                    return None
+                from data_ingestion_py_spark.sources.ccitt import (
+                    g4_decode,
+                )
+
+                arr = g4_decode(data, cols, rows)
+                if arr is None:
+                    return None
+                return ("gray8", arr.tobytes())
             data = self._apply_filter(name, self.resolve(dp), data)
             if data is None:
                 return None
@@ -1154,7 +1184,12 @@ def extract_page_images(
             if kind_data is None:
                 continue
             kind, data = kind_data
-            if kind == "raw":
+            if kind == "gray8":
+                # already a decoded raster (CCITT G4): ships as 'raw'
+                kind = "raw"
+                if len(data) != w * h:
+                    continue
+            elif kind == "raw":
                 cs = doc.resolve(d.get("ColorSpace"))
                 if cs != "/DeviceGray" or bpc != 8:
                     continue  # raw non-gray8: honest skip, never guess

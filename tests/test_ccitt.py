@@ -1,0 +1,264 @@
+"""CCITT Group 4 decoder (sources/ccitt.py) pinned against an
+INDEPENDENT from-the-spec T.6 encoder written here: mode decisions
+(pass / vertical / horizontal) per §4.2.1.3 of ITU-T T.6, T.4
+run-length tables for horizontal runs, EOFB termination. The encoder
+shares only the code-table CONSTANTS with the decoder (transcription
+errors there are cross-checked by the skipif Pillow interop test in
+test_optional_kernels.py, which decodes libtiff-written G4)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from data_ingestion_py_spark.sources.ccitt import (
+    _BLACK_CODES,
+    _EXT_CODES,
+    _WHITE_CODES,
+    g4_decode,
+)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, s: str):
+        self.bits.extend(int(c) for c in s)
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        return bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+
+
+_W = {run: code for run, code in _WHITE_CODES + _EXT_CODES}
+_B = {run: code for run, code in _BLACK_CODES + _EXT_CODES}
+
+
+def _emit_run(w: _BitWriter, run: int, white: bool):
+    table = _W if white else _B
+    while run >= 64:
+        mk = min(run - run % 64, 2560)
+        while mk not in table:
+            mk -= 64
+        w.write(table[mk])
+        run -= mk
+    w.write(table[run])
+
+
+def _transitions(line: np.ndarray) -> list[int]:
+    """Positions where color changes; lines start white (255)."""
+    out = []
+    prev = 255
+    for i, v in enumerate(line):
+        if v != prev:
+            out.append(i)
+            prev = v
+    return out
+
+
+def g4_encode(img: np.ndarray) -> bytes:
+    """Independent T.6 encoder: 0 = black, 255 = white."""
+    h, w_cols = img.shape
+    out = _BitWriter()
+    ref = [w_cols, w_cols]
+    for y in range(h):
+        cur = _transitions(img[y])
+        padded = cur + [w_cols, w_cols]
+        a0 = -1
+        white = True
+        ci = 0  # index of next transition in cur after a0
+        while a0 < w_cols:
+            a1 = padded[ci] if ci < len(padded) else w_cols
+            a2 = padded[ci + 1] if ci + 1 < len(padded) else w_cols
+            # b1/b2 against the reference line
+            idx = 0
+            while idx < len(ref) and ref[idx] <= a0:
+                idx += 1
+            if (idx % 2 == 0) != white:
+                idx += 1
+            b1 = ref[idx] if idx < len(ref) else w_cols
+            b2 = ref[idx + 1] if idx + 1 < len(ref) else w_cols
+            if b2 < a1:
+                out.write("0001")  # pass
+                a0 = b2
+                continue
+            d = a1 - b1
+            if -3 <= d <= 3:
+                out.write(
+                    {0: "1", 1: "011", 2: "000011", 3: "0000011",
+                     -1: "010", -2: "000010", -3: "0000010"}[d]
+                )
+                a0 = a1
+                white = not white
+                ci += 1
+            else:
+                out.write("001")
+                _emit_run(out, a1 - max(a0, 0), white)
+                _emit_run(out, a2 - a1, not white)
+                a0 = a2
+                ci += 2
+        ref = cur + [w_cols, w_cols]
+    out.write("000000000001" * 2)  # EOFB
+    return out.bytes()
+
+
+def _rand_img(rng, h, w, p=0.3):
+    return np.where(
+        np.array([[rng.random() < p for _ in range(w)] for _ in range(h)]),
+        0, 255,
+    ).astype(np.uint8)
+
+
+def test_g4_roundtrip_random_bitmaps():
+    rng = random.Random(13)
+    for trial in range(40):
+        h = rng.randrange(1, 24)
+        w = rng.choice([1, 7, 8, 17, 64, 100, 250])
+        p = rng.choice([0.05, 0.3, 0.5, 0.9])
+        img = _rand_img(rng, h, w, p)
+        got = g4_decode(g4_encode(img), w, h)
+        assert got is not None, (trial, h, w)
+        assert (got == img).all(), (trial, h, w)
+
+
+def test_g4_degenerate_and_wide_runs():
+    # all-white, all-black, single pixel, and make-up-code-deep runs
+    for img in (
+        np.full((3, 50), 255, np.uint8),
+        np.full((3, 50), 0, np.uint8),
+        np.full((1, 1), 0, np.uint8),
+        np.full((2, 4000), 0, np.uint8),   # 2560+ make-up accumulation
+        np.full((2, 4000), 255, np.uint8),
+    ):
+        got = g4_decode(g4_encode(img), img.shape[1], img.shape[0])
+        assert got is not None and (got == img).all(), img.shape
+    # checkerboard: vertical-mode stress with 1-px runs
+    img = np.indices((8, 32)).sum(axis=0) % 2
+    img = np.where(img.astype(bool), 0, 255).astype(np.uint8)
+    got = g4_decode(g4_encode(img), 32, 8)
+    assert got is not None and (got == img).all()
+
+
+def test_g4_decode_without_rows_uses_eofb():
+    rng = random.Random(7)
+    img = _rand_img(rng, 9, 40)
+    got = g4_decode(g4_encode(img), 40, None)
+    assert got is not None and got.shape == (9, 40) and (got == img).all()
+
+
+def test_g4_glyph_page_reads_through_ocr_matcher():
+    """The scanned-document composition: a bitmap-font glyph page G4
+    round-trips and glyph-matches — fax-scan bilevel is exactly the
+    raster class OCR-lite targets."""
+    from data_ingestion_py_spark.sources.ocr_pure import match_glyph_grid
+    from tests.test_ocr_pure import render
+
+    img = render("0857")  # 24 x 64, ink 32 / paper 224
+    bilevel = np.where(img < 128, 0, 255).astype(np.uint8)
+    got = g4_decode(g4_encode(bilevel), 64, 24)
+    assert got is not None and (got == bilevel).all()
+    assert match_glyph_grid(got) == "0857"
+
+
+def test_g4_corruption_refuses():
+    rng = random.Random(3)
+    img = _rand_img(rng, 6, 64)
+    enc = g4_encode(img)
+    # wrong declared rows
+    assert g4_decode(enc, 64, 7) is None
+    # truncation: fewer lines decode than declared
+    assert g4_decode(enc[: len(enc) // 4], 64, 6) is None
+    # an invalid mode code (an EOL inside G4 data) refuses
+    assert g4_decode(b"\x00\x18" * 8, 64, 6) is None
+    # all-padding stream: zero lines, not six
+    assert g4_decode(b"\x00" * 30, 64, 6) is None
+    # absurd column counts
+    assert g4_decode(enc, 0, 6) is None
+    assert g4_decode(enc, 1 << 20, 6) is None
+    # NOTE: G4 has no checksum — RANDOM bits can legally decode (e.g.
+    # alternating V0/VL1 codes), so "garbage refuses" is deliberately
+    # NOT asserted; structural violations above are what the format
+    # can actually detect.
+
+
+def test_tiff_compression4_g4_strips():
+    """Fax TIFF: Compression 4 bilevel strips decode through the G4
+    kernel and the existing sub-byte + WhiteIsZero machinery."""
+    from data_ingestion_py_spark.sources.multimodal import decode_tiff_array
+    from tests.test_sources import _tiff_bytes
+
+    rng = random.Random(21)
+    w, h = 37, 12
+    img = _rand_img(rng, h, w, 0.4)
+    # photo 0 (WhiteIsZero) — the fax norm; two strips of 6 rows each
+    strips = [g4_encode(img[:6]), g4_encode(img[6:])]
+    tif = _tiff_bytes("II", w, h, 0, strips, comp=4, rps=6, bps=1)
+    got = decode_tiff_array(tif)
+    assert got is not None
+    gw, gh, pix = got
+    assert (gw, gh) == (w, h)
+    assert (pix.reshape(h, w) == img).all()
+    # torn strip refuses
+    tif2 = _tiff_bytes("II", w, h, 0, [strips[0][:4], strips[1]],
+                       comp=4, rps=6, bps=1)
+    assert decode_tiff_array(tif2) is None
+    # G4 with non-bilevel depth refuses
+    tif3 = _tiff_bytes("II", w, h, 0, strips, comp=4, rps=6, bps=8)
+    assert decode_tiff_array(tif3) is None
+
+
+def test_pdf_ccittfaxdecode_image_xobject_and_ocr():
+    """Scanned-PDF path #2: /CCITTFaxDecode (K -1) image XObjects
+    decode through the G4 kernel into gray rasters — together with
+    /DCTDecode this covers what wild scanned PDFs actually contain —
+    and OCR-lite reads a glyph page end-to-end."""
+    from data_ingestion_py_spark.sources.ocr_pure import ocr_pdf_pages
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        extract_page_images,
+    )
+    from tests.test_ocr_pure import render, scanned_pdf
+
+    img = render("7305")
+    bilevel = np.where(img < 128, 0, 255).astype(np.uint8)
+    h, w = bilevel.shape
+    enc = g4_encode(bilevel)
+    pdf = scanned_pdf("7305", jpeg=enc, filters="/CCITTFaxDecode")
+    pdf = pdf.replace(
+        b"/Filter /CCITTFaxDecode",
+        b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns %d"
+        b" /Rows %d >>" % (w, h),
+    )
+    imgs = extract_page_images(pdf)
+    assert imgs is not None and len(imgs) == 1
+    assert imgs[0][6] == "raw"
+    assert np.frombuffer(imgs[0][7], np.uint8).reshape(h, w).tolist() \
+        == bilevel.tolist()
+    assert ocr_pdf_pages(pdf) == ["7305"]
+    # Group 3 (K >= 0) stays the honest seam
+    pdf3 = pdf.replace(b"/K -1", b"/K 0")
+    assert extract_page_images(pdf3) == []
+
+
+def test_query_fixture_constants_regenerate_from_font():
+    """The _G4_DIGIT_HEX plan-time constants in queries_mm must equal
+    fresh encodings of the font glyphs — a font or encoder change
+    can't silently diverge the oracle-gated fixture."""
+    from data_ingestion_py_spark.queries_mm import _G4_DIGIT_HEX
+    from data_ingestion_py_spark.sources.ocr_pure import DIGIT_TEMPLATES
+
+    for d, want_hex in _G4_DIGIT_HEX.items():
+        img = np.full((24, 16), 255, np.uint8)
+        t = DIGIT_TEMPLATES[d]
+        for r in range(3):
+            for c in range(2):
+                if t[r][c]:
+                    img[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = 0
+        assert g4_encode(img).hex().upper() == want_hex, d
+        got = g4_decode(bytes.fromhex(want_hex), 16, 24)
+        assert got is not None and (got == img).all(), d

@@ -281,3 +281,49 @@ def test_spacy_vs_regex_sentence_boundary_f1(spark):
             assert regex_sents == spacy_sents, (i, regex_sents, spacy_sents)
     overall = sum(f1s) / len(f1s)
     assert overall >= 0.90, f1s
+
+
+def _have_pil_g4():
+    try:
+        from PIL import Image, features  # noqa: F401
+
+        return features.check("libtiff")
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _have_pil_g4(), reason="Pillow/libtiff absent")
+def test_g4_decoder_interop_with_libtiff(tmp_path):
+    """TRUE independence check for the T.4/T.6 code tables (r13): the
+    in-repo G4 tests pin decoder vs a same-table from-the-spec
+    encoder, which cannot catch a table transcription error; libtiff's
+    G4 writer can. Random bilevel images round-trip
+    PIL-encode → our-decode."""
+    import random
+
+    import numpy as np
+    from PIL import Image
+
+    from data_ingestion_py_spark.sources.ccitt import g4_decode
+    from data_ingestion_py_spark.sources.multimodal import decode_tiff_array
+
+    rng = random.Random(17)
+    for trial in range(10):
+        h = rng.randrange(2, 40)
+        w = rng.choice([16, 33, 64, 200])
+        img = np.where(
+            np.array([[rng.random() < 0.35 for _ in range(w)]
+                      for _ in range(h)]),
+            0, 255,
+        ).astype(np.uint8)
+        p = tmp_path / f"g4_{trial}.tif"
+        Image.fromarray(img).convert("1").save(
+            str(p), compression="group4"
+        )
+        payload = p.read_bytes()
+        got = decode_tiff_array(payload)
+        assert got is not None, trial
+        gw, gh, pix = got
+        assert (gw, gh) == (w, h)
+        assert (pix.reshape(h, w) == img).all(), trial
+    assert g4_decode  # referenced: the kernel under test
