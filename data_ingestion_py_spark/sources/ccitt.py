@@ -188,6 +188,63 @@ def _read_run(bits: _Bits, white: bool) -> int | None:
     return None
 
 
+def g3_1d_decode(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    byte_align: bool = False,
+    allow_eol: bool = True,
+) -> "np.ndarray | None":
+    """Group 3 one-dimensional (T.4 modified Huffman) → (h, columns)
+    uint8 raster, 0=black/255=white: each line is a plain run-length
+    sequence starting white that must sum to EXACTLY ``columns``.
+    ``byte_align`` starts every line on a byte boundary (TIFF
+    Compression 2, and PDF ``/EncodedByteAlign true``);
+    ``allow_eol`` skips clean 12-bit EOL codes (and their RTC tail)
+    between lines. None on run-sum overflow/underflow, bad codes, or a
+    row-count mismatch."""
+    if columns <= 0 or columns > 1 << 16:
+        return None
+    bits = _Bits(data)
+    out: list[np.ndarray] = []
+    max_rows = rows if rows is not None else 1 << 20
+    while len(out) < max_rows:
+        if byte_align and bits.pos % 8:
+            bits.pos += 8 - bits.pos % 8
+        while allow_eol and bits.peek(12) == 0b000000000001:
+            bits.pos += 12
+        if bits.pos >= bits.n:
+            break
+        first_partial = (
+            bits.data[bits.pos >> 3] & (0xFF >> (bits.pos & 7))
+            if bits.pos < bits.n
+            else 0
+        )
+        if first_partial == 0 and not any(
+            bits.data[(bits.pos >> 3) + 1 :]
+        ):
+            break  # zero padding after the last line
+        line = np.full(columns, 255, np.uint8)
+        total = 0
+        white = True
+        while total < columns:
+            run = _read_run(bits, white)
+            if run is None:
+                return None
+            if total + run > columns:
+                return None
+            if not white:
+                line[total : total + run] = 0
+            total += run
+            white = not white
+        out.append(line)
+    if rows is not None and len(out) != rows:
+        return None
+    if not out:
+        return None
+    return np.stack(out)
+
+
 def g4_decode(
     data: bytes, columns: int, rows: int | None = None
 ) -> "np.ndarray | None":

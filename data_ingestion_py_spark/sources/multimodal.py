@@ -421,8 +421,8 @@ def decode_tiff_array(
         or len(offsets) != len(counts)
         or planar != 1
         or (bps not in ([1], [4]) and any(b != 8 for b in bps))
-        or comp not in (1, 4, 5, 8, 32773, 32946)
-        or (comp == 4 and bps != [1])  # G4 is bilevel by definition
+        or comp not in (1, 2, 4, 5, 8, 32773, 32946)
+        or (comp in (2, 4) and bps != [1])  # fax comps: bilevel only
     ):
         return None
     depth = bps[0] if bps in ([1], [4]) else 8
@@ -458,15 +458,26 @@ def decode_tiff_array(
         raw = payload[o : o + c]
         rows_this = min(rps, h - s * rps)
         need = rows_this * row_bytes
-        if comp == 4:
-            # CCITT Group 4 (r13): each strip is an independent T.6
-            # stream of rows_this lines; decode, then re-pack to the
-            # photo-0 bilevel convention (bit 1 = black) so the shared
-            # sub-byte unpack + WhiteIsZero inversion below apply
-            # unchanged.
-            from data_ingestion_py_spark.sources.ccitt import g4_decode
+        if comp in (2, 4):
+            # CCITT fax strips (r13): Compression 4 = Group 4 (T.6 2D),
+            # Compression 2 = modified-Huffman RLE (G3 1D, every row
+            # byte-aligned, no EOLs). Each strip decodes independently
+            # to rows_this lines, then re-packs to the photo-0 bilevel
+            # convention (bit 1 = black) so the shared sub-byte unpack
+            # + WhiteIsZero inversion below apply unchanged.
+            from data_ingestion_py_spark.sources.ccitt import (
+                g3_1d_decode,
+                g4_decode,
+            )
 
-            arr2 = g4_decode(bytes(raw), w, rows_this)
+            arr2 = (
+                g4_decode(bytes(raw), w, rows_this)
+                if comp == 4
+                else g3_1d_decode(
+                    bytes(raw), w, rows_this,
+                    byte_align=True, allow_eol=False,
+                )
+            )
             if arr2 is None:
                 return None
             raw = np.packbits(arr2 == 0, axis=1).tobytes()

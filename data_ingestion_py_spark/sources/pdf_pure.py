@@ -592,10 +592,9 @@ class _PdfDoc:
                 if rdp is not None and not isinstance(rdp, dict):
                     return None
                 rdp = rdp or {}
-                if self.resolve(rdp.get("K", 0)) >= 0:
-                    return None  # Group 3: honest seam
-                if self.resolve(rdp.get("EncodedByteAlign")) is True:
-                    return None
+                k = self.resolve(rdp.get("K", 0))
+                if not isinstance(k, int) or k > 0:
+                    return None  # mixed 2D Group 3: honest seam
                 cols = self.resolve(rdp.get("Columns", 1728))
                 rows = self.resolve(
                     rdp.get("Rows", self.resolve(d.get("Height")))
@@ -603,10 +602,24 @@ class _PdfDoc:
                 if not isinstance(cols, int) or not isinstance(rows, int):
                     return None
                 from data_ingestion_py_spark.sources.ccitt import (
+                    g3_1d_decode,
                     g4_decode,
                 )
 
-                arr = g4_decode(data, cols, rows)
+                if k < 0:  # pure Group 4
+                    if self.resolve(rdp.get("EncodedByteAlign")) is True:
+                        return None
+                    arr = g4_decode(data, cols, rows)
+                else:  # K == 0: Group 3 one-dimensional (r13)
+                    arr = g3_1d_decode(
+                        data,
+                        cols,
+                        rows,
+                        byte_align=self.resolve(
+                            rdp.get("EncodedByteAlign")
+                        )
+                        is True,
+                    )
                 if arr is None:
                     return None
                 return ("gray8", arr.tobytes())

@@ -240,8 +240,8 @@ def test_pdf_ccittfaxdecode_image_xobject_and_ocr():
     assert np.frombuffer(imgs[0][7], np.uint8).reshape(h, w).tolist() \
         == bilevel.tolist()
     assert ocr_pdf_pages(pdf) == ["7305"]
-    # Group 3 (K >= 0) stays the honest seam
-    pdf3 = pdf.replace(b"/K -1", b"/K 0")
+    # mixed-2D Group 3 (K > 0) stays the honest seam
+    pdf3 = pdf.replace(b"/K -1", b"/K 4")
     assert extract_page_images(pdf3) == []
 
 
@@ -262,3 +262,83 @@ def test_query_fixture_constants_regenerate_from_font():
         assert g4_encode(img).hex().upper() == want_hex, d
         got = g4_decode(bytes.fromhex(want_hex), 16, 24)
         assert got is not None and (got == img).all(), d
+
+
+def g3_1d_encode(img: np.ndarray, byte_align: bool = False,
+                 eol: bool = False) -> bytes:
+    """Independent T.4 one-dimensional encoder (modified Huffman)."""
+    out = _BitWriter()
+    for y in range(img.shape[0]):
+        if eol:
+            out.write("000000000001")
+        if byte_align:
+            out.bits.extend([0] * (-len(out.bits) % 8))
+        white = True
+        total = 0
+        line = img[y]
+        while total < img.shape[1]:
+            run = 0
+            val = 255 if white else 0
+            while total + run < img.shape[1] and line[total + run] == val:
+                run += 1
+            _emit_run(out, run, white)
+            total += run
+            white = not white
+    return out.bytes()
+
+
+def test_g3_1d_roundtrip_and_wirings():
+    """r13: Group 3 one-dimensional (T.4 MH) — the legacy fax shape —
+    decodes: plain back-to-back lines, byte-aligned rows (the TIFF
+    Compression-2 convention), and clean EOL separators."""
+    from data_ingestion_py_spark.sources.ccitt import g3_1d_decode
+    from data_ingestion_py_spark.sources.multimodal import decode_tiff_array
+    from tests.test_sources import _tiff_bytes
+
+    rng = random.Random(31)
+    for trial in range(20):
+        h = rng.randrange(1, 12)
+        w = rng.choice([8, 17, 40, 100])
+        img = _rand_img(rng, h, w, rng.choice([0.1, 0.5]))
+        assert (g3_1d_decode(g3_1d_encode(img), w, h) == img).all()
+        assert (
+            g3_1d_decode(
+                g3_1d_encode(img, byte_align=True), w, h, byte_align=True
+            )
+            == img
+        ).all()
+        assert (
+            g3_1d_decode(g3_1d_encode(img, eol=True), w, h) == img
+        ).all()
+    # run overflow (wrong columns) refuses
+    img = _rand_img(rng, 4, 40)
+    assert g3_1d_decode(g3_1d_encode(img), 39, 4) is None
+    # TIFF Compression 2: byte-aligned rows, no EOLs
+    img = _rand_img(rng, 10, 37, 0.4)
+    strips = [
+        g3_1d_encode(img[:5], byte_align=True),
+        g3_1d_encode(img[5:], byte_align=True),
+    ]
+    tif = _tiff_bytes("II", 37, 10, 0, strips, comp=2, rps=5, bps=1)
+    got = decode_tiff_array(tif)
+    assert got is not None and (got[2].reshape(10, 37) == img).all()
+
+
+def test_pdf_ccitt_g3_k0_decodes():
+    from data_ingestion_py_spark.sources.ocr_pure import ocr_pdf_pages
+    from data_ingestion_py_spark.sources.pdf_pure import extract_page_images
+    from tests.test_ocr_pure import render, scanned_pdf
+
+    img = render("4242")
+    bilevel = np.where(img < 128, 0, 255).astype(np.uint8)
+    h, w = bilevel.shape
+    enc = g3_1d_encode(bilevel)
+    pdf = scanned_pdf("4242", jpeg=enc, filters="/CCITTFaxDecode")
+    pdf = pdf.replace(
+        b"/Filter /CCITTFaxDecode",
+        b"/Filter /CCITTFaxDecode /DecodeParms << /K 0 /Columns %d"
+        b" /Rows %d >>" % (w, h),
+    )
+    imgs = extract_page_images(pdf)
+    assert imgs and imgs[0][6] == "raw"
+    assert ocr_pdf_pages(pdf) == ["4242"]
