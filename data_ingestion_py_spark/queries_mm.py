@@ -4165,6 +4165,9 @@ SELECT media_id, 1 AS page_number, 0 AS image_index, 'jpeg' AS kind,
 FROM px
 """,
     tags=("S2", "pdf", "multimodal", "decode"),
+    # bench=True (r13): standing driver number for the scanned-PDF
+    # pipeline (pure parse → XObject walk → JPEG kernel → checksums)
+    bench=True,
 )
 def q_pdf_dct_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/DCTDecode XObject extraction through the in-container JPEG
