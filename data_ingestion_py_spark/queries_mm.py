@@ -5058,3 +5058,143 @@ def q_pdf_ccitt_scanned_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "needs_ocr",
         F.col("document_metadata").getItem("extractor").alias("extractor"),
     )
+
+
+def _fax_tiff_parts() -> tuple[str, int, str, dict, dict]:
+    """Plan-time constants for the planted Compression-2 fax TIFFs:
+    (header hex BEFORE the StripByteCounts value, strip-data offset,
+    header hex AFTER it, per-digit strip hex, per-digit count hex).
+    The G3-1D row codes are computed here from the ccitt tables and
+    the house font: a glyph row is one of three byte-aligned run
+    patterns (cells 11 → W0+B16, 10 → W0+B8+W8, 01 → W8+B8), each
+    band repeats its row code 8×, so the whole strip is per-digit
+    constant — line-independence is exactly what G4's 2D context
+    lacks, and why THIS fax flavor gets an oracle gate."""
+    import struct
+
+    from data_ingestion_py_spark.sources.ccitt import (
+        _BLACK_CODES,
+        _WHITE_CODES,
+    )
+    from data_ingestion_py_spark.sources.ocr_pure import DIGIT_TEMPLATES
+
+    wt = dict(_WHITE_CODES)
+    bk = dict(_BLACK_CODES)
+
+    def row_code(b0: int, b1: int) -> bytes:
+        if b0 and b1:
+            bits = wt[0] + bk[16]
+        elif b0:
+            bits = wt[0] + bk[8] + wt[8]
+        elif b1:
+            bits = wt[8] + bk[8]
+        else:
+            bits = wt[16]
+        bits += "0" * (-len(bits) % 8)
+        return bytes(
+            int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)
+        )
+
+    strips = {}
+    for dch, t in DIGIT_TEMPLATES.items():
+        strips[dch] = b"".join(row_code(*t[r]) * 8 for r in range(3))
+
+    # single-strip 16×24 bilevel WhiteIsZero TIFF, little-endian
+    entries = [
+        (256, 4, 16), (257, 4, 24), (258, 3, 1), (259, 3, 2),
+        (262, 3, 0), (277, 3, 1), (278, 4, 24), (273, 4, None),
+        (279, 4, None),  # None values patched below
+    ]
+    n = len(entries)
+    ifd_end = 8 + 2 + 12 * n + 4
+    strip_off = ifd_end
+    hdr = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    hdr += struct.pack("<H", n)
+    count_field_off = None
+    for tag, typ, val in entries:
+        if tag == 273:
+            val = strip_off
+        if tag == 279:
+            count_field_off = len(hdr) + 8
+            val = 0  # per-digit, patched by the column expression
+        hdr += struct.pack("<HHI", tag, typ, 1)
+        hdr += struct.pack("<I", val) if typ == 4 else struct.pack(
+            "<HH", val, 0
+        )
+    hdr += struct.pack("<I", 0)
+    assert len(hdr) == ifd_end and count_field_off is not None
+    pre = bytes(hdr[:count_field_off]).hex().upper()
+    post = bytes(hdr[count_field_off + 4 :]).hex().upper()
+    strip_hex = {d: s.hex().upper() for d, s in strips.items()}
+    count_hex = {
+        d: struct.pack("<I", len(s)).hex().upper()
+        for d, s in strips.items()
+    }
+    return pre, strip_off, post, strip_hex, count_hex
+
+
+@register(
+    "multimodal_tiff_fax_decode",
+    """
+WITH t AS (
+    SELECT ['111111','010101','110110','110111','101101',
+            '111001','101111','110101','011111','111101'] AS tmpl
+), g AS (
+    SELECT doc_id AS media_id,
+           tmpl[CAST(doc_id % 10 AS INT) + 1] AS bits
+    FROM documents, t
+)
+SELECT media_id, 16 AS width, 24 AS height,
+       CAST(list_sum(list_transform(generate_series(0, 383),
+            k -> CASE WHEN substr(bits,
+                        ((k // 16) // 8) * 2 + ((k % 16) // 8) + 1,
+                        1) = '1'
+                      THEN 0 ELSE 255 END)) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 383),
+            k -> CASE WHEN substr(bits,
+                        ((k // 16) // 8) * 2 + ((k % 16) // 8) + 1,
+                        1) = '1'
+                      THEN 0 ELSE 255 * (k + 1) END)) AS BIGINT)
+            AS px_wsum
+FROM g
+""",
+    tags=("multimodal", "decode", "tiff", "ccitt"),
+)
+def q_multimodal_tiff_fax_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL fax-TIFF decode end-to-end (r13): complete Compression-2
+    (CCITT modified-Huffman 1D) bilevel WhiteIsZero TIFFs built in
+    column algebra — G3-1D's line INDEPENDENCE (every row a
+    self-contained byte-aligned run sequence) is what makes fax
+    ciphertext column-composable, unlike G4's cross-line 2D context.
+    Each doc's single strip selects per-digit row codes derived at
+    plan time from the ccitt run tables + the house font (three
+    byte-aligned patterns per glyph row, repeated 8× per band); the
+    StripByteCounts field patches per digit. decode_tiff_array routes
+    Compression 2 through g3_1d_decode, re-packs through the sub-byte
+    + WhiteIsZero machinery, and pixel_checksums emits the
+    position-weighted sums the oracle recomputes arithmetically from
+    the template bits — a run-table transcription error, byte-align
+    slip, or inversion bug mismatches every row. One narrow Arrow
+    stage, no shuffle."""
+    pre, _off, post, strip_hex, count_hex = _fax_tiff_parts()
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    digit = F.pmod(doc, F.lit(10)).cast("int")
+    strip_tab = F.array(
+        *[F.lit(strip_hex[str(t)]) for t in range(10)]
+    )
+    count_tab = F.array(
+        *[F.lit(count_hex[str(t)]) for t in range(10)]
+    )
+    payload_hex = F.concat(
+        F.lit(pre),
+        F.element_at(count_tab, digit + 1),
+        F.lit(post),
+        F.element_at(strip_tab, digit + 1),
+    )
+    media = d.select(
+        doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return mm.pixel_checksums(media)
