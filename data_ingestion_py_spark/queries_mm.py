@@ -5198,3 +5198,92 @@ def q_multimodal_tiff_fax_decode(
         doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
     )
     return mm.pixel_checksums(media)
+
+
+@register(
+    "pdf_differences_text_extract",
+    """
+WITH g AS (
+    SELECT doc_id,
+           lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS d6
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       1 AS page_number,
+       'id ' || d6 AS page_text,
+       'pure-byte' AS extractor
+FROM g
+""",
+    tags=("S1", "pdf", "fonts"),
+)
+def q_pdf_differences_text_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Subset-font text extraction (r13): simple fonts whose /Encoding
+    carries a /Differences array — the remapping every font-subsetting
+    writer emits — decode through the AGL glyph-name table. Each doc
+    plants a one-page PDF whose show string is codes 200.. remapped by
+    ``[200 /i /d /space /zero ... /nine]``; a parser that ignores the
+    encoding (latin-1-ing the raw bytes) produces 'ÈÉÊ…' and
+    mismatches every row, so the gate checks the Differences walk,
+    glyph-name resolution, AND the Tf font tracking. The oracle
+    recomputes 'id ' + the six digits arithmetically. One narrow
+    Arrow stage, no shuffle."""
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    d6 = F.lpad((doc % 1000000).cast("string"), 6, "0")
+    # codes: 200='i' 201='d' 202=' ' 203..212=digits
+    digit_hex = F.concat(
+        *[
+            F.element_at(
+                F.array(*[F.lit(f"{203 + t:02X}") for t in range(10)]),
+                F.substring(d6, k, 1).cast("int") + 1,
+            )
+            for k in range(1, 7)
+        ]
+    )
+    enc = (
+        "<< /Type /Encoding /Differences [ 200 /i /d /space "
+        "/zero /one /two /three /four /five /six /seven /eight /nine "
+        "] >>"
+    )
+    shown_len = 9  # 3 prefix codes + 6 digit codes
+    c_pre = "BT /F1 12 Tf ("
+    c_suf = ") Tj ET"
+    clen = len(c_pre) + shown_len + len(c_suf)
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += (
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+        "<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+    )
+    pre += f"4 0 obj\n<< /Length {clen} >>\nstream\n{c_pre}"
+    mid = f"{c_suf}\nendstream\nendobj\n"
+    mid += (
+        "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Sub-AAA "
+        f"/Encoding {enc} >>\nendobj\n"
+    )
+    mid += "trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    pdf_hex = F.concat(
+        F.lit(pre.encode().hex().upper()),
+        F.lit("C8C9CA"),  # 'i' 'd' ' '
+        digit_hex,
+        F.lit(mid.encode().hex().upper()),
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://sub-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(pdf_hex).alias("content"),
+    )
+    return extract_pages(binary).select(
+        F.regexp_extract("document_name", r"sub-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )

@@ -926,16 +926,63 @@ def _parse_tounicode(data: bytes) -> dict[int, str] | None:
     return cmap or None
 
 
-def _page_fonts(doc: "_PdfDoc", page: dict) -> dict[str, dict | None]:
+# Adobe Glyph List subset: the names a /Differences array actually
+# uses for running text (ASCII + the common typographic extras).
+# Unlisted names fall back to the code byte's latin-1 value.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "fi": "ﬁ", "fl": "ﬂ", "dotlessi": "ı",
+    **{c: c for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"},
+    **{c: c for c in "abcdefghijklmnopqrstuvwxyz"},
+}
+
+
+def _parse_differences(diffs: list) -> dict[int, str] | None:
+    """/Encoding /Differences array → {code byte: text} (PDF 32000-1
+    §9.6.6.1): integers set the next code, names consume successive
+    codes. Unknown glyph names map through latin-1 of their code (the
+    reasonable floor — never dropped silently)."""
+    out: dict[int, str] = {}
+    code = None
+    for item in diffs:
+        if isinstance(item, int):
+            if not 0 <= item <= 255:
+                return None
+            code = item
+        elif isinstance(item, str) and item.startswith("/"):
+            if code is None or code > 255:
+                return None
+            out[code] = _AGL.get(item[1:], chr(code))
+            code += 1
+        else:
+            return None
+    return out
+
+
+def _page_fonts(doc: "_PdfDoc", page: dict) -> dict[str, tuple]:
     """Per-page font table for the content tokenizer: resource name →
-    ToUnicode cmap for 2-byte Type0/Identity-H fonts, None for simple
-    (1-byte, latin-1-decoded) fonts. A Type0 font WITHOUT a parseable
-    ToUnicode maps to {} — its codes are glyph ids, so its show
-    strings yield no text (honest refusal, never glyph-id guessing;
-    the reference's fitz reads the embedded font's own cmap instead,
-    data_ingestion.py:122)."""
+    ``('cid', cmap)`` for 2-byte Type0/Identity-H fonts (ToUnicode
+    cmap; {} when absent — codes are glyph ids, so show strings yield
+    no text rather than guessed glyph ids; the reference's fitz reads
+    the embedded font's own cmap instead, data_ingestion.py:122) or
+    ``('simple', diffmap_or_None)`` for 1-byte fonts — latin-1 with a
+    /Differences override map (r13) when the font's /Encoding carries
+    one."""
     res = doc.resolve(page.get("Resources"))
-    fonts: dict[str, dict | None] = {}
+    fonts: dict[str, tuple] = {}
     if not isinstance(res, dict):
         return fonts
     fdict = doc.resolve(res.get("Font"))
@@ -946,11 +993,19 @@ def _page_fonts(doc: "_PdfDoc", page: dict) -> dict[str, dict | None]:
         if not isinstance(fd, dict):
             continue
         if doc.resolve(fd.get("Subtype")) != "/Type0":
-            fonts[name] = None
+            enc = doc.resolve(fd.get("Encoding"))
+            diffmap = None
+            if isinstance(enc, dict):
+                diffs = doc.resolve(enc.get("Differences"))
+                if isinstance(diffs, list):
+                    diffmap = _parse_differences(
+                        [doc.resolve(x) for x in diffs]
+                    )
+            fonts[name] = ("simple", diffmap)
             continue
         enc = doc.resolve(fd.get("Encoding"))
         if enc not in ("/Identity-H", "/Identity-V"):
-            fonts[name] = {}  # exotic CMap encodings: unrecoverable
+            fonts[name] = ("cid", {})  # exotic CMaps: unrecoverable
             continue
         tu = fd.get("ToUnicode")
         cmap = None
@@ -958,25 +1013,26 @@ def _page_fonts(doc: "_PdfDoc", page: dict) -> dict[str, dict | None]:
             data = doc.stream_bytes(tu.num)
             if data is not None:
                 cmap = _parse_tounicode(data)
-        fonts[name] = cmap if cmap is not None else {}
+        fonts[name] = ("cid", cmap if cmap is not None else {})
     return fonts
 
 
 def _page_text(
-    content: bytes, fonts: dict[str, dict | None] | None = None
+    content: bytes, fonts: dict[str, tuple] | None = None
 ) -> str:
     """Deterministic text from a content stream: show strings in
     stream order; T*/Td/TD/'/\" and ET insert one newline. ``fonts``
     (from ``_page_fonts``) drives per-font decoding: simple fonts
-    decode latin-1; Type0/Identity-H fonts split show strings into
-    2-byte big-endian codes mapped through their ToUnicode cmap
-    (unmapped codes → U+FFFD, so a partial cmap is visible rather than
-    silently dropped; a Type0 font with NO cmap contributes nothing)."""
+    decode latin-1 with a /Differences override map when present
+    (r13); Type0/Identity-H fonts split show strings into 2-byte
+    big-endian codes mapped through their ToUnicode cmap (unmapped
+    codes → U+FFFD, so a partial cmap is visible rather than silently
+    dropped; a Type0 font with NO cmap contributes nothing)."""
     out: list[str] = []
     line: list[str] = []
     i = 0
     n = len(content)
-    cur: dict | None = None  # active font's cmap (None = simple)
+    cur: tuple | None = None  # active font's ('simple'|'cid', map)
 
     def newline():
         if line:
@@ -984,14 +1040,21 @@ def _page_text(
             line.clear()
 
     def show(s: bytes) -> None:
-        if cur is None:
-            line.append(s.decode("latin-1"))
+        if cur is None or cur[0] == "simple":
+            diff = cur[1] if cur is not None else None
+            if diff:
+                line.append(
+                    "".join(diff.get(b, chr(b)) for b in s)
+                )
+            else:
+                line.append(s.decode("latin-1"))
             return
-        if not cur:
+        cmap = cur[1]
+        if not cmap:
             return  # Type0 without ToUnicode: unrecoverable
         for k in range(0, len(s) - 1, 2):
             code = (s[k] << 8) | s[k + 1]
-            line.append(cur.get(code, "�"))
+            line.append(cmap.get(code, "�"))
 
     pending: list[bytes] = []  # operand strings since last operator
     last_name: str | None = None

@@ -699,3 +699,57 @@ def test_encrypted_objstm_layout_decrypts():
     pages, meta = got
     assert pages == ["inside objstm"]
     assert meta.get("Title") == "Packed Title"
+
+
+def test_simple_font_differences_encoding():
+    """r13: /Encoding /Differences remaps (subset-font PDFs): integers
+    set the next code, glyph names consume successive codes, AGL
+    names resolve to text, unknown names fall back to the code's
+    latin-1, fonts without Differences stay plain latin-1."""
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        _parse_differences,
+        parse_pdf_text,
+    )
+
+    m = _parse_differences(
+        [200, "/zero", "/one", "/period", 240, "/A", "/unknowable"]
+    )
+    assert m[200] == "0" and m[201] == "1" and m[202] == "."
+    assert m[240] == "A" and m[241] == chr(241)
+    assert _parse_differences(["/zero"]) is None  # name before a code
+    assert _parse_differences([300, "/zero"]) is None
+
+    def pdf(enc_entry: bytes, shown: bytes) -> bytes:
+        c = b"BT /F1 12 Tf (" + shown + b") Tj ET"
+        parts = [b"%PDF-1.7\n"]
+        parts.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+        parts.append(
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        )
+        parts.append(
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+        )
+        parts.append(
+            b"4 0 obj\n<< /Length %d >>\nstream\n" % len(c)
+            + c + b"\nendstream\nendobj\n"
+        )
+        parts.append(
+            b"5 0 obj\n<< /Type /Font /Subtype /Type1" + enc_entry
+            + b" >>\nendobj\n"
+        )
+        parts.append(
+            b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+        )
+        return b"".join(parts)
+
+    enc = (
+        b" /Encoding << /Type /Encoding /Differences "
+        b"[ 200 /D /o /c /space /four /two ] >>"
+    )
+    shown = bytes([200, 201, 202, 202, 203, 204, 205])
+    pages, _ = parse_pdf_text(pdf(enc, shown))
+    assert pages == ["Docc 42"]
+    # no Differences: plain latin-1 passthrough
+    pages2, _ = parse_pdf_text(pdf(b"", b"plain"))
+    assert pages2 == ["plain"]
