@@ -199,6 +199,7 @@ def main() -> None:
         ("phash_kernel", _phash_kernel_bench),
         ("jpeg_kernel", _jpeg_kernel_bench),
         ("pdf_kernel", _pdf_kernel_bench),
+        ("ocr_kernel", _ocr_kernel_bench),
     ):
         try:
             probes[key] = fn(spark, sf_dir)
@@ -316,6 +317,7 @@ def _compact_line(
 # claims, then the swap/index probes whose numbers are stable
 # round-over-round and fully recorded in git-committed BASELINE.md.
 _PROBE_HEADLINE_KEYS = {
+    "ocr_kernel": ("g4_mpix_per_sec", "ocr_pages_per_sec"),  # r13
     "pdf_kernel": ("pages_per_sec", "text_ok"),  # r12
     "jpeg_kernel": ("mpix_per_sec", "prog_mpix_per_sec"),  # r12
     "phash_kernel": ("speedup_x", "mpix_per_sec"),  # r11
@@ -517,6 +519,74 @@ def _pdf_kernel_bench(spark, sf_dir: str) -> dict:
             and pages[-1].endswith("third line")
         ),
     }
+
+
+def _ocr_kernel_bench(spark, sf_dir: str) -> dict:
+    """Throughput of the r13 scanned-document kernels on rasters built
+    by the INDEPENDENT test writers: CCITT Group 4 decode (Mpix/s on a
+    fax-class bilevel page) and strict OCR-lite glyph matching
+    (pages/s on multi-row bitmap-font pages). ``text_ok`` pins the
+    recognized string so neither number can be bought by skipping
+    work."""
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.ccitt import g4_decode
+    from data_ingestion_py_spark.sources.ocr_pure import (
+        TEXT_TEMPLATES,
+        match_glyph_grid,
+    )
+    from tests.test_ccitt import g4_encode
+
+    # a fax-class 1728x128 page: text-like runs (glyph stripes)
+    page = np.full((128, 1728), 255, np.uint8)
+    for r in range(0, 128, 16):
+        for c in range(0, 1728, 24):
+            if (r // 16 + c // 24) % 3:
+                page[r : r + 8, c : c + 12] = 0
+    enc = g4_encode(page)
+    got: dict = {}
+    st = _stats_of(
+        3, lambda: got.__setitem__("v", g4_decode(enc, 1728, 128))
+    )
+    if got["v"] is None or not (got["v"] == page).all():
+        return {"err": "g4 decode mismatch"}
+    mpix = 1728 * 128 / 1e6
+    out: dict = {
+        "g4_mpix_per_sec": (
+            round(mpix / st["med"], 2) if st["med"] else None
+        ),
+        "g4_decode_spread_sec": [st["min"], st["max"]],
+    }
+    # OCR-lite: 4 rows x 20 glyphs per page, 32 pages per repetition
+    text_rows = [
+        "".join("0123456789. "[(r * 7 + g) % 12] for g in range(20))
+        for r in range(4)
+    ]
+    img = np.full((4 * 24, 20 * 16), 224, np.uint8)
+    for r, row in enumerate(text_rows):
+        for g, ch in enumerate(row):
+            t = TEXT_TEMPLATES[ch]
+            for rr in range(3):
+                for cc in range(2):
+                    if t[rr][cc]:
+                        img[
+                            r * 24 + rr * 8 : r * 24 + rr * 8 + 8,
+                            g * 16 + cc * 8 : g * 16 + cc * 8 + 8,
+                        ] = 32
+    expect = "\n".join(text_rows)
+    n_pages = 32
+
+    def _run():
+        for _ in range(n_pages):
+            got["t"] = match_glyph_grid(img, templates=TEXT_TEMPLATES)
+
+    st2 = _stats_of(3, _run)
+    out["ocr_pages_per_sec"] = (
+        round(n_pages / st2["med"], 1) if st2["med"] else None
+    )
+    out["ocr_spread_sec"] = [st2["min"], st2["max"]]
+    out["text_ok"] = got.get("t") == expect
+    return out
 
 
 def _skew_bench(spark, sf_dir: str) -> dict[str, float]:
