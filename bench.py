@@ -105,7 +105,8 @@ def _plans_vs_manifest(
                     f.write("\n")
             except OSError:
                 pass
-        return [], False
+            return [], False
+        return ["sf-mismatch"], False
     committed = manifest.get("plans", {})
     changed = sorted(
         {n for n, h in plan_fp.items() if committed.get(n) != h}
@@ -274,6 +275,10 @@ def _compact_line(
             compact["plans_changed"] = (plans_changed or [])[:8]
             if plans_changed and len(plans_changed) > 8:
                 compact["plans_changed_n"] = len(plans_changed)
+        elif plans_changed == ["sf-mismatch"]:
+            # a manifest exists but was recorded at another scale
+            # factor: statistics legitimately change plans across SFs
+            compact["plans_baseline"] = "sf-mismatch"
         else:
             compact["plans_baseline"] = "new"  # manifest just recorded
     if errors:

@@ -231,3 +231,17 @@ def test_plan_fingerprint_normalizes_session_noise():
     )
     assert bench._plan_fingerprint(a) == bench._plan_fingerprint(b)
     assert bench._plan_fingerprint(a) != bench._plan_fingerprint(c)
+
+
+def test_plans_sf_mismatch_is_labeled(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_PLANS_MANIFEST", str(tmp_path / "bp.json"))
+    fp = {"q1": "aaaa1111"}
+    bench._plans_vs_manifest(fp, 0.1)  # records at sf 0.1
+    changed, comparable = bench._plans_vs_manifest(fp, 0.01)
+    assert comparable is False and changed == ["sf-mismatch"]
+    d = json.loads(
+        bench._compact_line(
+            _fake_probes(), {}, 0.01, {"q1": 0.5}, 0.5, fp, changed, comparable
+        )
+    )
+    assert d["plans_baseline"] == "sf-mismatch"
