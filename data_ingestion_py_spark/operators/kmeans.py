@@ -113,15 +113,28 @@ def _farthest_first_seeds(vq: DataFrame, k: int) -> list[list[float]]:
     # build. One F.expr call is plan-identical (same zip_with/
     # aggregate fold, same literal doubles via repr's exact shortest
     # round-trip) so the DuckDB oracle replay is unchanged.
+    def _fmt(x: float) -> str:
+        # repr() of non-finite floats ('nan'/'inf') is not valid SQL —
+        # spell them as Spark double literals so a wild vector can't
+        # raise a ParseException at plan build (advisor finding, r13).
+        x = float(x)
+        if x != x:
+            return "double('NaN')"
+        if x == float("inf"):
+            return "double('Infinity')"
+        if x == float("-inf"):
+            return "double('-Infinity')"
+        return repr(x) + "D"
+
     def _term(sv: list[float]) -> str:
-        lit = "array(" + ",".join(repr(float(x)) + "D" for x in sv) + ")"
-        ss = repr(float(sum(x * x for x in sv)))  # exact: ints < 2^53
+        lit = "array(" + ",".join(_fmt(x) for x in sv) + ")"
+        ss = _fmt(float(sum(x * x for x in sv)))  # exact: ints < 2^53
         return (
             "aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D,"
             " (acc, x) -> acc + x)"
             f" - 2 * aggregate(zip_with(v, {lit}, (x, y) -> x * y),"
             " 0.0D, (acc, x) -> acc + x)"
-            f" + {ss}D"
+            f" + {ss}"
         )
 
     for _ in range(1, k):

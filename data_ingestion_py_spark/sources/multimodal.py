@@ -462,9 +462,11 @@ def decode_tiff_array(
             # CCITT fax strips (r13): Compression 4 = Group 4 (T.6 2D),
             # Compression 2 = modified-Huffman RLE (G3 1D, every row
             # byte-aligned, no EOLs). Each strip decodes independently
-            # to rows_this lines, then re-packs to the photo-0 bilevel
-            # convention (bit 1 = black) so the shared sub-byte unpack
-            # + WhiteIsZero inversion below apply unchanged.
+            # to rows_this lines, then re-packs to THIS file's declared
+            # photometric convention — photo 0 (WhiteIsZero, bit 1 =
+            # black, the fax norm) or photo 1 (BlackIsZero, bit 1 =
+            # white, legal for Compression 2/4 per TIFF 6.0) — so the
+            # shared sub-byte unpack + inversion below apply unchanged.
             from data_ingestion_py_spark.sources.ccitt import (
                 g3_1d_decode,
                 g4_decode,
@@ -480,7 +482,9 @@ def decode_tiff_array(
             )
             if arr2 is None:
                 return None
-            raw = np.packbits(arr2 == 0, axis=1).tobytes()
+            raw = np.packbits(
+                (arr2 == 0) if photo == 0 else (arr2 != 0), axis=1
+            ).tobytes()
         elif comp in (8, 32946):
             try:  # cap inflation at the strip's declared row budget
                 raw = zlib.decompressobj().decompress(raw, need)

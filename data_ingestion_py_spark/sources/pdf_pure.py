@@ -405,30 +405,45 @@ def _std_security_key(
         or len(u) < 16
     ):
         return None
-    length = enc.get("Length", 40 if r == 2 else 128)
-    if not isinstance(length, int) or length % 8 or not 40 <= length <= 128:
-        return None
-    n = 5 if r == 2 else length // 8
+    # /Length defaults to 40 for EVERY revision (PDF 32000-1 Table 20)
+    # — but R3+ writers that omit it overwhelmingly mean 128, so when
+    # the key is unspecified try both and let /U verification pick.
+    length = enc.get("Length")
+    if length is None:
+        candidates = [40] if r == 2 else [128, 40]
+    else:
+        if (
+            not isinstance(length, int)
+            or length % 8
+            or not 40 <= length <= 128
+        ):
+            return None
+        candidates = [length]
     padded = (password + _PW_PAD)[:32]
     suffix = b""
     if r == 4 and enc.get("EncryptMetadata") is False:
         suffix = b"\xff\xff\xff\xff"
-    h = hashlib.md5(
+    h0 = hashlib.md5(
         padded + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0 + suffix
     ).digest()
-    if r >= 3:
-        for _ in range(50):
-            h = hashlib.md5(h[:n]).digest()
-    key = h[:n]
-    # verify the (empty) user password against /U
-    if r == 2:
-        ok = _rc4(key, _PW_PAD) == u[:32]
-    else:  # Algorithm 5 (R3 and R4 alike)
-        t = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
-        for i in range(1, 20):
-            t = _rc4(bytes(b ^ i for b in key), t)
-        ok = t == u[:16]
-    return key if ok else None
+    for cand in candidates:
+        n = 5 if r == 2 else cand // 8
+        h = h0
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        key = h[:n]
+        # verify the (empty) user password against /U
+        if r == 2:
+            ok = _rc4(key, _PW_PAD) == u[:32]
+        else:  # Algorithm 5 (R3 and R4 alike)
+            t = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+            for i in range(1, 20):
+                t = _rc4(bytes(b ^ i for b in key), t)
+            ok = t == u[:16]
+        if ok:
+            return key
+    return None
 
 
 class _PdfDoc:
@@ -628,24 +643,81 @@ class _PdfDoc:
                 return None
         return ("raw", data)
 
+    def _unpredict(self, data: bytes, parms) -> bytes | None:
+        """Invert a /DecodeParms /Predictor on decompressed Flate/LZW
+        output (PDF 32000-1 §7.4.4.4, r14 — the gap real-world
+        generators hit constantly: Predictor-12 image XObjects and
+        predictor'd xref/object streams). Predictor 2 = TIFF
+        horizontal differencing (8-bit components — the only depth the
+        wild uses; sub-byte stays an honest None); 10–15 = PNG filters
+        (one tag byte per row, inverted by the SAME row machinery as
+        ``multimodal._png_unfilter`` — per PNG spec the per-row tag
+        decides, so all six values decode identically). None on torn
+        rows / bad geometry — never emits differenced bytes as data."""
+        if not isinstance(parms, dict):
+            return data
+        pred = self.resolve(parms.get("Predictor", 1))
+        if pred in (None, 1):
+            return data
+        colors = self.resolve(parms.get("Colors", 1))
+        bpc = self.resolve(parms.get("BitsPerComponent", 8))
+        cols = self.resolve(parms.get("Columns", 1))
+        if (
+            not all(isinstance(x, int) for x in (pred, colors, bpc, cols))
+            or colors < 1
+            or cols < 1
+            or bpc not in (1, 2, 4, 8, 16)
+        ):
+            return None
+        import numpy as np
+
+        if pred == 2:  # TIFF horizontal differencing
+            if bpc != 8:
+                return None  # sub-byte/16-bit TIFF predictor: seam
+            stride = cols * colors
+            if not data or len(data) % stride:
+                return None  # torn rows
+            arr = (
+                np.frombuffer(data, np.uint8)
+                .reshape(-1, cols, colors)
+                .copy()
+            )
+            np.add.accumulate(arr, axis=1, out=arr)  # uint8 wraps
+            return arr.tobytes()
+        if 10 <= pred <= 15:  # PNG filters, per-row tag byte
+            from data_ingestion_py_spark.sources.multimodal import (
+                _png_unfilter,
+            )
+
+            stride = (cols * colors * bpc + 7) // 8
+            if not data or len(data) % (stride + 1):
+                return None  # torn rows
+            h = len(data) // (stride + 1)
+            bpp = max(1, (colors * bpc) // 8)
+            recon = _png_unfilter(data, stride, h, bpp)
+            if recon is None:
+                return None
+            return recon.tobytes()
+        return None  # unknown predictor value
+
     def _apply_filter(self, name, parms, data: bytes) -> bytes | None:
         """One link of a /Filter chain (r12: chains supported — the
         common real-world shape is an ASCII armor filter in front of a
         binary one). Implemented: FlateDecode, LZWDecode (EarlyChange
-        honored), RunLengthDecode, ASCIIHexDecode, ASCII85Decode.
-        Honest None: predictors, DCT/CCITT/JBIG2/JPX/Crypt."""
+        honored, both with /Predictor 2 and 10–15 via ``_unpredict``),
+        RunLengthDecode, ASCIIHexDecode, ASCII85Decode.
+        Honest None: DCT/CCITT/JBIG2/JPX/Crypt (terminal image
+        filters are handled by ``image_stream``)."""
         if name == "/FlateDecode":
-            if parms is not None and (
-                not isinstance(parms, dict)
-                or self.resolve(parms.get("Predictor", 1)) not in (None, 1)
-            ):
-                return None  # predictors: honest seam
-            return _inflate(data)
+            if parms is not None and not isinstance(parms, dict):
+                return None
+            out = _inflate(data)
+            if out is None:
+                return None
+            return self._unpredict(out, parms)
         if name == "/LZWDecode":
             early = 1
             if isinstance(parms, dict):
-                if self.resolve(parms.get("Predictor", 1)) not in (None, 1):
-                    return None  # predictors: honest seam
                 early = self.resolve(parms.get("EarlyChange", 1))
                 if early not in (0, 1):
                     return None
@@ -655,9 +727,12 @@ class _PdfDoc:
                 lzw_msb_decode,
             )
 
-            return lzw_msb_decode(
+            out = lzw_msb_decode(
                 data, _MAX_INFLATE, early_change=bool(early)
             )
+            if out is None:
+                return None
+            return self._unpredict(out, parms)
         if name == "/RunLengthDecode":
             out = bytearray()
             i, n = 0, len(data)
@@ -916,11 +991,25 @@ def _parse_tounicode(data: bytes) -> dict[int, str] | None:
                 if m3 is None:
                     return None
                 start_h = b"".join(m3.group(1).split())
-                if len(start_h) % 4:
+                if len(start_h) % 4 or not start_h:
                     return None
-                start = int(start_h, 16)
+                # PDF 32000 §9.10.3: the destination is a UTF-16BE
+                # string and only its LAST code unit is incremented
+                # across the range — non-BMP surrogate-pair and
+                # multi-char ligature destinations must not be
+                # treated as one big integer (chr() of which throws).
+                start_b = bytes.fromhex(start_h.decode("ascii"))
+                head, last0 = start_b[:-2], int.from_bytes(
+                    start_b[-2:], "big"
+                )
                 for k in range(hi - lo + 1):
-                    cmap[lo + k] = chr(start + k)
+                    last = last0 + k
+                    if last > 0xFFFF:
+                        break  # malformed overflow: stop, keep rest
+                    txt = (head + last.to_bytes(2, "big")).decode(
+                        "utf-16-be", "replace"
+                    )
+                    cmap[lo + k] = txt
                 j = m3.end()
         i = e + 8
     return cmap or None

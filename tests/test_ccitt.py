@@ -204,6 +204,16 @@ def test_tiff_compression4_g4_strips():
     gw, gh, pix = got
     assert (gw, gh) == (w, h)
     assert (pix.reshape(h, w) == img).all()
+    # photo 1 (BlackIsZero) is legal for Compression 2/4 per TIFF 6.0
+    # — same fax raster must decode to the SAME pixels, not inverted
+    # (advisor finding, r13: the re-pack must honor the declared
+    # photometric, not assume the fax norm)
+    tif_b0 = _tiff_bytes("II", w, h, 1, strips, comp=4, rps=6, bps=1)
+    got = decode_tiff_array(tif_b0)
+    assert got is not None
+    gw, gh, pix = got
+    assert (gw, gh) == (w, h)
+    assert (pix.reshape(h, w) == img).all()
     # torn strip refuses
     tif2 = _tiff_bytes("II", w, h, 0, [strips[0][:4], strips[1]],
                        comp=4, rps=6, bps=1)

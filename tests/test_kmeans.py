@@ -147,3 +147,28 @@ def test_k_exceeds_corpus_size(spark):
     got = {r.vec_id: r.cid for r in out.collect()}
     assert set(got) == {0, 1, 2}
     assert len(set(got.values())) == 3
+
+
+def test_non_finite_seed_components_build_valid_plans(spark):
+    """r14 (advisor): a NaN/Inf seed component must render as a valid
+    Spark double literal (double('NaN'), double('Infinity')) inside
+    the one-string farthest-first expression — repr() spells them
+    'nan'/'inf', which is a ParseException at plan build. The sweep
+    must complete, not throw."""
+    from data_ingestion_py_spark.operators.kmeans import (
+        _farthest_first_seeds,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    vq = spark.createDataFrame(
+        [
+            (0, [nan, 1.0]),        # seed 0: carries the NaN literal
+            (1, [inf, -inf]),
+            (2, [3.0, 4.0]),
+            (3, [-5.0, 12.0]),
+        ],
+        "vec_id long, v array<double>",
+    )
+    seeds = _farthest_first_seeds(vq, k=3)
+    assert len(seeds) == 3
+    assert seeds[0][0] != seeds[0][0]  # NaN survived into seed 0

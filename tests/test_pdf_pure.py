@@ -225,13 +225,23 @@ def test_lzwdecode_content_stream():
     pages0, _ = parse_pdf_text(pdf0)
     assert pages0 == ["lzw says hi\nline two"]
 
-    # predictors: honest None (page extracts empty)
+    # r14: predictors now DECODE (Predictor 2 with the default
+    # Columns 1 is the identity transform per §7.4.4.4) ...
     pdfp = pdf.replace(
         b"/Filter /LZWDecode",
         b"/Filter /LZWDecode /DecodeParms << /Predictor 2 >>",
     )
     pagesp, _ = parse_pdf_text(pdfp)
-    assert pagesp == [""]
+    assert pagesp == ["lzw says hi\nline two"]
+    # ... while the genuinely unsupported sub-byte TIFF-predictor
+    # shape stays an honest refusal
+    pdfq = pdf.replace(
+        b"/Filter /LZWDecode",
+        b"/Filter /LZWDecode /DecodeParms << /Predictor 2"
+        b" /BitsPerComponent 4 >>",
+    )
+    pagesq, _ = parse_pdf_text(pdfq)
+    assert pagesq == [""]
 
 
 def test_filter_chains_runlength_ascii_armor():
@@ -430,7 +440,7 @@ def _rc4_objkey(key, num, gen=0):
 
 
 def _encrypted_pdf(r=2, nbytes=5, user_pw=b"", deflate=False,
-                   filt_name=b"/Standard"):
+                   filt_name=b"/Standard", omit_length=False):
     import zlib
 
     from data_ingestion_py_spark.sources.pdf_pure import _rc4
@@ -459,7 +469,9 @@ def _encrypted_pdf(r=2, nbytes=5, user_pw=b"", deflate=False,
         + c_enc + b"\nendstream\nendobj\n"
     )
     v = 1 if r == 2 else 2
-    lenfld = b"" if r == 2 else b" /Length %d" % (nbytes * 8)
+    lenfld = (
+        b"" if r == 2 or omit_length else b" /Length %d" % (nbytes * 8)
+    )
     parts.append(
         b"5 0 obj\n<< /Filter " + filt_name
         + b" /V %d /R %d%s /O " % (v, r, lenfld) + hx(o)
@@ -489,6 +501,51 @@ def test_rc4_encrypted_pdf_decrypts_with_empty_user_password():
         pages, meta = got
         assert pages == ["Secret 123456"], (r, nb, defl)
         assert meta.get("Title") == "Locked Doc"
+
+
+def test_r3_omitted_length_defaults_resolve_by_u_verification():
+    """r14 (advisor): /Length defaults to 40 for EVERY revision (PDF
+    32000-1 Table 20), so an R3/V2 document that omits /Length and
+    uses a 40-bit key must still verify and decrypt — as must the
+    (far more common) 128-bit-without-/Length shape; /U verification
+    disambiguates, never a guess that emits RC4 noise."""
+    from data_ingestion_py_spark.sources.pdf_pure import parse_pdf_text
+
+    for nb in (5, 16):  # 40-bit and 128-bit keys, both sans /Length
+        got = parse_pdf_text(
+            _encrypted_pdf(r=3, nbytes=nb, omit_length=True)
+        )
+        assert got is not None, nb
+        pages, meta = got
+        assert pages == ["Secret 123456"], nb
+        assert meta.get("Title") == "Locked Doc"
+
+
+def test_bfrange_offset_form_non_bmp_and_ligature_destinations():
+    """r14 (advisor): offset-form bfrange destinations are UTF-16BE
+    strings whose LAST code unit increments (PDF 32000 §9.10.3) — a
+    surrogate-pair dstStart (non-BMP math alphanumerics) or a
+    multi-char ligature destination must map correctly, never raise
+    out of parse_pdf_text; a range that overflows the last code unit
+    keeps its in-range prefix."""
+    from data_ingestion_py_spark.sources.pdf_pure import _parse_tounicode
+
+    m = _parse_tounicode(
+        b"1 beginbfrange\n<0001> <0003> <D835DC00>\nendbfrange"
+    )
+    # U+1D400 MATHEMATICAL BOLD CAPITAL A, then B, then C
+    assert m[1] == "\U0001d400"
+    assert m[2] == "\U0001d401"
+    assert m[3] == "\U0001d402"
+    m = _parse_tounicode(
+        b"1 beginbfrange\n<0010> <0011> <00660066>\nendbfrange"
+    )
+    assert m[0x10] == "ff" and m[0x11] == "fg"
+    # last-code-unit overflow: keep the representable prefix
+    m = _parse_tounicode(
+        b"1 beginbfrange\n<0001> <0003> <FFFE>\nendbfrange"
+    )
+    assert m == {1: "￾", 2: "￿"}
 
 
 def test_encrypted_pdf_honest_refusals():
@@ -753,3 +810,151 @@ def test_simple_font_differences_encoding():
     # no Differences: plain latin-1 passthrough
     pages2, _ = parse_pdf_text(pdf(b"", b"plain"))
     assert pages2 == ["plain"]
+
+
+def _png_predict_forward(data: bytes, stride: int, bpp: int = 1) -> bytes:
+    """Independent forward PNG-filtering (writer side of PDF
+    Predictor >= 10): rows of ``stride`` bytes, cycling filter types
+    Sub/Up/Average/Paeth/None so every inverse path is exercised."""
+    assert len(data) % stride == 0
+    rows = [bytearray(data[i : i + stride])
+            for i in range(0, len(data), stride)]
+    out = bytearray()
+    prev = bytearray(stride)
+    for r, row in enumerate(rows):
+        f = (r % 5)  # 0..4
+        enc = bytearray(stride)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (row[x] - pred) & 0xFF
+        out += bytes([f]) + enc
+        prev = row
+    return bytes(out)
+
+
+def _tiff2_forward(data: bytes, stride: int) -> bytes:
+    """Writer side of Predictor 2 (TIFF horizontal differencing,
+    colors=1, 8-bit)."""
+    assert len(data) % stride == 0
+    out = bytearray()
+    for i in range(0, len(data), stride):
+        row = data[i : i + stride]
+        out.append(row[0])
+        for x in range(1, stride):
+            out.append((row[x] - row[x - 1]) & 0xFF)
+    return bytes(out)
+
+
+def test_predictor_png_and_tiff_content_streams():
+    """r14 (VERDICT task #1): /FlateDecode and /LZWDecode streams with
+    /Predictor 2 (TIFF) and 10-15 (PNG, all five row filters) decode
+    through the SAME filter chain as unpredicted ones — text from a
+    predictor'd content stream extracts; torn predictor rows refuse
+    the stream (empty page), never emit differenced bytes as text."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_sources import _lzw_msb_encode
+
+    text = b"BT /F1 12 Tf (Predicted text 427) Tj ET"
+    stride = 16
+    pad = (-len(text)) % stride
+    content = text + b" " * pad
+
+    def pdf(encoded: bytes, filt: str, parms: str) -> bytes:
+        extra = f" /Filter {filt} /DecodeParms {parms}"
+        return _basic_pdf([encoded], length=len(encoded)).replace(
+            b"<< /Length %d >>" % len(encoded),
+            f"<< /Length {len(encoded)}{extra} >>".encode(),
+            1,
+        )
+
+    # PNG predictor (12 declared; per-row tags cycle through 0-4)
+    enc = zlib.compress(_png_predict_forward(content, stride))
+    pages, _ = parse_pdf_text(pdf(
+        enc, "/FlateDecode",
+        f"<< /Predictor 12 /Columns {stride} >>"))
+    assert pages == ["Predicted text 427"]
+    # TIFF predictor 2
+    enc2 = zlib.compress(_tiff2_forward(content, stride))
+    pages, _ = parse_pdf_text(pdf(
+        enc2, "/FlateDecode",
+        f"<< /Predictor 2 /Columns {stride} >>"))
+    assert pages == ["Predicted text 427"]
+    # LZW + PNG predictor (the other compressor shares _unpredict)
+    enc3 = _lzw_msb_encode(_png_predict_forward(content, stride))
+    pages, _ = parse_pdf_text(pdf(
+        enc3, "/LZWDecode",
+        f"<< /Predictor 10 /Columns {stride} >>"))
+    assert pages == ["Predicted text 427"]
+    # torn rows: drop the final byte -> len % (stride+1) != 0 -> refuse
+    torn = zlib.compress(_png_predict_forward(content, stride)[:-1])
+    pages, _ = parse_pdf_text(pdf(
+        torn, "/FlateDecode",
+        f"<< /Predictor 12 /Columns {stride} >>"))
+    assert pages == [""]
+    # torn TIFF rows likewise
+    torn2 = zlib.compress(_tiff2_forward(content, stride)[:-3])
+    pages, _ = parse_pdf_text(pdf(
+        torn2, "/FlateDecode",
+        f"<< /Predictor 2 /Columns {stride} >>"))
+    assert pages == [""]
+    # unknown predictor value refuses
+    pages, _ = parse_pdf_text(pdf(
+        enc, "/FlateDecode",
+        f"<< /Predictor 7 /Columns {stride} >>"))
+    assert pages == [""]
+
+
+def test_predictor_image_xobject_raster():
+    """r14: a Predictor-12 FlateDecode /DeviceGray image XObject — the
+    classic real-world lossless-image shape — now extracts its raster
+    bit-exactly through extract_page_images (kind 'raw')."""
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        extract_page_images,
+    )
+
+    w, h = 24, 9
+    rng = np.random.default_rng(7)
+    raster = rng.integers(0, 256, (h, w), dtype=np.uint8).tobytes()
+    enc = zlib.compress(_png_predict_forward(raster, w))
+    c = b"q 24 0 0 9 0 0 cm /Im0 Do Q"
+    parts = [b"%PDF-1.7\n"]
+    parts.append(_obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    parts.append(_obj(
+        2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    parts.append(_obj(
+        3, b"<< /Type /Page /Parent 2 0 R /Resources "
+           b"<< /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>"))
+    parts.append(_stream_obj(4, c))
+    parts.append(
+        b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width 24"
+        b" /Height 9 /ColorSpace /DeviceGray /BitsPerComponent 8"
+        b" /Filter /FlateDecode /DecodeParms << /Predictor 12"
+        b" /Columns 24 >> /Length %d >>\nstream\n" % len(enc)
+        + enc + b"\nendstream\nendobj\n"
+    )
+    parts.append(b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF")
+    pdf = b"".join(parts)
+    imgs = extract_page_images(pdf)
+    assert imgs is not None and len(imgs) == 1
+    pno, idx, name, iw, ih, bpc, kind, data = imgs[0]
+    assert (pno, iw, ih, bpc, kind) == (1, 24, 9, 8, "raw")
+    assert data == raster
