@@ -5287,3 +5287,203 @@ def q_pdf_differences_text_extract(
         "page_text",
         F.col("document_metadata").getItem("extractor").alias("extractor"),
     )
+
+
+def _flate_stored_hex(vals, ln: int) -> "F.Column":
+    """Hex of a COMPLETE valid zlib stream holding ``vals`` (an array
+    Column of ``ln`` byte values 0..255) as one stored-deflate block —
+    header 78 01, BFINAL/stored tag, LE length pair, the raw bytes,
+    and an ARITHMETIC adler32 that ``zlib.decompress`` verifies (the
+    q_multimodal_png_decode trick, factored out r14): one wrong byte
+    anywhere fails the checksum and the whole stream refuses."""
+
+    def hx2(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    d_hex = F.concat_ws("", F.transform(vals, hx2))
+    a = F.pmod(
+        1 + F.aggregate(vals, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(65521),
+    )
+    b = F.pmod(
+        F.lit(ln)
+        + F.aggregate(
+            F.zip_with(
+                vals,
+                F.sequence(F.lit(ln), F.lit(1), F.lit(-1)),
+                lambda v, wt: (v * wt).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(65521),
+    )
+    return F.concat(
+        F.lit("780101"),
+        _le_hex(F.lit(ln), 2),
+        _le_hex(F.lit(0xFFFF - ln), 2),
+        d_hex,
+        F.lpad(F.hex(b), 4, "0"),
+        F.lpad(F.hex(a), 4, "0"),
+    )
+
+
+@register(
+    "pdf_predictor_streams",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS d6,
+           20 + doc_id % 100 AS base,
+           1 + doc_id % 5 AS ra,
+           1 + doc_id % 3 AS rc
+    FROM documents
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 127),
+               k -> base + (k // 16) * ra + (k % 16) * rc) AS p
+    FROM g
+)
+SELECT g.media_id,
+       1 AS page_number,
+       'P' || d6 AS page_text,
+       'raw' AS kind, 16 AS width, 8 AS height,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 127),
+            k -> (k + 1) * p[k + 1])) AS BIGINT) AS px_wsum
+FROM g JOIN px ON g.media_id = px.media_id
+""",
+    tags=("S2", "pdf", "multimodal", "decode"),
+)
+def q_pdf_predictor_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/DecodeParms /Predictor decoding end-to-end (r14, VERDICT task
+    #1) — the real-world PDF stream shape every generator emits: each
+    doc plants a COMPLETE one-page PDF whose CONTENT stream is
+    FlateDecode + Predictor 2 (TIFF horizontal differencing over one
+    Columns-wide row — the test writer emits per-byte diffs, so a
+    parser that skips the inverse shows differenced garbage, not
+    text) and whose image XObject is FlateDecode + Predictor 12 (PNG
+    row filters: a Sub row then seven Up rows over a 16x8 gray ramp
+    raster p(r,x) = base + r*ra + x*rc). Both zlib streams are
+    stored-deflate blocks with arithmetic adler32s built in column
+    algebra (_flate_stored_hex); pdf_pure._unpredict inverts the
+    predictors inside the SAME filter chain used for text, ObjStm and
+    xref streams. The oracle recomputes the page string and the
+    position-weighted pixel checksums arithmetically and never sees a
+    byte. Two narrow Arrow stages + one equi-join on the planted key,
+    no wide shuffle."""
+    from data_ingestion_py_spark.sources import pdf as pdf_src
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    d6 = F.lpad((doc % 1000000).cast("string"), 6, "0")
+
+    def dig(k: int) -> "F.Column":
+        return F.substring(d6, k + 1, 1).cast("int")
+
+    # ---- content stream: Predictor 2 (one row, Columns = clen) ----
+    c_pre = "BT /F1 12 Tf (P"
+    c_suf = ") Tj ET q 16 0 0 8 0 0 cm /Im0 Do Q"
+    clen = len(c_pre) + 6 + len(c_suf)
+    fvals: list = [ord(c_pre[0])]
+    for i in range(1, len(c_pre)):
+        fvals.append((ord(c_pre[i]) - ord(c_pre[i - 1])) & 0xFF)
+    fvals.append(F.pmod(dig(0) + F.lit(48 - ord("P")), F.lit(256)))
+    for k in range(1, 6):
+        fvals.append(F.pmod(dig(k) - dig(k - 1), F.lit(256)))
+    fvals.append(F.pmod(F.lit(ord(")") - 48) - dig(5), F.lit(256)))
+    for i in range(1, len(c_suf)):
+        fvals.append((ord(c_suf[i]) - ord(c_suf[i - 1])) & 0xFF)
+    assert len(fvals) == clen
+    content_arr = F.array(
+        *[F.lit(v) if isinstance(v, int) else v for v in fvals]
+    )
+    content_flate_hex = _flate_stored_hex(content_arr, clen)
+    content_flate_len = clen + 11  # 78 01 | 01 LEN NLEN | data | adler
+
+    # ---- image XObject: Predictor 12 (PNG Sub row + 7 Up rows) ----
+    base = F.lit(20) + F.pmod(doc, F.lit(100))
+    ra = F.lit(1) + F.pmod(doc, F.lit(5))
+    rc = F.lit(1) + F.pmod(doc, F.lit(3))
+    ivals: list = [F.lit(1), base] + [rc] * 15
+    for _r in range(7):
+        ivals += [F.lit(2)] + [ra] * 16
+    iln = 8 * 17
+    img_flate_hex = _flate_stored_hex(F.array(*ivals), iln)
+    img_flate_len = iln + 11
+
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += (
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+        "<< /XObject << /Im0 6 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+    )
+    pre += (
+        f"4 0 obj\n<< /Length {content_flate_len} /Filter /FlateDecode"
+        f" /DecodeParms << /Predictor 2 /Columns {clen} >> >>\nstream\n"
+    )
+    mid = (
+        "\nendstream\nendobj\n"
+        "6 0 obj\n<< /Type /XObject /Subtype /Image /Width 16 /Height 8"
+        " /ColorSpace /DeviceGray /BitsPerComponent 8"
+        " /Filter /FlateDecode /DecodeParms << /Predictor 12"
+        f" /Columns 16 >> /Length {img_flate_len} >>\nstream\n"
+    )
+    suf = (
+        "\nendstream\nendobj\ntrailer\n"
+        "<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+    pdf_hex = F.concat(
+        F.lit(pre.encode().hex().upper()),
+        content_flate_hex,
+        F.lit(mid.encode().hex().upper()),
+        img_flate_hex,
+        F.lit(suf.encode().hex().upper()),
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://pred-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(pdf_hex).alias("content"),
+    )
+    pages = extract_pages(binary).select(
+        F.regexp_extract("document_name", r"pred-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+    )
+    px = F.expr(
+        "transform(sequence(0, 127), i ->"
+        " cast(conv(substr(hex(data), i*2+1, 2), 16, 10) as int))"
+    )
+    imgs = pdf_src.extract_image_xobjects(binary).select(
+        F.regexp_extract("document_name", r"pred-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "kind",
+        "width",
+        "height",
+        px.alias("p"),
+    )
+    checks = imgs.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.aggregate(
+            "p", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("px_sum"),
+        F.aggregate(
+            F.zip_with(
+                F.col("p"),
+                F.sequence(F.lit(1), F.lit(128)),
+                lambda v, w: (v * w).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("px_wsum"),
+    )
+    return pages.join(checks, "media_id")

@@ -1308,10 +1308,12 @@ def extract_page_images(
       ``data`` is the raster samples as stored (8-bit /DeviceGray =
       one byte per pixel row-major).
 
-    Honest skips: non-image XObjects, images behind filters the chain
-    can't finish (CCITT/JBIG2/JPX, predictors), inline images (BI/EI
-    inside content streams), and non-gray raw color spaces are NOT
-    emitted — never guessed at. None = not a parseable unencrypted
+    Terminal /CCITTFaxDecode streams decode through the fax kernel to
+    8-bit gray (r13), and /DecodeParms predictors on Flate/LZW invert
+    via ``_unpredict`` (r14). Honest skips: non-image XObjects, images
+    behind filters the chain can't finish (JBIG2/JPX), inline images
+    (BI/EI inside content streams), and non-gray raw color spaces are
+    NOT emitted — never guessed at. None = not a parseable unencrypted
     PDF (same contract as ``parse_pdf_text``)."""
     if not content.startswith(b"%PDF-"):
         return None
