@@ -5487,3 +5487,101 @@ def q_pdf_predictor_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("px_wsum"),
     )
     return pages.join(checks, "media_id")
+
+
+@register(
+    "pdf_inline_fax_ocr",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS d2
+    FROM documents
+)
+SELECT media_id,
+       1 AS page_number,
+       substr(d2, 1, 1) || chr(10) || substr(d2, 2, 1) AS page_text,
+       TRUE AS needs_ocr,
+       'ocr-lite' AS extractor
+FROM g
+""",
+    tags=("S2", "pdf", "ocr", "inline"),
+)
+def q_pdf_inline_fax_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline BI/ID/EI images end-to-end (r14, VERDICT task #2) — the
+    classic scanned-fax shape: one CCITT raster inlined per paint,
+    abbreviated keys (/W /H /BPC /IM /F /CCF /DP), no XObjects at all.
+    Each doc plants a one-page PDF whose content stream holds TWO
+    inline Group-4 fax images (the doc id's last two digits as
+    single-glyph 16x24 rasters from the _G4_DIGIT_HEX plan-time
+    table); the page shows NO text, so the P9 empty-text predicate
+    fires the OCR branch (reference's trigger, data_ingestion.py:
+    136-143): pdf_pure._inline_images tokenizes the stream at operator
+    boundaries, _decode_inline_image expands the abbreviations and
+    routes the data through the T.6 kernel with a DECODE-VERIFIED EI
+    scan, and strict OCR-lite reads the glyphs. The content stream's
+    /Length is exact per digit pair (a two-table lookup sum). The
+    oracle recomputes both digits arithmetically — an abbreviation-map
+    slip, a mis-found EI boundary, or a fax-kernel bug mismatches
+    every row. One narrow Arrow stage, no shuffle."""
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    tens = F.pmod(F.floor(doc / 10), F.lit(10)).cast("int")
+    ones = F.pmod(doc, F.lit(10)).cast("int")
+    hex_tab = F.array(*[F.lit(_G4_DIGIT_HEX[str(t)]) for t in range(10)])
+    blen_tab = F.array(
+        *[F.lit(len(_G4_DIGIT_HEX[str(t)]) // 2) for t in range(10)]
+    )
+
+    def obj_hex(s: str) -> "F.Column":
+        return F.lit(s.encode().hex().upper())
+
+    bi_pre = (
+        "BI /W 16 /H 24 /BPC 1 /IM true /F /CCF"
+        " /DP << /K -1 /Columns 16 /Rows 24 >> ID "
+    )
+    base_const = 2 * (len(bi_pre) + 4)  # + ' EI ' per image
+    total_len = (
+        F.lit(base_const)
+        + F.element_at(blen_tab, tens + 1)
+        + F.element_at(blen_tab, ones + 1)
+    )
+
+    def piece(digit: "F.Column") -> "F.Column":
+        return F.concat(
+            obj_hex(bi_pre),
+            F.element_at(hex_tab, digit + 1),
+            obj_hex(" EI "),
+        )
+
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    pre += "4 0 obj\n<< /Length "
+    tail = "trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    pdf_hex = F.concat(
+        obj_hex(pre),
+        F.upper(F.hex(F.encode(total_len.cast("string"), "UTF-8"))),
+        obj_hex(" >>\nstream\n"),
+        piece(tens),
+        piece(ones),
+        obj_hex("\nendstream\nendobj\n"),
+        obj_hex(tail),
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://bi-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(pdf_hex).alias("content"),
+    )
+    return extract_pages(binary).select(
+        F.regexp_extract("document_name", r"bi-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+        "needs_ocr",
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )

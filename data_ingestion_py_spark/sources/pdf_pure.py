@@ -1188,14 +1188,275 @@ def _page_text(
                     for s in pending:
                         show(s)
                 pending.clear()
-                if op == b"BI":  # inline image: skip to EI
-                    end = content.find(b"EI", i)
-                    i = n if end < 0 else end + 2
+                if op == b"BI":  # inline image: exact span skip (r14)
+                    i = _skip_inline_image(content, i)
             else:
                 m = _NUM_RE.match(content, i)
                 i = m.end() if m else i + 1
     newline()
     return "\n".join(out)
+
+
+_INLINE_KEY = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+    "CS": "ColorSpace", "F": "Filter", "DP": "DecodeParms",
+    "IM": "ImageMask", "D": "Decode", "I": "Interpolate", "L": "Length",
+}
+_INLINE_FILTER = {
+    "/AHx": "/ASCIIHexDecode", "/A85": "/ASCII85Decode",
+    "/LZW": "/LZWDecode", "/Fl": "/FlateDecode",
+    "/RL": "/RunLengthDecode", "/CCF": "/CCITTFaxDecode",
+    "/DCT": "/DCTDecode",
+}
+_INLINE_CS = {
+    "/G": "/DeviceGray", "/RGB": "/DeviceRGB", "/CMYK": "/DeviceCMYK",
+    "/I": "/Indexed",
+}
+_CS_CHANNELS = {"/DeviceGray": 1, "/DeviceRGB": 3, "/DeviceCMYK": 4}
+
+
+def _inline_dict(content: bytes, i: int) -> tuple[dict, int] | None:
+    """Parse the BI key/value run of an inline image (PDF 32000
+    §8.9.7) from just after the ``BI`` token through the ``ID`` token,
+    expanding abbreviated keys and filter/colorspace names. Returns
+    (dict, index_of_first_data_byte) — ID is followed by exactly ONE
+    whitespace byte per spec — or None on malformed syntax."""
+    d: dict = {}
+    n = len(content)
+    while True:
+        i = _skip_ws(content, i)
+        if i >= n:
+            return None
+        if content[i] == 0x2F:
+            key, i = _parse_name(content, i + 1)
+            try:
+                val, i = _parse_value(content, i)
+            except ValueError:
+                return None
+            d[_INLINE_KEY.get(key, key)] = val
+            continue
+        m = _OP_RE.match(content, i)
+        if m is not None and m.group() == b"ID":
+            i = m.end()
+            break
+        return None
+    if i >= n or content[i] not in _WS:
+        return None
+    filt = d.get("Filter")
+    filts = [] if filt is None else (
+        filt if isinstance(filt, list) else [filt]
+    )
+    d["Filter"] = [
+        _INLINE_FILTER.get(f, f) for f in filts if isinstance(f, str)
+    ]
+    cs = d.get("ColorSpace")
+    if isinstance(cs, str):
+        d["ColorSpace"] = _INLINE_CS.get(cs, cs)
+    return d, i + 1
+
+
+def _inline_raw_len(d: dict) -> int | None:
+    """Exact byte length of an inline image's UNFILTERED data (rows
+    are byte-aligned per spec), or None when geometry is missing."""
+    w, h, bpc = d.get("Width"), d.get("Height"), d.get("BitsPerComponent")
+    if d.get("ImageMask") is True:
+        bpc, ch = 1, 1
+    else:
+        ch = _CS_CHANNELS.get(d.get("ColorSpace"))
+        if not isinstance(bpc, int) or ch is None:
+            return None
+    if not (isinstance(w, int) and isinstance(h, int)) or w <= 0 or h <= 0:
+        return None
+    return h * ((w * bpc * ch + 7) // 8)
+
+
+def _ei_candidates(content: bytes, ds: int):
+    """Yield (data_end, resume_index) pairs for whitespace-delimited
+    ``EI`` tokens after ``ds`` — the only shape the spec allows, so an
+    ``EI`` byte pair INSIDE binary data is skipped unless it sits on
+    token boundaries (the classic naive-scan corruption)."""
+    n = len(content)
+    j = ds
+    while True:
+        e = content.find(b"EI", j)
+        if e < 0:
+            return
+        j = e + 2
+        if (
+            e > ds
+            and content[e - 1] in _WS
+            and (j >= n or content[j] in _WS or content[j] in _DELIM)
+        ):
+            yield e - 1, j
+
+
+def _skip_inline_image(content: bytes, i: int) -> int:
+    """Tokenizer-side span skip for ``BI … ID <data> EI`` (used by
+    ``_page_text``): exact for unfiltered data (computed length),
+    boundary-aware EI scan for filtered data — never mis-tokenizes on
+    an ``EI`` byte pair inside raster bytes of an unfiltered image."""
+    n = len(content)
+    got = _inline_dict(content, i)
+    if got is None:
+        end = content.find(b"EI", i)
+        return n if end < 0 else end + 2
+    d, ds = got
+    if not d["Filter"]:
+        need = _inline_raw_len(d)
+        if need is not None and ds + need <= n:
+            j = _skip_ws(content, ds + need)
+            if content[j : j + 2] == b"EI":
+                return j + 2
+    for _de, resume in _ei_candidates(content, ds):
+        return resume
+    return n
+
+
+def _decode_inline_image(
+    doc: "_PdfDoc", content: bytes, i: int
+) -> tuple[tuple[int, int, str, bytes] | None, int]:
+    """Decode one inline image starting just after its ``BI`` token
+    (r14, VERDICT task #2 — the scanned-fax shape: one inline CCITT or
+    gray raster per page). Returns ``((w, h, kind, data) | None,
+    resume_index)``; None-image means the span was consumed but the
+    image is honestly unsupported (non-gray raw, JBIG2-style seams).
+    ``kind``/data contract matches ``image_stream``: 'jpeg' = complete
+    JPEG file (terminal /DCT), 'gray8' = decoded fax raster, 'raw' =
+    fully-defiltered samples. Filtered data ends are found by
+    boundary-aware EI scan with DECODE VERIFICATION — a candidate
+    split only wins if the whole filter chain succeeds."""
+    n = len(content)
+    got = _inline_dict(content, i)
+    if got is None:
+        end = content.find(b"EI", i)
+        return None, (n if end < 0 else end + 2)
+    d, ds = got
+    w, h = d.get("Width"), d.get("Height")
+    if not (isinstance(w, int) and isinstance(h, int)) or w <= 0 or h <= 0:
+        return None, _skip_inline_image(content, i)
+    filts = d["Filter"]
+    parms = d.get("DecodeParms")
+    if not isinstance(parms, list):
+        parms = [parms] * len(filts)
+    if len(parms) != len(filts):
+        return None, _skip_inline_image(content, i)
+
+    def chain(raw: bytes) -> tuple[str, bytes] | None:
+        for k, (f, dp) in enumerate(zip(filts, parms)):
+            f = doc.resolve(f)
+            dp = doc.resolve(dp)
+            if f == "/DCTDecode":
+                return ("jpeg", raw) if k == len(filts) - 1 else None
+            if f == "/CCITTFaxDecode":
+                if k != len(filts) - 1:
+                    return None
+                rdp = dp or {}
+                if not isinstance(rdp, dict):
+                    return None
+                kk = doc.resolve(rdp.get("K", 0))
+                if not isinstance(kk, int) or kk > 0:
+                    return None  # mixed 2D Group 3: honest seam
+                cols = doc.resolve(rdp.get("Columns", 1728))
+                rows = doc.resolve(rdp.get("Rows", h))
+                if not isinstance(cols, int) or not isinstance(rows, int):
+                    return None
+                from data_ingestion_py_spark.sources.ccitt import (
+                    g3_1d_decode,
+                    g4_decode,
+                )
+
+                if kk < 0:
+                    if doc.resolve(rdp.get("EncodedByteAlign")) is True:
+                        return None
+                    arr = g4_decode(raw, cols, rows)
+                else:
+                    arr = g3_1d_decode(
+                        raw, cols, rows,
+                        byte_align=doc.resolve(
+                            rdp.get("EncodedByteAlign")
+                        ) is True,
+                    )
+                if arr is None:
+                    return None
+                return ("gray8", arr.tobytes())
+            raw = doc._apply_filter(f, dp, raw)
+            if raw is None:
+                return None
+        return ("raw", raw)
+
+    if not filts:
+        need = _inline_raw_len(d)
+        if need is None or ds + need > n:
+            return None, _skip_inline_image(content, i)
+        j = _skip_ws(content, ds + need)
+        if content[j : j + 2] != b"EI":
+            return None, _skip_inline_image(content, i)
+        resume = j + 2
+        if d.get("ColorSpace") == "/DeviceGray" and (
+            d.get("BitsPerComponent") == 8
+        ):
+            return (w, h, "raw", content[ds : ds + need]), resume
+        return None, resume  # non-gray8 raw: honest skip, span consumed
+    for de, resume in _ei_candidates(content, ds):
+        got2 = chain(content[ds:de])
+        if got2 is None:
+            continue
+        kind, data = got2
+        if kind == "gray8" and len(data) != w * h:
+            continue
+        if kind == "raw":
+            if d.get("ColorSpace") != "/DeviceGray" or (
+                d.get("BitsPerComponent") != 8
+            ):
+                return None, resume  # decoded but non-gray: skip
+            if len(data) < w * h:
+                continue
+            data = data[: w * h]
+        return (w, h, kind, data), resume
+    end = content.find(b"EI", ds)
+    return None, (n if end < 0 else end + 2)
+
+
+def _inline_images(
+    doc: "_PdfDoc", content: bytes
+) -> list[tuple[int, int, str, bytes]]:
+    """All decodable inline images of one page's content stream, in
+    stream order: the same operator-boundary tokenizer walk as
+    ``_page_text`` (strings/arrays/dicts never mis-read a BI inside an
+    operand), decoding each ``BI…ID…EI`` via ``_decode_inline_image``."""
+    out: list[tuple[int, int, str, bytes]] = []
+    i, n = 0, len(content)
+    while i < n:
+        i = _skip_ws(content, i)
+        if i >= n:
+            break
+        c = content[i]
+        if c == 0x28:
+            _s, i = _parse_string(content, i + 1)
+        elif c == 0x3C:
+            try:
+                _v, i = _parse_value(content, i)
+            except ValueError:
+                i += 2
+        elif c == 0x5B:
+            try:
+                _v, i = _parse_value(content, i)
+            except ValueError:
+                break
+        elif c == 0x2F:
+            _nm, i = _parse_name(content, i + 1)
+        else:
+            m = _OP_RE.match(content, i)
+            if m:
+                i = m.end()
+                if m.group() == b"BI":
+                    img, i = _decode_inline_image(doc, content, i)
+                    if img is not None:
+                        out.append(img)
+            else:
+                m = _NUM_RE.match(content, i)
+                i = m.end() if m else i + 1
+    return out
 
 
 def _setup_encryption(doc: _PdfDoc, trailers: list[dict]) -> bool:
@@ -1309,10 +1570,12 @@ def extract_page_images(
       one byte per pixel row-major).
 
     Terminal /CCITTFaxDecode streams decode through the fax kernel to
-    8-bit gray (r13), and /DecodeParms predictors on Flate/LZW invert
-    via ``_unpredict`` (r14). Honest skips: non-image XObjects, images
-    behind filters the chain can't finish (JBIG2/JPX), inline images
-    (BI/EI inside content streams), and non-gray raw color spaces are
+    8-bit gray (r13), /DecodeParms predictors on Flate/LZW invert via
+    ``_unpredict`` (r14), and inline ``BI…ID…EI`` images in content
+    streams — the classic scanned-fax shape — are emitted after the
+    page's XObjects in stream order with names ``BI0``, ``BI1``, …
+    (r14). Honest skips: non-image XObjects, images behind filters the
+    chain can't finish (JBIG2/JPX), and non-gray raw color spaces are
     NOT emitted — never guessed at. None = not a parseable unencrypted
     PDF (same contract as ``parse_pdf_text``)."""
     if not content.startswith(b"%PDF-"):
@@ -1326,11 +1589,13 @@ def extract_page_images(
     out: list[tuple[int, int, str, int, int, int, str, bytes]] = []
     for pno, p in enumerate(pages, start=1):
         res = doc.resolve(p.get("Resources"))
-        if not isinstance(res, dict):
-            continue
-        xobjs = doc.resolve(res.get("XObject"))
+        xobjs = (
+            doc.resolve(res.get("XObject"))
+            if isinstance(res, dict)
+            else None
+        )
         if not isinstance(xobjs, dict):
-            continue
+            xobjs = {}
         idx = 0
         for name in sorted(xobjs):
             ref = xobjs[name]
@@ -1368,6 +1633,27 @@ def extract_page_images(
                  kind, data)
             )
             idx += 1
+        # inline BI/ID/EI images, after XObjects, in stream order (r14)
+        contents = p.get("Contents")
+        cdata = bytearray()
+        for x in (
+            contents if isinstance(contents, list) else [contents]
+        ):
+            if isinstance(x, _Ref):
+                got = doc.stream_bytes(x.num)
+                if got is not None:
+                    cdata += got
+                    cdata += b"\n"
+        if cdata:
+            for bi_n, (w, h, kind, data) in enumerate(
+                _inline_images(doc, bytes(cdata))
+            ):
+                if kind == "gray8":
+                    kind = "raw"
+                out.append(
+                    (pno, idx, f"BI{bi_n}", w, h, 8, kind, data)
+                )
+                idx += 1
     return out
 
 

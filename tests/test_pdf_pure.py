@@ -958,3 +958,107 @@ def test_predictor_image_xobject_raster():
     pno, idx, name, iw, ih, bpc, kind, data = imgs[0]
     assert (pno, iw, ih, bpc, kind) == (1, 24, 9, 8, "raw")
     assert data == raster
+
+
+def _inline_pdf(body: bytes) -> bytes:
+    """One page whose content stream is ``body`` verbatim."""
+    return (
+        b"%PDF-1.7\n"
+        + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        + _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        + _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+        + _stream_obj(4, body)
+        + b"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+
+
+def test_inline_images_decode_and_tokenize():
+    """r14 (VERDICT task #2): BI/ID/EI inline images — unfiltered gray
+    rasters (exact computed span, even with an 'EI' byte pair INSIDE
+    the data), /Fl (Flate) via decode-verified EI scan, abbreviation
+    expansion, and honest skips for non-gray rasters — all while the
+    surrounding text still extracts."""
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        extract_page_images,
+    )
+
+    # raster with an embedded whitespace-delimited "EI" trap
+    raster = bytearray(range(48))
+    raster[10:14] = b" EI "
+    raster = bytes(raster)
+    body = (
+        b"BT (before) Tj ET "
+        b"BI /W 8 /H 6 /BPC 8 /CS /G ID " + raster + b" EI\n"
+        b"BT (after) Tj ET"
+    )
+    pdf = _inline_pdf(body)
+    pages, _ = parse_pdf_text(pdf)
+    assert pages == ["before\nafter"]
+    imgs = extract_page_images(pdf)
+    assert len(imgs) == 1
+    pno, idx, name, w, h, bpc, kind, data = imgs[0]
+    assert (pno, idx, name, w, h, bpc, kind) == (1, 0, "BI0", 8, 6, 8, "raw")
+    assert data == raster
+
+    # Flate-compressed inline image: span found by decode verification
+    px = bytes((i * 7 + 3) % 256 for i in range(24))
+    comp = zlib.compress(px)
+    body2 = (
+        b"BI /W 4 /H 6 /BPC 8 /CS /G /F /Fl ID " + comp + b" EI\n"
+        b"BT (text lives) Tj ET"
+    )
+    pdf2 = _inline_pdf(body2)
+    imgs2 = extract_page_images(pdf2)
+    assert len(imgs2) == 1
+    assert imgs2[0][6] == "raw" and imgs2[0][7] == px
+    pages2, _ = parse_pdf_text(pdf2)
+    assert pages2 == ["text lives"]
+
+    # non-gray raw (RGB): honestly skipped, span still consumed
+    rgb = bytes(36)
+    body3 = (
+        b"BI /W 3 /H 4 /BPC 8 /CS /RGB ID " + rgb + b" EI\n"
+        b"BT (still here) Tj ET"
+    )
+    pdf3 = _inline_pdf(body3)
+    assert extract_page_images(pdf3) == []
+    pages3, _ = parse_pdf_text(pdf3)
+    assert pages3 == ["still here"]
+
+    # a BI inside a STRING operand is not an image
+    body4 = b"BT (fake BI /W 1 ID x EI inside) Tj ET"
+    assert extract_page_images(_inline_pdf(body4)) == []
+    pages4, _ = parse_pdf_text(_inline_pdf(body4))
+    assert pages4 == ["fake BI /W 1 ID x EI inside"]
+
+
+def test_inline_ccitt_g4_image_decodes():
+    """r14: the classic scanned-fax shape — one inline /CCF (CCITT G4)
+    image per page — decodes through the fax kernel to an 8-bit gray
+    raster, ready for OCR-lite."""
+    import numpy as np
+
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_ccitt import g4_encode
+
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        extract_page_images,
+    )
+
+    rng = np.random.default_rng(11)
+    img = np.where(rng.random((10, 33)) < 0.4, 0, 255).astype(np.uint8)
+    enc = g4_encode(img)
+    body = (
+        b"BI /W 33 /H 10 /BPC 1 /IM true /F /CCF"
+        b" /DP << /K -1 /Columns 33 /Rows 10 >> ID " + enc + b" EI"
+    )
+    imgs = extract_page_images(_inline_pdf(body))
+    assert len(imgs) == 1
+    pno, idx, name, w, h, bpc, kind, data = imgs[0]
+    assert (w, h, kind) == (33, 10, "raw")
+    assert np.frombuffer(data, np.uint8).reshape(10, 33).tolist() == img.tolist()
