@@ -5585,3 +5585,144 @@ def q_pdf_inline_fax_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "needs_ocr",
         F.col("document_metadata").getItem("extractor").alias("extractor"),
     )
+
+
+_PROSE_WORDS = ("GOLD", "IRON", "MOSS", "REED", "FERN", "OPAL",
+                "ZINC", "JUTE")
+
+
+@register(
+    "pdf_scanned_prose_quality",
+    """
+WITH w AS (
+    SELECT ['GOLD','IRON','MOSS','REED','FERN','OPAL','ZINC','JUTE'] AS ws
+), g AS (
+    SELECT doc_id AS media_id,
+           ws[CAST(doc_id % 8 AS INT) + 1] AS w1,
+           ws[CAST((doc_id // 8) % 8 AS INT) + 1] AS w2,
+           ws[CAST((doc_id // 64) % 8 AS INT) + 1] AS w3
+    FROM documents, w
+), t AS (
+    SELECT media_id,
+           w1 || ' ' || w2 || ' ' || w3 || '.' AS page_text,
+           len(list_distinct([w1, w2, w3])) AS n_distinct
+    FROM g
+)
+SELECT media_id, page_text, TRUE AS needs_ocr, 'ocr-lite' AS extractor,
+       3 AS n_tokens, n_distinct,
+       CASE WHEN n_distinct < 3 THEN 'repetitive' ELSE '' END
+           AS reject_reason,
+       CASE WHEN n_distinct < 3 THEN 0 ELSE 1 END AS keep,
+       1 AS snippet_id, page_text AS snippet_text
+FROM t
+""",
+    tags=("S2", "pdf", "ocr", "quality"),
+)
+def q_pdf_scanned_prose_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The first scanned→quality pipeline (r14, VERDICT task #3):
+    scanned PDF → OCR-lite PROSE → Gopher repetition gate →
+    snippetize. Each doc plants a one-page PDF whose only content is
+    an inline raw-gray image (BI/ID/EI, r14) typesetting three words
+    from an 8-word list in the full A-Z house font (ALNUM_TEMPLATES,
+    min pairwise Hamming distance 3); the page shows no text, so the
+    OCR branch fires and extract_pages' two-font fallback runs: the
+    digits font strictly REFUSES (the inter-word space windows match
+    no digit), then the alphanumeric font reads the real words. The
+    prose then feeds the Gopher-style repetition gate (integer
+    arithmetic: distinct-word count over 3 tokens — repeated words
+    reject) and the REAL snippetize operator in punctuation mode. The
+    oracle recomputes the recognized text, the gate, and the snippet
+    from the same word selection and never sees a pixel. Two narrow
+    Arrow stages + the snippetize explode, no wide shuffle."""
+    from data_ingestion_py_spark.operators.snippetize import snippetize
+    from data_ingestion_py_spark.sources.ocr_pure import ALNUM_TEMPLATES
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+
+    def char_rowhex(ch: str, tr: int) -> str:
+        t = ALNUM_TEMPLATES[ch]
+        return "".join(
+            ("20" if t[tr][c] else "E0") * 8 for c in range(3)
+        )
+
+    def word_rowhex(wd: str, tr: int) -> str:
+        return "".join(char_rowhex(ch, tr) for ch in wd)
+
+    w_tab = [
+        F.array(*[F.lit(word_rowhex(w, tr)) for w in _PROSE_WORDS])
+        for tr in range(4)
+    ]
+    i1 = F.pmod(doc, F.lit(8)).cast("int") + 1
+    i2 = F.pmod(F.floor(doc / 8), F.lit(8)).cast("int") + 1
+    i3 = F.pmod(F.floor(doc / 64), F.lit(8)).cast("int") + 1
+
+    def pixel_row(tr: int) -> "F.Column":
+        sp = char_rowhex(" ", tr)
+        return F.concat(
+            F.element_at(w_tab[tr], i1),
+            F.lit(sp),
+            F.element_at(w_tab[tr], i2),
+            F.lit(sp),
+            F.element_at(w_tab[tr], i3),
+            F.lit(char_rowhex(".", tr)),
+        )
+
+    raster_hex = F.concat(*[F.repeat(pixel_row(tr), 8) for tr in range(4)])
+    bi_pre = "BI /W 360 /H 32 /BPC 8 /CS /G ID "
+    clen = len(bi_pre) + 15 * 24 * 32 + 3  # + ' EI'
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    pre += f"4 0 obj\n<< /Length {clen} >>\nstream\n{bi_pre}"
+    tail = (
+        " EI\nendstream\nendobj\ntrailer\n"
+        "<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://prose-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(F.concat(
+            F.lit(pre.encode().hex().upper()),
+            raster_hex,
+            F.lit(tail.encode().hex().upper()),
+        )).alias("content"),
+    )
+    pages = extract_pages(binary).select(
+        F.regexp_extract("document_name", r"prose-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_text",
+        "needs_ocr",
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )
+    words = F.split(F.regexp_replace("page_text", r"\.$", ""), " ")
+    n_tokens = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    gated = pages.select(
+        "media_id",
+        "page_text",
+        "needs_ocr",
+        "extractor",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.when(n_distinct < n_tokens, "repetitive")
+        .otherwise("")
+        .alias("reject_reason"),
+        (n_distinct >= n_tokens).cast("int").alias("keep"),
+    )
+    return snippetize(
+        gated,
+        text_col="page_text",
+        id_cols=("media_id",),
+        carry_cols=(
+            "page_text", "needs_ocr", "extractor", "n_tokens",
+            "n_distinct", "reject_reason", "keep",
+        ),
+        mode="punctuation",
+    )

@@ -64,6 +64,59 @@ TEXT_TEMPLATES: dict[str, tuple[tuple[int, ...], ...]] = {
     " ": ((0, 0), (0, 0), (0, 0)),
 }
 
+# ---------------------------------------------------------------------------
+# The full alphanumeric house font (r14, VERDICT task #3): A-Z, 0-9,
+# '.', ' ' at 4 rows × 3 cols of cells (32×24 px at the 8×8 cell) —
+# enough for scanned pages to carry real WORDS into the downstream
+# quality/dedup operators. Shapes are loosely letter-like; the load-
+# bearing property is a minimum pairwise Hamming distance of 3
+# (machine-verified in tests/test_ocr_pure.py) — radius-1 Hamming
+# spheres are disjoint, so a single flipped cell can NEVER read as a
+# different glyph: strict mode refuses, and non-strict max_hamming=1
+# decodes it back to the unique intended template.
+# ---------------------------------------------------------------------------
+
+ALNUM_TEMPLATES: dict[str, tuple[tuple[int, ...], ...]] = {
+    " ": ((0, 0, 0), (0, 0, 0), (0, 0, 0), (0, 0, 0)),
+    ".": ((1, 0, 0), (0, 0, 0), (0, 0, 0), (1, 1, 0)),
+    "0": ((1, 1, 0), (1, 0, 1), (0, 0, 1), (1, 1, 1)),
+    "1": ((0, 1, 0), (1, 1, 0), (0, 1, 0), (0, 1, 0)),
+    "2": ((1, 0, 0), (0, 0, 1), (0, 1, 0), (1, 1, 1)),
+    "3": ((1, 1, 1), (0, 0, 1), (0, 1, 1), (1, 1, 0)),
+    "4": ((1, 0, 1), (1, 0, 1), (1, 1, 1), (0, 0, 1)),
+    "5": ((0, 0, 1), (1, 0, 0), (0, 1, 1), (1, 1, 0)),
+    "6": ((0, 0, 0), (0, 1, 1), (1, 0, 1), (1, 1, 1)),
+    "7": ((1, 1, 1), (0, 0, 1), (0, 0, 1), (0, 0, 1)),
+    "8": ((0, 1, 1), (0, 1, 1), (1, 0, 1), (1, 1, 0)),
+    "9": ((0, 1, 1), (0, 0, 1), (1, 1, 1), (0, 0, 1)),
+    "A": ((0, 1, 0), (1, 0, 1), (1, 1, 1), (1, 0, 1)),
+    "B": ((1, 1, 0), (1, 1, 1), (1, 0, 1), (1, 1, 0)),
+    "C": ((0, 1, 1), (1, 0, 0), (1, 0, 0), (0, 1, 1)),
+    "D": ((1, 0, 0), (0, 0, 1), (1, 0, 1), (1, 1, 0)),
+    "E": ((1, 1, 1), (1, 1, 0), (1, 0, 0), (1, 1, 1)),
+    "F": ((1, 1, 1), (1, 0, 0), (1, 1, 0), (1, 0, 0)),
+    "G": ((0, 0, 0), (1, 0, 0), (1, 0, 1), (0, 1, 1)),
+    "H": ((1, 0, 1), (1, 1, 1), (1, 0, 1), (1, 0, 1)),
+    "I": ((1, 1, 1), (0, 1, 0), (0, 1, 0), (1, 1, 1)),
+    "J": ((0, 0, 1), (0, 0, 1), (1, 0, 1), (0, 1, 0)),
+    "K": ((1, 0, 1), (1, 1, 0), (1, 1, 0), (1, 0, 1)),
+    "L": ((1, 0, 0), (1, 0, 0), (1, 0, 0), (1, 1, 1)),
+    "M": ((0, 1, 1), (1, 1, 0), (1, 0, 1), (1, 0, 1)),
+    "N": ((0, 0, 1), (0, 1, 1), (1, 1, 1), (1, 0, 1)),
+    "O": ((0, 1, 0), (1, 0, 1), (1, 0, 1), (0, 1, 0)),
+    "P": ((1, 1, 0), (0, 0, 1), (1, 1, 0), (1, 0, 0)),
+    "Q": ((0, 0, 0), (1, 0, 1), (0, 1, 1), (0, 0, 1)),
+    "R": ((1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 0, 1)),
+    "S": ((0, 1, 1), (1, 1, 0), (0, 0, 1), (1, 1, 0)),
+    "T": ((1, 0, 1), (0, 1, 0), (0, 1, 0), (0, 1, 0)),
+    "U": ((0, 0, 1), (1, 0, 1), (1, 0, 1), (1, 1, 1)),
+    "V": ((1, 0, 1), (1, 0, 0), (1, 0, 1), (0, 1, 0)),
+    "W": ((1, 0, 1), (1, 0, 0), (1, 1, 1), (1, 1, 1)),
+    "X": ((0, 0, 1), (0, 1, 0), (0, 1, 0), (1, 0, 1)),
+    "Y": ((1, 0, 1), (1, 0, 1), (0, 1, 0), (0, 1, 0)),
+    "Z": ((0, 1, 1), (0, 0, 1), (0, 1, 0), (1, 1, 1)),
+}
+
 
 def _pool_cells(gray: np.ndarray, cell: tuple[int, int]) -> np.ndarray:
     """Average-pool a (H, W) uint8 raster to cell means — H and W must

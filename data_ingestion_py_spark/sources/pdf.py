@@ -104,9 +104,17 @@ def _ocr_pages(content: bytes) -> list[str]:
     document inside the Arrow-batched mapInPandas, no temp files.
     """
     if not (HAVE_OCR and HAVE_FITZ):  # env seam: try OCR-lite first
-        from data_ingestion_py_spark.sources.ocr_pure import ocr_pdf_pages
+        from data_ingestion_py_spark.sources.ocr_pure import (
+            ALNUM_TEMPLATES,
+            ocr_pdf_pages,
+        )
 
         lite = ocr_pdf_pages(content, strict=True)
+        if lite is None:  # r14: the full A-Z/0-9 house font — real
+            # WORDS from scanned prose; strict still refuses off-font
+            lite = ocr_pdf_pages(
+                content, strict=True, templates=ALNUM_TEMPLATES
+            )
         if lite is not None:
             return lite
         raise NotImplementedError(

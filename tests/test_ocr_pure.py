@@ -276,3 +276,111 @@ def test_text_templates_and_extract_scanned_text(spark):
     assert rows[0].page_text == "08. 15." and rows[0].page_number == 1
     # strict default font through the same stage: refused, no rows
     assert pdf_src.extract_scanned_text(binary).collect() == []
+
+
+def render_alnum(text: str, ink=32, paper=224) -> np.ndarray:
+    """Independent renderer for the 4x3-cell alphanumeric font: one
+    line of glyphs at 8x8 cells (32 px tall, 24 px per glyph)."""
+    from data_ingestion_py_spark.sources.ocr_pure import ALNUM_TEMPLATES
+
+    img = np.full((4 * CELL, len(text) * 3 * CELL), paper, np.uint8)
+    for g, ch in enumerate(text):
+        t = ALNUM_TEMPLATES[ch]
+        for r in range(4):
+            for c in range(3):
+                if t[r][c]:
+                    img[
+                        r * CELL : (r + 1) * CELL,
+                        (g * 3 + c) * CELL : (g * 3 + c + 1) * CELL,
+                    ] = ink
+    return img
+
+
+def test_alnum_font_min_hamming_distance_two():
+    """r14 (VERDICT task #3): the full A-Z/0-9/./space font — 38
+    glyphs, all pairwise Hamming distance >= 3 (disjoint radius-1
+    spheres), so one flipped cell uniquely decodes, never misreads."""
+    import itertools
+
+    from data_ingestion_py_spark.sources.ocr_pure import ALNUM_TEMPLATES
+
+    assert len(ALNUM_TEMPLATES) == 38
+    assert set(ALNUM_TEMPLATES) == set(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789. "
+    )
+    flat = {
+        k: [x for row in t for x in row] for k, t in ALNUM_TEMPLATES.items()
+    }
+    assert all(len(v) == 12 for v in flat.values())
+    for a, b in itertools.combinations(sorted(flat), 2):
+        d = sum(x != y for x, y in zip(flat[a], flat[b]))
+        assert d >= 3, (a, b, d)
+
+
+def test_alnum_words_match_and_strict_refusal():
+    from data_ingestion_py_spark.sources.ocr_pure import (
+        ALNUM_TEMPLATES,
+        match_glyph_grid,
+    )
+
+    img = render_alnum("GOLD IRON MOSS.")
+    got = match_glyph_grid(img, templates=ALNUM_TEMPLATES)
+    assert got == "GOLD IRON MOSS."
+    # two lines
+    img2 = np.vstack([render_alnum("THE QUICK"), render_alnum("BROWN FOX")])
+    assert match_glyph_grid(img2, templates=ALNUM_TEMPLATES) == (
+        "THE QUICK\nBROWN FOX"
+    )
+    # a single corrupted cell: strict refuses the page; with distance
+    # >= 2, max_hamming=1 still recovers the INTENDED glyph
+    img3 = render_alnum("ZINC")
+    img3[:8, :8] = 224 if img3[0, 0] < 128 else 32
+    assert match_glyph_grid(img3, templates=ALNUM_TEMPLATES) is None
+    assert match_glyph_grid(
+        img3, templates=ALNUM_TEMPLATES, strict=False, max_hamming=1
+    ) == "ZINC"
+    # off-font raster (digit-font geometry) refuses, never garbage
+    assert match_glyph_grid(render("123"), templates=ALNUM_TEMPLATES) is None
+
+
+def test_extract_pages_falls_through_digits_to_alnum_font(spark):
+    """r14: the PDF OCR fallback tries the digits font, then the full
+    alphanumeric font — a scanned PROSE page (inline raw gray image,
+    no text operators) reads real words end-to-end; an off-font raster
+    still refuses honestly (needs_ocr stays set, text empty)."""
+    from data_ingestion_py_spark.sources import pdf as pdf_mod
+
+    def inline_pdf(raster: np.ndarray) -> bytes:
+        h, w = raster.shape
+        body = (
+            b"BI /W %d /H %d /BPC 8 /CS /G ID " % (w, h)
+            + raster.tobytes() + b" EI"
+        )
+        return (
+            b"%PDF-1.7\n"
+            + b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            + b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            + b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\n"
+            + b"endobj\n"
+            + (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(body))
+            + body + b"\nendstream\nendobj\n"
+            + b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+        )
+
+    prose = inline_pdf(render_alnum("FERN OPAL JUTE."))
+    rng = np.random.default_rng(3)
+    noise = inline_pdf(
+        rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    )
+    df = spark.createDataFrame(
+        [("mem://p.pdf", bytearray(prose)), ("mem://n.pdf", bytearray(noise))],
+        "path string, content binary",
+    )
+    rows = {
+        r.document_name: r for r in pdf_mod.extract_pages(df).collect()
+    }
+    assert rows["p.pdf"].page_text == "FERN OPAL JUTE."
+    assert rows["p.pdf"].needs_ocr
+    assert rows["p.pdf"].document_metadata["extractor"] == "ocr-lite"
+    assert rows["n.pdf"].page_text == ""  # honest refusal
+    assert rows["n.pdf"].needs_ocr
