@@ -18,15 +18,17 @@ modern writer emits), and page image XObjects incl. terminal
 /DCTDecode streams handed whole to the in-container JPEG kernel
 (r13, ``extract_page_images``).
 
-RC4 standard-security encryption (V1/V2, R2/R3) decrypts when the
-USER password is empty — the owner-locked-but-readable shape most
-encrypted PDFs in the wild have (r13: Algorithm 2 file key from
-/O + /P + /ID with /U verification, per-object keys, streams and
-object-graph strings).
+Standard-security encryption decrypts when the USER password is
+empty — the owner-locked-but-readable shape most encrypted PDFs in
+the wild have: RC4 V1/V2 R2/R3 and AESV2 V4/R4 (r13: Algorithm 2
+file key from /O + /P + /ID with /U verification, per-object keys,
+streams and object-graph strings), plus AESV3 V5 R5/R6 — the PDF
+2.0 handler — via SHA-2 Algorithm 2.B, /UE file-key recovery, and a
+/Perms round-trip check (r14).
 
 Honest limits (→ None or empty page text, never guessed):
 documents with a REAL user password or a non-standard security
-handler (AESV3/256, custom crypt filters), CCITT/JBIG2/JPX content
+handler (custom crypt filters), JBIG2/JPX content
 filters, Type0 fonts WITHOUT a ToUnicode CMap (their codes are glyph
 ids — no text is invented; unmapped codes surface as U+FFFD), and
 non-Identity CMap encodings. ObjStm expansion is deferred for
@@ -307,22 +309,32 @@ _AES_MUL14 = bytes(_gmul(14, x) for x in range(256))
 _AES_RCON = bytes.fromhex("01020408102040801b36")
 
 
-def _aes128_round_keys(key: bytes) -> list[bytes]:
-    w = [key[4 * i : 4 * i + 4] for i in range(4)]
-    for i in range(4, 44):
+def _aes_round_keys(key: bytes) -> list[bytes]:
+    """FIPS 197 key expansion for AES-128 (11 round keys) and AES-256
+    (15 round keys — the AESV3 handler, r14)."""
+    nk = len(key) // 4
+    rounds = nk + 6
+    w = [key[4 * i : 4 * i + 4] for i in range(nk)]
+    for i in range(nk, 4 * (rounds + 1)):
         t = w[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytes(
                 _AES_SBOX[t[(j + 1) % 4]] for j in range(4)
             )
-            t = bytes([t[0] ^ _AES_RCON[i // 4 - 1], t[1], t[2], t[3]])
-        w.append(bytes(a ^ b for a, b in zip(w[i - 4], t)))
-    return [b"".join(w[4 * r : 4 * r + 4]) for r in range(11)]
+            t = bytes([t[0] ^ _AES_RCON[i // nk - 1], t[1], t[2], t[3]])
+        elif nk == 8 and i % nk == 4:
+            t = bytes(_AES_SBOX[b] for b in t)
+        w.append(bytes(a ^ b for a, b in zip(w[i - nk], t)))
+    return [b"".join(w[4 * r : 4 * r + 4]) for r in range(rounds + 1)]
 
 
-def _aes128_decrypt_block(rks: list[bytes], block: bytes) -> bytes:
-    s = bytes(a ^ b for a, b in zip(block, rks[10]))
-    for rnd in range(9, 0, -1):
+_aes128_round_keys = _aes_round_keys  # back-compat alias (tests)
+
+
+def _aes_decrypt_block(rks: list[bytes], block: bytes) -> bytes:
+    n_rounds = len(rks) - 1
+    s = bytes(a ^ b for a, b in zip(block, rks[n_rounds]))
+    for rnd in range(n_rounds - 1, 0, -1):
         # InvShiftRows + InvSubBytes (column-major state layout)
         s = bytes(
             _AES_INV_SBOX[s[(i - 4 * (i % 4)) % 16]] for i in range(16)
@@ -355,25 +367,150 @@ def _aes128_decrypt_block(rks: list[bytes], block: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(s, rks[0]))
 
 
-def _aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
-    """AESV2 stream layout (§7.6.2): 16-byte IV prefix, CBC body,
-    PKCS#7-style padding (1..16, always present). None on any length
-    or padding violation — corrupt ciphertext never returns bytes."""
-    if len(key) != 16 or len(data) < 32 or len(data) % 16:
+_aes128_decrypt_block = _aes_decrypt_block  # back-compat alias (tests)
+
+_AES_MUL2 = bytes(_gmul(2, x) for x in range(256))
+_AES_MUL3 = bytes(_gmul(3, x) for x in range(256))
+
+
+def _aes_encrypt_block(rks: list[bytes], block: bytes) -> bytes:
+    """FORWARD cipher — needed by the AESV3 Algorithm-2.B password
+    hash, which ENCRYPTS its state between SHA rounds (r14)."""
+    n_rounds = len(rks) - 1
+    s = bytes(a ^ b for a, b in zip(block, rks[0]))
+    for rnd in range(1, n_rounds):
+        # SubBytes + ShiftRows (column-major state layout)
+        s = bytes(
+            _AES_SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16)
+        )
+        out = bytearray(16)
+        for c in range(4):  # MixColumns
+            a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+            out[4 * c] = _AES_MUL2[a0] ^ _AES_MUL3[a1] ^ a2 ^ a3
+            out[4 * c + 1] = a0 ^ _AES_MUL2[a1] ^ _AES_MUL3[a2] ^ a3
+            out[4 * c + 2] = a0 ^ a1 ^ _AES_MUL2[a2] ^ _AES_MUL3[a3]
+            out[4 * c + 3] = _AES_MUL3[a0] ^ a1 ^ a2 ^ _AES_MUL2[a3]
+        s = bytes(a ^ b for a, b in zip(out, rks[rnd]))
+    s = bytes(
+        _AES_SBOX[s[(i + 4 * (i % 4)) % 16]] for i in range(16)
+    )
+    return bytes(a ^ b for a, b in zip(s, rks[n_rounds]))
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt with NO padding (block-multiple input only) — the
+    exact mode Algorithm 2.B uses on its 64× repeated state."""
+    rks = _aes_round_keys(key)
+    prev = iv
+    out = bytearray()
+    for off in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[off : off + 16], prev))
+        prev = _aes_encrypt_block(rks, blk)
+        out += prev
+    return bytes(out)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
+    """AESV2/AESV3 stream layout (§7.6.2): 16-byte IV prefix, CBC
+    body, PKCS#7-style padding (1..16, always present). Key length 16
+    (AESV2) or 32 (AESV3). None on any length or padding violation —
+    corrupt ciphertext never returns bytes."""
+    if len(key) not in (16, 32) or len(data) < 32 or len(data) % 16:
         return None
-    rks = _aes128_round_keys(key)
+    rks = _aes_round_keys(key)
     prev = data[:16]
     out = bytearray()
     for off in range(16, len(data), 16):
         blk = data[off : off + 16]
         out += bytes(
-            a ^ b for a, b in zip(_aes128_decrypt_block(rks, blk), prev)
+            a ^ b for a, b in zip(_aes_decrypt_block(rks, blk), prev)
         )
         prev = blk
     pad = out[-1]
     if not 1 <= pad <= 16 or any(b != pad for b in out[-pad:]):
         return None
     return bytes(out[:-pad])
+
+
+_aes128_cbc_decrypt = _aes_cbc_decrypt  # back-compat alias (tests)
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the R6 password hash:
+    SHA-256 seed, then rounds of (repeat 64× → AES-128-CBC encrypt
+    with the state's own key/IV → SHA-256/384/512 chosen by the
+    ciphertext's first-16-byte sum mod 3), until round >= 64 AND the
+    ciphertext's last byte <= round - 32. Returns 32 bytes."""
+    import hashlib
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (
+            hashlib.sha256(e).digest()
+            if mod == 0
+            else hashlib.sha384(e).digest()
+            if mod == 1
+            else hashlib.sha512(e).digest()
+        )
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _aesv3_file_key(enc: dict, resolve) -> bytes | None:
+    """AES-256 file key for /V 5 /R 5 (AEL3, plain-SHA-256 hash) and
+    /V 5 /R 6 (PDF 2.0, Algorithm 2.B), EMPTY user password only:
+    verify the password against /U's validation salt, decrypt /UE with
+    the key-salt hash (AES-256 CBC, zero IV, no padding), then check
+    /Perms round-trips to 'adb' under the recovered key (Algorithm
+    13 — a wrong key NEVER ships). None on any mismatch."""
+    import hashlib
+
+    r = enc.get("R")
+    u, ue = enc.get("U"), enc.get("UE")
+    if (
+        r not in (5, 6)
+        or not isinstance(u, bytes)
+        or not isinstance(ue, bytes)
+        or len(u) < 48
+        or len(ue) != 32
+    ):
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if r == 6:
+        if _hash_2b(b"", vsalt) != u[:32]:
+            return None
+        ik = _hash_2b(b"", ksalt)
+    else:  # R5: single SHA-256 (Adobe Extension Level 3)
+        if hashlib.sha256(vsalt).digest() != u[:32]:
+            return None
+        ik = hashlib.sha256(ksalt).digest()
+    # /UE: AES-256 CBC, zero IV, NO padding
+    rks = _aes_round_keys(ik)
+    prev = b"\x00" * 16
+    key = bytearray()
+    for off in (0, 16):
+        blk = ue[off : off + 16]
+        key += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(rks, blk), prev)
+        )
+        prev = blk
+    key = bytes(key)
+    perms = resolve(enc.get("Perms"))
+    if isinstance(perms, bytes) and len(perms) == 16:
+        dec = _aes_decrypt_block(_aes_round_keys(key), perms)
+        if dec[9:12] != b"adb":
+            return None  # wrong key or tampered perms: refuse
+        p = enc.get("P")
+        if isinstance(p, int) and int.from_bytes(
+            dec[:4], "little", signed=False
+        ) != (p & 0xFFFFFFFF):
+            return None
+    return key
 
 
 def _std_security_key(
@@ -459,6 +596,7 @@ class _PdfDoc:
         # selects the AESV2 crypt filter (V4/R4) over plain RC4.
         self.enc_key: bytes | None = None
         self.enc_aes: bool = False
+        self.enc_v5: bool = False  # AESV3: file key used directly
         self.enc_num: int | None = None  # the /Encrypt object: never
         # decrypted (its own O/U strings are stored in the clear)
         # objects unpacked from /ObjStm: their strings are already
@@ -474,6 +612,8 @@ class _PdfDoc:
         import hashlib
 
         assert self.enc_key is not None
+        if self.enc_v5:  # AESV3: the file key IS every object's key
+            return self.enc_key
         h = hashlib.md5(
             self.enc_key
             + (num & 0xFFFFFF).to_bytes(3, "little")
@@ -1482,9 +1622,34 @@ def _setup_encryption(doc: _PdfDoc, trailers: list[dict]) -> bool:
     if enc_ref is None:
         return True  # unencrypted
     enc = doc.resolve(enc_ref)
-    if not isinstance(enc, dict) or id0 is None:
+    if not isinstance(enc, dict):
         return False
     if enc.get("Filter") != "/Standard":
+        return False
+    if enc.get("V") == 5:
+        # AESV3 / AES-256 (r14, VERDICT task #5): R5 (AEL3) and R6
+        # (PDF 2.0). No /ID in the key schedule; the file key comes
+        # from /U + /UE via SHA-2 (Algorithm 2.B for R6) and is used
+        # DIRECTLY for every object (no per-object derivation).
+        cf = doc.resolve(enc.get("CF"))
+        stdcf = doc.resolve(cf.get("StdCF")) if isinstance(cf, dict) else None
+        if (
+            not isinstance(stdcf, dict)
+            or doc.resolve(stdcf.get("CFM")) != "/AESV3"
+            or enc.get("StmF") != "/StdCF"
+            or enc.get("StrF") != "/StdCF"
+        ):
+            return False
+        key = _aesv3_file_key(enc, doc.resolve)
+        if key is None:
+            return False
+        doc.enc_key = key
+        doc.enc_aes = True
+        doc.enc_v5 = True
+        doc.enc_num = enc_ref.num if isinstance(enc_ref, _Ref) else None
+        _expand_objstms(doc)
+        return True
+    if id0 is None:
         return False
     aes = False
     if enc.get("V") == 4:

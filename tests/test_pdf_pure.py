@@ -573,7 +573,7 @@ def _aes_enc_block(rks, b):
         return (a ^ 0x1B) & 0xFF if a & 0x100 else a
 
     s = bytes(x ^ y for x, y in zip(b, rks[0]))
-    for r in range(1, 10):
+    for r in range(1, len(rks) - 1):
         s = bytes(_AES_SBOX[x] for x in s)
         s = bytes(s[(i + 4 * (i % 4)) % 16] for i in range(16))
         o = bytearray(16)
@@ -586,7 +586,7 @@ def _aes_enc_block(rks, b):
         s = bytes(x ^ y for x, y in zip(o, rks[r]))
     s = bytes(_AES_SBOX[x] for x in s)
     s = bytes(s[(i + 4 * (i % 4)) % 16] for i in range(16))
-    return bytes(x ^ y for x, y in zip(s, rks[10]))
+    return bytes(x ^ y for x, y in zip(s, rks[-1]))
 
 
 def _aes_cbc_encrypt(key, iv, data):
@@ -1062,3 +1062,160 @@ def test_inline_ccitt_g4_image_decodes():
     pno, idx, name, w, h, bpc, kind, data = imgs[0]
     assert (w, h, kind) == (33, 10, "raw")
     assert np.frombuffer(data, np.uint8).reshape(10, 33).tolist() == img.tolist()
+
+
+def test_aes256_fips_vectors_and_forward_cipher():
+    """r14: FIPS-197 Appendix C vectors — AES-256 inverse cipher (the
+    AESV3 path) and the house FORWARD cipher (Algorithm 2.B's inner
+    encryptor) for both key sizes."""
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_round_keys,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    # AES-128 (C.1)
+    k128 = bytes(range(16))
+    ct128 = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    rks = _aes_round_keys(k128)
+    assert _aes_encrypt_block(rks, pt) == ct128
+    assert _aes_decrypt_block(rks, ct128) == pt
+    # AES-256 (C.3)
+    k256 = bytes(range(32))
+    ct256 = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    rks = _aes_round_keys(k256)
+    assert _aes_encrypt_block(rks, ct256 * 0 + pt) == ct256
+    assert _aes_decrypt_block(rks, ct256) == pt
+
+
+def test_hash_2b_matches_independent_implementation():
+    """Algorithm 2.B (ISO 32000-2 §7.6.4.3.4) cross-checked against an
+    independent straight-from-the-spec implementation built on the
+    test's own forward AES."""
+    import hashlib
+
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        _aes_round_keys,
+        _hash_2b,
+    )
+
+    def hash_2b_indep(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+        k = hashlib.sha256(pw + salt + udata).digest()
+        rnd = 0
+        while True:
+            k1 = (pw + k + udata) * 64
+            rks = _aes_round_keys(k[:16])
+            prev = k[16:32]
+            e = bytearray()
+            for off in range(0, len(k1), 16):
+                blk = bytes(
+                    x ^ y for x, y in zip(k1[off : off + 16], prev)
+                )
+                prev = _aes_enc_block(rks, blk)
+                e += prev
+            e = bytes(e)
+            k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][
+                sum(e[:16]) % 3
+            ](e).digest()
+            rnd += 1
+            if rnd >= 64 and e[-1] <= rnd - 32:
+                return k[:32]
+
+    for pw, salt in ((b"", b"saltsalt"), (b"", bytes(8)),
+                     (b"pw", b"\x01" * 8)):
+        assert _hash_2b(pw, salt) == hash_2b_indep(pw, salt), (pw, salt)
+
+
+def _aesv3_pdf(user_pw=b"", r=6, tamper_u=False, tamper_perms=False):
+    """Independent R5/R6 AES-256 PDF writer: picks a random-looking
+    file key, derives U/UE from the salts with the INDEPENDENT 2.B
+    (via the module's, already cross-checked above), encrypts Perms,
+    the content stream, and the Info title with AES-256-CBC."""
+    import hashlib
+
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        _aes_round_keys,
+        _hash_2b,
+    )
+
+    file_key = bytes((i * 37 + 11) % 256 for i in range(32))
+    vsalt, ksalt = b"VsaltVs1", b"KsaltKs1"
+    if r == 6:
+        uhash = _hash_2b(user_pw, vsalt)
+        ik = _hash_2b(user_pw, ksalt)
+    else:
+        uhash = hashlib.sha256(user_pw + vsalt).digest()
+        ik = hashlib.sha256(user_pw + ksalt).digest()
+    if tamper_u:
+        uhash = bytes([uhash[0] ^ 1]) + uhash[1:]
+    u = uhash + vsalt + ksalt
+    # UE = AES-256-CBC-encrypt(ik, iv=0, file_key), no padding
+    rks = _aes_round_keys(ik)
+    prev = bytes(16)
+    ue = bytearray()
+    for off in (0, 16):
+        blk = bytes(x ^ y for x, y in zip(file_key[off : off + 16], prev))
+        prev = _aes_enc_block(rks, blk)
+        ue += prev
+    p = -44
+    perms_pt = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff" + b"T" + b"adb" + bytes(4)
+    )
+    perms = _aes_enc_block(_aes_round_keys(file_key), perms_pt)
+    if tamper_perms:
+        perms = bytes([perms[0] ^ 1]) + perms[1:]
+    content = b"BT /F1 12 Tf (AES256 Secret) Tj ET"
+    c_enc = _aes_cbc_encrypt(file_key, bytes(range(16)), content)
+    title = _aes_cbc_encrypt(file_key, bytes(range(16, 32)), b"V5 Doc")
+    hx = lambda b: b"<" + b.hex().encode() + b">"  # noqa: E731
+    parts = [b"%PDF-2.0\n"]
+    parts.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    parts.append(
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    )
+    parts.append(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    )
+    parts.append(
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(c_enc)
+        + c_enc + b"\nendstream\nendobj\n"
+    )
+    parts.append(
+        b"5 0 obj\n<< /Filter /Standard /V 5 /R %d /Length 256" % r
+        + b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+        b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+        b" /O " + hx(bytes(48)) + b" /OE " + hx(bytes(32))
+        + b" /U " + hx(u) + b" /UE " + hx(bytes(ue))
+        + b" /Perms " + hx(perms)
+        + b" /P %d >>\nendobj\n" % p
+    )
+    parts.append(b"8 0 obj\n<< /Title " + hx(title) + b" >>\nendobj\n")
+    parts.append(
+        b"trailer\n<< /Size 9 /Root 1 0 R /Info 8 0 R /Encrypt 5 0 R"
+        b" /ID [" + hx(bytes(16)) + b" " + hx(bytes(16)) + b"] >>"
+        b"\nstartxref\n0\n%%EOF"
+    )
+    return b"".join(parts)
+
+
+def test_aesv3_r6_and_r5_decrypt_with_empty_user_password():
+    """r14 (VERDICT task #5): V5/R6 (PDF 2.0) and V5/R5 (AEL3) AES-256
+    documents with an empty user password decrypt end-to-end — 2.B
+    password verification against /U, /UE file-key recovery, /Perms
+    round-trip check, AES-256-CBC streams AND Info strings."""
+    for r in (6, 5):
+        got = parse_pdf_text(_aesv3_pdf(r=r))
+        assert got is not None, r
+        pages, meta = got
+        assert pages == ["AES256 Secret"], r
+        assert meta.get("Title") == "V5 Doc"
+
+
+def test_aesv3_honest_refusals():
+    """A real user password, a tampered /U hash, or a tampered /Perms
+    must refuse the whole document — never AES noise as text."""
+    assert parse_pdf_text(_aesv3_pdf(user_pw=b"real-pw")) is None
+    assert parse_pdf_text(_aesv3_pdf(tamper_u=True)) is None
+    assert parse_pdf_text(_aesv3_pdf(tamper_perms=True)) is None
