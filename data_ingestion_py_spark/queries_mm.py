@@ -5726,3 +5726,126 @@ def q_pdf_scanned_prose_quality(
         ),
         mode="punctuation",
     )
+
+
+def _jbig2_wrap_hex(g4_hex: str, w: int, h: int) -> str:
+    """Embed one MMR generic region (body = a G4 stream, T.88 §6.2.6)
+    in the embedded-JBIG2 segment format: page-info segment + one
+    immediate generic region. Plan-time constant per G4 body."""
+    body = bytes.fromhex(g4_hex)
+
+    def seg(num: int, stype: int, payload: bytes) -> bytes:
+        return (
+            num.to_bytes(4, "big") + bytes([stype]) + bytes([0])
+            + bytes([1]) + len(payload).to_bytes(4, "big") + payload
+        )
+
+    pi = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(8)
+        + bytes([0]) + bytes(2)
+    )
+    region = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(8)
+        + bytes([0]) + bytes([1]) + body
+    )
+    return (seg(0, 48, pi) + seg(1, 38, region)).hex().upper()
+
+
+@register(
+    "pdf_jbig2_scanned_digits",
+    """
+SELECT doc_id AS media_id,
+       1 AS page_number,
+       CAST(doc_id % 10 AS VARCHAR) || chr(10) ||
+       CAST((doc_id // 10) % 10 AS VARCHAR) AS page_text,
+       TRUE AS needs_ocr,
+       'ocr-lite' AS extractor
+FROM documents
+""",
+    tags=("S2", "pdf", "ocr", "jbig2"),
+)
+def q_pdf_jbig2_scanned_digits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MODERN scanned-fax encoding end-to-end (r14, VERDICT
+    stretch #4): /JBIG2Decode image XObjects with MMR-coded generic
+    regions — what today's scanners emit where older ones used
+    /CCITTFaxDecode. Each doc plants a one-page PDF with TWO bilevel
+    JBIG2 XObjects (the doc id's last two digits as single-glyph
+    pages): embedded-format segment headers (page info + immediate
+    generic region) wrap the SAME per-digit T.6 bodies as the CCITT
+    fixture, the segment walk (sources/jbig2.py) routes MMR to the G4
+    kernel, the raster feeds strict OCR-lite, and the page text is the
+    two recognized digits. Arithmetic-coded regions stay the honest
+    seam. The oracle recomputes the digits arithmetically — a segment-
+    header slip, region-geometry bug, or MMR routing error mismatches
+    every row. One narrow Arrow stage, no shuffle."""
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    digits = [
+        F.pmod(doc, F.lit(10)).cast("int"),
+        F.pmod(F.floor(doc / 10), F.lit(10)).cast("int"),
+    ]
+    jb_hex = {
+        t: _jbig2_wrap_hex(_G4_DIGIT_HEX[str(t)], 16, 24)
+        for t in range(10)
+    }
+    hex_tab = F.array(*[F.lit(jb_hex[t]) for t in range(10)])
+    len_tab = F.array(
+        *[F.lit(str(len(jb_hex[t]) // 2)) for t in range(10)]
+    )
+
+    def obj_hex(s: str) -> "F.Column":
+        return F.lit(s.encode().hex().upper())
+
+    def ascii_hex(col: "F.Column") -> "F.Column":
+        return F.upper(F.hex(F.encode(col, "UTF-8")))
+
+    c4 = "q 16 0 0 24 0 0 cm /Im0 Do Q q 16 0 0 24 16 0 cm /Im1 Do Q"
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += (
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+        "<< /Im0 5 0 R /Im1 6 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+    )
+    pre += f"4 0 obj\n<< /Length {len(c4)} >>\nstream\n{c4}\nendstream\nendobj\n"
+
+    def img_piece(num: int, digit: "F.Column") -> "F.Column":
+        head = (
+            f"{num} 0 obj\n<< /Type /XObject /Subtype /Image /Width 16 "
+            "/Height 24 /ColorSpace /DeviceGray /BitsPerComponent 1 "
+            "/Filter /JBIG2Decode /Length "
+        )
+        return F.concat(
+            obj_hex(head),
+            ascii_hex(F.element_at(len_tab, digit + 1)),
+            obj_hex(" >>\nstream\n"),
+            F.element_at(hex_tab, digit + 1),
+            obj_hex("\nendstream\nendobj\n"),
+        )
+
+    tail = "trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    pdf_hex = F.concat(
+        obj_hex(pre),
+        img_piece(5, digits[0]),
+        img_piece(6, digits[1]),
+        obj_hex(tail),
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://jb2-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(pdf_hex).alias("content"),
+    )
+    return extract_pages(binary).select(
+        F.regexp_extract("document_name", r"jb2-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+        "needs_ocr",
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )

@@ -778,6 +778,32 @@ class _PdfDoc:
                 if arr is None:
                     return None
                 return ("gray8", arr.tobytes())
+            if name == "/JBIG2Decode":
+                # terminal modern-fax bilevel (r14, VERDICT stretch
+                # #4): MMR-coded generic regions decode through the
+                # JBIG2 segment walk + T.6 kernel; arithmetic-coded
+                # regions stay the honest seam (sources/jbig2.py).
+                if i != len(filts) - 1:
+                    return None
+                rdp = self.resolve(dp)
+                if rdp is not None and not isinstance(rdp, dict):
+                    return None
+                gdata = None
+                if isinstance(rdp, dict) and "JBIG2Globals" in rdp:
+                    gref = rdp["JBIG2Globals"]
+                    if not isinstance(gref, _Ref):
+                        return None
+                    gdata = self.stream_bytes(gref.num)
+                    if gdata is None:
+                        return None
+                from data_ingestion_py_spark.sources.jbig2 import (
+                    jbig2_generic_decode,
+                )
+
+                arr = jbig2_generic_decode(data, gdata)
+                if arr is None:
+                    return None
+                return ("gray8", arr.tobytes())
             data = self._apply_filter(name, self.resolve(dp), data)
             if data is None:
                 return None

@@ -352,3 +352,109 @@ def test_pdf_ccitt_g3_k0_decodes():
     imgs = extract_page_images(pdf)
     assert imgs and imgs[0][6] == "raw"
     assert ocr_pdf_pages(pdf) == ["4242"]
+
+
+def _jbig2_embedded(img: np.ndarray, *, mmr: bool = True,
+                    with_page_info: bool = True,
+                    seg_type: int = 38) -> bytes:
+    """Independent embedded-JBIG2 writer (T.88 Annex D.2): optional
+    page-info segment, then one immediate generic region whose body is
+    the test G4 encoder's output (MMR == T.6)."""
+    h, w = img.shape
+    out = bytearray()
+
+    def seg(num: int, stype: int, payload: bytes) -> bytes:
+        s = bytearray()
+        s += num.to_bytes(4, "big")
+        s += bytes([stype])          # flags: type, 1-byte page assoc
+        s += bytes([0])              # 0 referred-to segments
+        s += bytes([1])              # page association = 1
+        s += len(payload).to_bytes(4, "big")
+        s += payload
+        return bytes(s)
+
+    if with_page_info:
+        pi = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes(8)               # x/y resolution: unknown
+            + bytes([0]) + bytes(2)  # page flags + striping info
+        )
+        out += seg(0, 48, pi)
+    body = g4_encode(img)
+    region = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes(4) + bytes(4)        # x = y = 0
+        + bytes([0])                 # region flags: OR
+        + bytes([1 if mmr else 0])   # generic flags: MMR bit
+        + body
+    )
+    out += seg(1, seg_type, region)
+    return bytes(out)
+
+
+def test_jbig2_mmr_generic_region_decodes():
+    """r14 (VERDICT stretch #4): MMR-coded JBIG2 generic regions — the
+    modern scanned-fax encoding — decode through the segment walk +
+    T.6 kernel; arithmetic regions and image-bearing segment types we
+    can't decode refuse honestly."""
+    from data_ingestion_py_spark.sources.jbig2 import (
+        jbig2_generic_decode,
+    )
+
+    rng = random.Random(17)
+    img = _rand_img(rng, 14, 41, 0.4)
+    got = jbig2_generic_decode(_jbig2_embedded(img))
+    assert got is not None and (got == img).all()
+    # no page-info segment: page sized from the region extent
+    got2 = jbig2_generic_decode(
+        _jbig2_embedded(img, with_page_info=False)
+    )
+    assert got2 is not None and (got2 == img).all()
+    # immediate-lossless type (39) decodes the same
+    got3 = jbig2_generic_decode(_jbig2_embedded(img, seg_type=39))
+    assert got3 is not None and (got3 == img).all()
+    # arithmetic-coded region: honest None
+    assert jbig2_generic_decode(
+        _jbig2_embedded(img, mmr=False)
+    ) is None
+    # torn body / malformed header: honest None
+    full = _jbig2_embedded(img)
+    assert jbig2_generic_decode(full[: len(full) - 4]) is None
+    assert jbig2_generic_decode(b"\x00\x01") is None
+
+
+def test_pdf_jbig2_xobject_reads_through_ocr():
+    """/JBIG2Decode image XObject end-to-end: planted PDF -> segment
+    walk -> G4 kernel -> glyph OCR; a glyph page reads its digits."""
+    from data_ingestion_py_spark.sources.ocr_pure import match_glyph_grid
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        extract_page_images,
+    )
+    from tests.test_ocr_pure import render
+
+    img = render("3142")
+    bilevel = np.where(img < 128, 0, 255).astype(np.uint8)
+    stream = _jbig2_embedded(bilevel)
+    h, w = bilevel.shape
+    c = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+    pdf = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+        + (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(c))
+        + c + b"\nendstream\nendobj\n"
+        + (b"5 0 obj\n<< /Type /XObject /Subtype /Image /Width %d"
+           b" /Height %d /ColorSpace /DeviceGray /BitsPerComponent 1"
+           b" /Filter /JBIG2Decode /Length %d >>\nstream\n"
+           % (w, h, len(stream)))
+        + stream + b"\nendstream\nendobj\n"
+        b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+    imgs = extract_page_images(pdf)
+    assert imgs is not None and len(imgs) == 1
+    _pno, _idx, _name, gw, gh, _bpc, kind, data = imgs[0]
+    assert (gw, gh, kind) == (w, h, "raw")
+    gray = np.frombuffer(data, np.uint8).reshape(h, w)
+    assert match_glyph_grid(gray) == "3142"
