@@ -326,7 +326,7 @@ _PROBE_HEADLINE_KEYS = {
     "pdf_kernel": ("pages_per_sec", "text_ok"),  # r12
     "jpeg_kernel": ("mpix_per_sec", "prog_mpix_per_sec"),  # r12
     "phash_kernel": ("speedup_x", "mpix_per_sec"),  # r11
-    "dedup_slope": ("slope", "slope_pairs"),
+    "dedup_slope": ("slope", "slope_pairs", "slope_x100"),
     "iter_slope": (
         "pagerank_slope",
         "components_slope",
@@ -340,6 +340,7 @@ _PROBE_HEADLINE_KEYS = {
         "shards_per_sec_x4",
         "zip_slope_med",
         "slope_pairs",
+        "tar_slope_x100",
     ),
     "streaming_drain": ("b10_rows_per_sec", "batch_overhead_sec", "rows_slope"),
     "band_index_probe": ("growth", "compaction_recovery"),
@@ -884,6 +885,18 @@ def _manifest_slope_bench(spark, sf_dir: str) -> dict:
         round(4 * n1 / ps["big"]["min"]) if ps["big"]["min"] else None
     )
 
+    # r14 (VERDICT task #7): a two-DECADE tar point — one pair at
+    # x1=2.5k vs x100=250k shards (same per-shard walk, ~875 MB of
+    # Arrow traffic streamed through the noop sink). Linear-or-better
+    # means slope ≤100; per-job overhead amortizing at the big point
+    # usually lands it well under.
+    t100 = _paired_slope(1, lambda: run(2_500), lambda: run(250_000))
+    _put_stats(out, "shards_x100", t100["big"])
+    out["tar_slope_x100"] = t100["ratio_med"]
+    out["shards_per_sec_x100"] = (
+        round(250_000 / t100["big"]["min"]) if t100["big"]["min"] else None
+    )
+
     # SECOND format, same method: the scale claim for the shard walks
     # should rest on more than tar — a real 3-member ZIP (central
     # directory walk, stdlib-built) through zip_manifest at the same
@@ -985,6 +998,17 @@ def _dedup_slope_bench(spark, sf_dir: str) -> dict:
         _put_stats(out, "x10", ps["big"])
         out["slope"] = ps["ratio_med"]
         out["slope_pairs"] = ps["ratios"]
+        # r14 (VERDICT task #7): a THIRD scale point — one x1/x100
+        # pair (500k docs at sf0.1), making "bucketed, not all-pairs"
+        # a measured two-decade line: all-pairs would grow 10,000×
+        # from x1; band-bucketing should stay ~100× or (amortizing
+        # fixed costs) under it. One pair keeps the leg affordable;
+        # its single ratio is adjacent-timed, so a stall inflates both
+        # legs and mostly cancels.
+        corp100 = corpus(100)
+        p100 = _paired_slope(1, lambda: _run(corp1), lambda: _run(corp100))
+        _put_stats(out, "x100", p100["big"])
+        out["slope_x100"] = p100["ratio_med"]
         return out
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
