@@ -5849,3 +5849,121 @@ def q_pdf_jbig2_scanned_digits(
         "needs_ocr",
         F.col("document_metadata").getItem("extractor").alias("extractor"),
     )
+
+
+def _avc_mp4_template() -> tuple[str, str, str, str]:
+    """Hex pieces of the planted AVC MP4 around its three varying
+    bytes (SPS bytes 5-6 carrying pic_width/height Exp-Golomb fields,
+    and sample 2's NAL header): ftyp + mdat(3 one-NAL samples, AVCC
+    4-byte lengths) + moov/stbl with stsd/avc1/avcC. The fixed-length
+    ue(v) trick: w_mbs in 16..31 and map-units in 8..15 keep every
+    Exp-Golomb code at constant bit width, so the whole SPS is two
+    splice bytes (layout verified against the independent test
+    bit-writer in tests/test_sources.py)."""
+    import struct
+
+    def box(fourcc: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data) + 8) + fourcc + data
+
+    sps = bytes([0x67, 0x42, 0x00, 0x1E, 0xF4, 0xAA, 0xBB, 0x90])
+    pps = bytes([0x68, 0xCE, 0x38, 0x80])
+    samples = [
+        b"\x00\x00\x00\x02\x65\x88",
+        b"\x00\x00\x00\x02\x41\x88",
+        b"\x00\x00\x00\x02\xCC\x88",
+    ]
+    ftyp = box(b"ftyp", b"isom\0\0\0\0")
+    mdat = box(b"mdat", b"".join(samples))
+    base = len(ftyp) + 8
+    avcc = box(
+        b"avcC",
+        bytes([1, sps[1], sps[2], sps[3], 0xFC | 3, 0xE0 | 1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps,
+    )
+    avc1 = box(b"avc1", bytes(78) + avcc)
+    stsd = box(b"stsd", struct.pack(">2I", 0, 1) + avc1)
+    mdhd = box(b"mdhd", struct.pack(">6I", 0, 0, 0, 600, 0, 0))
+    stts = box(b"stts", struct.pack(">4I", 0, 1, 3, 100))
+    stsz = box(b"stsz", struct.pack(">6I", 0, 0, 3, 6, 6, 6))
+    stsc = box(b"stsc", struct.pack(">5I", 0, 1, 1, 3, 1))
+    stco = box(b"stco", struct.pack(">3I", 0, 1, base))
+    stbl = box(b"stbl", stsd + stts + stsz + stsc + stco)
+    mdia = box(b"mdia", mdhd + box(b"minf", stbl))
+    moov = box(b"moov", box(b"trak", mdia))
+    full = (ftyp + mdat + moov).hex().upper()
+    for marker in ("AA", "BB", "CC"):
+        assert full.count(marker) == 1, marker
+    p1, rest = full.split("CC", 1)   # mdat precedes moov/avcC
+    p2, rest = rest.split("AA", 1)
+    p3, p4 = rest.split("BB", 1)
+    return p1, p2, p3, p4
+
+
+@register(
+    "multimodal_h264_frame_plan",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           16 + doc_id % 16 AS w5,
+           8 + doc_id % 8 AS h4,
+           doc_id % 3 = 0 AS idr2
+    FROM documents
+)
+SELECT media_id,
+       CAST(i AS INT) AS sample_index,
+       CAST(24 + 6 * i AS BIGINT) AS byte_offset,
+       CAST(6 AS BIGINT) AS sample_size,
+       CASE WHEN i = 0 THEN TRUE
+            WHEN i = 1 THEN FALSE
+            ELSE idr2 END AS is_idr,
+       CASE WHEN i = 0 THEN '5'
+            WHEN i = 1 THEN '1'
+            ELSE CASE WHEN idr2 THEN '5' ELSE '1' END END AS nal_types,
+       CAST(16 * w5 AS INT) AS width,
+       CAST(16 * h4 AS INT) AS height,
+       66 AS profile_idc, 30 AS level_idc
+FROM g, generate_series(0, 2) AS t(i)
+""",
+    tags=("multimodal", "video", "h264"),
+)
+def q_multimodal_h264_frame_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-range frame planning for the DOMINANT video codec (r14 —
+    the inter-frame seam narrowed): H.264-in-MP4 through the pure-byte
+    NAL-unit walk — avcC decoder-config parse, SPS geometry via
+    Exp-Golomb (width/height/profile/level), and per-sample AVCC
+    length-prefix tiling with IDR keyframes detected from the
+    BITSTREAM (NAL type 5), not the container's optional stss. Pixel
+    reconstruction stays the honest ffmpeg seam; everything a sampler
+    needs to fetch exactly the keyframe byte ranges from object
+    storage is real and oracle-gated. Each doc plants a complete AVC
+    MP4 whose SPS width/height fields and third sample's NAL header
+    splice per doc (fixed-width Exp-Golomb codes — layout verified
+    against the independent SPS bit-writer in pytest); the oracle
+    recomputes every row arithmetically. One narrow Arrow stage, no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    p1, p2, p3, p4 = _avc_mp4_template()
+    w5 = F.lit(16) + F.pmod(doc, F.lit(16))
+    h4 = F.lit(8) + F.pmod(doc, F.lit(8))
+
+    def b2(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    payload_hex = F.concat(
+        F.lit(p1),
+        b2(F.when(F.pmod(doc, F.lit(3)) == 0, 0x65).otherwise(0x41)),
+        F.lit(p2),
+        b2(F.shiftright(w5, 1)),
+        F.lit(p3),
+        b2(F.pmod(w5, F.lit(2)) * 128 + h4),
+        F.lit(p4),
+    )
+    media = d.select(
+        doc.alias("media_id"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+    return mm.h264_frame_plan(media)

@@ -3127,3 +3127,170 @@ def test_mp4_mjpeg_frame_decode_end_to_end():
     # truncated mdat (sample range past EOF) → honest None
     full = mp4([j0, j1])
     assert decode_mp4_mjpeg_frames(full[:-10]) is None
+
+
+class _SpsBits:
+    """Independent SPS bit-writer (test side of the r14 H.264 walk)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, n: int, v: int):
+        for k in range(n - 1, -1, -1):
+            self.bits.append((v >> k) & 1)
+
+    def ue(self, v: int):
+        n = (v + 1).bit_length() - 1
+        self.u(n, 0)
+        self.u(n + 1, v + 1)
+
+    def se(self, v: int):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def nal(self, header: int) -> bytes:
+        bits = self.bits + [1]
+        bits += [0] * (-len(bits) % 8)
+        raw = bytes(
+            int("".join(map(str, bits[i : i + 8])), 2)
+            for i in range(0, len(bits), 8)
+        )
+        # emulation prevention: 00 00 0x -> 00 00 03 0x
+        out = bytearray([header])
+        zeros = 0
+        for b in raw:
+            if zeros == 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+
+def _sps_bytes(w_mbs, h_units, profile=66, level=30, frame_mbs_only=1,
+               crop=(0, 0, 0, 0)):
+    w = _SpsBits()
+    w.u(8, profile)
+    w.u(8, 0)
+    w.u(8, level)
+    w.ue(0)          # sps id
+    w.ue(0)          # log2_max_frame_num_minus4
+    w.ue(0)          # poc type 0
+    w.ue(0)          # log2_max_poc_lsb_minus4
+    w.ue(1)          # max_num_ref_frames
+    w.u(1, 0)        # gaps allowed
+    w.ue(w_mbs - 1)
+    w.ue(h_units - 1)
+    w.u(1, frame_mbs_only)
+    if not frame_mbs_only:
+        w.u(1, 0)
+    w.u(1, 0)        # direct_8x8
+    if any(crop):
+        w.u(1, 1)
+        for c in crop:
+            w.ue(c)
+    else:
+        w.u(1, 0)
+    return w.nal(0x67)
+
+
+def _avc_mp4(sample_nals, sps, pps=b"\x68\xce\x38\x80"):
+    """ftyp + mdat(samples in AVCC 4-byte-length layout) + moov with
+    stsd/avc1/avcC — offsets exact because mdat precedes moov."""
+    import struct
+
+    mdat_data = b""
+    sizes = []
+    for nals in sample_nals:
+        s = b"".join(
+            struct.pack(">I", len(n)) + n for n in nals
+        )
+        sizes.append(len(s))
+        mdat_data += s
+    ftyp = _mp4_box(b"ftyp", b"isom\0\0\0\0")
+    mdat = _mp4_box(b"mdat", mdat_data)
+    base = len(ftyp) + 8
+    avcc = _mp4_box(
+        b"avcC",
+        bytes([1, sps[1], sps[2], sps[3], 0xFC | 3, 0xE0 | 1])
+        + struct.pack(">H", len(sps)) + sps
+        + bytes([1]) + struct.pack(">H", len(pps)) + pps,
+    )
+    avc1 = _mp4_box(b"avc1", bytes(78) + avcc)
+    stsd = _mp4_box(b"stsd", struct.pack(">2I", 0, 1) + avc1)
+    mdhd = _mp4_box(b"mdhd", struct.pack(">6I", 0, 0, 0, 600, 0, 0))
+    stts = _mp4_box(
+        b"stts", struct.pack(">2I", 0, 1)
+        + struct.pack(">2I", len(sizes), 100)
+    )
+    stsz = _mp4_box(
+        b"stsz", struct.pack(">3I", 0, 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes)
+    )
+    stsc = _mp4_box(
+        b"stsc", struct.pack(">2I", 0, 1)
+        + struct.pack(">3I", 1, len(sizes), 1)
+    )
+    stco = _mp4_box(b"stco", struct.pack(">3I", 0, 1, base))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsz + stsc + stco)
+    mdia = _mp4_box(b"mdia", mdhd + _mp4_box(b"minf", stbl))
+    moov = _mp4_box(b"moov", _mp4_box(b"trak", mdia))
+    return ftyp + mdat + moov
+
+
+def test_h264_sps_params_geometry_and_crop():
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    # 640x368 baseline, no crop
+    p = mm.h264_sps_params(_sps_bytes(40, 23))
+    assert p == {"profile_idc": 66, "level_idc": 30,
+                 "width": 640, "height": 368}
+    # 1920x1080: 120x68 MBs cropped 1088 -> 1080 (bottom crop 4 at
+    # CropUnitY=2 for 4:2:0 frame_mbs_only)
+    p = mm.h264_sps_params(_sps_bytes(120, 68, crop=(0, 0, 0, 4)))
+    assert (p["width"], p["height"]) == (1920, 1080)
+    # interlaced (frame_mbs_only=0): height doubles per map unit
+    p = mm.h264_sps_params(_sps_bytes(40, 15, frame_mbs_only=0))
+    assert (p["width"], p["height"]) == (640, 480)
+    # truncated bits / wrong NAL type refuse
+    assert mm.h264_sps_params(_sps_bytes(40, 23)[:4]) is None
+    assert mm.h264_sps_params(b"\x41\x42") is None
+
+
+def test_h264_nal_index_and_frame_plan(spark):
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    sps = _sps_bytes(20, 15)
+    idr = b"\x65" + bytes(range(9))
+    non = b"\x41" + bytes(range(5))
+    mp4 = _avc_mp4([[sps, b"\x68\xce\x38\x80", idr], [non], [non, idr]],
+                   sps)
+    idx = mm.h264_nal_index(mp4)
+    assert idx is not None
+    assert (idx["width"], idx["height"]) == (320, 240)
+    assert (idx["profile_idc"], idx["level_idc"]) == (66, 30)
+    [(i0, o0, s0, t0, k0), (i1, _o1, _s1, t1, k1),
+     (i2, _o2, _s2, t2, k2)] = idx["samples"]
+    assert (t0, k0) == ([7, 8, 5], True)
+    assert (t1, k1) == ([1], False)
+    assert (t2, k2) == ([1, 5], True)
+    assert o0 == mp4.index(b"mdat") + 4
+    assert s0 == (4 + len(sps)) + (4 + 4) + (4 + 10)
+    # torn NAL length tiling refuses the whole index
+    bad = mp4.replace(b"\x00\x00\x00\x0a\x65", b"\x00\x00\x00\x0b\x65")
+    assert mm.h264_nal_index(bad) is None
+    # non-AVC MP4 (no stsd/avc1) emits no plan
+    plain = _mp4_with_stbl([10, 20, 30], [(3, 40)], [1000])
+    assert mm.h264_nal_index(plain) is None
+    # the DataFrame op: one row per sample, bitstream-derived keyframes
+    df = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(plain))],
+        "media_id long, payload binary",
+    )
+    rows = {
+        (r.media_id, r.sample_index): r
+        for r in mm.h264_frame_plan(df).collect()
+    }
+    assert len(rows) == 3  # non-AVC payload: no rows
+    assert rows[(1, 0)].is_idr and not rows[(1, 1)].is_idr
+    assert rows[(1, 2)].nal_types == "1,5"
+    assert rows[(1, 0)].width == 320 and rows[(1, 0)].height == 240
