@@ -1219,3 +1219,32 @@ def test_aesv3_honest_refusals():
     assert parse_pdf_text(_aesv3_pdf(user_pw=b"real-pw")) is None
     assert parse_pdf_text(_aesv3_pdf(tamper_u=True)) is None
     assert parse_pdf_text(_aesv3_pdf(tamper_perms=True)) is None
+
+
+def test_predictor_objstm_parses():
+    """r14: a predictor'd OBJECT stream (the other real-world
+    Predictor-12 site besides image XObjects) — catalog/pages/page
+    dicts inside a FlateDecode+Predictor-12 ObjStm parse through the
+    same _unpredict chain."""
+    o1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+    o2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    o3 = b"<< /Type /Page /Contents 5 0 R >>"
+    header = f"1 0 2 {len(o1) + 1} 3 {len(o1) + len(o2) + 2} ".encode()
+    data = header + o1 + b" " + o2 + b" " + o3
+    stride = 16
+    data += b" " * (-len(data) % stride)
+    enc = zlib.compress(_png_predict_forward(data, stride))
+    pdf = b"%PDF-1.7\n"
+    pdf += (
+        b"8 0 obj\n"
+        + (
+            b"<< /Length %d /Type /ObjStm /N 3 /First %d"
+            b" /Filter /FlateDecode /DecodeParms << /Predictor 12"
+            b" /Columns %d >> >>" % (len(enc), len(header), stride)
+        )
+        + b"\nstream\n" + enc + b"\nendstream\nendobj\n"
+    )
+    pdf += _stream_obj(5, b"BT (predicted objstm) Tj ET")
+    pdf += b"%%EOF"
+    pages, _ = parse_pdf_text(pdf)
+    assert pages == ["predicted objstm"]
