@@ -5591,6 +5591,70 @@ _PROSE_WORDS = ("GOLD", "IRON", "MOSS", "REED", "FERN", "OPAL",
                 "ZINC", "JUTE")
 
 
+def _prose_scan_binary(d: DataFrame) -> DataFrame:
+    """(doc_id) → (path, content) one-page scanned-prose PDFs: an
+    inline raw-gray BI/ID/EI image typesetting ``W1 W2 W3.`` in the
+    full A-Z house font, words selected from ``_PROSE_WORDS`` by
+    doc_id base-8 digits (i1=doc%8, i2=doc//8%8, i3=doc//64%8). No
+    text operators, so the P9 empty-text predicate fires OCR. Shared
+    by the scanned-prose quality and dedup queries — their oracles
+    recompute from the SAME word selection."""
+    from data_ingestion_py_spark.sources.ocr_pure import ALNUM_TEMPLATES
+
+    doc = F.col("doc_id")
+
+    def char_rowhex(ch: str, tr: int) -> str:
+        t = ALNUM_TEMPLATES[ch]
+        return "".join(
+            ("20" if t[tr][c] else "E0") * 8 for c in range(3)
+        )
+
+    def word_rowhex(wd: str, tr: int) -> str:
+        return "".join(char_rowhex(ch, tr) for ch in wd)
+
+    w_tab = [
+        F.array(*[F.lit(word_rowhex(w, tr)) for w in _PROSE_WORDS])
+        for tr in range(4)
+    ]
+    i1 = F.pmod(doc, F.lit(8)).cast("int") + 1
+    i2 = F.pmod(F.floor(doc / 8), F.lit(8)).cast("int") + 1
+    i3 = F.pmod(F.floor(doc / 64), F.lit(8)).cast("int") + 1
+
+    def pixel_row(tr: int) -> "F.Column":
+        sp = char_rowhex(" ", tr)
+        return F.concat(
+            F.element_at(w_tab[tr], i1),
+            F.lit(sp),
+            F.element_at(w_tab[tr], i2),
+            F.lit(sp),
+            F.element_at(w_tab[tr], i3),
+            F.lit(char_rowhex(".", tr)),
+        )
+
+    raster_hex = F.concat(*[F.repeat(pixel_row(tr), 8) for tr in range(4)])
+    bi_pre = "BI /W 360 /H 32 /BPC 8 /CS /G ID "
+    clen = len(bi_pre) + 15 * 24 * 32 + 3  # + ' EI'
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    pre += f"4 0 obj\n<< /Length {clen} >>\nstream\n{bi_pre}"
+    tail = (
+        " EI\nendstream\nendobj\ntrailer\n"
+        "<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+    return d.select(
+        F.concat(
+            F.lit("mem://prose-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(F.concat(
+            F.lit(pre.encode().hex().upper()),
+            raster_hex,
+            F.lit(tail.encode().hex().upper()),
+        )).alias("content"),
+    )
+
+
 @register(
     "pdf_scanned_prose_quality",
     """
@@ -5637,62 +5701,10 @@ def q_pdf_scanned_prose_quality(
     from the same word selection and never sees a pixel. Two narrow
     Arrow stages + the snippetize explode, no wide shuffle."""
     from data_ingestion_py_spark.operators.snippetize import snippetize
-    from data_ingestion_py_spark.sources.ocr_pure import ALNUM_TEMPLATES
     from data_ingestion_py_spark.sources.pdf import extract_pages
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    doc = F.col("doc_id")
-
-    def char_rowhex(ch: str, tr: int) -> str:
-        t = ALNUM_TEMPLATES[ch]
-        return "".join(
-            ("20" if t[tr][c] else "E0") * 8 for c in range(3)
-        )
-
-    def word_rowhex(wd: str, tr: int) -> str:
-        return "".join(char_rowhex(ch, tr) for ch in wd)
-
-    w_tab = [
-        F.array(*[F.lit(word_rowhex(w, tr)) for w in _PROSE_WORDS])
-        for tr in range(4)
-    ]
-    i1 = F.pmod(doc, F.lit(8)).cast("int") + 1
-    i2 = F.pmod(F.floor(doc / 8), F.lit(8)).cast("int") + 1
-    i3 = F.pmod(F.floor(doc / 64), F.lit(8)).cast("int") + 1
-
-    def pixel_row(tr: int) -> "F.Column":
-        sp = char_rowhex(" ", tr)
-        return F.concat(
-            F.element_at(w_tab[tr], i1),
-            F.lit(sp),
-            F.element_at(w_tab[tr], i2),
-            F.lit(sp),
-            F.element_at(w_tab[tr], i3),
-            F.lit(char_rowhex(".", tr)),
-        )
-
-    raster_hex = F.concat(*[F.repeat(pixel_row(tr), 8) for tr in range(4)])
-    bi_pre = "BI /W 360 /H 32 /BPC 8 /CS /G ID "
-    clen = len(bi_pre) + 15 * 24 * 32 + 3  # + ' EI'
-    pre = "%PDF-1.7\n"
-    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
-    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
-    pre += "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
-    pre += f"4 0 obj\n<< /Length {clen} >>\nstream\n{bi_pre}"
-    tail = (
-        " EI\nendstream\nendobj\ntrailer\n"
-        "<< /Size 5 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
-    )
-    binary = d.select(
-        F.concat(
-            F.lit("mem://prose-"), doc.cast("string"), F.lit(".pdf")
-        ).alias("path"),
-        F.unhex(F.concat(
-            F.lit(pre.encode().hex().upper()),
-            raster_hex,
-            F.lit(tail.encode().hex().upper()),
-        )).alias("content"),
-    )
+    binary = _prose_scan_binary(d)
     pages = extract_pages(binary).select(
         F.regexp_extract("document_name", r"prose-(\d+)\.pdf", 1)
         .cast("long")
@@ -5967,3 +5979,53 @@ def q_multimodal_h264_frame_plan(
         F.unhex(payload_hex).alias("payload"),
     )
     return mm.h264_frame_plan(media)
+
+
+@register(
+    "pdf_scanned_prose_dedup",
+    """
+WITH w AS (
+    SELECT ['GOLD','IRON','MOSS','REED','FERN','OPAL','ZINC','JUTE'] AS ws
+), g AS (
+    SELECT doc_id AS media_id,
+           ws[CAST(doc_id % 8 AS INT) + 1] || ' ' ||
+           ws[CAST((doc_id // 8) % 8 AS INT) + 1] || ' ' ||
+           ws[CAST((doc_id // 64) % 8 AS INT) + 1] || '.' AS page_text
+    FROM documents, w
+)
+SELECT page_text,
+       COUNT(*) AS n_docs,
+       MIN(media_id) AS representative_id,
+       COUNT(*) - 1 AS n_duplicates
+FROM g
+GROUP BY page_text
+""",
+    tags=("S2", "pdf", "ocr", "dedup"),
+)
+def q_pdf_scanned_prose_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multimodal → text → dedup, end-to-end (r14): the scanned-prose
+    corpus (inline raw-gray BI images OCR'd by the A-Z font — the
+    SAME planted binaries as pdf_scanned_prose_quality) flows into
+    EXACT deduplication the way a real pipeline dedups an OCR'd PDF
+    corpus: group by the recognized text, count the cluster, keep the
+    lowest media_id as representative. 512 distinct word triples over
+    the corpus give real duplicate clusters at every SF. One narrow
+    Arrow stage + one keyed aggregation (md5-class exact dedup shape:
+    the single shuffle is on the dedup key). The oracle recomputes
+    every cluster from the word selection and never sees a pixel."""
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    pages = extract_pages(_prose_scan_binary(d)).select(
+        F.regexp_extract("document_name", r"prose-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_text",
+    )
+    return pages.groupBy("page_text").agg(
+        F.count("*").alias("n_docs"),
+        F.min("media_id").alias("representative_id"),
+        (F.count("*") - 1).alias("n_duplicates"),
+    )
