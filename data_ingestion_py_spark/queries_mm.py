@@ -5681,6 +5681,10 @@ SELECT media_id, page_text, TRUE AS needs_ocr, 'ocr-lite' AS extractor,
 FROM t
 """,
     tags=("S2", "pdf", "ocr", "quality"),
+    # bench=True (r14): standing driver number for the inline-image +
+    # A-Z-font scanned-prose pipeline (BI decode -> OCR-lite -> gates
+    # -> snippetize)
+    bench=True,
 )
 def q_pdf_scanned_prose_quality(
     spark: SparkSession, sf_dir: str
@@ -5938,6 +5942,9 @@ SELECT media_id,
 FROM g, generate_series(0, 2) AS t(i)
 """,
     tags=("multimodal", "video", "h264"),
+    # bench=True (r14): standing driver number for the H.264 NAL-walk
+    # frame planner
+    bench=True,
 )
 def q_multimodal_h264_frame_plan(
     spark: SparkSession, sf_dir: str
