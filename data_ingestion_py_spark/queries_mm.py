@@ -6036,3 +6036,87 @@ def q_pdf_scanned_prose_dedup(
         F.min("media_id").alias("representative_id"),
         (F.count("*") - 1).alias("n_duplicates"),
     )
+
+
+@register(
+    "pdf_form_xobject_text",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS d6,
+           lpad(CAST(doc_id % 37 AS VARCHAR), 2, '0') AS d2
+    FROM documents
+)
+SELECT media_id,
+       1 AS page_number,
+       'body ' || d6 || chr(10) || 'header ' || d2 AS page_text,
+       'pure-byte' AS extractor
+FROM g
+""",
+    tags=("S1", "pdf", "forms"),
+)
+def q_pdf_form_xobject_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/Subtype /Form XObject text extraction (r14): the nesting real
+    writers use for headers, stamps, and n-up imposition — text the
+    page paints with ``Do`` out of a separate content stream with its
+    own (or inherited) resources, previously invisible to the text
+    path. Each doc plants a one-page PDF whose body shows six digits
+    and whose header FORM shows two more; the tokenizer executes the
+    form inline at the paint position (depth-bounded). The oracle
+    recomputes both strings — a parser that ignores Do (or executes it
+    at the wrong position) mismatches every row. One narrow Arrow
+    stage, no shuffle."""
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    d6 = F.lpad((doc % 1000000).cast("string"), 6, "0")
+    d2 = F.lpad((doc % 37).cast("string"), 2, "0")
+    c_page = "BT (body "  # + d6 + ") Tj ET /Hdr Do"
+    c_page_tail = ") Tj ET /Hdr Do"
+    c_form = "BT (header "  # + d2 + ") Tj ET"
+    c_form_tail = ") Tj ET"
+    page_len = len(c_page) + 6 + len(c_page_tail)
+    form_len = len(c_form) + 2 + len(c_form_tail)
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += (
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+        "<< /XObject << /Hdr 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+    )
+    pre += f"4 0 obj\n<< /Length {page_len} >>\nstream\n{c_page}"
+    mid = f"{c_page_tail}\nendstream\nendobj\n"
+    mid += (
+        "5 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 100 20]"
+        f" /Length {form_len} >>\nstream\n{c_form}"
+    )
+    tail = (
+        f"{c_form_tail}\nendstream\nendobj\ntrailer\n"
+        "<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+
+    def ahex(col: "F.Column") -> "F.Column":
+        return F.upper(F.hex(F.encode(col, "UTF-8")))
+
+    pdf_hex = F.concat(
+        F.lit(pre.encode().hex().upper()),
+        ahex(d6),
+        F.lit(mid.encode().hex().upper()),
+        ahex(d2),
+        F.lit(tail.encode().hex().upper()),
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://form-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(pdf_hex).alias("content"),
+    )
+    return extract_pages(binary).select(
+        F.regexp_extract("document_name", r"form-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )

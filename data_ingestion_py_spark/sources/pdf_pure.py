@@ -1236,7 +1236,13 @@ def _page_fonts(doc: "_PdfDoc", page: dict) -> dict[str, tuple]:
     ``('simple', diffmap_or_None)`` for 1-byte fonts — latin-1 with a
     /Differences override map (r13) when the font's /Encoding carries
     one."""
-    res = doc.resolve(page.get("Resources"))
+    return _resource_fonts(doc, doc.resolve(page.get("Resources")))
+
+
+def _resource_fonts(doc: "_PdfDoc", res) -> dict[str, tuple]:
+    """``_page_fonts`` body over an already-resolved /Resources dict —
+    shared with Form XObjects (r14), whose own /Resources carry their
+    own /Font table."""
     fonts: dict[str, tuple] = {}
     if not isinstance(res, dict):
         return fonts
@@ -1272,8 +1278,56 @@ def _page_fonts(doc: "_PdfDoc", page: dict) -> dict[str, tuple]:
     return fonts
 
 
+def _page_forms(doc: "_PdfDoc", page: dict) -> dict:
+    """Form-XObject table for the content tokenizer (r14): resource
+    name → lazy thunk yielding ``(content_bytes, fonts, forms)`` for
+    /Subtype /Form XObjects — the nesting real writers use for headers,
+    stamps, and n-up imposition, whose text was previously invisible.
+    A form WITHOUT its own /Resources inherits the caller's (the
+    common subset-writer shape). Thunks are lazy so unused forms cost
+    nothing; recursion is bounded by ``_page_text``'s depth guard."""
+    return _resource_forms(doc, doc.resolve(page.get("Resources")))
+
+
+def _resource_forms(doc: "_PdfDoc", res) -> dict:
+    out: dict = {}
+    if not isinstance(res, dict):
+        return out
+    xobjs = doc.resolve(res.get("XObject"))
+    if not isinstance(xobjs, dict):
+        return out
+    for name, ref in xobjs.items():
+        if not isinstance(ref, _Ref):
+            continue
+        got = doc.objs.get(ref.num)
+        if got is None or not isinstance(got[0], dict):
+            continue
+        d = got[0]
+        if doc.resolve(d.get("Subtype")) != "/Form":
+            continue
+
+        def thunk(num=ref.num, fd=d):
+            data = doc.stream_bytes(num)
+            if data is None:
+                return None
+            fres = doc.resolve(fd.get("Resources"))
+            if not isinstance(fres, dict):
+                fres = res  # inherit the caller's resources
+            return (
+                data,
+                _resource_fonts(doc, fres),
+                _resource_forms(doc, fres),
+            )
+
+        out[name] = thunk
+    return out
+
+
 def _page_text(
-    content: bytes, fonts: dict[str, tuple] | None = None
+    content: bytes,
+    fonts: dict[str, tuple] | None = None,
+    forms: dict | None = None,
+    depth: int = 0,
 ) -> str:
     """Deterministic text from a content stream: show strings in
     stream order; T*/Td/TD/'/\" and ET insert one newline. ``fonts``
@@ -1282,7 +1336,11 @@ def _page_text(
     (r13); Type0/Identity-H fonts split show strings into 2-byte
     big-endian codes mapped through their ToUnicode cmap (unmapped
     codes → U+FFFD, so a partial cmap is visible rather than silently
-    dropped; a Type0 font with NO cmap contributes nothing)."""
+    dropped; a Type0 font with NO cmap contributes nothing). ``Do`` on
+    a /Form XObject (r14) executes the form's content inline with the
+    form's own fonts/resources — its lines flush into the page at the
+    paint position in stream order; recursion depth-bounded at 8 so a
+    self-referential form terminates."""
     out: list[str] = []
     line: list[str] = []
     i = 0
@@ -1354,6 +1412,18 @@ def _page_text(
                     for s in pending:
                         show(s)
                 pending.clear()
+                if op == b"Do" and forms is not None and depth < 8:
+                    thunk = forms.get(last_name or "")
+                    if thunk is not None:
+                        got = thunk()
+                        if got is not None:
+                            sub_c, sub_f, sub_x = got
+                            sub = _page_text(
+                                sub_c, sub_f, sub_x, depth + 1
+                            )
+                            if sub:
+                                newline()
+                                out.extend(sub.split("\n"))
                 if op == b"BI":  # inline image: exact span skip (r14)
                     i = _skip_inline_image(content, i)
             else:
@@ -1873,7 +1943,11 @@ def parse_pdf_text(content: bytes) -> tuple[list[str], dict] | None:
             if got is not None:
                 data += got
                 data += b"\n"
-        pages.append(_page_text(bytes(data), _page_fonts(doc, p)))
+        pages.append(
+            _page_text(
+                bytes(data), _page_fonts(doc, p), _page_forms(doc, p)
+            )
+        )
     meta: dict[str, str] = {}
     for t in trailers:
         iref = t.get("Info")

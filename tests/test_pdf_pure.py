@@ -1248,3 +1248,67 @@ def test_predictor_objstm_parses():
     pdf += b"%%EOF"
     pages, _ = parse_pdf_text(pdf)
     assert pages == ["predicted objstm"]
+
+
+def test_form_xobject_text_extracts():
+    """r14: text inside /Subtype /Form XObjects — headers, stamps,
+    n-up imposition — extracts when the page paints them with Do:
+    form-own AND inherited resources, nested forms, a self-referential
+    form terminating at the depth bound, and image XObjects still
+    ignored by the text path."""
+    def build(form_res: bytes | None, self_ref=False, nest=False):
+        c_page = b"BT (page body) Tj ET q 1 0 0 1 10 10 cm /Fm1 Do Q"
+        c_form = b"BT /F9 9 Tf (stamp text) Tj ET"
+        if self_ref:
+            c_form += b" /Fm1 Do"
+        if nest:
+            c_form += b" /Fm2 Do"
+        c_inner = b"BT (inner) Tj ET"
+        out = b"%PDF-1.7\n"
+        out += _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+        out += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+        page_res = (
+            b"<< /XObject << /Fm1 6 0 R /Im0 8 0 R >> "
+            b"/Font << /F9 9 0 R >> >>"
+        )
+        out += _obj(
+            3, b"<< /Type /Page /Parent 2 0 R /Resources " + page_res
+            + b" /Contents 4 0 R >>")
+        out += _stream_obj(4, c_page)
+        fdict = b"" if form_res is None else b" /Resources " + form_res
+        out += (
+            b"6 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 9 9]"
+            + fdict
+            + (b" /Length %d >>\nstream\n" % len(c_form))
+            + c_form + b"\nendstream\nendobj\n"
+        )
+        out += (
+            b"7 0 obj\n<< /Type /XObject /Subtype /Form /BBox [0 0 9 9]"
+            + (b" /Length %d >>\nstream\n" % len(c_inner))
+            + c_inner + b"\nendstream\nendobj\n"
+        )
+        out += (
+            b"8 0 obj\n<< /Type /XObject /Subtype /Image /Width 1"
+            b" /Height 1 /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Length 1 >>\nstream\n\x80\nendstream\nendobj\n"
+        )
+        out += _obj(9, b"<< /Type /Font /Subtype /Type1 >>")
+        out += b"trailer\n<< /Size 10 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+        return out
+
+    # form with its OWN resources
+    pages, _ = parse_pdf_text(build(
+        b"<< /Font << /F9 9 0 R >> /XObject << /Fm2 7 0 R >> >>"))
+    assert pages == ["page body\nstamp text"]
+    # form WITHOUT resources inherits the page's
+    pages, _ = parse_pdf_text(build(None))
+    assert pages == ["page body\nstamp text"]
+    # nested form executes (inner resources via the outer form's dict)
+    pages, _ = parse_pdf_text(build(
+        b"<< /Font << /F9 9 0 R >> /XObject << /Fm2 7 0 R >> >>",
+        nest=True))
+    assert pages == ["page body\nstamp text\ninner"]
+    # self-referential form terminates at the depth bound
+    pages, _ = parse_pdf_text(build(None, self_ref=True))
+    assert pages[0].startswith("page body\nstamp text")
+    assert pages[0].count("stamp text") <= 8
