@@ -6120,3 +6120,122 @@ def q_pdf_form_xobject_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "page_text",
         F.col("document_metadata").getItem("extractor").alias("extractor"),
     )
+
+
+def _tiled_tiff_header_hex(
+    w: int, h: int, tw: int, th: int, n_tiles: int, tile_bytes: int
+) -> str:
+    """Constant header of the planted TILED gray TIFF (r14):
+    little-endian IFD0 with TileWidth/TileLength/TileOffsets/
+    TileByteCounts; uncompressed equal-size tiles make every offset a
+    plan-time constant, so only the pixel bytes vary per doc."""
+    import struct
+
+    entries = [
+        (256, 4, w), (257, 4, h), (258, 3, 8), (259, 3, 1),
+        (262, 3, 1), (277, 3, 1), (322, 4, tw), (323, 4, th),
+        (324, 4, None), (325, 4, None),
+    ]
+    n = len(entries)
+    dir_end = 8 + 2 + 12 * n + 4
+    # offset-valued arrays for the two tile tables
+    offs_blob_at = dir_end
+    cnts_blob_at = offs_blob_at + 4 * n_tiles
+    data_at = cnts_blob_at + 4 * n_tiles
+    hdr = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    hdr += struct.pack("<H", n)
+    for tag, typ, val in entries:
+        hdr += struct.pack("<HHI", tag, typ,
+                           n_tiles if val is None else 1)
+        if val is None:
+            hdr += struct.pack(
+                "<I", offs_blob_at if tag == 324 else cnts_blob_at
+            )
+        elif typ == 4:
+            hdr += struct.pack("<I", val)
+        else:
+            hdr += struct.pack("<HH", val, 0)
+    hdr += struct.pack("<I", 0)
+    assert len(hdr) == dir_end
+    for t in range(n_tiles):
+        hdr += struct.pack("<I", data_at + t * tile_bytes)
+    for _t in range(n_tiles):
+        hdr += struct.pack("<I", tile_bytes)
+    return bytes(hdr).hex().upper()
+
+
+@register(
+    "multimodal_tiff_tiled_decode",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           20 + doc_id % 100 AS base,
+           1 + doc_id % 7 AS ra
+    FROM documents
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 143),
+               k -> (base + (k // 12) * ra + (k % 12)) % 251) AS p
+    FROM g
+)
+SELECT media_id, 12 AS width, 12 AS height,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 143),
+            k -> (k + 1) * p[k + 1])) AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "tiff", "tiled"),
+)
+def q_multimodal_tiff_tiled_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TILED TIFF decode end-to-end (r14) — the large-scan/geo layout
+    previously an honest None: complete valid 12x12 gray TIFFs whose
+    pixel data lives in four 8x8 tiles (right/bottom tiles
+    edge-cropped — the part a strip decoder can't fake), planted in
+    column algebra over a constant tile-table header. decode_tiff_array
+    assembles the tile grid through the same chunk decoder as strips;
+    pixel_checksums emits position-weighted sums the oracle recomputes
+    from p(r,x) = (base + r*ra + x) mod 251 — a tile-order slip,
+    padding leak, or crop bug mismatches every row. One narrow Arrow
+    stage, no shuffle."""
+    w = h = 12
+    tw = th = 8
+    hdr = _tiled_tiff_header_hex(w, h, tw, th, 4, tw * th)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    base = F.lit(20) + F.pmod(doc, F.lit(100))
+    ra = F.lit(1) + F.pmod(doc, F.lit(7))
+
+    def hx2(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    def tile_hex(ty: int, tx: int) -> "F.Column":
+        idx = F.sequence(F.lit(0), F.lit(tw * th - 1))
+        return F.concat_ws(
+            "",
+            F.transform(
+                idx,
+                lambda i: hx2(
+                    F.when(
+                        (F.lit(ty * th) + F.floor(i / tw) < h)
+                        & (F.lit(tx * tw) + F.pmod(i, F.lit(tw)) < w),
+                        F.pmod(
+                            base
+                            + (F.lit(ty * th) + F.floor(i / tw)) * ra
+                            + F.lit(tx * tw) + F.pmod(i, F.lit(tw)),
+                            F.lit(251),
+                        ),
+                    ).otherwise(F.lit(0))
+                ),
+            ),
+        )
+
+    payload_hex = F.concat(
+        F.lit(hdr),
+        tile_hex(0, 0), tile_hex(0, 1), tile_hex(1, 0), tile_hex(1, 1),
+    )
+    media = d.select(
+        doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return mm.pixel_checksums(media)

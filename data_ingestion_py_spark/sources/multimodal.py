@@ -413,6 +413,16 @@ def decode_tiff_array(
     planar = fields.get(284, [1])[0]
     offsets = fields.get(273)
     counts = fields.get(279)
+    # tiled layout (r14): TileWidth/TileLength/TileOffsets/TileByteCounts
+    # replace the strip tables — the large-scan/geo TIFF shape
+    tile_w = fields.get(322, [0])[0]
+    tile_h = fields.get(323, [0])[0]
+    tiled = fields.get(324) is not None
+    if tiled:
+        if offsets is not None or tile_w <= 0 or tile_h <= 0:
+            return None  # both layouts present: malformed
+        offsets = fields.get(324)
+        counts = fields.get(325)
     rps = fields.get(278, [h])[0] or h
     rps = min(rps, h)
     if (
@@ -446,37 +456,30 @@ def decode_tiff_array(
             return None
     else:
         return None
-    n_strips = (h + rps - 1) // rps
-    if len(offsets) < n_strips:
-        return None
-    row_bytes = (w * depth + 7) // 8 if depth != 8 else w * spp
-    data = bytearray()
-    for s in range(n_strips):
-        o, c = offsets[s], counts[s]
-        if o + c > len(payload):
-            return None
-        raw = payload[o : o + c]
-        rows_this = min(rps, h - s * rps)
-        need = rows_this * row_bytes
+    def _chunk(
+        raw: bytes, rows_this: int, w_px: int, rb: int
+    ) -> bytes | None:
+        """Decode one strip/tile payload to exactly rows_this*rb raw
+        sample bytes (decompression + fax + predictor inverse) —
+        shared by the strip and tile layouts (r14)."""
+        need = rows_this * rb
         if comp in (2, 4):
-            # CCITT fax strips (r13): Compression 4 = Group 4 (T.6 2D),
-            # Compression 2 = modified-Huffman RLE (G3 1D, every row
-            # byte-aligned, no EOLs). Each strip decodes independently
-            # to rows_this lines, then re-packs to THIS file's declared
-            # photometric convention — photo 0 (WhiteIsZero, bit 1 =
-            # black, the fax norm) or photo 1 (BlackIsZero, bit 1 =
-            # white, legal for Compression 2/4 per TIFF 6.0) — so the
-            # shared sub-byte unpack + inversion below apply unchanged.
+            # CCITT fax (r13): Compression 4 = Group 4 (T.6 2D),
+            # Compression 2 = modified-Huffman RLE (G3 1D, byte-
+            # aligned rows, no EOLs); re-packed to THIS file's
+            # declared photometric (photo 0 bit 1 = black, photo 1
+            # bit 1 = white) so the shared sub-byte unpack +
+            # inversion below apply unchanged.
             from data_ingestion_py_spark.sources.ccitt import (
                 g3_1d_decode,
                 g4_decode,
             )
 
             arr2 = (
-                g4_decode(bytes(raw), w, rows_this)
+                g4_decode(bytes(raw), w_px, rows_this)
                 if comp == 4
                 else g3_1d_decode(
-                    bytes(raw), w, rows_this,
+                    bytes(raw), w_px, rows_this,
                     byte_align=True, allow_eol=False,
                 )
             )
@@ -486,7 +489,7 @@ def decode_tiff_array(
                 (arr2 == 0) if photo == 0 else (arr2 != 0), axis=1
             ).tobytes()
         elif comp in (8, 32946):
-            try:  # cap inflation at the strip's declared row budget
+            try:  # cap inflation at the declared row budget
                 raw = zlib.decompressobj().decompress(raw, need)
             except zlib.error:
                 return None
@@ -524,25 +527,83 @@ def decode_tiff_array(
             # bytes as pixels (advisor finding, r12).
             rows = np.frombuffer(
                 bytes(raw[:need]), dtype=np.uint8
-            ).reshape(rows_this, w, spp)
+            ).reshape(rows_this, w_px, spp)
             raw = (
                 np.cumsum(rows.astype(np.int64), axis=1) % 256
             ).astype(np.uint8).tobytes()
-        data += raw[:need]
-    arr = np.frombuffer(bytes(data), dtype=np.uint8)
-    if depth != 8:
-        # unpack MSB-first (FillOrder 1) depth-bit samples per row,
-        # keep the first w, scale to the full 8-bit range exactly
-        rows = arr.reshape(h, row_bytes)
-        bits = np.unpackbits(rows, axis=1)
-        groups = bits[:, : row_bytes * 8].reshape(
-            h, (row_bytes * 8) // depth, depth
+        return bytes(raw[:need])
+
+    row_bytes = (w * depth + 7) // 8 if depth != 8 else w * spp
+    if tiled:
+        # tile grid assembly (r14): decode each tile block, unpack to
+        # sample values, crop the right/bottom edge tiles, place on
+        # the (h, w·spp) canvas — large-scan/geo TIFFs
+        across = (w + tile_w - 1) // tile_w
+        down = (h + tile_h - 1) // tile_h
+        if len(offsets) < across * down:
+            return None
+        trb = (
+            (tile_w * depth + 7) // 8 if depth != 8 else tile_w * spp
         )
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        vals = (groups * weights).sum(axis=2)[:, :w]
-        arr = (
-            vals.astype(np.int64) * 255 // ((1 << depth) - 1)
-        ).astype(np.uint8).reshape(-1)
+        vals = np.zeros((h, w * spp), dtype=np.uint8)
+        for ti in range(across * down):
+            o, c = offsets[ti], counts[ti]
+            if o + c > len(payload):
+                return None
+            got = _chunk(payload[o : o + c], tile_h, tile_w, trb)
+            if got is None:
+                return None
+            block = np.frombuffer(got, np.uint8).reshape(tile_h, trb)
+            if depth != 8:
+                bits = np.unpackbits(block, axis=1)
+                groups = bits[:, : (trb * 8) // depth * depth].reshape(
+                    tile_h, (trb * 8) // depth, depth
+                )
+                weights = 1 << np.arange(depth - 1, -1, -1)
+                tvals = (
+                    (groups * weights).sum(axis=2)[:, :tile_w]
+                ).astype(np.uint8)
+            else:
+                tvals = block.reshape(tile_h, tile_w * spp)
+            y0 = (ti // across) * tile_h
+            x0 = (ti % across) * tile_w * spp
+            hh = min(tile_h, h - y0)
+            ww = min(tile_w * spp, w * spp - x0)
+            vals[y0 : y0 + hh, x0 : x0 + ww] = tvals[:hh, :ww]
+        if depth != 8:
+            arr = (
+                vals.astype(np.int64) * 255 // ((1 << depth) - 1)
+            ).astype(np.uint8).reshape(-1)
+        else:
+            arr = vals.reshape(-1)
+    else:
+        n_strips = (h + rps - 1) // rps
+        if len(offsets) < n_strips:
+            return None
+        data = bytearray()
+        for s in range(n_strips):
+            o, c = offsets[s], counts[s]
+            if o + c > len(payload):
+                return None
+            rows_this = min(rps, h - s * rps)
+            got = _chunk(payload[o : o + c], rows_this, w, row_bytes)
+            if got is None:
+                return None
+            data += got
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
+        if depth != 8:
+            # unpack MSB-first (FillOrder 1) depth-bit samples per
+            # row, keep the first w, scale to the full 8-bit range
+            rows = arr.reshape(h, row_bytes)
+            bits = np.unpackbits(rows, axis=1)
+            groups = bits[:, : row_bytes * 8].reshape(
+                h, (row_bytes * 8) // depth, depth
+            )
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (groups * weights).sum(axis=2)[:, :w]
+            arr = (
+                vals.astype(np.int64) * 255 // ((1 << depth) - 1)
+            ).astype(np.uint8).reshape(-1)
     if photo == 2:
         rgb = arr.reshape(h, w, 3).astype(np.int32)
         gray = ((rgb[..., 0] + rgb[..., 1] + rgb[..., 2]) // 3).astype(

@@ -3294,3 +3294,188 @@ def test_h264_nal_index_and_frame_plan(spark):
     assert rows[(1, 0)].is_idr and not rows[(1, 1)].is_idr
     assert rows[(1, 2)].nal_types == "1,5"
     assert rows[(1, 0)].width == 320 and rows[(1, 0)].height == 240
+
+
+def _tiff_tiled_bytes(end, w, h, photo, tiles, tw, th, comp=1,
+                      cmap=None, spp=1, predictor=None, bps=8,
+                      also_strips=False):
+    """Independent TILED-TIFF writer: TileWidth/TileLength/TileOffsets/
+    TileByteCounts instead of the strip tags (r14). ``also_strips``
+    plants BOTH layouts (malformed — must refuse)."""
+    import struct
+
+    e = "<" if end == "II" else ">"
+    u16 = lambda v: struct.pack(e + "H", v)  # noqa: E731
+    u32 = lambda v: struct.pack(e + "I", v)  # noqa: E731
+    entries = []
+
+    def add(tag, typ, vals):
+        raw = b"".join((u16(v) if typ == 3 else u32(v)) for v in vals)
+        entries.append([tag, typ, len(vals), raw, len(raw) > 4, None])
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [bps] * spp)
+    add(259, 3, [comp])
+    add(262, 3, [photo])
+    add(277, 3, [spp])
+    add(322, 4, [tw])
+    add(323, 4, [th])
+    add(324, 4, [0] * len(tiles))
+    add(325, 4, [len(t) for t in tiles])
+    if also_strips:
+        add(273, 4, [0])
+        add(279, 4, [1])
+    if cmap is not None:
+        add(320, 3, cmap)
+    if predictor is not None:
+        add(317, 3, [predictor])
+    n = len(entries)
+    dir_end = 8 + 2 + 12 * n + 4
+    blobs = bytearray()
+    for ent in entries:
+        if ent[4]:
+            ent[5] = dir_end + len(blobs)
+            blobs += ent[3]
+    pos = dir_end + len(blobs)
+    offs = []
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    for ent in entries:
+        if ent[0] == 324:
+            ent[3] = b"".join(u32(v) for v in offs)
+            if ent[4]:
+                j = ent[5] - dir_end
+                blobs[j : j + len(ent[3])] = ent[3]
+    out = (b"II" if end == "II" else b"MM") + u16(42) + u32(8) + u16(n)
+    for tag, typ, cnt, raw, is_off, voff in entries:
+        out += u16(tag) + u16(typ) + u32(cnt)
+        out += u32(voff) if is_off else raw.ljust(4, b"\x00")[:4]
+    out += u32(0) + bytes(blobs) + b"".join(tiles)
+    return bytes(out)
+
+
+def _tile_blocks(pix, tw, th, spp=1):
+    """Split a (h, w[*spp]) sample array into padded tile blocks in
+    the spec's row-major tile order."""
+    import numpy as np
+
+    h, wspp = pix.shape
+    w = wspp // spp
+    across = (w + tw - 1) // tw
+    down = (h + th - 1) // th
+    out = []
+    for ty in range(down):
+        for tx in range(across):
+            blk = np.zeros((th, tw * spp), np.uint8)
+            ys, xs = ty * th, tx * tw * spp
+            hh = min(th, h - ys)
+            ww = min(tw * spp, wspp - xs)
+            blk[:hh, :ww] = pix[ys : ys + hh, xs : xs + ww]
+            out.append(blk.tobytes())
+    return out
+
+
+def test_tiff_tiled_decode_gray_rgb_and_edges():
+    """r14: tiled TIFFs (the large-scan/geo layout) — gray and RGB,
+    edge tiles cropped, both byte orders; strips+tiles together is
+    malformed and refuses."""
+    import numpy as np
+
+    w, h, tw, th = 21, 13, 8, 5  # non-multiples: real edge cropping
+    pix = (np.arange(w * h, dtype=np.int64) * 7 % 251).astype(
+        np.uint8
+    ).reshape(h, w)
+    for end in ("II", "MM"):
+        t = _tiff_tiled_bytes(
+            end, w, h, 1, _tile_blocks(pix, tw, th), tw, th
+        )
+        got = multimodal.decode_tiff_array(t)
+        assert got is not None and got[:2] == (w, h)
+        assert np.array_equal(got[2].reshape(h, w), pix)
+    # RGB tiles collapse by the shared (r+g+b)//3 rule
+    rgb = (np.arange(w * h * 3, dtype=np.int64) * 11 % 256).astype(
+        np.uint8
+    ).reshape(h, w * 3)
+    t = _tiff_tiled_bytes(
+        "II", w, h, 2, _tile_blocks(rgb, tw, th, spp=3), tw, th, spp=3
+    )
+    got = multimodal.decode_tiff_array(t)
+    r3 = rgb.reshape(h, w, 3).astype(np.int32)
+    assert np.array_equal(
+        got[2].reshape(h, w), ((r3[..., 0] + r3[..., 1] + r3[..., 2]) // 3)
+    )
+    # both layouts present: refuse
+    bad = _tiff_tiled_bytes(
+        "II", w, h, 1, _tile_blocks(pix, tw, th), tw, th,
+        also_strips=True,
+    )
+    assert multimodal.decode_tiff_array(bad) is None
+    # torn tile payload refuses
+    blocks = _tile_blocks(pix, tw, th)
+    blocks[-1] = blocks[-1][:-3]
+    t2 = _tiff_tiled_bytes("II", w, h, 1, blocks, tw, th)
+    assert multimodal.decode_tiff_array(t2) is None
+
+
+def test_tiff_tiled_compressed_bilevel_and_fax():
+    """Tiled deflate, LZW+Predictor-2, 1-bit bilevel, and G4 fax
+    tiles all route through the shared chunk decoder."""
+    import zlib as _z
+
+    import numpy as np
+
+    from tests.test_ccitt import g4_encode
+
+    w, h, tw, th = 20, 11, 8, 4
+    pix = (np.arange(w * h, dtype=np.int64) * 13 % 256).astype(
+        np.uint8
+    ).reshape(h, w)
+    blocks = _tile_blocks(pix, tw, th)
+    t = _tiff_tiled_bytes(
+        "II", w, h, 1, [_z.compress(b) for b in blocks], tw, th, comp=8
+    )
+    got = multimodal.decode_tiff_array(t)
+    assert np.array_equal(got[2].reshape(h, w), pix)
+    # LZW + horizontal-differencing predictor per tile row
+    def hdiff(b):
+        a = np.frombuffer(b, np.uint8).reshape(th, tw).astype(np.int64)
+        d = np.diff(a, axis=1, prepend=a[:, :1] * 0) % 256
+        d[:, 0] = a[:, 0]
+        return _lzw_msb_encode(d.astype(np.uint8).tobytes())
+
+    t = _tiff_tiled_bytes(
+        "II", w, h, 1, [hdiff(b) for b in blocks], tw, th, comp=5,
+        predictor=2,
+    )
+    got = multimodal.decode_tiff_array(t)
+    assert np.array_equal(got[2].reshape(h, w), pix)
+    # 1-bit bilevel tiles (WhiteIsZero): bit 1 = black = gray 0
+    bil = (np.arange(w * h) % 3 == 0).astype(np.uint8).reshape(h, w)
+    bb = []
+    for ty in range((h + th - 1) // th):
+        for tx in range((w + tw - 1) // tw):
+            blk = np.zeros((th, tw), np.uint8)
+            ys, xs = ty * th, tx * tw
+            hh, ww = min(th, h - ys), min(tw, w - xs)
+            blk[:hh, :ww] = bil[ys : ys + hh, xs : xs + ww]
+            bb.append(np.packbits(blk, axis=1).tobytes())
+    t = _tiff_tiled_bytes("II", w, h, 0, bb, tw, th, bps=1)
+    got = multimodal.decode_tiff_array(t)
+    assert np.array_equal(
+        got[2].reshape(h, w), np.where(bil == 1, 0, 255)
+    )
+    # G4 fax tiles: 0=black rasters per tile, edge-cropped
+    ink = np.where(bil == 1, 0, 255).astype(np.uint8)
+    fb = []
+    for ty in range((h + th - 1) // th):
+        for tx in range((w + tw - 1) // tw):
+            blk = np.full((th, tw), 255, np.uint8)
+            ys, xs = ty * th, tx * tw
+            hh, ww = min(th, h - ys), min(tw, w - xs)
+            blk[:hh, :ww] = ink[ys : ys + hh, xs : xs + ww]
+            fb.append(g4_encode(blk))
+    t = _tiff_tiled_bytes("II", w, h, 0, fb, tw, th, comp=4, bps=1)
+    got = multimodal.decode_tiff_array(t)
+    assert np.array_equal(got[2].reshape(h, w), ink)
