@@ -6239,3 +6239,82 @@ def q_multimodal_tiff_tiled_decode(
         doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
     )
     return mm.pixel_checksums(media)
+
+
+@register(
+    "multimodal_h264_annexb_index",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           16 + doc_id % 16 AS w5,
+           8 + doc_id % 8 AS h4,
+           2 + CAST(doc_id % 3 AS INT) AS nf
+    FROM documents
+)
+SELECT media_id,
+       CAST(i AS INT) AS nal_index,
+       CAST(CASE WHEN i = 0 THEN 4
+                 WHEN i = 1 THEN 16
+                 ELSE 24 + 8 * (i - 2) END AS BIGINT) AS byte_offset,
+       CAST(CASE WHEN i = 0 THEN 8
+                 WHEN i = 1 THEN 4
+                 ELSE 4 END AS BIGINT) AS nal_size,
+       CAST(CASE WHEN i = 0 THEN 7
+                 WHEN i = 1 THEN 8
+                 WHEN i = 2 THEN 5
+                 ELSE 1 END AS INT) AS nal_type,
+       i = 2 AS is_idr,
+       CAST(16 * w5 AS INT) AS width,
+       CAST(16 * h4 AS INT) AS height,
+       66 AS profile_idc, 30 AS level_idc
+FROM g, generate_series(0, 9) AS t(i)
+WHERE i < nf + 2
+""",
+    tags=("multimodal", "video", "h264"),
+)
+def q_multimodal_h264_annexb_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Annex-B H.264 ELEMENTARY streams (r14 — raw .h264 / broadcast
+    PES payloads, the other container-less shape of the dominant
+    codec): start-code delimited NAL walk with SPS geometry and
+    bitstream IDR flags, per-doc varying frame COUNT (2 + doc%3
+    frames, the first an IDR) and SPS width/height splice bytes (the
+    same fixed-width Exp-Golomb trick as the MP4 fixture). The oracle
+    recomputes every NAL's offset/size/type arithmetically from the
+    framing — a start-code scan slip or trailing-zero mishandling
+    shifts every offset and mismatches. One narrow Arrow stage, no
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    w5 = F.lit(16) + F.pmod(doc, F.lit(16))
+    h4 = F.lit(8) + F.pmod(doc, F.lit(8))
+
+    def b2(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    # SC4 + SPS(8: 67 42 00 1E F4 [w] [h] 90) + SC4 + PPS(4) then
+    # frames: SC4 + hdr + 3 payload bytes (frame 0 IDR, rest non-IDR)
+    sps_hex = F.concat(
+        F.lit("00000001" "6742001EF4"),
+        b2(F.shiftright(w5, 1)),
+        b2(F.pmod(w5, F.lit(2)) * 128 + h4),
+        F.lit("90"),
+    )
+    pre = F.concat(
+        sps_hex,
+        F.lit("00000001" "68CE3880"),
+        F.lit("00000001" "65887766"),  # frame 0: IDR
+    )
+    payload_hex = F.concat(
+        pre,
+        F.repeat(
+            F.lit("00000001" "41887766"),
+            (F.lit(1) + F.pmod(doc, F.lit(3))).cast("int"),
+        ),
+    )
+    media = d.select(
+        doc.alias("media_id"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+    return mm.h264_annexb_plan(media)

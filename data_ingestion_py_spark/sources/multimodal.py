@@ -3141,6 +3141,101 @@ def h264_nal_index(payload: bytes, max_samples: int = 64) -> dict | None:
     }
 
 
+def h264_annexb_nals(
+    payload: bytes, max_nals: int = 256
+) -> dict | None:
+    """NAL index of an Annex-B H.264 ELEMENTARY stream (raw .h264 /
+    broadcast PES payloads — start-code 00 00 (00) 01 delimited, ISO
+    14496-10 Annex B): ``{"width", "height", "profile_idc",
+    "level_idc", "nals": [(idx, offset, size, type, is_idr), ...]}``
+    where offset/size span the NAL payload (start code excluded).
+    Geometry comes from the FIRST SPS in the stream; None when the
+    stream has no start code, no parseable SPS, or nothing but
+    padding — never guessed geometry."""
+    n = len(payload)
+    # find all start codes (3- or 4-byte form)
+    starts: list[int] = []
+    i = 0
+    while i + 3 <= n and len(starts) <= max_nals:
+        j = payload.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        starts.append(j + 3)
+        i = j + 3
+    if not starts:
+        return None
+    nals = []
+    params = None
+    for k, s in enumerate(starts):
+        e = (
+            starts[k + 1] - 3 if k + 1 < len(starts) else n
+        )
+        # a 4-byte start code leaves one 0x00 before the next code
+        while e > s and payload[e - 1] == 0:
+            e -= 1
+        if e <= s:
+            continue
+        ntype = payload[s] & 0x1F
+        if ntype == 7 and params is None:
+            params = h264_sps_params(payload[s:e])
+        nals.append((len(nals), s, e - s, ntype, ntype == 5))
+    if params is None or not nals:
+        return None
+    return {**params, "nals": nals}
+
+
+H264_ANNEXB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("nal_index", T.IntegerType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("nal_size", T.LongType(), False),
+        T.StructField("nal_type", T.IntegerType(), False),
+        T.StructField("is_idr", T.BooleanType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("profile_idc", T.IntegerType(), False),
+        T.StructField("level_idc", T.IntegerType(), False),
+    ]
+)
+
+
+def h264_annexb_plan(media: DataFrame, max_nals: int = 256) -> DataFrame:
+    """(media_id, payload) → one row per Annex-B NAL unit with its
+    byte range, type, bitstream keyframe flag, and the stream's SPS
+    geometry (``h264_annexb_nals``) via Arrow ``mapInPandas`` — the
+    elementary-stream sibling of ``h264_frame_plan``. Streams with no
+    start codes or no parseable SPS emit no rows."""
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                f.name: [] for f in H264_ANNEXB_SCHEMA.fields
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                idx = h264_annexb_nals(
+                    b"" if payload is None else bytes(payload), max_nals
+                )
+                if idx is None:
+                    continue
+                for ni, off, size, ntype, is_idr in idx["nals"]:
+                    cols["media_id"].append(int(mid))
+                    cols["nal_index"].append(ni)
+                    cols["byte_offset"].append(off)
+                    cols["nal_size"].append(size)
+                    cols["nal_type"].append(ntype)
+                    cols["is_idr"].append(is_idr)
+                    cols["width"].append(idx["width"])
+                    cols["height"].append(idx["height"])
+                    cols["profile_idc"].append(idx["profile_idc"])
+                    cols["level_idc"].append(idx["level_idc"])
+            yield pd.DataFrame(cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        _go, H264_ANNEXB_SCHEMA
+    )
+
+
 H264_FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -3479,3 +3479,34 @@ def test_tiff_tiled_compressed_bilevel_and_fax():
     t = _tiff_tiled_bytes("II", w, h, 0, fb, tw, th, comp=4, bps=1)
     got = multimodal.decode_tiff_array(t)
     assert np.array_equal(got[2].reshape(h, w), ink)
+
+
+def test_h264_annexb_nal_index():
+    """r14: Annex-B elementary streams (raw .h264) — 3- and 4-byte
+    start codes, trailing-zero trimming before the next code, SPS
+    geometry from the first SPS, bitstream IDR flags."""
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    sps = _sps_bytes(20, 15)
+    pps = b"\x68\xce\x38\x80"
+    idr = b"\x65" + bytes(range(7))
+    non = b"\x41" + bytes(range(4))
+    es = (
+        b"\x00\x00\x00\x01" + sps
+        + b"\x00\x00\x00\x01" + pps
+        + b"\x00\x00\x01" + idr
+        + b"\x00\x00\x00\x01" + non
+    )
+    idx = mm.h264_annexb_nals(es)
+    assert idx is not None
+    assert (idx["width"], idx["height"]) == (320, 240)
+    types = [(t, k) for (_i, _o, _s, t, k) in idx["nals"]]
+    assert types == [(7, False), (8, False), (5, True), (1, False)]
+    # offsets/sizes span exactly the NAL payloads
+    _i, o, s, _t, _k = idx["nals"][2]
+    assert es[o : o + s] == idr
+    # no SPS -> refuse; no start code -> refuse
+    assert mm.h264_annexb_nals(
+        b"\x00\x00\x01" + idr
+    ) is None
+    assert mm.h264_annexb_nals(b"\xff" * 20) is None
