@@ -6318,3 +6318,116 @@ def q_multimodal_h264_annexb_index(
         F.unhex(payload_hex).alias("payload"),
     )
     return mm.h264_annexb_plan(media)
+
+
+def _mpegts_template() -> tuple[str, str, str, str]:
+    """Hex pieces of the planted single-program TS around its three
+    varying bytes (SPS width/height splices + frame 1's NAL header):
+    PAT + PMT + one PES packet carrying a 44-byte Annex-B ES of five
+    NALs, adaptation-field stuffing per spec."""
+    def pkt(pid: int, payload: bytes, pusi: bool) -> bytes:
+        b1 = ((pid >> 8) & 0x1F) | (0x40 if pusi else 0)
+        stuff = 184 - len(payload) - 1
+        af = bytes([stuff]) + (
+            b"\x00" + b"\xff" * (stuff - 1) if stuff else b""
+        )
+        out = bytes([0x47, b1, pid & 0xFF, 0x30]) + af + payload
+        assert len(out) == 188
+        return out
+
+    def psi(table_id: int, body: bytes) -> bytes:
+        hdr = b"\x00\x01\xc1\x00\x00"
+        sec_len = len(hdr) + len(body) + 4
+        return (
+            b"\x00"
+            + bytes([table_id, 0xB0 | (sec_len >> 8), sec_len & 0xFF])
+            + hdr + body + bytes(4)
+        )
+
+    pat = psi(0x00, bytes([0x00, 0x01, 0xE0, 0x20]))
+    pmt = psi(0x02, bytes([0xE0, 0x41, 0xF0, 0x00,
+                           0x1B, 0xE0, 0x41, 0xF0, 0x00]))
+    es = (
+        b"\x00\x00\x00\x01" + bytes(
+            [0x67, 0x42, 0x00, 0x1E, 0xF4, 0xAA, 0xBB, 0x90])
+        + b"\x00\x00\x00\x01\x68\xce\x38\x80"
+        + b"\x00\x00\x00\x01\x65\x88\x77\x66"
+        + b"\x00\x00\x00\x01\xCC\x88\x77\x66"
+        + b"\x00\x00\x00\x01\x41\x88\x77\x66"
+    )
+    pes = b"\x00\x00\x01\xe0\x00\x00\x80\x00\x00" + es
+    ts = (
+        pkt(0, pat, True) + pkt(0x20, pmt, True) + pkt(0x41, pes, True)
+    )
+    full = ts.hex().upper()
+    for marker in ("AA", "BB", "CC"):
+        assert full.count(marker) == 1, marker
+    p1, rest = full.split("AA", 1)
+    p2, rest = rest.split("BB", 1)
+    p3, p4 = rest.split("CC", 1)
+    return p1, p2, p3, p4
+
+
+@register(
+    "multimodal_mpegts_h264_index",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           16 + doc_id % 16 AS w5,
+           8 + doc_id % 8 AS h4,
+           doc_id % 2 = 0 AS idr1
+    FROM documents
+)
+SELECT media_id, 65 AS pid, CAST(44 AS BIGINT) AS es_bytes,
+       CAST(i AS INT) AS nal_index,
+       CAST(CASE WHEN i = 0 THEN 4 WHEN i = 1 THEN 16
+                 ELSE 24 + 8 * (i - 2) END AS BIGINT) AS byte_offset,
+       CAST(CASE WHEN i = 0 THEN 8 ELSE 4 END AS BIGINT) AS nal_size,
+       CAST(CASE WHEN i = 0 THEN 7 WHEN i = 1 THEN 8
+                 WHEN i = 2 THEN 5
+                 WHEN i = 3 THEN CASE WHEN idr1 THEN 5 ELSE 1 END
+                 ELSE 1 END AS INT) AS nal_type,
+       i = 2 OR (i = 3 AND idr1) AS is_idr,
+       CAST(16 * w5 AS INT) AS width,
+       CAST(16 * h4 AS INT) AS height
+FROM g, generate_series(0, 4) AS t(i)
+""",
+    tags=("multimodal", "video", "h264", "mpegts"),
+)
+def q_multimodal_mpegts_h264_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MPEG-TS ingestion end-to-end (r14): the broadcast/capture
+    container — 188-byte packet walk, PAT → PMT program resolution,
+    PES reassembly, then the Annex-B NAL index over the recovered
+    elementary stream (SPS geometry + bitstream IDR flags). Each doc
+    plants a complete single-program TS (PAT + PMT + one
+    adaptation-field-stuffed PES packet) whose SPS width/height and
+    middle frame's NAL header splice per doc; the oracle recomputes
+    every NAL row from the framing. Pixel decode stays the ffmpeg
+    seam. One narrow Arrow stage, no shuffle."""
+    from data_ingestion_py_spark.sources import mpegts
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    p1, p2, p3, p4 = _mpegts_template()
+    w5 = F.lit(16) + F.pmod(doc, F.lit(16))
+    h4 = F.lit(8) + F.pmod(doc, F.lit(8))
+
+    def b2(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    payload_hex = F.concat(
+        F.lit(p1),
+        b2(F.shiftright(w5, 1)),
+        F.lit(p2),
+        b2(F.pmod(w5, F.lit(2)) * 128 + h4),
+        F.lit(p3),
+        b2(F.when(F.pmod(doc, F.lit(2)) == 0, 0x65).otherwise(0x41)),
+        F.lit(p4),
+    )
+    media = d.select(
+        doc.alias("media_id"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+    return mpegts.ts_h264_plan(media)

@@ -3510,3 +3510,88 @@ def test_h264_annexb_nal_index():
         b"\x00\x00\x01" + idr
     ) is None
     assert mm.h264_annexb_nals(b"\xff" * 20) is None
+
+
+def _ts_packet(pid, payload, pusi=False, cc=0, scrambled=0):
+    b1 = ((pid >> 8) & 0x1F) | (0x40 if pusi else 0)
+    if len(payload) < 184:  # spec-correct: stuff the adaptation field
+        stuff = 184 - len(payload) - 1
+        af = bytes([stuff])
+        if stuff:
+            af += b"\x00" + b"\xff" * (stuff - 1)
+        afc = 3
+    else:
+        af = b""
+        afc = 1
+    b3 = (afc << 4) | (cc & 0x0F) | (scrambled << 6)
+    pkt = bytes([0x47, b1, pid & 0xFF, b3]) + af + payload
+    assert len(pkt) == 188
+    return pkt
+
+
+def _psi(table_id, body, extra_hdr=b"\x00\x01\xc1\x00\x00"):
+    sec_len = len(extra_hdr) + len(body) + 4
+    sec = bytes([table_id, 0xB0 | (sec_len >> 8), sec_len & 0xFF])
+    sec += extra_hdr + body + b"\x00\x00\x00\x00"  # CRC not checked
+    return b"\x00" + sec  # pointer_field 0
+
+
+def _ts_stream(es, video_pid=0x41, pmt_pid=0x20, stream_type=0x1B):
+    """Independent single-program TS writer: PAT, PMT, then the ES in
+    a PES packet split across packets."""
+    pat = _psi(0x00, bytes([0x00, 0x01, 0xE0 | (pmt_pid >> 8),
+                            pmt_pid & 0xFF]))
+    pmt_body = bytes([0xE0 | (video_pid >> 8), video_pid & 0xFF,
+                      0xF0, 0x00])
+    pmt_body += bytes([stream_type, 0xE0 | (video_pid >> 8),
+                       video_pid & 0xFF, 0xF0, 0x00])
+    pmt = _psi(0x02, pmt_body)
+    pes = b"\x00\x00\x01\xe0\x00\x00\x80\x00\x00" + es  # 0-len hdr
+    out = _ts_packet(0, pat, pusi=True) + _ts_packet(
+        pmt_pid, pmt, pusi=True
+    )
+    first = True
+    for off in range(0, len(pes), 184):
+        out += _ts_packet(video_pid, pes[off : off + 184],
+                          pusi=first, cc=off // 184)
+        first = False
+    return out
+
+
+def test_mpegts_h264_index():
+    """r14: TS container walk — PAT -> PMT -> PES reassembly across
+    packets -> Annex-B NAL index; scrambled PIDs and torn sync refuse
+    honestly."""
+    from data_ingestion_py_spark.sources import mpegts
+
+    sps = _sps_bytes(40, 23)
+    idr = b"\x65" + bytes(range(100))   # spans two TS packets
+    non = b"\x41" + bytes(range(80))
+    es = (
+        b"\x00\x00\x00\x01" + sps
+        + b"\x00\x00\x00\x01\x68\xce\x38\x80"
+        + b"\x00\x00\x01" + idr
+        + b"\x00\x00\x01" + non
+    )
+    ts = _ts_stream(es)
+    pm = mpegts.ts_program_map(ts)
+    assert pm == {0x41: 0x1B}
+    got = mpegts.ts_elementary_stream(ts, 0x41)
+    assert got == es
+    idx = mpegts.ts_h264_index(ts)
+    assert idx is not None
+    assert (idx["width"], idx["height"]) == (640, 368)
+    assert [t for (_i, _o, _s, t, _k) in idx["nals"]] == [7, 8, 5, 1]
+    assert [k for (_i, _o, _s, _t, k) in idx["nals"]] == [
+        False, False, True, False]
+    assert idx["pid"] == 0x41 and idx["es_bytes"] == len(es)
+    # non-H.264 stream type: no index
+    assert mpegts.ts_h264_index(
+        _ts_stream(es, stream_type=0x0F)
+    ) is None
+    # scrambled video PID: payloads skipped -> no PES -> None
+    scr = _ts_stream(es)
+    assert mpegts.ts_h264_index(b"junk" + scr) is None  # lost sync
+    # torn mid-stream sync: prefix stands, tail ignored
+    cut = ts[: 188 * 3] + b"\x00" + ts[188 * 3 :]
+    assert mpegts.ts_elementary_stream(cut, 0x41) is not None
