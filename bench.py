@@ -62,8 +62,30 @@ def _plan_fingerprint(df) -> str:
     hash), so identical-plan-slower-wall — the contention signature —
     is distinguishable from a real plan regression from the artifact
     alone."""
+    try:
+        # plan toString truncates long field lists with '…' at a
+        # budget measured in CHARACTERS, so the cut point shifts with
+        # the expr-id DIGIT WIDTHS — a session-global counter (r14
+        # finding: six untouched queries flagged changed once enough
+        # plans were built first). Render untruncated, then normalize.
+        df.sparkSession.conf.set(
+            "spark.sql.debug.maxToStringFields", "100000"
+        )
+        # scan-node metadata (DataFilters/PushedFilters/Location) cuts
+        # at a 100-CHARACTER cap by default — same digit-width shift
+        df.sparkSession.conf.set(
+            "spark.sql.maxMetadataStringLength", "100000"
+        )
+    except Exception:  # noqa: BLE001 — rendering conf is advisory
+        pass
     s = df._jdf.queryExecution().executedPlan().toString()
     s = re.sub(r"#\d+L?", "#x", s)
+    # higher-order-function lambda variables carry a SESSION-GLOBAL
+    # counter (lambda x_42#…), so merely registering new queries ahead
+    # of an unchanged one shifted its hash (r14 finding: five
+    # untouched queries flagged changed when two queries joined the
+    # headline set) — normalize the counter like the expr ids
+    s = re.sub(r"lambda (\w+?)_\d+", r"lambda \1_x", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"\[id=#?\d+\]", "[id=x]", s)
     s = re.sub(r"RDD\[\d+\]", "RDD[x]", s)
