@@ -190,14 +190,21 @@ def match_glyph_grid(
 def ocr_pdf_pages(
     content: bytes,
     strict: bool = True,
-    templates: dict[str, tuple[tuple[int, ...], ...]] | None = None,
+    templates: (
+        dict[str, tuple[tuple[int, ...], ...]]
+        | list[dict[str, tuple[tuple[int, ...], ...]] | None]
+        | None
+    ) = None,
 ) -> list[str] | None:
     """Bitmap-font OCR of a scanned PDF: extract every page's image
     XObjects (``pdf_pure.extract_page_images``), decode them with the
     in-container kernels (JPEG via ``decode_jpeg_array``, raw gray8
-    as-is), and glyph-match each raster. Returns per-page text (images
-    on a page join with ``'\\n'``) or None when any page has no
-    recognizable image — the caller's cue to fall through to the
+    as-is), and glyph-match each raster. ``templates`` may be one font
+    dict or a LIST of fonts tried in order — the PDF is parsed and the
+    rasters decoded exactly ONCE either way (r14: the two-font
+    fallback used to re-run the whole extraction per font). Returns
+    per-page text (images on a page join with ``'\\n'``) or None when
+    no font reads every page — the caller's cue to fall through to the
     pytesseract seam. This is the reference's OCR loop
     (data_ingestion.py:136-168) made executable in-container for
     bitmap-font scans."""
@@ -207,12 +214,13 @@ def ocr_pdf_pages(
         parse_pdf_text,
     )
 
+    tlist = templates if isinstance(templates, list) else [templates]
     imgs = extract_page_images(content)
     if not imgs:
         return None
     parsed = parse_pdf_text(content)
     n_pages = len(parsed[0]) if parsed else max(i[0] for i in imgs)
-    pages: list[list[str]] = [[] for _ in range(n_pages)]
+    rasters: list[tuple[int, np.ndarray]] = []
     for pno, _idx, _name, w, h, _bpc, kind, data in imgs:
         if kind == "jpeg":
             got = decode_jpeg_array(data)
@@ -222,10 +230,16 @@ def ocr_pdf_pages(
             gray = np.asarray(arr, dtype=np.uint8).reshape(dh, dw)
         else:  # raw gray8, validated by extract_page_images
             gray = np.frombuffer(data, dtype=np.uint8).reshape(h, w)
-        text = match_glyph_grid(gray, templates=templates, strict=strict)
-        if text is None:
-            return None
-        pages[pno - 1].append(text)
-    if any(not p for p in pages):
-        return None  # a page with no recognized image: not our scan
-    return ["\n".join(p) for p in pages]
+        rasters.append((pno, gray))
+    for tmpl in tlist:
+        pages: list[list[str]] = [[] for _ in range(n_pages)]
+        ok = True
+        for pno, gray in rasters:
+            text = match_glyph_grid(gray, templates=tmpl, strict=strict)
+            if text is None:
+                ok = False
+                break
+            pages[pno - 1].append(text)
+        if ok and all(p for p in pages):
+            return ["\n".join(p) for p in pages]
+    return None

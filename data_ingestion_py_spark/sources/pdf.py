@@ -109,12 +109,12 @@ def _ocr_pages(content: bytes) -> list[str]:
             ocr_pdf_pages,
         )
 
-        lite = ocr_pdf_pages(content, strict=True)
-        if lite is None:  # r14: the full A-Z/0-9 house font — real
-            # WORDS from scanned prose; strict still refuses off-font
-            lite = ocr_pdf_pages(
-                content, strict=True, templates=ALNUM_TEMPLATES
-            )
+        # try the digits font then the full A-Z/0-9 font (r14 —
+        # real WORDS from scanned prose); one parse + raster decode
+        # for both, and strict still refuses off-font scans
+        lite = ocr_pdf_pages(
+            content, strict=True, templates=[None, ALNUM_TEMPLATES]
+        )
         if lite is not None:
             return lite
         raise NotImplementedError(
