@@ -6431,3 +6431,108 @@ def q_multimodal_mpegts_h264_index(
         F.unhex(payload_hex).alias("payload"),
     )
     return mpegts.ts_h264_plan(media)
+
+
+@register(
+    "corpus_srt_cues",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           10 + doc_id % 50 AS base_s,
+           1 + doc_id % 4 AS dur_s,
+           250 * (CAST(doc_id % 4 AS INT)) AS ms_off,
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS d3
+    FROM documents
+)
+SELECT media_id,
+       CAST(i + 1 AS INT) AS cue_index,
+       CAST((base_s + i * 10) * 1000 + ms_off AS BIGINT) AS start_ms,
+       CAST((base_s + i * 10 + dur_s) * 1000 + ms_off AS BIGINT)
+           AS end_ms,
+       CASE WHEN i = 2
+            THEN 'closing words ' || d3 || chr(10) || 'second line'
+            ELSE 'cue ' || CAST(i + 1 AS VARCHAR) || ' text ' || d3
+       END AS cue_text
+FROM g, generate_series(0, 2) AS t(i)
+""",
+    tags=("multimodal", "video", "text", "subtitles"),
+)
+def q_corpus_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubRip subtitle parsing (r14) — the TEXT modality of a video
+    corpus, extracted entirely JVM-side (zero Python): each doc plants
+    a complete 3-cue .srt (index line, ``HH:MM:SS,mmm --> …``
+    timestamp line, one- and two-line cue bodies, blank-line
+    separators, trailing newline), then PARSES it back with column
+    algebra — split on blank lines → posexplode → regexp timestamp
+    fields → integer millisecond arithmetic → body re-join. The oracle
+    recomputes every cue's times and text from the same per-doc
+    parameters; a split-boundary, regex, or ms-arithmetic slip
+    mismatches rows. One narrow codegen stage + the explode, no
+    shuffle, no UDF — at 100 TB this is the bandwidth-bound shape a
+    subtitle-harvest stage should be."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    base_s = F.lit(10) + F.pmod(doc, F.lit(50))
+    dur_s = F.lit(1) + F.pmod(doc, F.lit(4))
+    ms_off = F.pmod(doc, F.lit(4)).cast("int") * 250
+    d3 = F.lpad((doc % 1000).cast("string"), 3, "0")
+
+    def ts(total_s: "F.Column", ms: "F.Column") -> "F.Column":
+        return F.format_string(
+            "%02d:%02d:%02d,%03d",
+            F.floor(total_s / 3600).cast("int"),
+            F.pmod(F.floor(total_s / 60), F.lit(60)).cast("int"),
+            F.pmod(total_s, F.lit(60)).cast("int"),
+            ms.cast("int"),
+        )
+
+    def cue(i: int) -> "F.Column":
+        s = base_s + i * 10
+        body = (
+            F.concat(F.lit("closing words "), d3,
+                     F.lit("\nsecond line"))
+            if i == 2
+            else F.concat(F.lit(f"cue {i + 1} text "), d3)
+        )
+        return F.concat(
+            F.lit(f"{i + 1}\n"),
+            ts(s, ms_off), F.lit(" --> "), ts(s + dur_s, ms_off),
+            F.lit("\n"), body, F.lit("\n"),
+        )
+
+    srt = F.concat_ws("\n", cue(0), cue(1), cue(2))
+    files = d.select(
+        doc.alias("media_id"), srt.alias("srt_text")
+    )
+    # ---- the parse (what a harvest stage runs on REAL .srt bytes) ----
+    blocks = F.split(F.col("srt_text"), r"\n\s*\n")
+    exploded = files.select(
+        "media_id", F.posexplode(blocks).alias("pos", "block")
+    ).where(F.trim("block") != "")
+    # the final block keeps the file's trailing newline: rtrim before
+    # splitting so the cue body has no phantom empty last line
+    lines = F.split(F.regexp_replace("block", r"\s+$", ""), "\n")
+    tl = F.element_at(lines, 2)
+    t_re = (
+        r"(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> "
+        r"(\d{2}):(\d{2}):(\d{2}),(\d{3})"
+    )
+
+    def ms_of(first: bool) -> "F.Column":
+        o = 0 if first else 4
+        return (
+            F.regexp_extract(tl, t_re, o + 1).cast("long") * 3600000
+            + F.regexp_extract(tl, t_re, o + 2).cast("long") * 60000
+            + F.regexp_extract(tl, t_re, o + 3).cast("long") * 1000
+            + F.regexp_extract(tl, t_re, o + 4).cast("long")
+        )
+
+    return exploded.select(
+        "media_id",
+        F.element_at(lines, 1).cast("int").alias("cue_index"),
+        ms_of(True).alias("start_ms"),
+        ms_of(False).alias("end_ms"),
+        F.array_join(
+            F.slice(lines, 3, F.size(lines) - 2), "\n"
+        ).alias("cue_text"),
+    )
