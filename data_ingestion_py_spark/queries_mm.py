@@ -6536,3 +6536,72 @@ def q_corpus_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(lines, 3, F.size(lines) - 2), "\n"
         ).alias("cue_text"),
     )
+
+
+@register(
+    "catalog_mongoexport_ingest",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           lpad(lower(to_hex(doc_id)), 24, '0') AS oid,
+           'doc-' || CAST(doc_id AS VARCHAR) || '.pdf' AS document_name,
+           ['active','expired','pending'][CAST(doc_id % 3 AS INT) + 1]
+               AS status,
+           1700000000000 + doc_id * 1000 AS upload_ms,
+           1 + doc_id % 40 AS n_pages
+    FROM documents
+)
+SELECT media_id, oid AS _id, document_name, status,
+       CAST(upload_ms AS BIGINT) AS upload_date,
+       CAST(n_pages AS BIGINT) AS n_pages,
+       CAST(NULL AS VARCHAR) AS _corrupt
+FROM g
+""",
+    tags=("S3", "mongo", "catalog"),
+)
+def q_catalog_mongoexport_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The reference's store, ingested the way Mongo data reaches a
+    data lake (r14 — data_ingestion.py:318-331): ``mongoexport``
+    Extended-JSON lines with the real type envelopes (_id ``$oid``,
+    ``$date``+``$numberLong`` timestamps, ``$numberLong`` counts) are
+    planted per doc in column algebra, then parsed by the extras-free
+    dump path (``sources/mongo.parse_extended_json``: envelope
+    normalization + ``from_json`` + corrupt-record column — one narrow
+    codegen stage, no UDF, no shuffle). The live-connector path is the
+    documented optional-JAR seam, pytest-gated. The oracle recomputes
+    every typed field from doc_id — an envelope-regex or schema slip
+    mismatches rows."""
+    from pyspark.sql import types as T
+
+    from data_ingestion_py_spark.sources import mongo
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    oid = F.lpad(F.lower(F.hex(doc)), 24, "0")
+    line = F.concat(
+        F.lit('{"_id": {"$oid": "'), oid,
+        F.lit('"}, "document_name": "doc-'), doc.cast("string"),
+        F.lit('.pdf", "status": "'),
+        F.element_at(
+            F.array(F.lit("active"), F.lit("expired"), F.lit("pending")),
+            F.pmod(doc, F.lit(3)).cast("int") + 1,
+        ),
+        F.lit('", "upload_date": {"$date": {"$numberLong": "'),
+        (F.lit(1700000000000) + doc * 1000).cast("string"),
+        F.lit('"}}, "n_pages": {"$numberLong": "'),
+        (F.lit(1) + F.pmod(doc, F.lit(40))).cast("string"),
+        F.lit('"}}'),
+    )
+    dump = d.select(doc.alias("media_id"), line.alias("value"))
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("document_name", T.StringType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("upload_date", T.LongType()),
+            T.StructField("n_pages", T.LongType()),
+        ]
+    )
+    return mongo.parse_extended_json(dump, schema)
