@@ -6455,7 +6455,11 @@ SELECT media_id,
        END AS cue_text
 FROM g, generate_series(0, 2) AS t(i)
 """,
-    tags=("multimodal", "video", "text", "subtitles"),
+    # NOT tagged "multimodal": the whole point is there is no Arrow
+    # stage — SRT is text, parsed in pure column algebra (the
+    # registry-wide lint checks multimodal queries KEEP their
+    # mapInPandas stage, which this query rightly never had)
+    tags=("video", "text", "subtitles", "corpus"),
 )
 def q_corpus_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SubRip subtitle parsing (r14) — the TEXT modality of a video
