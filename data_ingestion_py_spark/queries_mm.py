@@ -21,7 +21,7 @@ Spark-first instead of one shared temp file.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestion_py_spark.io import load_table
@@ -6609,3 +6609,124 @@ def q_catalog_mongoexport_ingest(
         ]
     )
     return mongo.parse_extended_json(dump, schema)
+
+
+@register(
+    "corpus_webvtt_cues",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           5 + doc_id % 40 AS base_s,
+           2 + doc_id % 3 AS dur_s,
+           125 * (CAST(doc_id % 8 AS INT)) AS ms_off,
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS d3
+    FROM documents
+)
+SELECT media_id,
+       CAST(i + 1 AS INT) AS cue_order,
+       CASE WHEN i = 0 THEN 'intro' ELSE '' END AS cue_id,
+       CAST((base_s + i * 15) * 1000 + ms_off AS BIGINT) AS start_ms,
+       CAST((base_s + i * 15 + dur_s) * 1000 + ms_off AS BIGINT)
+           AS end_ms,
+       CASE WHEN i = 1
+            THEN 'speaker one ' || d3 || chr(10) || 'speaker two'
+            ELSE 'vtt cue ' || CAST(i + 1 AS VARCHAR) || ' ' || d3
+       END AS cue_text
+FROM g, generate_series(0, 1) AS t(i)
+""",
+    tags=("video", "text", "subtitles", "corpus"),
+)
+def q_corpus_webvtt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebVTT parsing (r14) — the web-native sibling of
+    ``corpus_srt_cues``, again entirely JVM-side: each doc plants a
+    complete .vtt (``WEBVTT`` header block, a ``NOTE`` comment block
+    that must be SKIPPED, one identified cue and one bare-timestamp
+    cue, dot-millisecond ``HH:MM:SS.mmm`` timestamps, cue-settings
+    text after the arrow that must be ignored). The parse: blank-line
+    block split → header/NOTE filtering by predicate → optional-id
+    detection (a cue's first line is an id iff it has no arrow) →
+    regexp timestamp fields → integer ms. The oracle recomputes every
+    cue; a block-filter, id-detection, or settings-handling slip
+    mismatches rows. One narrow codegen stage + the explode, no
+    shuffle, no UDF."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    base_s = F.lit(5) + F.pmod(doc, F.lit(40))
+    dur_s = F.lit(2) + F.pmod(doc, F.lit(3))
+    ms_off = F.pmod(doc, F.lit(8)).cast("int") * 125
+    d3 = F.lpad((doc % 1000).cast("string"), 3, "0")
+
+    def ts(total_s: "F.Column", ms: "F.Column") -> "F.Column":
+        return F.format_string(
+            "%02d:%02d:%02d.%03d",
+            F.floor(total_s / 3600).cast("int"),
+            F.pmod(F.floor(total_s / 60), F.lit(60)).cast("int"),
+            F.pmod(total_s, F.lit(60)).cast("int"),
+            ms.cast("int"),
+        )
+
+    def cue(i: int, cue_id: str) -> "F.Column":
+        s = base_s + i * 15
+        body = (
+            F.concat(F.lit("speaker one "), d3,
+                     F.lit("\nspeaker two"))
+            if i == 1
+            else F.concat(F.lit(f"vtt cue {i + 1} "), d3)
+        )
+        settings = " align:start position:10%" if i == 0 else ""
+        return F.concat(
+            F.lit(f"{cue_id}\n" if cue_id else ""),
+            ts(s, ms_off), F.lit(" --> "), ts(s + dur_s, ms_off),
+            F.lit(settings), F.lit("\n"), body,
+        )
+
+    vtt = F.concat_ws(
+        "\n\n",
+        F.lit("WEBVTT - planted corpus"),
+        F.lit("NOTE\nthis comment block must be skipped"),
+        cue(0, "intro"),
+        cue(1, ""),
+    )
+    files = d.select(doc.alias("media_id"), vtt.alias("vtt_text"))
+    blocks = F.split(F.col("vtt_text"), r"\n\s*\n")
+    exploded = files.select(
+        "media_id", F.posexplode(blocks).alias("pos", "block")
+    ).where(
+        (F.trim("block") != "")
+        & ~F.col("block").startswith("WEBVTT")
+        & ~F.col("block").startswith("NOTE")
+        & F.col("block").contains("-->")
+    )
+    lines = F.split(F.regexp_replace("block", r"\s+$", ""), "\n")
+    has_id = ~F.element_at(lines, 1).contains("-->")
+    tl = F.when(has_id, F.element_at(lines, 2)).otherwise(
+        F.element_at(lines, 1)
+    )
+    t_re = (
+        r"(\d{2}):(\d{2}):(\d{2})\.(\d{3}) --> "
+        r"(\d{2}):(\d{2}):(\d{2})\.(\d{3})"
+    )
+
+    def ms_of(first: bool) -> "F.Column":
+        o = 0 if first else 4
+        return (
+            F.regexp_extract(tl, t_re, o + 1).cast("long") * 3600000
+            + F.regexp_extract(tl, t_re, o + 2).cast("long") * 60000
+            + F.regexp_extract(tl, t_re, o + 3).cast("long") * 1000
+            + F.regexp_extract(tl, t_re, o + 4).cast("long")
+        )
+
+    body_from = F.when(has_id, F.lit(3)).otherwise(F.lit(2))
+    return exploded.select(
+        "media_id",
+        F.row_number()
+        .over(Window.partitionBy("media_id").orderBy("pos"))
+        .alias("cue_order"),
+        F.when(has_id, F.element_at(lines, 1)).otherwise("")
+        .alias("cue_id"),
+        ms_of(True).alias("start_ms"),
+        ms_of(False).alias("end_ms"),
+        F.array_join(
+            F.slice(lines, body_from, F.size(lines)), "\n"
+        ).alias("cue_text"),
+    )
