@@ -6730,3 +6730,92 @@ def q_corpus_webvtt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(lines, body_from, F.size(lines)), "\n"
         ).alias("cue_text"),
     )
+
+
+@register(
+    "pdf_annotation_text",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0') AS d6,
+           ['low','medium','high'][CAST(doc_id % 3 AS INT) + 1] AS sev
+    FROM documents
+)
+SELECT media_id, 1 AS page_number,
+       CAST(i AS INT) AS annot_index,
+       CASE WHEN i = 0 THEN 'Text' ELSE 'FreeText' END AS subtype,
+       CASE WHEN i = 0 THEN 'review note ' || d6
+            ELSE 'severity ' || sev END AS contents
+FROM g, generate_series(0, 1) AS t(i)
+""",
+    tags=("S1", "pdf", "annotations"),
+)
+def q_pdf_annotation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation-layer text (r14) — the markup real PDFs carry
+    OUTSIDE content streams (review comments, sticky notes, free-text
+    boxes), previously invisible: each doc plants a one-page PDF with
+    a /Text annotation (doc-varying review note), a /FreeText
+    annotation (cycling severity), and a /Widget with NO /Contents
+    that must be skipped. ``extract_annotation_text`` walks /Annots
+    per page through the pure parser (Arrow mapInPandas, one narrow
+    stage, no shuffle); the oracle recomputes every row — an /Annots
+    walk, subtype, or skip-rule slip mismatches immediately."""
+    from data_ingestion_py_spark.sources import pdf as pdf_src
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    d6 = F.lpad((doc % 1000000).cast("string"), 6, "0")
+    sev = F.element_at(
+        F.array(F.lit("low"), F.lit("medium"), F.lit("high")),
+        F.pmod(doc, F.lit(3)).cast("int") + 1,
+    )
+    c = "BT (body) Tj ET"
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += (
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        " /Annots [6 0 R 7 0 R 8 0 R] >>\nendobj\n"
+    )
+    pre += f"4 0 obj\n<< /Length {len(c)} >>\nstream\n{c}\nendstream\nendobj\n"
+    pre += (
+        "6 0 obj\n<< /Type /Annot /Subtype /Text /Rect [0 0 9 9]"
+        " /Contents (review note "
+    )
+    mid = (
+        ") >>\nendobj\n"
+        "7 0 obj\n<< /Type /Annot /Subtype /Widget /Rect [0 0 9 9]"
+        " >>\nendobj\n"
+        "8 0 obj\n<< /Type /Annot /Subtype /FreeText"
+        " /Contents (severity "
+    )
+    tail = (
+        ") >>\nendobj\ntrailer\n"
+        "<< /Size 9 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    )
+
+    def ahex(col: "F.Column") -> "F.Column":
+        return F.upper(F.hex(F.encode(col, "UTF-8")))
+
+    pdf_hex = F.concat(
+        F.lit(pre.encode().hex().upper()),
+        ahex(d6),
+        F.lit(mid.encode().hex().upper()),
+        ahex(sev),
+        F.lit(tail.encode().hex().upper()),
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://ann-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(pdf_hex).alias("content"),
+    )
+    return pdf_src.extract_annotation_text(binary).select(
+        F.regexp_extract("document_name", r"ann-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "annot_index",
+        "subtype",
+        "contents",
+    )

@@ -309,3 +309,49 @@ def pages_with_links(pages: DataFrame, link_col: str = "file_path") -> DataFrame
         "page_link",
         F.concat(F.col(link_col), F.lit("#page="), F.col("page_number").cast("string")),
     )
+
+
+ANNOT_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("document_name", T.StringType(), False),
+        T.StructField("page_number", T.IntegerType(), False),
+        T.StructField("annot_index", T.IntegerType(), False),
+        T.StructField("subtype", T.StringType(), False),
+        T.StructField("contents", T.StringType(), False),
+    ]
+)
+
+
+def extract_annotation_text(binary_df: DataFrame) -> DataFrame:
+    """binaryFile rows → one row per page annotation with a string
+    /Contents (r14): the markup layer outside content streams —
+    review comments, sticky notes, free-text boxes. Arrow-batched
+    mapInPandas over ``pdf_pure.extract_annotations``, one narrow
+    stage, no shuffle; unparseable documents emit no rows."""
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        extract_annotations,
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            out: dict[str, list] = {
+                f.name: [] for f in ANNOT_ROW_SCHEMA.fields
+            }
+            for path, content in zip(
+                pdf_batch["path"], pdf_batch["content"]
+            ):
+                rows = extract_annotations(bytes(content))
+                if not rows:
+                    continue
+                name = path.rsplit("/", 1)[-1]
+                for pno, idx, sub, text in rows:
+                    out["file_path"].append(path)
+                    out["document_name"].append(name)
+                    out["page_number"].append(pno)
+                    out["annot_index"].append(idx)
+                    out["subtype"].append(sub)
+                    out["contents"].append(text)
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(_extract, ANNOT_ROW_SCHEMA)

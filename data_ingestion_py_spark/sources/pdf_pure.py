@@ -1966,3 +1966,61 @@ def parse_pdf_text(content: bytes) -> tuple[list[str], dict] | None:
                     else:
                         meta[k] = v.decode("latin-1")
     return pages, meta
+
+
+def _pdf_text_string(v: bytes) -> str:
+    """PDF text-string decoding (§7.9.2.2): UTF-16BE when BOM'd,
+    PDFDocEncoding ≈ latin-1 otherwise."""
+    if v[:2] == b"\xfe\xff":
+        return v[2:].decode("utf-16-be", "replace")
+    return v.decode("latin-1")
+
+
+def extract_annotations(
+    content: bytes,
+) -> list[tuple[int, int, str, str]] | None:
+    """Per-page annotation text (r14) — the markup layer real PDFs
+    carry OUTSIDE content streams (review comments, sticky notes,
+    free-text boxes, link alt text): walk each page's /Annots array
+    and emit ``(page_number, annot_index, subtype, contents)`` for
+    every annotation dict with a string /Contents (UTF-16BE or
+    PDFDocEncoding, decrypted with the owner object's key in
+    encrypted documents). Annotation APPEARANCE streams are
+    deliberately not rendered — /Contents IS the text per spec;
+    widget fields without /Contents contribute nothing. None = not a
+    parseable unencrypted-or-empty-password PDF (same contract as
+    ``parse_pdf_text``)."""
+    if not content.startswith(b"%PDF-"):
+        return None
+    doc = _scan(content)
+    if not doc.objs:
+        return None
+    pages = _walk_pages(doc)
+    if pages is None:
+        return None
+    out: list[tuple[int, int, str, str]] = []
+    for pno, p in enumerate(pages, start=1):
+        annots = doc.resolve(p.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        idx = 0
+        for ref in annots[:10000]:
+            a = doc.resolve(ref)
+            if not isinstance(a, dict):
+                continue
+            sub = doc.resolve(a.get("Subtype"))
+            v = a.get("Contents")
+            if not isinstance(v, bytes):
+                continue
+            if doc.enc_key is not None and isinstance(ref, _Ref):
+                v = doc.decrypt_string(ref.num, v)
+            out.append(
+                (
+                    pno,
+                    idx,
+                    sub.lstrip("/") if isinstance(sub, str) else "",
+                    _pdf_text_string(v),
+                )
+            )
+            idx += 1
+    return out

@@ -1312,3 +1312,39 @@ def test_form_xobject_text_extracts():
     pages, _ = parse_pdf_text(build(None, self_ref=True))
     assert pages[0].startswith("page body\nstamp text")
     assert pages[0].count("stamp text") <= 8
+
+
+def test_annotation_text_extracts():
+    """r14: /Annots contents — review comments and free-text boxes —
+    extract per page with subtype and index; widget annots without
+    /Contents and non-dict entries are skipped; UTF-16BE decodes."""
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        extract_annotations,
+    )
+
+    out = b"%PDF-1.7\n"
+    out += _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    out += _obj(2, b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>")
+    out += _obj(
+        3, b"<< /Type /Page /Contents 5 0 R"
+           b" /Annots [7 0 R 8 0 R 9 0 R] >>")
+    out += _obj(4, b"<< /Type /Page /Contents 5 0 R /Annots [10 0 R] >>")
+    out += _stream_obj(5, b"BT (body) Tj ET")
+    out += _obj(
+        7, b"<< /Type /Annot /Subtype /Text /Rect [0 0 9 9]"
+           b" /Contents (first note) >>")
+    out += _obj(
+        8, b"<< /Type /Annot /Subtype /Widget /Rect [0 0 9 9] >>")
+    out += _obj(
+        9, b"<< /Type /Annot /Subtype /FreeText"
+           b" /Contents <FEFF004F004B2021> >>")  # UTF-16BE 'OK\u2021'
+    out += _obj(
+        10, b"<< /Type /Annot /Subtype /Highlight /Contents (p2) >>")
+    out += b"trailer\n<< /Size 11 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    got = extract_annotations(out)
+    assert got == [
+        (1, 0, "Text", "first note"),
+        (1, 1, "FreeText", "OK‡"),
+        (2, 0, "Highlight", "p2"),
+    ]
+    assert extract_annotations(b"junk") is None
