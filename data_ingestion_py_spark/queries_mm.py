@@ -6819,3 +6819,111 @@ def q_pdf_annotation_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subtype",
         "contents",
     )
+
+
+def _planar2_tiff_header_hex(w: int, h: int) -> str:
+    """Constant header of the planted PlanarConfiguration-2 RGB TIFF
+    (r14): one uncompressed strip per plane, plane-major offsets —
+    all plan-time constants, only the 3×w×h pixel bytes vary."""
+    import struct
+
+    plane_bytes = w * h
+    entries = [
+        (256, 4, w), (257, 4, h), (258, 3, None), (259, 3, 1),
+        (262, 3, 2), (277, 3, 3), (284, 3, 2), (278, 4, h),
+        (273, 4, "offs"), (279, 4, "cnts"),
+    ]
+    n = len(entries)
+    dir_end = 8 + 2 + 12 * n + 4
+    bps_at = dir_end
+    offs_at = bps_at + 6
+    cnts_at = offs_at + 12
+    data_at = cnts_at + 12
+    hdr = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    hdr += struct.pack("<H", n)
+    for tag, typ, val in entries:
+        cnt = 3 if val in (None, "offs", "cnts") else 1
+        hdr += struct.pack("<HHI", tag, typ, cnt)
+        if val is None:
+            hdr += struct.pack("<I", bps_at)
+        elif val == "offs":
+            hdr += struct.pack("<I", offs_at)
+        elif val == "cnts":
+            hdr += struct.pack("<I", cnts_at)
+        elif typ == 4:
+            hdr += struct.pack("<I", val)
+        else:
+            hdr += struct.pack("<HH", val, 0)
+    hdr += struct.pack("<I", 0)
+    assert len(hdr) == dir_end
+    hdr += struct.pack("<3H", 8, 8, 8)
+    for pl in range(3):
+        hdr += struct.pack("<I", data_at + pl * plane_bytes)
+    for _pl in range(3):
+        hdr += struct.pack("<I", plane_bytes)
+    return bytes(hdr).hex().upper()
+
+
+@register(
+    "multimodal_tiff_planar_decode",
+    """
+WITH g AS (
+    SELECT doc_id AS media_id,
+           20 + doc_id % 60 AS base,
+           1 + doc_id % 5 AS ra
+    FROM documents
+), px AS (
+    SELECT media_id,
+           list_transform(generate_series(0, 47),
+               k -> base + 50 + (k // 8) * ra + (k % 8)) AS p
+    FROM g
+)
+SELECT media_id, 8 AS width, 6 AS height,
+       CAST(list_sum(p) AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, 47),
+            k -> (k + 1) * p[k + 1])) AS BIGINT) AS px_wsum
+FROM px
+""",
+    tags=("multimodal", "decode", "tiff", "planar"),
+)
+def q_multimodal_tiff_planar_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PlanarConfiguration=2 TIFF decode (r14) — separate RGB planes
+    in plane-major strips, previously an honest None: each doc plants
+    a complete 8x6 RGB planar-2 TIFF whose plane p carries
+    (base + 50·p + r·ra + x), so the (r+g+b)//3 gray collapse is
+    EXACTLY base + 50 + r·ra + x and the oracle recomputes the
+    position-weighted sums arithmetically — a plane-order slip or
+    interleave bug shifts every value by a plane constant and
+    mismatches. One narrow Arrow stage, no shuffle."""
+    w, h = 8, 6
+    hdr = _planar2_tiff_header_hex(w, h)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    base = F.lit(20) + F.pmod(doc, F.lit(60))
+    ra = F.lit(1) + F.pmod(doc, F.lit(5))
+
+    def hx2(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    def plane_hex(pl: int) -> "F.Column":
+        idx = F.sequence(F.lit(0), F.lit(w * h - 1))
+        return F.concat_ws(
+            "",
+            F.transform(
+                idx,
+                lambda i: hx2(
+                    base + F.lit(pl * 50)
+                    + F.floor(i / w) * ra + F.pmod(i, F.lit(w))
+                ),
+            ),
+        )
+
+    payload_hex = F.concat(
+        F.lit(hdr), plane_hex(0), plane_hex(1), plane_hex(2)
+    )
+    media = d.select(
+        doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+    return mm.pixel_checksums(media)

@@ -429,7 +429,7 @@ def decode_tiff_array(
         offsets is None
         or counts is None
         or len(offsets) != len(counts)
-        or planar != 1
+        or planar not in (1, 2)
         or (bps not in ([1], [4]) and any(b != 8 for b in bps))
         or comp not in (1, 2, 4, 5, 8, 32773, 32946)
         or (comp in (2, 4) and bps != [1])  # fax comps: bilevel only
@@ -456,8 +456,13 @@ def decode_tiff_array(
             return None
     else:
         return None
+    # planar config 2 (r14): separate component planes, RGB 8-bit
+    # strips only — each plane decodes as a single-lane image
+    if planar == 2 and (spp != 3 or depth != 8 or tiled):
+        return None
+
     def _chunk(
-        raw: bytes, rows_this: int, w_px: int, rb: int
+        raw: bytes, rows_this: int, w_px: int, rb: int, lanes: int = spp
     ) -> bytes | None:
         """Decode one strip/tile payload to exactly rows_this*rb raw
         sample bytes (decompression + fax + predictor inverse) —
@@ -527,7 +532,7 @@ def decode_tiff_array(
             # bytes as pixels (advisor finding, r12).
             rows = np.frombuffer(
                 bytes(raw[:need]), dtype=np.uint8
-            ).reshape(rows_this, w_px, spp)
+            ).reshape(rows_this, w_px, lanes)
             raw = (
                 np.cumsum(rows.astype(np.int64), axis=1) % 256
             ).astype(np.uint8).tobytes()
@@ -576,6 +581,33 @@ def decode_tiff_array(
             ).astype(np.uint8).reshape(-1)
         else:
             arr = vals.reshape(-1)
+    elif planar == 2:
+        # plane-major strips: all of plane 0's strips, then plane 1's…
+        # (TIFF 6.0 §14); each plane is a 1-lane gray image, then the
+        # three planes interleave to the chunky layout downstream
+        per = (h + rps - 1) // rps
+        if len(offsets) < per * spp:
+            return None
+        planes = []
+        for pl in range(spp):
+            data = bytearray()
+            for s in range(per):
+                o, c = offsets[pl * per + s], counts[pl * per + s]
+                if o + c > len(payload):
+                    return None
+                rows_this = min(rps, h - s * rps)
+                got = _chunk(
+                    payload[o : o + c], rows_this, w, w, lanes=1
+                )
+                if got is None:
+                    return None
+                data += got
+            planes.append(
+                np.frombuffer(bytes(data), np.uint8).reshape(h, w)
+            )
+        arr = np.ascontiguousarray(
+            np.stack(planes, axis=2)
+        ).reshape(-1)
     else:
         n_strips = (h + rps - 1) // rps
         if len(offsets) < n_strips:

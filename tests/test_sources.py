@@ -3595,3 +3595,114 @@ def test_mpegts_h264_index():
     # torn mid-stream sync: prefix stands, tail ignored
     cut = ts[: 188 * 3] + b"\x00" + ts[188 * 3 :]
     assert mpegts.ts_elementary_stream(cut, 0x41) is not None
+
+
+def _tiff_planar2_bytes(end, w, h, plane_strips, rps, comp=1,
+                        predictor=None):
+    """Independent PlanarConfiguration=2 RGB TIFF writer: strip tables
+    are plane-major (all of plane 0's strips, then plane 1's, ...)."""
+    import struct
+
+    e = "<" if end == "II" else ">"
+    u16 = lambda v: struct.pack(e + "H", v)  # noqa: E731
+    u32 = lambda v: struct.pack(e + "I", v)  # noqa: E731
+    strips = [s for plane in plane_strips for s in plane]
+    entries = []
+
+    def add(tag, typ, vals):
+        raw = b"".join((u16(v) if typ == 3 else u32(v)) for v in vals)
+        entries.append([tag, typ, len(vals), raw, len(raw) > 4, None])
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [8, 8, 8])
+    add(259, 3, [comp])
+    add(262, 3, [2])
+    add(277, 3, [3])
+    add(284, 3, [2])
+    add(278, 4, [rps])
+    add(273, 4, [0] * len(strips))
+    add(279, 4, [len(s) for s in strips])
+    if predictor is not None:
+        add(317, 3, [predictor])
+    n = len(entries)
+    dir_end = 8 + 2 + 12 * n + 4
+    blobs = bytearray()
+    for ent in entries:
+        if ent[4]:
+            ent[5] = dir_end + len(blobs)
+            blobs += ent[3]
+    pos = dir_end + len(blobs)
+    offs = []
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    for ent in entries:
+        if ent[0] == 273:
+            ent[3] = b"".join(u32(v) for v in offs)
+            if ent[4]:
+                j = ent[5] - dir_end
+                blobs[j : j + len(ent[3])] = ent[3]
+    out = (b"II" if end == "II" else b"MM") + u16(42) + u32(8) + u16(n)
+    for tag, typ, cnt, raw, is_off, voff in entries:
+        out += u16(tag) + u16(typ) + u32(cnt)
+        out += u32(voff) if is_off else raw.ljust(4, b"\x00")[:4]
+    out += u32(0) + bytes(blobs) + b"".join(strips)
+    return bytes(out)
+
+
+def test_tiff_planar2_rgb_decodes():
+    """r14: PlanarConfiguration=2 (separate RGB planes, plane-major
+    strips) decodes to the same gray as the chunky layout; deflate and
+    per-plane Predictor-2 compose; tiled+planar2 refuses."""
+    import zlib as _z
+
+    import numpy as np
+
+    w, h, rps = 14, 9, 4
+    rgb = (np.arange(w * h * 3, dtype=np.int64) * 17 % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+
+    def plane_strips(pl, transform=lambda b: b):
+        plane = np.ascontiguousarray(rgb[:, :, pl])
+        return [
+            transform(plane[y : y + rps].tobytes())
+            for y in range(0, h, rps)
+        ]
+
+    expect = (
+        (rgb[..., 0].astype(np.int32) + rgb[..., 1] + rgb[..., 2]) // 3
+    ).astype(np.uint8)
+    t = _tiff_planar2_bytes(
+        "II", w, h, [plane_strips(p) for p in range(3)], rps
+    )
+    got = multimodal.decode_tiff_array(t)
+    assert got is not None and got[:2] == (w, h)
+    assert np.array_equal(got[2].reshape(h, w), expect)
+    # deflate per strip
+    t = _tiff_planar2_bytes(
+        "MM", w, h,
+        [plane_strips(p, _z.compress) for p in range(3)], rps, comp=8,
+    )
+    got = multimodal.decode_tiff_array(t)
+    assert np.array_equal(got[2].reshape(h, w), expect)
+    # predictor 2: single-lane horizontal differencing per plane row
+    def hdiff(b):
+        rows_n = len(b) // w
+        a = np.frombuffer(b, np.uint8).reshape(rows_n, w).astype(np.int64)
+        d = a.copy()
+        d[:, 1:] = (a[:, 1:] - a[:, :-1]) % 256
+        return _z.compress(d.astype(np.uint8).tobytes())
+
+    t = _tiff_planar2_bytes(
+        "II", w, h, [plane_strips(p, hdiff) for p in range(3)], rps,
+        comp=8, predictor=2,
+    )
+    got = multimodal.decode_tiff_array(t)
+    assert np.array_equal(got[2].reshape(h, w), expect)
+    # short strip table (2 planes' worth) refuses
+    t = _tiff_planar2_bytes(
+        "II", w, h, [plane_strips(p) for p in range(2)] + [[]], rps
+    )
+    assert multimodal.decode_tiff_array(t) is None
