@@ -279,13 +279,20 @@ def _compact_line(
     committed bench_plans.json (``plans_hash`` over all per-query plan
     hashes + ``plans_changed`` names). TOTAL size guard (r12 — the r11
     guard only shed probe medians, so the ≤1900 promise silently failed
-    once enough bench queries existed), shed order rewritten r13 so
-    the adjudication evidence survives: the least-load-bearing
-    NON-pair probe medians (end of the priority order) first, then
-    error details (a count survives), then the FASTEST per-query
-    timings (a ``queries_dropped`` count survives — the slow queries
-    are the load-bearing ones), and only in desperation the protected
-    ``*_pairs`` evidence; ``value``/``plans_*`` are never shed."""
+    once enough bench queries existed), shed order rewritten r15 —
+    r13's order shed probe scalars before query timings, and at 45
+    headline queries that consumed the round's own x100 scale
+    evidence (the r11 phash failure mode recurring) — so now: the
+    FASTEST per-query timings shed FIRST down to a floor of the 20
+    slowest (each timing is re-derivable from any quiet rerun; probe
+    scalars are the round's standing evidence and a
+    ``queries_dropped`` count survives), then the least-load-bearing
+    NON-protected probe medians (end of the priority order;
+    ``*_pairs`` stall-vs-regression lists AND ``*_x100`` two-decade
+    scale points are protected), then error details (a count
+    survives), then the remaining queries below the floor, and only
+    in desperation the protected evidence;
+    ``value``/``plans_*`` are never shed."""
     compact = {
         "metric": "headline_queries_total_sec",
         "unit": "sec",
@@ -313,23 +320,31 @@ def _compact_line(
         return len(json.dumps(compact)) <= 1900
 
     med = compact["probe_medians"]
-    for victim in list(med)[::-1]:
-        if _fits():
-            break
-        if victim.endswith("_pairs"):
-            continue  # protected: the stall-vs-regression evidence
-        del med[victim]
-    if not _fits() and errors:
-        compact["errors"] = {"count": len(errors)}
-    if not _fits():
-        q = compact["queries"]
-        compact["queries_dropped"] = 0
-        # fastest-first shed order: the slow queries carry the signal
+    q = compact["queries"]
+
+    def _protected(key: str) -> bool:
+        return key.endswith("_pairs") or key.endswith("_x100")
+
+    def _shed_queries(floor: int) -> None:
+        # fastest-first: the slow queries carry the regression signal
+        if "queries_dropped" not in compact and not _fits():
+            compact["queries_dropped"] = 0
         for name in sorted(q, key=q.get):
-            if _fits():
+            if _fits() or len(q) <= floor:
                 break
             del q[name]
             compact["queries_dropped"] += 1
+
+    _shed_queries(floor=20)
+    for victim in list(med)[::-1]:
+        if _fits():
+            break
+        if _protected(victim):
+            continue  # stall-pair lists + x100 scale evidence
+        del med[victim]
+    if not _fits() and errors:
+        compact["errors"] = {"count": len(errors)}
+    _shed_queries(floor=0)
     for victim in list(med)[::-1]:  # desperation only
         if _fits():
             break

@@ -23,9 +23,13 @@ _PKT = 188
 
 
 def _packets(payload: bytes):
-    """Yield ``(pid, pusi, data)`` payload slices of each 188-byte
-    packet. Stops at the first lost sync byte (torn capture — the
-    prefix parsed so far stands, nothing after is guessed)."""
+    """Yield ``(pid, pusi, cc, scrambled, data)`` for each 188-byte
+    packet that carries a payload (afc 1/3 — the only packets whose
+    continuity_counter increments). Scrambled packets yield with their
+    flag set and the raw (cipher) slice so consumers can REFUSE the
+    PID rather than silently gap it. Stops at the first lost sync
+    byte (torn capture — the prefix parsed so far stands, nothing
+    after is guessed)."""
     n = len(payload)
     i = 0
     while i + _PKT <= n:
@@ -35,14 +39,15 @@ def _packets(payload: bytes):
         pid = ((b1 & 0x1F) << 8) | b2
         pusi = bool(b1 & 0x40)
         scrambled = (b3 >> 6) & 0x3
+        cc = b3 & 0x0F
         afc = (b3 >> 4) & 0x3
         j = i + 4
         if afc in (2, 3):  # adaptation field present
             if j >= i + _PKT:
                 return
             j += 1 + payload[j]
-        if afc in (1, 3) and not scrambled and j <= i + _PKT:
-            yield pid, pusi, payload[j : i + _PKT]
+        if afc in (1, 3) and j <= i + _PKT:
+            yield pid, pusi, cc, bool(scrambled), payload[j : i + _PKT]
         i += _PKT
 
 
@@ -68,8 +73,8 @@ def ts_program_map(payload: bytes) -> dict | None:
     0 → PMT PID → PMT stream list (descriptor loops skipped by their
     declared lengths). None when no complete PAT+PMT parses."""
     pmt_pid = None
-    for pid, pusi, data in _packets(payload):
-        if pid == 0 and pusi:
+    for pid, pusi, _cc, scrambled, data in _packets(payload):
+        if pid == 0 and pusi and not scrambled:
             body = _psi_table(data)
             if body is None:
                 continue
@@ -82,8 +87,8 @@ def ts_program_map(payload: bytes) -> dict | None:
                 break
     if pmt_pid is None:
         return None
-    for pid, pusi, data in _packets(payload):
-        if pid == pmt_pid and pusi:
+    for pid, pusi, _cc, scrambled, data in _packets(payload):
+        if pid == pmt_pid and pusi and not scrambled:
             body = _psi_table(data)
             if body is None or len(body) < 4:
                 continue
@@ -104,12 +109,26 @@ def ts_program_map(payload: bytes) -> dict | None:
 def ts_elementary_stream(payload: bytes, pid: int) -> bytes | None:
     """Reassembled elementary-stream bytes of one PID: PES packets
     (start code 00 00 01, stream id, header-length skip) concatenated
-    in packet order. None when the PID never starts a valid PES."""
+    in packet order. None when the PID never starts a valid PES, when
+    ANY of its packets is scrambled (a partially-decipherable ES is
+    worse than a refusal), or on a continuity-counter gap (a lost
+    mid-stream packet would silently shift every downstream NAL byte
+    offset); an exact CC repeat — the spec's allowed duplicate — is
+    dropped, not appended twice."""
     out = bytearray()
     started = False
-    for p, pusi, data in _packets(payload):
+    last_cc = None
+    for p, pusi, cc, scrambled, data in _packets(payload):
         if p != pid:
             continue
+        if scrambled:
+            return None
+        if last_cc is not None:
+            if cc == last_cc:
+                continue  # duplicate packet
+            if cc != (last_cc + 1) % 16:
+                return None  # continuity gap — refuse, don't guess
+        last_cc = cc
         if pusi:
             if (
                 len(data) < 9

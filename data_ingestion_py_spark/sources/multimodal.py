@@ -2721,6 +2721,39 @@ def _mp4_boxes(
         i += size
 
 
+def _mp4_video_mdia(payload: bytes, moov) -> tuple[int, int] | None:
+    """Span of the FIRST VIDEO track's 'mdia' (r15 advice: audio-first
+    files are common, and `find` used to stop at the first trak of
+    any kind): walk every trak under moov and pick the first whose
+    'hdlr' handler_type is 'vide'; when no trak says video, prefer
+    the first with NO hdlr (minimal muxers omit the mandatory box)
+    over one that declares another handler ('soun'/'hint'/...)."""
+    first = None
+    no_hdlr = None
+    for t, ds, de in _mp4_boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = None
+        for t2, ds2, de2 in _mp4_boxes(payload, ds, de):
+            if t2 == b"mdia":
+                mdia = (ds2, de2)
+                break
+        if mdia is None:
+            continue
+        if first is None:
+            first = mdia
+        hdlr_type = None
+        for t2, ds2, de2 in _mp4_boxes(payload, *mdia):
+            if t2 == b"hdlr" and de2 - ds2 >= 12:
+                hdlr_type = payload[ds2 + 8 : ds2 + 12]
+                break
+        if hdlr_type == b"vide":
+            return mdia
+        if hdlr_type is None and no_hdlr is None:
+            no_hdlr = mdia
+    return no_hdlr or first
+
+
 def mp4_sample_table(
     payload: bytes | None, max_samples: int = 64, sync_only: bool = False
 ) -> dict | None:
@@ -2759,12 +2792,10 @@ def mp4_sample_table(
                 return ds, de
         return None
 
-    span = find(b"moov", 0, n)
-    for box in (b"trak", b"mdia"):
-        span = find(box, *span) if span else None
-    if span is None:
+    moov = find(b"moov", 0, n)
+    mdia = _mp4_video_mdia(payload, moov) if moov else None
+    if mdia is None:
         return None
-    mdia = span
     mdhd = find(b"mdhd", *mdia)
     if mdhd is None or mdhd[0] + 4 > n:
         return None
@@ -3071,14 +3102,22 @@ def mp4_avc_config(payload: bytes) -> dict | None:
                 return ds, de
         return None
 
-    span = find(b"moov", 0, n)
-    for box in (b"trak", b"mdia", b"minf", b"stbl", b"stsd"):
-        span = find(box, *span) if span else None
-        if box == b"stsd" and span is not None:
-            span = (span[0] + 8, span[1])  # skip ver/flags + count
-    if span is None:
+    # r15 advice: walk EVERY trak (audio-first files are common) and
+    # take the first whose stsd carries an AVC sample entry.
+    moov = find(b"moov", 0, n)
+    if moov is None:
         return None
-    avc1 = find(b"avc1", *span) or find(b"avc3", *span)
+    avc1 = None
+    for t, ds, de in _mp4_boxes(payload, *moov):
+        if t != b"trak" or avc1 is not None:
+            continue
+        span = (ds, de)
+        for box in (b"mdia", b"minf", b"stbl", b"stsd"):
+            span = find(box, *span) if span else None
+        if span is None:
+            continue
+        span = (span[0] + 8, span[1])  # skip ver/flags + count
+        avc1 = find(b"avc1", *span) or find(b"avc3", *span)
     if avc1 is None:
         return None
     # VisualSampleEntry: 78 bytes of fields before the child boxes
@@ -3185,7 +3224,10 @@ def h264_annexb_nals(
     stream has no start code, no parseable SPS, or nothing but
     padding — never guessed geometry."""
     n = len(payload)
-    # find all start codes (3- or 4-byte form)
+    # find start codes (3- or 4-byte form); collect ONE extra beyond
+    # max_nals solely as the end boundary of the last emitted NAL
+    # (r15 advice: the old <= sentinel emitted max_nals+1 rows and
+    # let the truncated tail's final size span every un-walked NAL)
     starts: list[int] = []
     i = 0
     while i + 3 <= n and len(starts) <= max_nals:
@@ -3196,9 +3238,11 @@ def h264_annexb_nals(
         i = j + 3
     if not starts:
         return None
+    truncated = len(starts) > max_nals
     nals = []
     params = None
-    for k, s in enumerate(starts):
+    emit = starts[:max_nals] if truncated else starts
+    for k, s in enumerate(emit):
         e = (
             starts[k + 1] - 3 if k + 1 < len(starts) else n
         )

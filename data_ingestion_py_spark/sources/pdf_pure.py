@@ -2010,10 +2010,22 @@ def extract_annotations(
                 continue
             sub = doc.resolve(a.get("Subtype"))
             v = a.get("Contents")
+            # Strings are encrypted under the number of the indirect
+            # object that CONTAINS them: an indirect /Contents under
+            # its own number, a direct /Contents under the annot
+            # ref's. A direct annot dict inside the page object of an
+            # encrypted doc has no owning number here — skip it
+            # (r15 advice: an honest omission beats mojibake).
+            owner = ref.num if isinstance(ref, _Ref) else None
+            if isinstance(v, _Ref):
+                owner = v.num
+                v = doc.resolve(v)
             if not isinstance(v, bytes):
                 continue
-            if doc.enc_key is not None and isinstance(ref, _Ref):
-                v = doc.decrypt_string(ref.num, v)
+            if doc.enc_key is not None:
+                if owner is None:
+                    continue
+                v = doc.decrypt_string(owner, v)
             out.append(
                 (
                     pno,

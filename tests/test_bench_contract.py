@@ -55,10 +55,13 @@ def test_compact_line_parses_and_fits_driver_tail():
     assert json.loads(stream[-2000:].strip().splitlines()[-1]) == d
 
 
-def test_compact_line_sheds_probes_before_queries():
-    # enough queries that probe medians must shed, but queries still fit
+def test_compact_line_sheds_fastest_queries_before_probe_scalars():
+    # r15 contract (r14 verdict): when the line is over budget, the
+    # FASTEST query timings shed first (down to a floor of the 20
+    # slowest) and probe scalars — the round's standing evidence —
+    # survive whole.
     probes = {
-        "dedup_slope": {"slope": 3.33},
+        "dedup_slope": {"slope": 3.33, "slope_x100": 19.7},
         "iter_slope": {
             "pagerank_slope": 1.9,
             "components_slope": 2.8,
@@ -70,12 +73,82 @@ def test_compact_line_sheds_probes_before_queries():
     line = bench._compact_line(probes, {}, 0.1, timings, 99.9)
     assert len(line) <= 1900
     d = json.loads(line)
-    # queries and total survive whole when shedding medians suffices
-    assert len(d["queries"]) == 40
     assert d["value"] == 99.9
-    # the newest-round probe (shed-order head) survives longest
-    if d["probe_medians"]:
-        assert "jpeg_kernel.mpix_per_sec" in d["probe_medians"]
+    # every probe scalar survives; the shed came out of query timings
+    assert d["probe_medians"]["dedup_slope.slope"] == 3.33
+    assert d["probe_medians"]["dedup_slope.slope_x100"] == 19.7
+    assert d["probe_medians"]["jpeg_kernel.mpix_per_sec"] == 0.54
+    assert len(d["probe_medians"]) == 6
+    dropped = d.get("queries_dropped", 0)
+    assert len(d["queries"]) + dropped == 40
+    if dropped:
+        # the dropped ones were the fastest
+        kept = set(d["queries"])
+        slowest = sorted(timings, key=timings.get, reverse=True)[:20]
+        assert set(slowest) <= kept
+
+
+def test_compact_line_x100_scale_evidence_survives_50_queries():
+    # The r14 artifact defect: at 45 headline queries the tail guard
+    # shed slope_x100 / tar_slope_x100 — the round's own headline
+    # scale evidence. Pin that a full-width probe dict plus a 50-query
+    # headline dict still ships every *_x100 and *_pairs key.
+    probes = {
+        "ocr_kernel": {"g4_mpix_per_sec": 13.8, "ocr_pages_per_sec": 1778.0},
+        "pdf_kernel": {"pages_per_sec": 3200.0, "text_ok": 1},
+        "jpeg_kernel": {"mpix_per_sec": 0.54, "prog_mpix_per_sec": 0.31},
+        "phash_kernel": {"speedup_x": 213.0, "mpix_per_sec": 666.7},
+        "dedup_slope": {
+            "slope": 3.33,
+            "slope_pairs": [3.37, 2.72, 2.8],
+            "slope_x100": 19.7,
+        },
+        "iter_slope": {
+            "pagerank_slope": 2.7,
+            "components_slope": 3.1,
+            "rank_slope": 2.1,
+            "pagerank_slope_pairs": [2.6, 2.8],
+            "components_slope_pairs": [3.1, 5.9],
+            "rank_slope_pairs": [2.0, 2.2],
+        },
+        "manifest_slope": {
+            "slope_med": 1.5,
+            "shards_per_sec_x4": 170000,
+            "zip_slope_med": 1.2,
+            "slope_pairs": [1.4, 1.6],
+            "tar_slope_x100": 18.1,
+        },
+        "streaming_drain": {
+            "b10_rows_per_sec": 91000,
+            "batch_overhead_sec": 0.21,
+            "rows_slope": 1.1,
+        },
+        "band_index_probe": {"growth": 1.2, "compaction_recovery": 0.9},
+        "ivf_index_probe": {"growth": 1.3, "compaction_recovery": 0.95},
+        "ann_swap": {"brute_sec": 0.2, "ivf_sec": 0.4, "recall_at_10": 1.0},
+        "skew_join": {"plain_sec": 2.2, "salted_sec": 1.1},
+        "bucket_join_swap": {"plain_join_sec": 1.9, "bucketed_join_sec": 0.8},
+        "quantile_swap": {"exact_sec": 1.4, "approx_sec": 0.3},
+        "distinct_swap": {"exact_sec": 1.2, "approx_sec": 0.2},
+        "codec_swap": {"zstd_size_ratio": 0.42},
+    }
+    timings = {
+        f"a_realistically_long_query_name_{i:03d}": round(0.1 + i * 0.173, 3)
+        for i in range(50)
+    }
+    line = bench._compact_line(
+        probes, {}, 0.1, timings, 123.4, plan_fp={"q": "ab12cd34"}
+    )
+    assert len(line) <= 1900
+    d = json.loads(line)
+    med = d["probe_medians"]
+    assert med["dedup_slope.slope_x100"] == 19.7
+    assert med["manifest_slope.tar_slope_x100"] == 18.1
+    assert med["dedup_slope.slope_pairs"] == [3.37, 2.72, 2.8]
+    assert med["manifest_slope.slope_pairs"] == [1.4, 1.6]
+    # never below the slowest-20 floor before desperation stages
+    assert len(d["queries"]) >= 20
+    assert d["value"] == 123.4
 
 
 def test_compact_line_hard_ceiling_sheds_fastest_queries_keeps_value():

@@ -1348,3 +1348,73 @@ def test_annotation_text_extracts():
         (2, 0, "Highlight", "p2"),
     ]
     assert extract_annotations(b"junk") is None
+
+
+def test_annotation_indirect_contents_and_encrypted_direct():
+    """r15 (advice): an indirect /Contents string resolves (and in an
+    encrypted doc decrypts under the STRING object's own number); a
+    direct annot dict inside the page object of an encrypted doc is
+    skipped rather than emitted as ciphertext."""
+    from data_ingestion_py_spark.sources.pdf_pure import (
+        extract_annotations,
+    )
+
+    out = b"%PDF-1.7\n"
+    out += _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    out += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    out += _obj(
+        3, b"<< /Type /Page /Contents 5 0 R /Annots [7 0 R] >>")
+    out += _stream_obj(5, b"BT (body) Tj ET")
+    out += _obj(
+        7, b"<< /Type /Annot /Subtype /Text /Contents 8 0 R >>")
+    out += _obj(8, b"(via indirect string)")
+    out += b"trailer\n<< /Size 9 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    assert extract_annotations(out) == [
+        (1, 0, "Text", "via indirect string"),
+    ]
+
+    # encrypted (RC4 R2, empty user password) doc, built with the
+    # suite's independent key-derivation writer: an annot object whose
+    # /Contents is an INDIRECT string decrypts under the STRING
+    # object's own number; a direct annot dict inside the page object
+    # is skipped (no owning number -> would be ciphertext).
+    from data_ingestion_py_spark.sources.pdf_pure import _rc4, _scan
+
+    p = -44
+    id0 = bytes(range(16))
+    o, u, key = _std_encrypt_keys(b"owner-secret", b"", p, id0, 2, 5)
+    c_enc = _rc4(_rc4_objkey(key, 4), b"BT (x) Tj ET")
+    note = _rc4(_rc4_objkey(key, 8), b"indirect note")
+    hx = lambda b: b"<" + b.hex().encode() + b">"  # noqa: E731
+    enc = b"%PDF-1.4\n"
+    enc += _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    enc += _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    enc += _obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Annots"
+        b" [7 0 R << /Type /Annot /Subtype /Text /Contents (zz) >>]"
+        b" >>",
+    )
+    enc += (
+        b"4 0 obj\n<< /Length %d >>\nstream\n" % len(c_enc)
+        + c_enc + b"\nendstream\nendobj\n"
+    )
+    enc += _obj(
+        5,
+        b"<< /Filter /Standard /V 1 /R 2 /O " + hx(o)
+        + b" /U " + hx(u) + b" /P %d >>" % p,
+    )
+    enc += _obj(7, b"<< /Type /Annot /Subtype /Text /Contents 8 0 R >>")
+    enc += _obj(8, hx(note))
+    enc += (
+        b"trailer\n<< /Size 9 /Root 1 0 R /Encrypt 5 0 R /ID ["
+        + hx(id0) + b" " + hx(id0) + b"] >>\nstartxref\n0\n%%EOF"
+    )
+    from data_ingestion_py_spark.sources.pdf_pure import _walk_pages
+
+    doc = _scan(enc)
+    assert _walk_pages(doc) is not None  # arms RC4 standard security
+    assert doc.enc_key is not None
+    assert extract_annotations(enc) == [
+        (1, 0, "Text", "indirect note"),
+    ]

@@ -3237,6 +3237,90 @@ def _avc_mp4(sample_nals, sps, pps=b"\x68\xce\x38\x80"):
     return ftyp + mdat + moov
 
 
+def _audio_trak(sizes=(11, 13), offset=0):
+    """Minimal 'soun'-handler trak with its own complete stbl — the
+    decoy an audio-first file puts BEFORE the video trak."""
+    import struct
+
+    hdlr = _mp4_box(
+        b"hdlr", struct.pack(">2I", 0, 0) + b"soun" + bytes(12)
+    )
+    stts = _mp4_box(
+        b"stts", struct.pack(">2I", 0, 1)
+        + struct.pack(">2I", len(sizes), 42)
+    )
+    stsz = _mp4_box(
+        b"stsz", struct.pack(">3I", 0, 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes)
+    )
+    stsc = _mp4_box(
+        b"stsc", struct.pack(">2I", 0, 1)
+        + struct.pack(">3I", 1, len(sizes), 1)
+    )
+    stco = _mp4_box(b"stco", struct.pack(">3I", 0, 1, offset))
+    mp4a = _mp4_box(b"mp4a", bytes(28))
+    stsd = _mp4_box(b"stsd", struct.pack(">2I", 0, 1) + mp4a)
+    stbl = _mp4_box(b"stbl", stsd + stts + stsz + stsc + stco)
+    mdhd = _mp4_box(b"mdhd", struct.pack(">6I", 0, 0, 0, 48000, 0, 0))
+    return _mp4_box(
+        b"trak", _mp4_box(b"mdia", mdhd + hdlr + _mp4_box(b"minf", stbl))
+    )
+
+
+def test_mp4_audio_first_track_selection():
+    """r15 (advice): mp4_avc_config / mp4_sample_table used to stop at
+    the FIRST trak; an MP4 whose first track is audio then returned
+    None (or the audio sample table). Now the first trak whose stsd
+    carries avc1 (config) / whose hdlr says 'vide' (sample table)
+    wins, and a video trak with no hdlr still beats a declared-audio
+    one."""
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    sps = _sps_bytes(40, 23)
+    vid = _avc_mp4([[b"\x65\x88\x77\x66"]], sps)
+    base = mm.mp4_avc_config(vid)
+    assert base is not None and base["width"] == 640
+    vtab = mm.mp4_sample_table(vid)
+    assert vtab is not None
+
+    # splice an audio trak BEFORE the video trak inside moov (mdat
+    # precedes moov, so sample offsets stay exact)
+    midx = vid.rfind(b"moov") - 4
+    head, video_trak = vid[:midx], vid[midx + 8 :]
+    out = head + _mp4_box(b"moov", _audio_trak() + video_trak)
+    cfg = mm.mp4_avc_config(out)
+    assert cfg is not None and cfg["width"] == 640
+    tab = mm.mp4_sample_table(out)
+    # video trak has no hdlr: the no-hdlr fallback must beat 'soun'
+    assert tab is not None
+    assert [s[2] for s in tab["samples"]] == [s[2] for s in vtab["samples"]]
+    assert [s[2] for s in tab["samples"]] != [11, 13]
+
+
+def test_h264_annexb_truncation_exact_sizes():
+    """r15 (advice): at the max_nals cap the index used to emit
+    max_nals+1 rows whose final size swallowed every un-walked NAL;
+    now exactly max_nals rows, each with its true boundary."""
+    from data_ingestion_py_spark.sources import multimodal as mm
+
+    sps = _sps_bytes(40, 23)
+    es = b"\x00\x00\x00\x01" + sps
+    bodies = [bytes([0x41, k, k + 1, k + 2]) for k in range(6)]
+    for b in bodies:
+        es += b"\x00\x00\x01" + b
+    idx = mm.h264_annexb_nals(es, max_nals=4)
+    nals = idx["nals"]
+    assert len(nals) == 4
+    # sizes are exact: SPS then three 4-byte slices, not a tail-swallow
+    assert [s for (_i, _o, s, _t, _k) in nals] == [len(sps), 4, 4, 4]
+    for _i, o, s, _t, _k in nals[1:]:
+        assert es[o : o + s] in bodies
+    # untruncated walk still spans to the true end
+    full = mm.h264_annexb_nals(es, max_nals=64)
+    assert len(full["nals"]) == 7
+    assert full["nals"][-1][1] + full["nals"][-1][2] == len(es)
+
+
 def test_h264_sps_params_geometry_and_crop():
     from data_ingestion_py_spark.sources import multimodal as mm
 
@@ -3589,12 +3673,44 @@ def test_mpegts_h264_index():
     assert mpegts.ts_h264_index(
         _ts_stream(es, stream_type=0x0F)
     ) is None
-    # scrambled video PID: payloads skipped -> no PES -> None
-    scr = _ts_stream(es)
-    assert mpegts.ts_h264_index(b"junk" + scr) is None  # lost sync
+    assert mpegts.ts_h264_index(b"junk" + ts) is None  # lost sync
     # torn mid-stream sync: prefix stands, tail ignored
     cut = ts[: 188 * 3] + b"\x00" + ts[188 * 3 :]
     assert mpegts.ts_elementary_stream(cut, 0x41) is not None
+
+
+def test_mpegts_continuity_and_scrambling_refusals():
+    """r15 (advice): a scrambled packet anywhere on the PID refuses
+    the whole ES; a continuity-counter gap (lost packet would shift
+    every downstream NAL offset) refuses; the spec's allowed exact
+    duplicate packet is dropped, not appended twice."""
+    from data_ingestion_py_spark.sources import mpegts
+
+    sps = _sps_bytes(40, 23)
+    es = (
+        b"\x00\x00\x00\x01" + sps
+        + b"\x00\x00\x00\x01\x68\xce\x38\x80"
+        + b"\x00\x00\x01\x65" + bytes(range(256)) * 2
+    )
+    ts = _ts_stream(es)
+    assert mpegts.ts_elementary_stream(ts, 0x41) == es
+    head, pkts = ts[: 188 * 2], ts[188 * 2 :]
+    vid = [pkts[i : i + 188] for i in range(0, len(pkts), 188)]
+    assert len(vid) >= 2
+    # mid-stream scrambled continuation -> whole PID refused
+    scr = bytearray(vid[1])
+    scr[3] |= 0x80  # transport_scrambling_control
+    assert mpegts.ts_elementary_stream(
+        head + vid[0] + bytes(scr) + b"".join(vid[2:]), 0x41
+    ) is None
+    # continuity gap (drop packet 1 of >=2) -> refused
+    assert mpegts.ts_elementary_stream(
+        head + vid[0] + b"".join(vid[2:]), 0x41
+    ) is None
+    # exact duplicate packet (same cc) -> dropped, ES unchanged
+    assert mpegts.ts_elementary_stream(
+        head + vid[0] + vid[0] + b"".join(vid[1:]), 0x41
+    ) == es
 
 
 def _tiff_planar2_bytes(end, w, h, plane_strips, rps, comp=1,
