@@ -5867,6 +5867,175 @@ def q_pdf_jbig2_scanned_digits(
     )
 
 
+#: MQ-arithmetic-coded generic-region bodies of the SAME 16x24 digit
+#: glyphs as _G4_DIGIT_HEX (template 0, nominal ATs, no TPGDON) —
+#: generated by the independent test-side encoder
+#: (tests/test_ccitt.py::mq_generic_encode, itself pinned against the
+#: Annex E conformance vector) from the rasters g4_decode yields for
+#: the MMR constants, and round-trip-verified against
+#: sources/jbig2.generic_region_arith at generation time.
+_JB2A_DIGIT_HEX = {
+    "0": "FF1E388AC40FFDFFAC",
+    "1": "72D80A1134807FFF7FBFFFAC",
+    "2": "FF1E388AC3B4FA42ADD47F05F489ED8F7FFFAC",
+    "3": "FF1E388AC3B4FA42ADD47F0660E7FFAC",
+    "4": "FE999AC801AE01FF60DA478139611823FFAC",
+    "5": "FF1E388AC3D5246B79CC5366D474D8BBFFAC",
+    "6": "FE999AC801AE01FF60DA47EFFFAC",
+    "7": "FF1E388AC3B4FA42ADD47FFF5FFFAC",
+    "8": "72D80A1134807CC8B87257FFAC",
+    "9": "FF1E388AC40FABE7C8FBD0ACFFAC",
+}
+
+
+def _jbig2_wrap_arith_hex(body_hex: str, w: int, h: int) -> str:
+    """Embed one ARITHMETIC generic region (template 0, nominal AT
+    pixels serialized per T.88 §7.4.6.3) in the embedded-JBIG2
+    segment format: page-info segment + one immediate generic
+    region. Plan-time constant per MQ body."""
+    body = bytes.fromhex(body_hex)
+    at = bytes([0x03, 0xFF, 0xFD, 0xFF, 0x02, 0xFE, 0xFE, 0xFE])
+
+    def seg(num: int, stype: int, payload: bytes) -> bytes:
+        return (
+            num.to_bytes(4, "big") + bytes([stype]) + bytes([0])
+            + bytes([1]) + len(payload).to_bytes(4, "big") + payload
+        )
+
+    pi = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(8)
+        + bytes([0]) + bytes(2)
+    )
+    region = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(8)
+        + bytes([0]) + bytes([0])  # gflags: MMR=0, template 0
+        + at + body
+    )
+    return (seg(0, 48, pi) + seg(1, 38, region)).hex().upper()
+
+
+@register(
+    "pdf_jbig2_arith_scanned_digits",
+    """
+SELECT doc_id AS media_id,
+       1 AS page_number,
+       CAST((doc_id // 10) % 10 AS VARCHAR) ||
+       CAST(doc_id % 10 AS VARCHAR) AS page_text,
+       TRUE AS needs_ocr,
+       'ocr-lite' AS extractor
+FROM documents
+""",
+    tags=("S2", "pdf", "ocr", "jbig2"),
+    # bench=True (r15): standing driver number for the MQ arithmetic
+    # decode path — the majority encoding of modern scanned PDFs
+    bench=True,
+)
+def q_pdf_jbig2_arith_scanned_digits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MAJORITY modern scanned-fax encoding end-to-end (r15,
+    VERDICT task #1): /JBIG2Decode image XObjects whose generic
+    regions are MQ-ARITHMETIC-coded (T.88 Annex E + §6.2.5.7) — what
+    real scanner output overwhelmingly uses where r14's fixture used
+    the minority MMR form. Each doc plants a one-page PDF with ONE
+    bilevel JBIG2 XObject containing BOTH glyphs of the doc id's last
+    two digits side by side via two regions on one page: embedded
+    segment headers (page info + two immediate generic regions at
+    x=0 and x=16) wrap per-digit MQ bodies (template 0, nominal
+    ATs), the segment walk routes MMR=0 to the MQ generic-region
+    decoder, the composed raster feeds strict OCR-lite, and the page
+    text is the two recognized digits in reading order. The oracle
+    recomputes the digits arithmetically — an MQ state slip, context
+    bijection error, or region-placement bug mismatches every row.
+    One narrow Arrow stage, no shuffle."""
+    from data_ingestion_py_spark.sources.pdf import extract_pages
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    tens = F.pmod(F.floor(doc / 10), F.lit(10)).cast("int")
+    ones = F.pmod(doc, F.lit(10)).cast("int")
+
+    def region_hex(body_hex: str, x: int) -> str:
+        body = bytes.fromhex(body_hex)
+        at = bytes([0x03, 0xFF, 0xFD, 0xFF, 0x02, 0xFE, 0xFE, 0xFE])
+        region = (
+            (16).to_bytes(4, "big") + (24).to_bytes(4, "big")
+            + x.to_bytes(4, "big") + bytes(4)
+            + bytes([0]) + bytes([0]) + at + body
+        )
+        return (
+            (1 + x // 16).to_bytes(4, "big") + bytes([38]) + bytes([0])
+            + bytes([1]) + len(region).to_bytes(4, "big") + region
+        ).hex().upper()
+
+    pi = (
+        (32).to_bytes(4, "big") + (24).to_bytes(4, "big") + bytes(8)
+        + bytes([0]) + bytes(2)
+    )
+    pi_hex = (
+        (0).to_bytes(4, "big") + bytes([48]) + bytes([0]) + bytes([1])
+        + len(pi).to_bytes(4, "big") + pi
+    ).hex().upper()
+    left_tab = F.array(
+        *[F.lit(region_hex(_JB2A_DIGIT_HEX[str(t)], 0)) for t in range(10)]
+    )
+    right_tab = F.array(
+        *[F.lit(region_hex(_JB2A_DIGIT_HEX[str(t)], 16)) for t in range(10)]
+    )
+    jb_hex = F.concat(
+        F.lit(pi_hex),
+        F.element_at(left_tab, tens + 1),
+        F.element_at(right_tab, ones + 1),
+    )
+    jb_len = (F.length(jb_hex) / 2).cast("long")
+
+    def obj_hex(s: str) -> "F.Column":
+        return F.lit(s.encode().hex().upper())
+
+    def ascii_hex(col: "F.Column") -> "F.Column":
+        return F.upper(F.hex(F.encode(col, "UTF-8")))
+
+    c4 = "q 32 0 0 24 0 0 cm /Im0 Do Q"
+    pre = "%PDF-1.7\n"
+    pre += "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pre += "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pre += (
+        "3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources << /XObject "
+        "<< /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n"
+    )
+    pre += f"4 0 obj\n<< /Length {len(c4)} >>\nstream\n{c4}\nendstream\nendobj\n"
+    head = (
+        "5 0 obj\n<< /Type /XObject /Subtype /Image /Width 32 "
+        "/Height 24 /ColorSpace /DeviceGray /BitsPerComponent 1 "
+        "/Filter /JBIG2Decode /Length "
+    )
+    tail = "trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n0\n%%EOF"
+    pdf_hex = F.concat(
+        obj_hex(pre),
+        obj_hex(head),
+        ascii_hex(jb_len.cast("string")),
+        obj_hex(" >>\nstream\n"),
+        jb_hex,
+        obj_hex("\nendstream\nendobj\n"),
+        obj_hex(tail),
+    )
+    binary = d.select(
+        F.concat(
+            F.lit("mem://jb2a-"), doc.cast("string"), F.lit(".pdf")
+        ).alias("path"),
+        F.unhex(pdf_hex).alias("content"),
+    )
+    return extract_pages(binary).select(
+        F.regexp_extract("document_name", r"jb2a-(\d+)\.pdf", 1)
+        .cast("long")
+        .alias("media_id"),
+        "page_number",
+        "page_text",
+        "needs_ocr",
+        F.col("document_metadata").getItem("extractor").alias("extractor"),
+    )
+
+
 def _avc_mp4_template() -> tuple[str, str, str, str]:
     """Hex pieces of the planted AVC MP4 around its three varying
     bytes (SPS bytes 5-6 carrying pic_width/height Exp-Golomb fields,

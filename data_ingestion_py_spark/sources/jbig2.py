@@ -1,16 +1,27 @@
-"""JBIG2 (ITU-T T.88) embedded-stream decode for MMR-coded generic
-regions — the modern scanned-fax encoding (r14, VERDICT stretch #4).
+"""JBIG2 (ITU-T T.88) embedded-stream decode for generic regions —
+the modern scanned-fax encoding (r14 MMR; r15 adds the MQ arithmetic
+coder, the MAJORITY encoding of real scanner output).
 
-Modern scanners emit /JBIG2Decode more than /CCITTFaxDecode; the MMR
-(Modified Modified READ) variant of a generic region is EXACTLY T.6
-Group-4 coding (T.88 §6.2.6 delegates to T.4/T.6), so this module is a
-thin segment-structure walk over the r13 fax kernel
-(``sources/ccitt.g4_decode``): parse the embedded-format segment
-headers (no file header in the PDF flavor, T.88 Annex D.2), find the
-immediate generic region(s), and hand their bodies to the G4 decoder.
+Two generic-region codings exist (T.88 §6.2):
 
-Honesty contract: arithmetic-coded regions (MMR=0), symbol/text/
-halftone/refinement segments, unknown data lengths (0xFFFFFFFF), and
+- **MMR** (Modified Modified READ) is EXACTLY T.6 Group-4 coding
+  (T.88 §6.2.6 delegates to T.4/T.6), routed to the r13 fax kernel
+  (``sources/ccitt.g4_decode``).
+- **Arithmetic** (r15, VERDICT task #1): the MQ coder of T.88 Annex E
+  (the same coder JPEG 2000 uses) driving the template-based generic
+  region decoding procedure of §6.2.5.7 — GB templates 0–3, adaptive
+  (AT) pixels, and TPGDON typical-prediction row skipping. This is
+  what today's scanners overwhelmingly emit.
+
+Context-label convention: neighbours are ordered by (row, column)
+with the AT pixels merged in, MSB first. For nominal AT positions
+this IS the spec's figure layout; for moved ATs it is a fixed
+bijection of neighbourhood patterns onto labels, which decodes
+identically because both coder sides adapt per-label state under the
+same map (the well-known property production decoders rely on).
+
+Honesty contract: symbol/text/halftone/refinement segments, the
+EXTTEMPLATE extension, unknown data lengths (0xFFFFFFFF), and
 multi-region composition beyond simple top-level placement all return
 None — the documented seam; never guessed pixels. Bit convention:
 JBIG2's 1 = black maps to the fax kernel's 0=black/255=white gray8
@@ -18,7 +29,7 @@ output unchanged.
 
 Reference tie-in: the reference reads scanned pages through fitz
 (data_ingestion.py:116), which inlines its own JBIG2 decoder; this is
-the extras-free counterpart for the MMR class.
+the extras-free counterpart for the generic-region class.
 """
 
 from __future__ import annotations
@@ -32,6 +43,195 @@ except ImportError:  # pragma: no cover
 _IMMEDIATE_GENERIC = (38, 39)  # immediate / immediate lossless
 _INTERMEDIATE_GENERIC = 36
 _PAGE_INFO = 48
+
+# ---------------------------------------------------------------------
+# MQ arithmetic decoder (T.88 Annex E, software conventions): the
+# probability-state table E.1 — (Qe, NMPS, NLPS, SWITCH) per index —
+# and the INITDEC/BYTEIN/DECODE/RENORMD procedures of Figures
+# E.17–E.20. Reading past the end of the data feeds 0xFF bytes (the
+# marker-terminated convention every embedded stream relies on).
+# ---------------------------------------------------------------------
+
+_QE = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+
+class _MQDecoder:
+    """T.88 Annex E MQ decoder over one byte string. ``decode(cx,
+    label)`` returns the next bit under the adaptive context ``label``
+    where ``cx`` is a mutable list of per-label ``(index, mps)``
+    state pairs shared across calls."""
+
+    __slots__ = ("data", "bp", "c", "a", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        data, bp, n = self.data, self.bp, len(self.data)
+        b = data[bp] if bp < n else 0xFF
+        if b == 0xFF:
+            b1 = data[bp + 1] if bp + 1 < n else 0xFF
+            if b1 > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            b1 = data[bp + 1] if bp + 1 < n else 0xFF
+            self.c += b1 << 8
+            self.ct = 8
+
+    def decode(self, cx: list, label: int) -> int:
+        idx, mps = cx[label]
+        qe, nmps, nlps, switch = _QE[idx]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange (Figure E.18)
+            if self.a < qe:
+                d = mps
+                cx[label] = (nmps, mps)
+            else:
+                d = 1 - mps
+                cx[label] = (nlps, 1 - mps if switch else mps)
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return mps
+            # MPS exchange (Figure E.16)
+            if self.a < qe:
+                d = 1 - mps
+                cx[label] = (nlps, 1 - mps if switch else mps)
+            else:
+                d = mps
+                cx[label] = (nmps, mps)
+        # RENORMD
+        a, c, ct = self.a, self.c, self.ct
+        while True:
+            if ct == 0:
+                self.c, self.ct = c, ct
+                self._bytein()
+                c, ct = self.c, self.ct
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+        self.a, self.c, self.ct = a, c, ct
+        return d
+
+
+#: fixed (non-AT) neighbours per GB template (T.88 Figures 4–7),
+#: already in (row, column) order
+_GB_FIXED = {
+    0: ((-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1),
+        (1, -1), (2, -1), (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+    1: ((-1, -2), (0, -2), (1, -2), (2, -2), (-2, -1), (-1, -1),
+        (0, -1), (1, -1), (2, -1), (-3, 0), (-2, 0), (-1, 0)),
+    2: ((-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1),
+        (1, -1), (-2, 0), (-1, 0)),
+    3: ((-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), (-4, 0),
+        (-3, 0), (-2, 0), (-1, 0)),
+}
+
+#: nominal AT positions per template (T.88 §6.2.5.3)
+_AT_DEFAULTS = {
+    0: ((3, -1), (-3, -1), (2, -2), (-2, -2)),
+    1: ((3, -1),),
+    2: ((2, -1),),
+    3: ((2, -1),),
+}
+
+#: TPGDON pseudo-pixel context per template (T.88 §6.2.5.7)
+_TPGDON_CTX = (0x9B25, 0x0795, 0x00E5, 0x0195)
+
+
+def generic_region_arith(
+    data: bytes,
+    w: int,
+    h: int,
+    template: int = 0,
+    at: "tuple[tuple[int, int], ...] | None" = None,
+    tpgdon: bool = False,
+) -> "np.ndarray | None":
+    """Arithmetic generic region decoding procedure (T.88 §6.2.5.7):
+    MQ-decode an (h, w) bilevel raster under GB ``template`` with AT
+    pixels ``at`` (nominal when None) and optional TPGDON
+    typical-prediction (an LTP flip bit per row; a 'typical' row
+    copies the previous row). Returns a 0/1 uint8 array (1 = black
+    ink) — the segment walk maps it to the fax-kernel gray
+    convention — or None for bad geometry / out-of-range params.
+    An AT pixel must not reference unseen data (dy > 0, or dy == 0
+    with dx >= 0): refused."""
+    if np is None:  # pragma: no cover
+        return None
+    if template not in _GB_FIXED or w <= 0 or h <= 0:
+        return None
+    ats = tuple(at) if at is not None else _AT_DEFAULTS[template]
+    if len(ats) != len(_AT_DEFAULTS[template]):
+        return None
+    pixels = list(_GB_FIXED[template])
+    for ax, ay in ats:
+        if ay > 0 or (ay == 0 and ax >= 0):
+            return None
+        if not (-128 <= ax <= 127 and -128 <= ay <= 127):
+            return None
+        pixels.append((ax, ay))
+    # (row, column) order, MSB first — the fixed label bijection
+    pixels.sort(key=lambda p: (p[1], p[0]))
+    dec = _MQDecoder(data)
+    cx = [(0, 0)] * (1 << 16)
+    bitmap = np.zeros((h, w), dtype=np.uint8)
+    rows: list = bitmap.tolist()
+    ltp = 0
+    pseudo = _TPGDON_CTX[template]
+    for y in range(h):
+        if tpgdon:
+            ltp ^= dec.decode(cx, pseudo)
+            if ltp:
+                if y > 0:
+                    rows[y] = list(rows[y - 1])
+                continue
+        row = rows[y]
+        for x in range(w):
+            label = 0
+            for dx, dy in pixels:
+                yy = y + dy
+                xx = x + dx
+                if yy < 0 or xx < 0 or xx >= w:
+                    v = 0
+                else:
+                    v = rows[yy][xx]
+                label = (label << 1) | v
+            row[x] = dec.decode(cx, label)
+    return np.array(rows, dtype=np.uint8)
 
 
 def _segments(data: bytes):
@@ -74,14 +274,16 @@ def jbig2_generic_decode(
     data: bytes, globals_data: bytes | None = None
 ) -> "np.ndarray | None":
     """Decode an embedded JBIG2 stream whose image content is one or
-    more MMR-coded immediate generic regions → (H, W) uint8 raster,
-    0=black/255=white (the fax-kernel convention). The page buffer is
-    sized from the page-info segment when present (unknown-height
-    0xFFFFFFFF falls back to the regions' extent), else from the
-    region extents; regions compose by simple placement (OR of ink —
-    the only operator a full-page MMR scan uses). None for arithmetic
-    regions, symbol/text segments carrying image data, or any
-    malformed geometry."""
+    more immediate generic regions — MMR-coded (routed to the T.6
+    fax kernel) or MQ-arithmetic-coded (GB templates 0–3, AT pixels,
+    TPGDON; r15) → (H, W) uint8 raster, 0=black/255=white (the
+    fax-kernel convention). The page buffer is sized from the
+    page-info segment when present (unknown-height 0xFFFFFFFF falls
+    back to the regions' extent), else from the region extents;
+    regions compose by simple placement (OR of ink — the only
+    operator a full-page scan uses). None for symbol/text segments
+    carrying image data, the EXTTEMPLATE extension, or any malformed
+    geometry."""
     if np is None:  # pragma: no cover
         return None
     from data_ingestion_py_spark.sources.ccitt import g4_decode
@@ -111,13 +313,37 @@ def jbig2_generic_decode(
             x = int.from_bytes(payload[8:12], "big")
             y = int.from_bytes(payload[12:16], "big")
             gflags = payload[17]
-            if not gflags & 1:
-                return None  # arithmetic generic region: honest seam
+            if gflags & 0x10:
+                return None  # EXTTEMPLATE (12 ATs): honest seam
             if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
                 return None
-            arr = g4_decode(payload[18:], w, h)
-            if arr is None:
-                return None
+            if gflags & 1:  # MMR == T.6
+                arr = g4_decode(payload[18:], w, h)
+                if arr is None:
+                    return None
+            else:  # MQ arithmetic (r15)
+                template = (gflags >> 1) & 3
+                tpgdon = bool(gflags & 8)
+                n_at = 4 if template == 0 else 1
+                off = 18
+                if off + 2 * n_at > len(payload):
+                    return None
+                at = []
+                for _k in range(n_at):
+                    ax = int.from_bytes(
+                        payload[off : off + 1], "big", signed=True
+                    )
+                    ay = int.from_bytes(
+                        payload[off + 1 : off + 2], "big", signed=True
+                    )
+                    at.append((ax, ay))
+                    off += 2
+                bits = generic_region_arith(
+                    payload[off:], w, h, template, tuple(at), tpgdon
+                )
+                if bits is None:
+                    return None
+                arr = np.where(bits != 0, 0, 255).astype(np.uint8)
             regions.append((x, y, arr))
         elif stype in (_INTERMEDIATE_GENERIC, 4, 6, 7, 20, 22, 23,
                        40, 42, 43):
