@@ -15,10 +15,13 @@ black" maps onto it, and /BlackIs1 only flips the PDF's *stored*
 convention, handled by the callers). Corrupt streams, over-long
 lines, or truncation → None, never guessed pixels.
 
-Honest scope: K < 0 pure Group 4 only (the TIFF Compression-4 / PDF
-``/K -1`` case, which is what modern scanners emit). 1D Group 3,
-``EncodedByteAlign``, and byte-flipped ``/BlackIs1`` rasters are the
-callers' documented seams.
+Scope (grown across rounds): ``g4_decode`` — K < 0 pure Group 4 (TIFF
+Compression 4 / PDF ``/K -1``, what modern scanners emit);
+``g3_1d_decode`` — 1D Group 3 (r13: TIFF Compression 2, PDF /K 0,
+EncodedByteAlign); ``g3_2d_decode`` — mixed-2D Group 3, T.4 K > 0
+(r15: TIFF Compression 3 with T4Options bit 0, PDF /K 1), EOL+tag
+framed lines sharing the G4 mode decoder. Byte-flipped ``/BlackIs1``
+rasters remain the callers' documented seam.
 
 The code tables are transcribed from ITU-T T.4 Tables 2/3 (terminating
 and make-up codes) and the shared extended make-up set; the pytest
@@ -275,84 +278,191 @@ def g4_decode(
         # EOFB: 000000000001 000000000001
         if bits.peek(24) == 0b000000000001000000000001:
             break
-        cur: list[int] = []  # transition positions of this line
-        a0 = -1
-        color_white = True
-        guard = 0
-        while a0 < columns:
-            guard += 1
-            if guard > 4 * columns + 16:
-                return None
-            # Changing elements alternate: EVEN index = white→black,
-            # ODD = black→white (lines start white). b1 = first ref
-            # transition strictly right of a0 whose change is to the
-            # OPPOSITE of the current color — i.e. even index while
-            # the current run is white, odd while black.
-            idx = bisect_right(ref, a0 if a0 >= 0 else -1)
-            if (idx % 2 == 0) != color_white:
-                idx += 1
-            b1 = ref[idx] if idx < len(ref) else columns
-            b2 = ref[idx + 1] if idx + 1 < len(ref) else columns
-            p = bits.peek(7)
-            if p is None:
-                return None
-            if p >> 6 == 0b1:  # V0
-                bits.pos += 1
-                a1 = b1
-            elif p >> 4 == 0b011:  # VR1
-                bits.pos += 3
-                a1 = b1 + 1
-            elif p >> 4 == 0b010:  # VL1
-                bits.pos += 3
-                a1 = b1 - 1
-            elif p >> 4 == 0b001:  # horizontal
-                bits.pos += 3
-                start = max(a0, 0)
-                r1 = _read_run(bits, color_white)
-                if r1 is None:
-                    return None
-                r2 = _read_run(bits, not color_white)
-                if r2 is None:
-                    return None
-                t1 = start + r1
-                t2 = t1 + r2
-                if t2 > columns:
-                    return None
-                cur.append(t1)
-                cur.append(t2)
-                a0 = t2
-                continue  # color unchanged (two runs consumed)
-            elif p >> 3 == 0b0001:  # pass
-                bits.pos += 4
-                a0 = b2
-                continue
-            elif p >> 1 == 0b000011:  # VR2
-                bits.pos += 6
-                a1 = b1 + 2
-            elif p >> 1 == 0b000010:  # VL2
-                bits.pos += 6
-                a1 = b1 - 2
-            elif p == 0b0000011:  # VR3
-                bits.pos += 7
-                a1 = b1 + 3
-            elif p == 0b0000010:  # VL3
-                bits.pos += 7
-                a1 = b1 - 3
-            else:
-                return None  # EOL inside G4, or garbage
-            if a1 < 0 or a1 > columns or (cur and a1 < cur[-1]):
-                return None
-            cur.append(a1)
-            a0 = a1
-            color_white = not color_white
-        # render the line from its transitions
-        line = np.full(columns, 255, np.uint8)
-        for i in range(0, len(cur) - (len(cur) % 2), 2):
-            line[cur[i] : cur[i + 1] if i + 1 < len(cur) else columns] = 0
-        if len(cur) % 2 == 1:
-            line[cur[-1] :] = 0
-        out.append(line)
+        cur = _decode_2d_line(bits, ref, columns)
+        if cur is None:
+            return None
+        out.append(_render_line(cur, columns))
         ref = cur + [columns, columns]
+    if rows is not None and len(out) != rows:
+        return None
+    if not out:
+        return None
+    return np.stack(out)
+
+
+def _decode_2d_line(
+    bits: _Bits, ref: list[int], columns: int
+) -> list[int] | None:
+    """One 2D-coded line (pass / vertical / horizontal modes against
+    the reference line's changing elements) → its transition
+    positions, or None on any malformed code. Shared by T.6 Group 4
+    and the 2D lines of mixed-2D Group 3 (T.4 K>0) — the coding is
+    identical; only framing differs (T.88 §6.2.6 makes the same
+    observation for JBIG2 MMR)."""
+    cur: list[int] = []  # transition positions of this line
+    a0 = -1
+    color_white = True
+    guard = 0
+    while a0 < columns:
+        guard += 1
+        if guard > 4 * columns + 16:
+            return None
+        # Changing elements alternate: EVEN index = white→black,
+        # ODD = black→white (lines start white). b1 = first ref
+        # transition strictly right of a0 whose change is to the
+        # OPPOSITE of the current color — i.e. even index while
+        # the current run is white, odd while black.
+        idx = bisect_right(ref, a0 if a0 >= 0 else -1)
+        if (idx % 2 == 0) != color_white:
+            idx += 1
+        b1 = ref[idx] if idx < len(ref) else columns
+        b2 = ref[idx + 1] if idx + 1 < len(ref) else columns
+        p = bits.peek(7)
+        if p is None:
+            return None
+        if p >> 6 == 0b1:  # V0
+            bits.pos += 1
+            a1 = b1
+        elif p >> 4 == 0b011:  # VR1
+            bits.pos += 3
+            a1 = b1 + 1
+        elif p >> 4 == 0b010:  # VL1
+            bits.pos += 3
+            a1 = b1 - 1
+        elif p >> 4 == 0b001:  # horizontal
+            bits.pos += 3
+            start = max(a0, 0)
+            r1 = _read_run(bits, color_white)
+            if r1 is None:
+                return None
+            r2 = _read_run(bits, not color_white)
+            if r2 is None:
+                return None
+            t1 = start + r1
+            t2 = t1 + r2
+            if t2 > columns:
+                return None
+            cur.append(t1)
+            cur.append(t2)
+            a0 = t2
+            continue  # color unchanged (two runs consumed)
+        elif p >> 3 == 0b0001:  # pass
+            bits.pos += 4
+            a0 = b2
+            continue
+        elif p >> 1 == 0b000011:  # VR2
+            bits.pos += 6
+            a1 = b1 + 2
+        elif p >> 1 == 0b000010:  # VL2
+            bits.pos += 6
+            a1 = b1 - 2
+        elif p == 0b0000011:  # VR3
+            bits.pos += 7
+            a1 = b1 + 3
+        elif p == 0b0000010:  # VL3
+            bits.pos += 7
+            a1 = b1 - 3
+        else:
+            return None  # EOL mid-line, or garbage
+        if a1 < 0 or a1 > columns or (cur and a1 < cur[-1]):
+            return None
+        cur.append(a1)
+        a0 = a1
+        color_white = not color_white
+    return cur
+
+
+def _render_line(cur: list[int], columns: int) -> "np.ndarray":
+    """Transition positions → uint8 line (0=black/255=white)."""
+    line = np.full(columns, 255, np.uint8)
+    for i in range(0, len(cur) - (len(cur) % 2), 2):
+        line[cur[i] : cur[i + 1] if i + 1 < len(cur) else columns] = 0
+    if len(cur) % 2 == 1:
+        line[cur[-1] :] = 0
+    return line
+
+
+def _decode_1d_line(bits: _Bits, columns: int) -> list[int] | None:
+    """One T.4 modified-Huffman 1D line → transition positions (run
+    sums must hit ``columns`` exactly); used by the 1D-tagged lines
+    of mixed-2D Group 3, where the next line's 2D coding needs the
+    transitions, not just the pixels."""
+    cur: list[int] = []
+    total = 0
+    white = True
+    while total < columns:
+        run = _read_run(bits, white)
+        if run is None:
+            return None
+        total += run
+        if total > columns:
+            return None
+        if total < columns:
+            cur.append(total)
+        white = not white
+    return cur
+
+
+def g3_2d_decode(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+) -> "np.ndarray | None":
+    """Mixed two-dimensional Group 3 (T.4 K>0 — PDF ``/CCITTFaxDecode
+    /K 1``, TIFF Compression 3 with T4Options bit 0) → (h, columns)
+    uint8 raster, 0=black/255=white. Every line is framed EOL
+    (000000000001, after optional zero FILL) + a 1-bit tag: 1 = the
+    line is 1D modified-Huffman coded, 0 = 2D-coded against the line
+    above with the SAME pass/vertical/horizontal modes as Group 4.
+    The encoder's K parameter only bounds how often 1D lines recur —
+    the tag bits are self-describing, so the decoder needs no K. No
+    byte-align parameter either: FILL bits are zeros wherever the
+    writer put them (TIFF T4Options bit 2 aligns the EOL's END; PDF
+    /EncodedByteAlign its start), and the zero-skip before each EOL
+    subsumes every placement. Ends at RTC (consecutive EOLs) or
+    stream end; None on a stray bit before an EOL, a 2D-tagged FIRST
+    line, any malformed code, or a row-count mismatch."""
+    if columns <= 0 or columns > 1 << 16:
+        return None
+    bits = _Bits(data)
+    ref: list[int] | None = None  # no reference before the first line
+    out: list[np.ndarray] = []
+    max_rows = rows if rows is not None else 1 << 20
+    while len(out) < max_rows:
+        # FILL (zero bits) then EOL; a 1 before 11 zeros is garbage
+        zeros = 0
+        at_end = False
+        while True:
+            b = bits.read1()
+            if b is None:
+                at_end = True
+                break
+            if b == 0:
+                zeros += 1
+                continue
+            if zeros < 11:
+                return None
+            break
+        if at_end:
+            break
+        tag = bits.read1()
+        if tag is None:
+            break
+        # RTC: the next thing after EOL+tag is another EOL (no T.4
+        # code has 11 leading zeros, so this cannot shadow line data)
+        if bits.peek(12) == 0b000000000001:
+            break
+        if tag:
+            cur = _decode_1d_line(bits, columns)
+        else:
+            if ref is None:
+                return None  # first line must be 1D: nothing above
+            cur = _decode_2d_line(bits, ref + [columns, columns],
+                                  columns)
+        if cur is None:
+            return None
+        out.append(_render_line(cur, columns))
+        ref = cur
     if rows is not None and len(out) != rows:
         return None
     if not out:

@@ -431,9 +431,15 @@ def decode_tiff_array(
         or len(offsets) != len(counts)
         or planar not in (1, 2)
         or (bps not in ([1], [4]) and any(b != 8 for b in bps))
-        or comp not in (1, 2, 4, 5, 8, 32773, 32946)
-        or (comp in (2, 4) and bps != [1])  # fax comps: bilevel only
+        or comp not in (1, 2, 3, 4, 5, 8, 32773, 32946)
+        or (comp in (2, 3, 4) and bps != [1])  # fax comps: bilevel only
     ):
+        return None
+    # Compression 3 = Group 3 per T4Options (tag 292): bit 0 selects
+    # mixed-2D (K>0) vs 1D-with-EOLs, bit 2 byte-aligned EOLs;
+    # bit 1 (uncompressed mode) refuses (r15)
+    t4opts = fields.get(292, [0])[0]
+    if comp == 3 and t4opts & 2:
         return None
     depth = bps[0] if bps in ([1], [4]) else 8
     if depth != 8 and (photo not in (0, 1) or spp != 1):
@@ -468,26 +474,35 @@ def decode_tiff_array(
         sample bytes (decompression + fax + predictor inverse) —
         shared by the strip and tile layouts (r14)."""
         need = rows_this * rb
-        if comp in (2, 4):
+        if comp in (2, 3, 4):
             # CCITT fax (r13): Compression 4 = Group 4 (T.6 2D),
             # Compression 2 = modified-Huffman RLE (G3 1D, byte-
-            # aligned rows, no EOLs); re-packed to THIS file's
-            # declared photometric (photo 0 bit 1 = black, photo 1
-            # bit 1 = white) so the shared sub-byte unpack +
+            # aligned rows, no EOLs), Compression 3 = Group 3 per
+            # T4Options (r15: bit 0 → mixed-2D K>0, else 1D with
+            # EOLs; bit 2 → byte-aligned EOLs); re-packed to THIS
+            # file's declared photometric (photo 0 bit 1 = black,
+            # photo 1 bit 1 = white) so the shared sub-byte unpack +
             # inversion below apply unchanged.
             from data_ingestion_py_spark.sources.ccitt import (
                 g3_1d_decode,
+                g3_2d_decode,
                 g4_decode,
             )
 
-            arr2 = (
-                g4_decode(bytes(raw), w_px, rows_this)
-                if comp == 4
-                else g3_1d_decode(
+            if comp == 4:
+                arr2 = g4_decode(bytes(raw), w_px, rows_this)
+            elif comp == 2:
+                arr2 = g3_1d_decode(
                     bytes(raw), w_px, rows_this,
                     byte_align=True, allow_eol=False,
                 )
-            )
+            elif t4opts & 1:  # comp 3, 2D (bit-2 fill subsumed)
+                arr2 = g3_2d_decode(bytes(raw), w_px, rows_this)
+            else:  # comp 3, 1D with EOLs
+                arr2 = g3_1d_decode(
+                    bytes(raw), w_px, rows_this,
+                    byte_align=bool(t4opts & 4), allow_eol=True,
+                )
             if arr2 is None:
                 return None
             raw = np.packbits(

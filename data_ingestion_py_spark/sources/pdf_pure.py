@@ -737,10 +737,11 @@ class _PdfDoc:
                 return ("jpeg", data)
             if name == "/CCITTFaxDecode":
                 # terminal fax-compressed bilevel (r13): pure Group 4
-                # (K < 0) decodes through sources/ccitt into an 8-bit
-                # gray raster; Group 3 / EncodedByteAlign stay honest
-                # seams. /BlackIs1 only flips the STORED bit polarity,
-                # which this gray-emitting path never materializes.
+                # (K < 0), 1D Group 3 (K == 0), and r15 mixed-2D
+                # Group 3 (K > 0) decode through sources/ccitt into
+                # an 8-bit gray raster. /BlackIs1 only flips the
+                # STORED bit polarity, which this gray-emitting path
+                # never materializes.
                 if i != len(filts) - 1:
                     return None
                 rdp = self.resolve(dp)
@@ -748,8 +749,8 @@ class _PdfDoc:
                     return None
                 rdp = rdp or {}
                 k = self.resolve(rdp.get("K", 0))
-                if not isinstance(k, int) or k > 0:
-                    return None  # mixed 2D Group 3: honest seam
+                if not isinstance(k, int):
+                    return None
                 cols = self.resolve(rdp.get("Columns", 1728))
                 rows = self.resolve(
                     rdp.get("Rows", self.resolve(d.get("Height")))
@@ -758,6 +759,7 @@ class _PdfDoc:
                     return None
                 from data_ingestion_py_spark.sources.ccitt import (
                     g3_1d_decode,
+                    g3_2d_decode,
                     g4_decode,
                 )
 
@@ -765,6 +767,10 @@ class _PdfDoc:
                     if self.resolve(rdp.get("EncodedByteAlign")) is True:
                         return None
                     arr = g4_decode(data, cols, rows)
+                elif k > 0:  # mixed 2D Group 3 (r15): EOL framing
+                    # self-delimits, so /EncodedByteAlign fill is
+                    # subsumed by the decoder's zero-skip
+                    arr = g3_2d_decode(data, cols, rows)
                 else:  # K == 0: Group 3 one-dimensional (r13)
                     arr = g3_1d_decode(
                         data,
@@ -1590,14 +1596,15 @@ def _decode_inline_image(
                 if not isinstance(rdp, dict):
                     return None
                 kk = doc.resolve(rdp.get("K", 0))
-                if not isinstance(kk, int) or kk > 0:
-                    return None  # mixed 2D Group 3: honest seam
+                if not isinstance(kk, int):
+                    return None
                 cols = doc.resolve(rdp.get("Columns", 1728))
                 rows = doc.resolve(rdp.get("Rows", h))
                 if not isinstance(cols, int) or not isinstance(rows, int):
                     return None
                 from data_ingestion_py_spark.sources.ccitt import (
                     g3_1d_decode,
+                    g3_2d_decode,
                     g4_decode,
                 )
 
@@ -1605,6 +1612,8 @@ def _decode_inline_image(
                     if doc.resolve(rdp.get("EncodedByteAlign")) is True:
                         return None
                     arr = g4_decode(raw, cols, rows)
+                elif kk > 0:  # mixed 2D Group 3 (r15)
+                    arr = g3_2d_decode(raw, cols, rows)
                 else:
                     arr = g3_1d_decode(
                         raw, cols, rows,

@@ -2456,7 +2456,7 @@ def test_exif_metadata_honest_nones_and_bounds():
 
 
 def _tiff_bytes(end, w, h, photo, strips, comp=1, rps=None, cmap=None,
-                spp=1, predictor=None, bps=8):
+                spp=1, predictor=None, bps=8, t4options=None):
     """Independent TIFF writer for the tests (shares no code with the
     decoder): header, IFD0 with inline or offset-valued fields, value
     blobs, then the strip data."""
@@ -2485,6 +2485,8 @@ def _tiff_bytes(end, w, h, photo, strips, comp=1, rps=None, cmap=None,
         add(320, 3, cmap)
     if predictor is not None:
         add(317, 3, [predictor])
+    if t4options is not None:
+        add(292, 4, [t4options])
     n = len(entries)
     dir_end = 8 + 2 + 12 * n + 4
     blobs = bytearray()
