@@ -66,7 +66,9 @@ def _extract_pages_fitz(content: bytes) -> tuple[list[str], dict]:
     return [page.get_text() for page in doc], meta
 
 
-def _extract_pages_fallback(content: bytes) -> tuple[list[str], dict]:
+def _extract_pages_fallback(
+    content: bytes, password: bytes = b""
+) -> tuple[list[str], dict]:
     """Extras-free extraction: REAL pure-byte PDF parse first (object
     scan → page tree → FlateDecode content streams → Tj/TJ/'/\" text
     operators, sources/pdf_pure.py — the in-container kernel for the
@@ -76,7 +78,7 @@ def _extract_pages_fallback(content: bytes) -> tuple[list[str], dict]:
     if content.startswith(b"%PDF-"):
         from data_ingestion_py_spark.sources.pdf_pure import parse_pdf_text
 
-        parsed = parse_pdf_text(content)
+        parsed = parse_pdf_text(content, password)
         if parsed is not None:
             pages, meta = parsed
             meta = {**meta, "extractor": "pure-byte"}
@@ -151,12 +153,19 @@ def scan_pdf_directory(spark: SparkSession, path: str, glob: str = "*.pdf") -> D
     )
 
 
-def extract_pages(binary_df: DataFrame) -> DataFrame:
+def extract_pages(
+    binary_df: DataFrame, password: bytes = b""
+) -> DataFrame:
     """binaryFile rows → one row per page (S1 + P9 OCR-need flag).
 
     Arrow-batched mapInPandas; the extraction lib is loaded once per
     executor process at module import (vs per-page in the reference,
-    data_ingestion.py:171).
+    data_ingestion.py:171). ``password`` (r15) is the corpus-level
+    USER password for encrypted documents — a plan-time constant
+    captured into the Arrow stage (the common whole-archive-one-
+    password shape); per-document passwords would be a join column,
+    deliberately out of scope. Wrong-password documents fall through
+    exactly like unparseable ones: empty text, needs_ocr set, honest.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -174,7 +183,9 @@ def extract_pages(binary_df: DataFrame) -> DataFrame:
                 if HAVE_FITZ:
                     pages, meta = _extract_pages_fitz(content)
                 else:
-                    pages, meta = _extract_pages_fallback(content)
+                    pages, meta = _extract_pages_fallback(
+                        content, password
+                    )
                 # P9: whole-document empty-text predicate decides OCR
                 needs_ocr = sum(len(p.strip()) for p in pages) == 0
                 if needs_ocr:

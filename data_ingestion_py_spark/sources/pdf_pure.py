@@ -461,13 +461,18 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
-def _aesv3_file_key(enc: dict, resolve) -> bytes | None:
+def _aesv3_file_key(
+    enc: dict, resolve, password: bytes = b""
+) -> bytes | None:
     """AES-256 file key for /V 5 /R 5 (AEL3, plain-SHA-256 hash) and
-    /V 5 /R 6 (PDF 2.0, Algorithm 2.B), EMPTY user password only:
-    verify the password against /U's validation salt, decrypt /UE with
-    the key-salt hash (AES-256 CBC, zero IV, no padding), then check
-    /Perms round-trips to 'adb' under the recovered key (Algorithm
-    13 — a wrong key NEVER ships). None on any mismatch."""
+    /V 5 /R 6 (PDF 2.0, Algorithm 2.B), USER password — empty by
+    default, caller-supplied via ``password`` (r15; UTF-8 bytes,
+    truncated to 127 per §7.6.4.3.2 — SASLprep normalization is the
+    caller's concern, documented divergence): verify against /U's
+    validation salt, decrypt /UE with the key-salt hash (AES-256 CBC,
+    zero IV, no padding), then check /Perms round-trips to 'adb'
+    under the recovered key (Algorithm 13 — a wrong key NEVER
+    ships). None on any mismatch."""
     import hashlib
 
     r = enc.get("R")
@@ -480,15 +485,16 @@ def _aesv3_file_key(enc: dict, resolve) -> bytes | None:
         or len(ue) != 32
     ):
         return None
+    pw = password[:127]
     vsalt, ksalt = u[32:40], u[40:48]
     if r == 6:
-        if _hash_2b(b"", vsalt) != u[:32]:
+        if _hash_2b(pw, vsalt) != u[:32]:
             return None
-        ik = _hash_2b(b"", ksalt)
+        ik = _hash_2b(pw, ksalt)
     else:  # R5: single SHA-256 (Adobe Extension Level 3)
-        if hashlib.sha256(vsalt).digest() != u[:32]:
+        if hashlib.sha256(pw + vsalt).digest() != u[:32]:
             return None
-        ik = hashlib.sha256(ksalt).digest()
+        ik = hashlib.sha256(pw + ksalt).digest()
     # /UE: AES-256 CBC, zero IV, NO padding
     rks = _aes_round_keys(ik)
     prev = b"\x00" * 16
@@ -1704,13 +1710,16 @@ def _inline_images(
     return out
 
 
-def _setup_encryption(doc: _PdfDoc, trailers: list[dict]) -> bool:
-    """Arm the document's RC4 standard-security decryption (r13,
-    closing the /Encrypt refusal for the COMMON case): V1/V2 R2/R3
-    with an EMPTY user password — the owner-locked-but-readable shape
-    most encrypted PDFs in the wild have. Returns False (caller
-    refuses, honest) for any other handler (AESV2/V3, crypt filters),
-    a missing /ID, or a real user password."""
+def _setup_encryption(
+    doc: _PdfDoc, trailers: list[dict], password: bytes = b""
+) -> bool:
+    """Arm the document's standard-security decryption (r13 RC4, r14
+    AESV2/V3, r15 caller-supplied passwords): V1/V2 R2/R3, V4 AESV2,
+    and V5 R5/R6 AESV3, verifying the USER password — empty by
+    default (the owner-locked-but-readable shape most encrypted PDFs
+    in the wild have) or the caller's ``password`` bytes. Returns
+    False (caller refuses, honest) for any other handler, a missing
+    /ID, or a password that fails /U verification."""
     enc_ref = None
     id0 = None
     for t in trailers:
@@ -1745,7 +1754,7 @@ def _setup_encryption(doc: _PdfDoc, trailers: list[dict]) -> bool:
             or enc.get("StrF") != "/StdCF"
         ):
             return False
-        key = _aesv3_file_key(enc, doc.resolve)
+        key = _aesv3_file_key(enc, doc.resolve, password)
         if key is None:
             return False
         doc.enc_key = key
@@ -1771,7 +1780,7 @@ def _setup_encryption(doc: _PdfDoc, trailers: list[dict]) -> bool:
         ):
             return False
         aes = True
-    key = _std_security_key(enc, id0, b"")
+    key = _std_security_key(enc, id0, password)
     if key is None:
         return False
     doc.enc_key = key
@@ -1783,14 +1792,17 @@ def _setup_encryption(doc: _PdfDoc, trailers: list[dict]) -> bool:
     return True
 
 
-def _walk_pages(doc: _PdfDoc) -> list[dict] | None:
+def _walk_pages(
+    doc: _PdfDoc, password: bytes = b""
+) -> list[dict] | None:
     """Page objects in document order (shared by the text and image
     extractors), or None when no catalog/page tree parses. Encrypted
-    documents arm RC4 decryption when the standard handler verifies
-    the empty user password; otherwise honest None."""
+    documents arm decryption when the standard handler verifies the
+    USER password — empty by default, caller-supplied via
+    ``password`` (r15); otherwise honest None."""
     trailers = _find_trailer_dicts(doc)
-    if not _setup_encryption(doc, trailers):
-        return None  # unsupported handler or a real password: honest
+    if not _setup_encryption(doc, trailers, password):
+        return None  # unsupported handler or wrong password: honest
     root = None
     for t in trailers:
         r = t.get("Root")
@@ -1824,7 +1836,7 @@ def _walk_pages(doc: _PdfDoc) -> list[dict] | None:
 
 
 def extract_page_images(
-    content: bytes,
+    content: bytes, password: bytes = b""
 ) -> list[tuple[int, int, str, int, int, int, str, bytes]] | None:
     """Image XObjects per page — the scanned-PDF entry point the
     reference feeds to OCR (data_ingestion.py:136-168), extras-free:
@@ -1853,7 +1865,7 @@ def extract_page_images(
     doc = _scan(content)
     if not doc.objs:
         return None
-    pages = _walk_pages(doc)
+    pages = _walk_pages(doc, password)
     if pages is None:
         return None
     out: list[tuple[int, int, str, int, int, int, str, bytes]] = []
@@ -1927,16 +1939,19 @@ def extract_page_images(
     return out
 
 
-def parse_pdf_text(content: bytes) -> tuple[list[str], dict] | None:
+def parse_pdf_text(
+    content: bytes, password: bytes = b""
+) -> tuple[list[str], dict] | None:
     """(per-page text, metadata) via the pure-byte parse, or None when
-    the payload is not a parseable unencrypted PDF."""
+    the payload is not a parseable PDF (encrypted documents decrypt
+    when the empty or caller-supplied USER ``password`` verifies)."""
     if not content.startswith(b"%PDF-"):
         return None
     doc = _scan(content)
     if not doc.objs:
         return None
     trailers = _find_trailer_dicts(doc)
-    page_objs = _walk_pages(doc)
+    page_objs = _walk_pages(doc, password)
     if page_objs is None:
         return None
     pages: list[str] = []
@@ -1986,7 +2001,7 @@ def _pdf_text_string(v: bytes) -> str:
 
 
 def extract_annotations(
-    content: bytes,
+    content: bytes, password: bytes = b""
 ) -> list[tuple[int, int, str, str]] | None:
     """Per-page annotation text (r14) — the markup layer real PDFs
     carry OUTSIDE content streams (review comments, sticky notes,
@@ -2004,7 +2019,7 @@ def extract_annotations(
     doc = _scan(content)
     if not doc.objs:
         return None
-    pages = _walk_pages(doc)
+    pages = _walk_pages(doc, password)
     if pages is None:
         return None
     out: list[tuple[int, int, str, str]] = []

@@ -1418,3 +1418,44 @@ def test_annotation_indirect_contents_and_encrypted_direct():
     assert extract_annotations(enc) == [
         (1, 0, "Text", "indirect note"),
     ]
+
+
+def test_caller_supplied_user_passwords_decrypt():
+    """r15 (VERDICT #5): a caller-supplied USER password threads
+    through parse_pdf_text/extract_page_images/extract_annotations →
+    _setup_encryption → the existing key-derivation kernels, across
+    every supported handler revision; the empty default and any wrong
+    password refuse (honest None), never mojibake."""
+    from data_ingestion_py_spark.sources.pdf_pure import parse_pdf_text
+
+    pw = b"s3cret-Pa55"
+    # RC4: R2/40, R3/128, R3/40
+    for r, nb in ((2, 5), (3, 16), (3, 5)):
+        doc = _encrypted_pdf(r=r, nbytes=nb, user_pw=pw)
+        got = parse_pdf_text(doc, password=pw)
+        assert got is not None and got[0] == ["Secret 123456"], (r, nb)
+        assert parse_pdf_text(doc) is None, (r, nb)
+        assert parse_pdf_text(doc, password=b"wrong") is None, (r, nb)
+    # AESV2 (V4 R4)
+    doc = _aesv2_pdf(user_pw=pw)
+    got = parse_pdf_text(doc, password=pw)
+    assert got is not None and got[0] == ["AES page text"]
+    assert parse_pdf_text(doc) is None
+    assert parse_pdf_text(doc, password=pw + b"x") is None
+    # AESV3: R6 (Algorithm 2.B with the password) and R5
+    for r in (6, 5):
+        doc = _aesv3_pdf(user_pw=pw, r=r)
+        got = parse_pdf_text(doc, password=pw)
+        assert got is not None and got[0] == ["AES256 Secret"], r
+        assert parse_pdf_text(doc) is None, r
+        assert parse_pdf_text(doc, password=b"nope") is None, r
+    # an empty-password doc still opens when a password IS supplied?
+    # no — a wrong non-empty password must refuse (strictness), while
+    # the empty default keeps working:
+    doc = _encrypted_pdf(r=3, nbytes=16, user_pw=b"")
+    assert parse_pdf_text(doc) is not None
+    assert parse_pdf_text(doc, password=b"extra") is None
+    # R6 over-long passwords truncate at 127 bytes per §7.6.4.3.2
+    long_pw = bytes(range(200)).replace(b"\x00", b"\x01")
+    doc = _aesv3_pdf(user_pw=long_pw[:127], r=6)
+    assert parse_pdf_text(doc, password=long_pw) is not None
