@@ -7096,3 +7096,139 @@ def q_multimodal_tiff_planar_decode(
         doc.alias("media_id"), F.unhex(payload_hex).alias("payload")
     )
     return mm.pixel_checksums(media)
+
+
+_DOCX_XML_HEAD = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+    'wordprocessingml/2006/main"><w:body>'
+)
+_DOCX_XML_TAIL = "</w:body></w:document>"
+
+
+@register(
+    "docx_text_extract",
+    """
+WITH w AS (
+    SELECT ['GOLD','IRON','MOSS','REED','FERN','OPAL','ZINC','JUTE'] AS ws
+), g AS (
+    SELECT doc_id AS media_id,
+           ws[CAST(doc_id % 8 AS INT) + 1] AS w1,
+           ws[CAST((doc_id // 8) % 8 AS INT) + 1] AS w2,
+           ws[CAST((doc_id // 64) % 8 AS INT) + 1] AS w3,
+           lpad(CAST(doc_id % 97 AS VARCHAR), 4, '0') AS n4
+    FROM documents, w
+), p AS (
+    SELECT media_id, 0 AS para_index,
+           w1 || ' ore. ' || w2 || ' moss rises. ' || w3 || ' ends.'
+               AS text,
+           1 AS snippet_id,
+           w1 || ' ore. ' || w2 || ' moss rises.' AS snippet_text
+    FROM g
+    UNION ALL
+    SELECT media_id, 0, 
+           w1 || ' ore. ' || w2 || ' moss rises. ' || w3 || ' ends.',
+           2, w3 || ' ends.'
+    FROM g
+    UNION ALL
+    SELECT media_id, 1,
+           'Sum & diff:' || chr(9) || n4 || '.',
+           1, 'Sum & diff:' || chr(9) || n4 || '.'
+    FROM g
+)
+SELECT * FROM p
+""",
+    tags=("S1", "docx", "source"),
+    # bench=True (r15): standing driver number for the DOCX family
+    bench=True,
+)
+def q_docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX ingestion end-to-end (r15, VERDICT #7) — the #2 enterprise
+    document format: complete valid DOCX packages built in column
+    algebra (a real ZIP whose ``word/document.xml`` member is
+    DEFLATE-compressed as a raw stored-deflate block with an
+    arithmetic CRC-32 via ``F.crc32``, local header + central
+    directory + EOCD all hex-composed) flow through the pure-byte ZIP
+    walk + WordprocessingML extraction (``sources/docx.py``:
+    paragraphs → lines, ``<w:t>`` runs, ``<w:tab/>``, the XML
+    entities) into the REAL snippetize operator in punctuation mode
+    (num_sent=2, stride=2 — paragraph 0's three sentences produce two
+    overlap-free windows, paragraph 1's single sentence one). The
+    oracle recomputes every paragraph and window arithmetically — a
+    ZIP-layout slip, inflate bug, entity mishandling, or window
+    arithmetic error mismatches every row. One narrow Arrow stage +
+    the snippetize explode, no shuffle."""
+    from data_ingestion_py_spark.operators.snippetize import snippetize
+    from data_ingestion_py_spark.sources.docx import docx_paragraph_rows
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ws = ["GOLD", "IRON", "MOSS", "REED", "FERN", "OPAL", "ZINC", "JUTE"]
+    wtab = F.array(*[F.lit(x) for x in ws])
+    w1 = F.element_at(wtab, F.pmod(doc, F.lit(8)).cast("int") + 1)
+    w2 = F.element_at(
+        wtab, F.pmod(F.floor(doc / 8), F.lit(8)).cast("int") + 1
+    )
+    w3 = F.element_at(
+        wtab, F.pmod(F.floor(doc / 64), F.lit(8)).cast("int") + 1
+    )
+    n4 = F.lpad(F.pmod(doc, F.lit(97)).cast("string"), 4, "0")
+    xml = F.concat(
+        F.lit(_DOCX_XML_HEAD + "<w:p><w:r><w:t>"),
+        w1, F.lit(" ore. "), w2, F.lit(" moss rises. "), w3,
+        F.lit(" ends.</w:t></w:r></w:p>"
+              '<w:p><w:r><w:t xml:space="preserve">Sum &amp; diff:'
+              "</w:t></w:r><w:r><w:tab/></w:r><w:r><w:t>"),
+        n4,
+        F.lit(".</w:t></w:r></w:p>" + _DOCX_XML_TAIL),
+    )
+    # every varying field is fixed-width (4-letter words, lpad-4
+    # number), so the member length is a plan-time constant
+    ln = len(
+        _DOCX_XML_HEAD + "<w:p><w:r><w:t>" + "AAAA" + " ore. " + "AAAA"
+        + " moss rises. " + "AAAA" + " ends.</w:t></w:r></w:p>"
+        + '<w:p><w:r><w:t xml:space="preserve">Sum &amp; diff:'
+        + "</w:t></w:r><w:r><w:tab/></w:r><w:r><w:t>" + "0000"
+        + ".</w:t></w:r></w:p>" + _DOCX_XML_TAIL
+    )
+    xml_bytes = F.encode(xml, "UTF-8")
+    crc = F.crc32(xml_bytes)
+    xml_hex = F.hex(xml_bytes)
+    comp = ln + 5  # one raw stored-deflate block: 5-byte header
+    name = "word/document.xml"
+    name_hex = name.encode().hex().upper()
+    local = F.concat(
+        F.lit("504B0304" + "1400" + "0000" + "0800" + "00000000"),
+        _le_hex(crc, 4), _le_hex(F.lit(comp), 4), _le_hex(F.lit(ln), 4),
+        F.lit("1100" + "0000"), F.lit(name_hex),
+        F.lit("01"), _le_hex(F.lit(ln), 2),
+        _le_hex(F.lit(0xFFFF - ln), 2), xml_hex,
+    )
+    central = F.concat(
+        F.lit("504B0102" + "1400" + "1400" + "0000" + "0800"
+              + "00000000"),
+        _le_hex(crc, 4), _le_hex(F.lit(comp), 4), _le_hex(F.lit(ln), 4),
+        F.lit("1100" + "0000" + "0000" + "0000" + "0000" + "00000000"
+              + "00000000"),
+        F.lit(name_hex),
+    )
+    cd_off = 30 + len(name) + comp
+    zip_hex = F.concat(
+        local, central,
+        F.lit("504B0506" + "0000" + "0000" + "0100" + "0100"),
+        _le_hex(F.lit(46 + len(name)), 4), _le_hex(F.lit(cd_off), 4),
+        F.lit("0000"),
+    )
+    media = d.select(
+        doc.alias("media_id"), F.unhex(zip_hex).alias("payload")
+    )
+    paras = docx_paragraph_rows(media)
+    return snippetize(
+        paras,
+        text_col="text",
+        id_cols=("media_id", "para_index"),
+        carry_cols=("text",),
+        num_sent=2,
+        stride=2,
+        mode="punctuation",
+    )
