@@ -7232,3 +7232,185 @@ def q_docx_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         stride=2,
         mode="punctuation",
     )
+
+
+#: r15 H.264 IDR fixture template (generated by the independent test
+#: encoder in tests/test_h264_decode.py and round-trip-verified at
+#: generation time): a 32x32 baseline IDR — SPS(qp26)+PPS+slice with
+#: MB0 = I_PCM (the 256 luma bytes spliced between these constants;
+#: chroma planes fixed 0x80), MB1 = I_16x16 horizontal, MB2 =
+#: vertical, MB3 = DC, all zero residual. PCM values are kept in
+#: [4, 244] so no emulation-prevention byte can ever be needed and a
+#: +8 brightness shift never clips.
+_H264_IDR_PREFIX = (
+    "000000016742001EF44A200000000168CE3880000000016588840868"
+)
+_H264_IDR_CHROMA = "80" * 128
+_H264_IDR_TAIL = "786B0C9E"
+
+
+def _h264_idr_hex(seed, shift: int) -> "F.Column":
+    def hx2(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    luma = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda k: hx2(
+                F.lit(4 + shift) + F.pmod(seed * 7 + k, F.lit(241))
+            ),
+        ),
+    )
+    return F.concat(
+        F.lit(_H264_IDR_PREFIX), luma,
+        F.lit(_H264_IDR_CHROMA), F.lit(_H264_IDR_TAIL),
+    )
+
+
+@register(
+    "multimodal_h264_idr_decode",
+    """
+WITH m AS (SELECT doc_id AS media_id, doc_id AS seed FROM documents),
+u AS (
+    SELECT media_id, 0 AS mb_row, 0 AS mb_col,
+           1024 + list_sum(list_transform(range(0, 256),
+               k -> (seed*7 + k) % 241)) AS y_sum
+    FROM m
+    UNION ALL
+    SELECT media_id, 0, 1,
+           16 * (64 + list_sum(list_transform(range(0, 16),
+               r -> (seed*7 + r*16 + 15) % 241)))
+    FROM m
+    UNION ALL
+    SELECT media_id, 1, 0,
+           16 * (64 + list_sum(list_transform(range(0, 16),
+               c -> (seed*7 + 240 + c) % 241)))
+    FROM m
+    UNION ALL
+    SELECT media_id, 1, 1, 256 * (4 + (seed*7 + 255) % 241)
+    FROM m
+)
+SELECT media_id, mb_row, mb_col, CAST(y_sum AS BIGINT) AS y_sum,
+       32 AS width, 32 AS height
+FROM u
+""",
+    tags=("multimodal", "video", "h264"),
+    # bench=True (r15): standing driver number for the intra-frame
+    # pixel decode path — the pixel half of the r14 frame planner
+    bench=True,
+)
+def q_multimodal_h264_idr_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """H.264 IDR pixel decode end-to-end (r15, VERDICT #3): complete
+    baseline Annex-B streams built in column algebra around the
+    template constants (PCM luma spliced per doc), decoded by the
+    pure-Python CAVLC intra kernel (sources/h264_decode.py — slice
+    parse, I_PCM + three I_16x16 prediction modes, the always-present
+    Intra16x16DC CAVLC blocks, chroma DC prediction), one row per
+    macroblock with its reconstructed luma sum. The oracle recomputes
+    every MB arithmetically — horizontal prediction propagates MB0's
+    right column, vertical its bottom row, and the DC MB collapses to
+    MB0's corner pixel — so a prediction, CAVLC, or availability slip
+    mismatches specific MBs. One narrow Arrow stage, no shuffle."""
+    from data_ingestion_py_spark.sources.h264_decode import (
+        h264_idr_mb_rows,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    media = d.select(
+        doc.alias("media_id"),
+        F.unhex(_h264_idr_hex(doc, 0)).alias("payload"),
+    )
+    return h264_idr_mb_rows(media)
+
+
+@register(
+    "multimodal_h264_video_phash",
+    """
+WITH c AS (
+    SELECT doc_id AS media_id, doc_id AS seed FROM documents
+    WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id + 5000000, doc_id FROM documents
+    WHERE doc_id % 3 = 1 AND doc_id % 10 = 0
+), q AS (
+    SELECT media_id, seed,
+        list_transform(range(0, 16), b ->
+            CASE
+            WHEN b % 4 < 2 AND b // 4 < 2 THEN
+                256 + list_sum(list_transform(range(0, 64), i ->
+                    (seed*7 + ((b//4)*8 + i//8)*16
+                     + ((b%4)*8 + i%8)) % 241))
+            WHEN b // 4 < 2 THEN
+                8 * list_sum(list_transform(range(0, 8), r ->
+                    4 + (seed*7 + ((b//4)*8 + r)*16 + 15) % 241))
+            WHEN b % 4 < 2 THEN
+                8 * list_sum(list_transform(range(0, 8), cc ->
+                    4 + (seed*7 + 240 + (b%4)*8 + cc) % 241))
+            ELSE 64 * (4 + (seed*7 + 255) % 241)
+            END) AS bs
+    FROM c
+), ph AS (
+    SELECT media_id,
+        list_sum(list_transform(range(0, 16), b ->
+            CASE WHEN bs[b + 1] * 16 > list_sum(bs)
+                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS phash
+    FROM q
+)
+SELECT CAST(phash AS BIGINT) AS phash,
+       min(media_id) AS canonical_media_id,
+       count(*) AS n_copies
+FROM ph
+GROUP BY phash
+""",
+    tags=("multimodal", "dedup", "phash", "video", "h264"),
+)
+def q_multimodal_h264_video_phash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The H.264 leg of video near-dup dedup (r15): every third doc
+    is a compressed baseline IDR stream, every tenth of those ALSO
+    appears as a +8-brightness clone (byte-distinct at the PCM layer,
+    so exact dedup misses it) — REALLY decoded by the CAVLC intra
+    kernel, luma hashed by the SAME integer average-hash still images
+    use, and videos grouped by hash: clones collapse onto their
+    originals through actual pixel math propagated through intra
+    prediction. The oracle recomputes each block sum from the
+    reconstruction formulas and proves the brightness shift cancels
+    out of the cross-multiplied compare. One shuffle on the hash."""
+    from data_ingestion_py_spark.sources.h264_decode import (
+        h264_idr_phashes,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 3 == 1
+    ).select("doc_id")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("shift"),
+    )
+    clones = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5000000).alias("media_id"),
+        F.col("doc_id").alias("seed"),
+        F.lit(8).alias("shift"),
+    )
+    pieces = []
+    for src, shift in ((base, 0), (clones, 8)):
+        pieces.append(
+            src.select(
+                "media_id",
+                F.unhex(
+                    _h264_idr_hex(F.col("seed"), shift)
+                ).alias("payload"),
+            )
+        )
+    media = pieces[0].unionByName(pieces[1])
+    hashes = h264_idr_phashes(media, grid=4)
+    return hashes.groupBy("phash").agg(
+        F.min("media_id").alias("canonical_media_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

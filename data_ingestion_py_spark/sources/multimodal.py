@@ -1967,9 +1967,16 @@ def average_hash(payload: bytes | None, grid: int = 4) -> int | None:
         return None
     w, h, pix = decoded
     raster = np.asarray(pix, dtype=np.uint8).reshape(h, w)
-    # grid² numpy slice sums = ONE vectorized pass over the raster
-    # (int64 lanes hold 255 * 2^55 pixels); replaces the per-pixel
-    # Python generator form, bit-identical hashes, ~200x on 2 MP.
+    return raster_average_hash(raster, grid)
+
+
+def raster_average_hash(raster: "np.ndarray", grid: int = 4) -> int:
+    """Integer average-hash of an (h, w) uint8 raster — factored out
+    (r15) so the H.264 intra decoder's Y planes hash through the SAME
+    kernel as still images. grid² numpy slice sums = ONE vectorized
+    pass (int64 lanes hold 255 * 2^55 pixels); uniform brightness
+    shifts provably cancel out of the cross-multiplied compare."""
+    h, w = raster.shape
     total_sum = int(raster.sum(dtype=np.int64))
     total_px = w * h
     bits = 0

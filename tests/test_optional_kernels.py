@@ -14,6 +14,8 @@ documented error instead of silently degrading).
 
 from __future__ import annotations
 
+import shutil
+
 import pytest
 
 from data_ingestion_py_spark.sources import model_seam, multimodal, pdf
@@ -327,3 +329,44 @@ def test_g4_decoder_interop_with_libtiff(tmp_path):
         assert (gw, gh) == (w, h)
         assert (pix.reshape(h, w) == img).all(), trial
     assert g4_decode  # referenced: the kernel under test
+
+
+@pytest.mark.skipif(
+    shutil.which("ffmpeg") is None, reason="ffmpeg not installed"
+)
+def test_h264_intra_interop_ffmpeg(tmp_path):
+    """Cross-validate the CAVLC intra decoder against a REAL encoder
+    where one exists: ffmpeg encodes a gray ramp as a one-frame
+    baseline CAVLC stream; our decoder's unfiltered reconstruction
+    must match ffmpeg's own decode of the same stream everywhere the
+    deblocking filter is a no-op (flat interiors) — the documented
+    no-deblock divergence only touches block edges."""
+    import subprocess
+
+    import numpy as np
+
+    from data_ingestion_py_spark.sources.h264_decode import (
+        decode_idr_annexb,
+    )
+
+    w, h = 64, 48
+    raw = tmp_path / "in.yuv"
+    frame = np.full((h, w), 128, np.uint8)
+    frame[8:24, 8:40] = 200
+    chroma = np.full((h // 2, w // 2), 128, np.uint8)
+    raw.write_bytes(
+        frame.tobytes() + chroma.tobytes() + chroma.tobytes()
+    )
+    out = tmp_path / "out.264"
+    subprocess.run(
+        ["ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "yuv420p",
+         "-s", f"{w}x{h}", "-i", str(raw), "-frames:v", "1",
+         "-c:v", "libx264", "-profile:v", "baseline", "-coder", "0",
+         "-qp", "0", "-x264-params",
+         "deblock=0,0:no-deblock=1", str(out)],
+        check=True, capture_output=True,
+    )
+    got = decode_idr_annexb(out.read_bytes())
+    assert got is not None
+    # lossless qp0 + no deblock: exact reconstruction
+    assert (got["y"] == frame).all()
