@@ -816,6 +816,23 @@ class _PdfDoc:
                 if arr is None:
                     return None
                 return ("gray8", arr.tobytes())
+            if name == "/JPXDecode":
+                # terminal book-scan wavelet bilevel/gray (r15,
+                # VERDICT stretch #6): the lossless reversible
+                # JPEG 2000 profile decodes through the MQ coder +
+                # EBCOT + 5/3 DWT (sources/jpeg2000.py); irreversible
+                # 9/7, multi-tile, and quantized streams stay the
+                # honest seam.
+                if i != len(filts) - 1:
+                    return None
+                from data_ingestion_py_spark.sources.jpeg2000 import (
+                    decode_jp2k,
+                )
+
+                got = decode_jp2k(data)
+                if got is None or len(got["components"]) != 1:
+                    return None  # gray only in the raster path
+                return ("gray8", got["components"][0].tobytes())
             data = self._apply_filter(name, self.resolve(dp), data)
             if data is None:
                 return None
@@ -1857,7 +1874,7 @@ def extract_page_images(
     streams — the classic scanned-fax shape — are emitted after the
     page's XObjects in stream order with names ``BI0``, ``BI1``, …
     (r14). Honest skips: non-image XObjects, images behind filters the
-    chain can't finish (JBIG2/JPX), and non-gray raw color spaces are
+    chain can't finish, and non-gray raw color spaces are
     NOT emitted — never guessed at. None = not a parseable unencrypted
     PDF (same contract as ``parse_pdf_text``)."""
     if not content.startswith(b"%PDF-"):
