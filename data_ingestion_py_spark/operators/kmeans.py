@@ -193,6 +193,14 @@ def kmeans_integer_model(
     recomputing means from the final assignment instead would DROP any
     cluster that assignment left empty, silently shrinking the
     quantizer below k."""
+    # NOTE(r15): a spread_for_kernel rebalance here was measured and
+    # REVERTED — k-means wall time is dominated by its job count (k−1
+    # sequential seed sweeps + per-round eager checkpoints), so 32-way
+    # spreading a small pinned corpus multiplied every micro-job's
+    # task-scheduling overhead (7.1 s → 10.8 s at sf0.1) while the
+    # argmin compute it parallelized was trivial. At 100 TB the corpus
+    # arrives multi-file (already spread) and the interpreted argmin
+    # parallelizes with the scan.
     vq = pin(
         embeddings.select(
             F.col(id_col).alias("vec_id"),

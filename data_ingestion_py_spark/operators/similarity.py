@@ -365,6 +365,11 @@ def embedding_near_duplicates(
     # the plan references corpus 3× (banding + both verify sides);
     # without this the whole upstream pipeline runs three times. At
     # 100 TB use StorageLevel.DISK_ONLY or a materialized table.
+    # NOTE(r15): a spread_for_kernel rebalance here was A/B-measured
+    # and REVERTED (1.27–1.58 s without vs 1.53–2.73 s with at sf0.1):
+    # the extra exchange + lazily-cached shuffle output cost more than
+    # the banding projections it parallelized at candidate-bounded
+    # sizes; a 100 TB corpus arrives multi-file (already spread).
     corpus = corpus.persist()
     banded = corpus.select(
         id_col,
@@ -684,9 +689,14 @@ def random_projection(
 
     # Bind the double-cast vector as a real column first — inlining the
     # cast-transform into all d_out components re-runs it per component
-    # (no CSE across higher-order functions; see rp_topk).
-    embeddings = embeddings.select(
-        "vec_id", _to_double(F.col(vec_col)).alias("_vd")
+    # (no CSE across higher-order functions; see rp_topk). Spread an
+    # under-partitioned corpus for the same reason as rp_topk (r15).
+    from data_ingestion_py_spark.sources.spread import spread_for_kernel
+
+    embeddings = spread_for_kernel(
+        embeddings.select(
+            "vec_id", _to_double(F.col(vec_col)).alias("_vd")
+        )
     )
     v = F.col("_vd")
     scale = 1.0 / math.sqrt(d_out)
@@ -742,8 +752,16 @@ def rp_topk(
     d_in=64 — and only m rows are ever rejoined to full vectors for
     the rerank.
     """
-    base = embeddings.select(
-        "vec_id", "label", _to_double(F.col(vec_col)).alias("v")
+    # Spread an under-partitioned corpus before the projection fan-out
+    # (r15): the d_out×d_in zip_with/aggregate components are
+    # interpreted (higher-order functions don't codegen), and a
+    # one-file corpus would compute them all on one core.
+    from data_ingestion_py_spark.sources.spread import spread_for_kernel
+
+    base = spread_for_kernel(
+        embeddings.select(
+            "vec_id", "label", _to_double(F.col(vec_col)).alias("v")
+        )
     )
     import math
 

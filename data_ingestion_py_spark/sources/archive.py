@@ -20,6 +20,7 @@ at-scale counterpart of that directory-of-files model.
 
 from __future__ import annotations
 
+
 from collections.abc import Iterator
 
 import pandas as pd

@@ -29,6 +29,8 @@ same snippetize/quality operators.
 
 from __future__ import annotations
 
+from data_ingestion_py_spark.sources.spread import spread_for_kernel
+
 import re
 import zlib
 from typing import Iterator
@@ -163,4 +165,6 @@ def docx_paragraph_rows(media):
                 {"media_id": ids, "para_index": idxs, "text": texts}
             )
 
-    return media.select("media_id", "payload").mapInPandas(_go, schema)
+    return spread_for_kernel(
+        media.select("media_id", "payload")
+    ).mapInPandas(_go, schema)

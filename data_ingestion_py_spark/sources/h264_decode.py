@@ -33,6 +33,8 @@ path that lets a 100 TB pipeline fetch ONLY keyframe byte ranges
 
 from __future__ import annotations
 
+from data_ingestion_py_spark.sources.spread import spread_for_kernel
+
 try:  # numpy is a hard dep of the package; guard for doc tooling only
     import numpy as np
 except ImportError:  # pragma: no cover
@@ -1344,7 +1346,9 @@ def h264_idr_mb_rows(media):
                  "y_sum": sums, "width": ws, "height": hs}
             )
 
-    return media.select("media_id", "payload").mapInPandas(_go, schema)
+    return spread_for_kernel(
+        media.select("media_id", "payload")
+    ).mapInPandas(_go, schema)
 
 
 def h264_idr_phashes(media, grid: int = 4):
@@ -1383,4 +1387,6 @@ def h264_idr_phashes(media, grid: int = 4):
                  "phash": pd.array(hashes, dtype="Int64")}
             )
 
-    return media.select("media_id", "payload").mapInPandas(_go, schema)
+    return spread_for_kernel(
+        media.select("media_id", "payload")
+    ).mapInPandas(_go, schema)

@@ -18,6 +18,8 @@ pipeline runs before any decode.
 
 from __future__ import annotations
 
+from data_ingestion_py_spark.sources.spread import spread_for_kernel
+
 _SYNC = 0x47
 _PKT = 188
 
@@ -220,4 +222,6 @@ def ts_h264_plan(media, max_nals: int = 256):
                     cols["height"].append(idx["height"])
             yield pd.DataFrame(cols)
 
-    return media.select("media_id", "payload").mapInPandas(_go, schema)
+    return spread_for_kernel(
+        media.select("media_id", "payload")
+    ).mapInPandas(_go, schema)

@@ -31,6 +31,8 @@ shape — (doc_id, page_number, image_bytes) rows.
 
 from __future__ import annotations
 
+from data_ingestion_py_spark.sources.spread import spread_for_kernel
+
 import hashlib
 from collections.abc import Iterator
 
@@ -2021,7 +2023,7 @@ def perceptual_hashes(media: DataFrame, grid: int = 4) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_go, PHASH_SCHEMA)
+    return spread_for_kernel(media).mapInPandas(_go, PHASH_SCHEMA)
 
 
 # MPEG audio Layer III tables (ISO 11172-3 / 13818-3): bitrate kbps by
@@ -2723,7 +2725,9 @@ def mp4_mjpeg_frame_images(
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(_go, schema)
+    return spread_for_kernel(
+        media.select("media_id", "payload")
+    ).mapInPandas(_go, schema)
 
 
 def _mp4_boxes(
@@ -3569,7 +3573,7 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(_go, FEATURE_SCHEMA)
+    return spread_for_kernel(media).mapInPandas(_go, FEATURE_SCHEMA)
 
 
 def _pil_sample_frames(
@@ -4298,7 +4302,9 @@ def resample_audio(media: DataFrame, dst_rate: int) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return spread_for_kernel(
+        media.select("media_id", "payload")
+    ).mapInPandas(
         _go, RESAMPLED_AUDIO_SCHEMA
     )
 
@@ -4333,7 +4339,7 @@ def pcm_stats(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_go, PCM_SCHEMA)
+    return spread_for_kernel(media).mapInPandas(_go, PCM_SCHEMA)
 
 
 def png_chunks(payload: bytes | None) -> list[tuple[int, str, int]] | None:
@@ -4487,7 +4493,9 @@ def resize_images(
                 {"media_id": ids, "width": ws, "height": hs, "payload": outs}
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return spread_for_kernel(
+        media.select("media_id", "payload")
+    ).mapInPandas(
         _go, RESIZED_SCHEMA
     )
 
@@ -4547,6 +4555,8 @@ def pixel_checksums(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(
+    return spread_for_kernel(
+        media.select("media_id", "payload")
+    ).mapInPandas(
         _go, PIXEL_CHECKSUM_SCHEMA
     )

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from data_ingestion_py_spark.sources.spread import spread_for_kernel
+
 PAGE_ROW_SCHEMA = T.StructType(
     [
         T.StructField("file_path", T.StringType(), False),
@@ -205,7 +207,7 @@ def extract_pages(
                     out["document_metadata"].append(meta)
             yield pd.DataFrame(out)
 
-    return binary_df.mapInPandas(_extract, PAGE_ROW_SCHEMA)
+    return spread_for_kernel(binary_df).mapInPandas(_extract, PAGE_ROW_SCHEMA)
 
 
 IMAGE_ROW_SCHEMA = T.StructType(
@@ -262,7 +264,7 @@ def extract_image_xobjects(binary_df: DataFrame) -> DataFrame:
                     out["data"].append(data)
             yield pd.DataFrame(out)
 
-    return binary_df.mapInPandas(_extract, IMAGE_ROW_SCHEMA)
+    return spread_for_kernel(binary_df).mapInPandas(_extract, IMAGE_ROW_SCHEMA)
 
 
 SCANNED_TEXT_SCHEMA = T.StructType(
@@ -311,7 +313,7 @@ def extract_scanned_text(
                     out["page_text"].append(text)
             yield pd.DataFrame(out)
 
-    return binary_df.mapInPandas(_extract, SCANNED_TEXT_SCHEMA)
+    return spread_for_kernel(binary_df).mapInPandas(_extract, SCANNED_TEXT_SCHEMA)
 
 
 def pages_with_links(pages: DataFrame, link_col: str = "file_path") -> DataFrame:
@@ -365,4 +367,4 @@ def extract_annotation_text(binary_df: DataFrame) -> DataFrame:
                     out["contents"].append(text)
             yield pd.DataFrame(out)
 
-    return binary_df.mapInPandas(_extract, ANNOT_ROW_SCHEMA)
+    return spread_for_kernel(binary_df).mapInPandas(_extract, ANNOT_ROW_SCHEMA)

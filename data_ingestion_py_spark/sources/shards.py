@@ -46,6 +46,8 @@ zstd-bomb an executor.
 
 from __future__ import annotations
 
+from data_ingestion_py_spark.sources.spread import spread_for_kernel
+
 import struct
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
@@ -866,7 +868,7 @@ def jsonl_shard_manifest(
                     cols["n_text_chars"].append(n_text)
             yield pd.DataFrame(cols)
 
-    return media.mapInPandas(_go, schema=JSONL_RECORD_SCHEMA)
+    return spread_for_kernel(media).mapInPandas(_go, schema=JSONL_RECORD_SCHEMA)
 
 
 def compressed_tar_members(
@@ -923,7 +925,7 @@ def compressed_tar_manifest(
                     cols["byte_offset"].append(off)
             yield pd.DataFrame(cols)
 
-    return media.mapInPandas(_go, schema=CTAR_MEMBER_SCHEMA)
+    return spread_for_kernel(media).mapInPandas(_go, schema=CTAR_MEMBER_SCHEMA)
 
 
 def zstd_frame_manifest(
