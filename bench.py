@@ -165,11 +165,20 @@ def main() -> None:
     # Fault isolation (round-4 lesson: one AnalysisException zeroed the
     # entire round's perf signal): each query's build+run is wrapped;
     # failures land in `errors` and the run keeps going.
+    # r16 (VERDICT r15 #6): reap each query's leftovers (lazy
+    # localCheckpoint blocks, pinned temporaries) before the NEXT
+    # query's timing, the same hygiene the r13 fix applied between
+    # probes — the 49-query pass carried ~1.3× heap churn that drifted
+    # every standing timing. Runs BETWEEN queries, never inside the
+    # timed region; methodology (median of 3 noop-sink runs) unchanged.
+    import gc
+
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     plan_fp: dict[str, str] = {}
     for name, q in bench_queries.items():
+        gc.collect()
         try:
             try:
                 plan_fp[name] = _plan_fingerprint(q.spark(spark, sf_dir))
@@ -197,8 +206,6 @@ def main() -> None:
     # INSIDE the same bench process. gc + clearCache makes the probe
     # environment match the isolated measurement instead of inheriting
     # the query phase's heap.
-    import gc
-
     gc.collect()
     try:
         spark.catalog.clearCache()
@@ -250,6 +257,17 @@ def main() -> None:
     result["sf"] = sf
     result["queries"] = timings
     result["value"] = total
+    # r16 (VERDICT r15 #8): the compact stdout line sheds the fastest
+    # timings to fit the driver's 2000-char tail, leaving 29 of 49
+    # invisible to PERF — so the FULL per-query table also lands in a
+    # committed artifact every run (publication-additive; nothing in
+    # the timing loop or the stdout contract changes).
+    try:
+        with open(os.path.join(_REPO, "BENCH_FULL.json"), "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
     print(json.dumps(result))
     print(
         _compact_line(

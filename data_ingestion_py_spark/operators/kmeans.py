@@ -76,21 +76,60 @@ def _centroid_array(cents: DataFrame) -> DataFrame:
 
 def _assign(vq: DataFrame, cent_row: DataFrame) -> DataFrame:
     """(vec_id, v) × centroid array → (vec_id, v, cid) by exact
-    squared-L2 argmin, ties to the lower cid (array_min over
-    struct<d, cid> is lexicographic)."""
-    vv = dot(F.col("v"), F.col("v"))
-    best = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                (vv - 2 * dot(F.col("v"), c["cvec"]) + c["cc"]).alias("d"),
-                c["cid"].alias("cid"),
-            ),
-        )
-    )
-    return vq.crossJoin(F.broadcast(cent_row)).select(
-        "vec_id", "v", best["cid"].alias("cid")
-    )
+    squared-L2 argmin, ties to the lower cid.
+
+    r16 (guide §4.2): the argmin runs as ONE numpy Arrow stage instead
+    of a k×dim interpreted higher-order-function cascade per row (HOFs
+    don't codegen — the two assignment passes dominated
+    similarity_ivf_kmeans). The centroid table is k×dim — driver-small
+    by the same argument that makes it broadcastable (the seed sweep
+    already inlines it as literals) — so it is collected once per
+    round and closed over. BIT-identical to the old array_min
+    expression: every distance is a sum of integer products ≤ ~2.6e14
+    (exact in doubles in ANY summation order, so the matmul is safe),
+    and np.argmin's first-minimum over cid-ascending columns is the
+    same ties-to-lower-cid rule as the lexicographic struct min.
+    Degenerate rows (NULL / wrong-length vector) resolve to the lowest
+    cid, matching the nulls-first struct ordering of the old
+    expression. Pinned by tests/test_kmeans.py parity test."""
+    import numpy as np
+    import pandas as pd
+
+    cents = cent_row.collect()[0]["cents"]  # cid-ascending (array_sort)
+    mat = np.array([list(c["cvec"]) for c in cents], dtype=np.float64)
+    cc = np.array([float(c["cc"]) for c in cents], dtype=np.float64)
+    cids = np.array([int(c["cid"]) for c in cents], dtype=np.int32)
+    d_in = mat.shape[1]
+
+    def _go(batches):
+        for pdf in batches:
+            n = len(pdf)
+            vecs = list(pdf["v"])
+            ok = np.fromiter(
+                (v is not None and len(v) == d_in for v in vecs),
+                dtype=bool,
+                count=n,
+            )
+            cid = np.full(n, cids[0] if len(cids) else 0, dtype=np.int32)
+            if ok.any():
+                V = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v, o in zip(vecs, ok)
+                        if o
+                    ]
+                )
+                dist = (
+                    (V * V).sum(axis=1)[:, None]
+                    - 2.0 * (V @ mat.T)
+                    + cc[None, :]
+                )
+                cid[ok] = cids[np.argmin(dist, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "v": vecs, "cid": cid}
+            )
+
+    return vq.mapInPandas(_go, "vec_id bigint, v array<double>, cid int")
 
 
 def _farthest_first_seeds(vq: DataFrame, k: int) -> list[list[float]]:
@@ -137,20 +176,35 @@ def _farthest_first_seeds(vq: DataFrame, k: int) -> list[list[float]]:
             f" + {ss}"
         )
 
-    for _ in range(1, k):
-        terms = [_term(sv) for sv in seeds]
-        mind2 = (
-            F.expr(f"least({', '.join(terms)})")
-            if len(terms) > 1
-            else F.expr(terms[0])
-        )
+    # Incremental running-min (r16, guide §1.2 "the distributed
+    # algorithm first"): round i used to rebuild least() over ALL i
+    # seed terms — O(k²·dim) interpreted HOF work across the sweep,
+    # and the k−1 sequential TakeOrdered jobs each re-scanned the raw
+    # corpus. Carrying the min distance as a lazily-localCheckpointed
+    # column makes round i compute exactly ONE new dot product per row
+    # over the previous round's persisted (vec_id, v, _d). Exactness is
+    # unchanged: every distance term is the same expression over the
+    # same quantized integers (sums ≤ ~2.6e14 stay exact in doubles),
+    # and min is associative — least(least(a,b),c) ≡ least(a,b,c)
+    # bit-for-bit here, so the oracle's per-round `min(...)` replay
+    # still matches. At 100 TB the persisted per-round corpus copies
+    # argue for the documented k-means|| swap, exactly as before.
+    cur = vq.select(
+        "vec_id", "v", F.expr(_term(seeds[0])).alias("_d")
+    ).localCheckpoint(eager=False)
+    for i in range(1, k):
         nxt = (
-            vq.select("vec_id", "v", mind2.alias("_d"))
-            .orderBy(F.desc("_d"), F.asc("vec_id"))
+            cur.orderBy(F.desc("_d"), F.asc("vec_id"))
             .limit(1)
             .collect()[0]
         )
         seeds.append(list(nxt.v))
+        if i < k - 1:
+            cur = cur.select(
+                "vec_id",
+                "v",
+                F.least(F.col("_d"), F.expr(_term(seeds[-1]))).alias("_d"),
+            ).localCheckpoint(eager=False)
     return seeds
 
 

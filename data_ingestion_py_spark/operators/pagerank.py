@@ -131,6 +131,16 @@ def pagerank_integer(
             )
         else:
             share = F.lit(0)
+        # eager=False (r16, guide §2.6/§7.3): the LAZY local checkpoint
+        # still truncates the logical plan to a LogicalRDD immediately
+        # (so the 3^n double-reference blowup the docstring describes
+        # cannot happen — both next-round references share ONE
+        # persisted RDD), but skips the per-round count() job: all
+        # n_iter rounds then pipeline inside the single final action
+        # instead of n_iter scheduler barriers. Driver-measured r15:
+        # 5.56 s at 32 cores with the 8-core run FASTER (ratio 0.64) —
+        # the per-iteration job overhead, not the 25-node compute, was
+        # the wall.
         ranks = (
             updated.select(
                 "node",
@@ -138,7 +148,7 @@ def pagerank_integer(
                 .cast("long")
                 .alias("rank_micro"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks
 

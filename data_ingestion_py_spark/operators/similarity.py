@@ -653,6 +653,71 @@ def mmr_diversify(
 RP_SEED_PREFIX = "rp"
 
 
+def _jl_project_sums(
+    df: DataFrame, d_in: int, d_out: int, normalize: bool
+) -> DataFrame:
+    """(vec_id, v: array<double>) → (vec_id, s: array<double>): the raw
+    Johnson-Lindenstrauss fold sums ``s_j = Σ_i x_i·sign(j,i)`` (x = v
+    L2-normalized first when ``normalize``), computed batch-wise in
+    numpy inside ONE Arrow stage instead of d_out interpreted
+    zip_with/aggregate folds per row (guide §4.2 — higher-order
+    functions don't codegen, so the d_out×d_in fan-out was an
+    interpreted per-row loop; r16).
+
+    BIT-IDENTICAL to the Catalyst expressions it replaces: the
+    accumulation is an explicit index-sequential vector fold
+    (``acc = acc + x_i·sign_i``, the same IEEE-754 add order as
+    ``aggregate()``'s left fold with 0.0 init), the normalization
+    divides each element by ``sqrt(left-fold Σx_i²)`` exactly as
+    ``l2_norm``, and the scale/round/cast stay in the JVM caller, so
+    the DuckDB oracle replay is value-unchanged (pinned by the parity
+    test in tests/test_similarity.py). Rows whose vector is NULL or not
+    exactly ``d_in`` long yield all-NULL sums — zip_with's null-padding
+    would null every component for such rows too."""
+    import numpy as np
+    import pandas as pd
+
+    signs = np.array(
+        [[float(rp_sign(j, i)) for i in range(d_in)] for j in range(d_out)],
+        dtype=np.float64,
+    )
+
+    def _go(batches):
+        for pdf in batches:
+            n = len(pdf)
+            vecs = list(pdf["v"])
+            ok = np.fromiter(
+                (v is not None and len(v) == d_in for v in vecs),
+                dtype=bool,
+                count=n,
+            )
+            out: list = [None] * n
+            if ok.any():
+                X = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v, o in zip(vecs, ok)
+                        if o
+                    ]
+                )
+                if normalize:
+                    acc = np.zeros(len(X), dtype=np.float64)
+                    for i in range(d_in):
+                        acc = acc + X[:, i] * X[:, i]
+                    X = X / np.sqrt(acc)[:, None]
+                s = np.zeros((len(X), d_out), dtype=np.float64)
+                for i in range(d_in):
+                    s = s + X[:, i, None] * signs[None, :, i]
+                rows = iter(s)
+                for idx in np.flatnonzero(ok):
+                    out[idx] = next(rows)
+            for idx in np.flatnonzero(~ok):
+                out[idx] = [None] * d_out
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "s": out})
+
+    return df.mapInPandas(_go, "vec_id bigint, s array<double>")
+
+
 def rp_sign(j: int, i: int) -> int:
     """±1 Rademacher entry (j,i) of the random projection matrix,
     derived from md5 so any engine recomputes the identical matrix
@@ -687,41 +752,30 @@ def random_projection(
     """
     import math
 
-    # Bind the double-cast vector as a real column first — inlining the
-    # cast-transform into all d_out components re-runs it per component
-    # (no CSE across higher-order functions; see rp_topk). Spread an
-    # under-partitioned corpus for the same reason as rp_topk (r15).
+    # Spread an under-partitioned corpus before the kernel stage (r15),
+    # then run the d_out×d_in fan-out as ONE numpy Arrow stage instead
+    # of d_out interpreted zip_with/aggregate folds per row (r16, guide
+    # §4.2); scale/round/cast stay in the JVM so the values — and the
+    # md5-rederived oracle replay — are bit-unchanged.
     from data_ingestion_py_spark.sources.spread import spread_for_kernel
 
-    embeddings = spread_for_kernel(
-        embeddings.select(
-            "vec_id", _to_double(F.col(vec_col)).alias("_vd")
-        )
-    )
-    v = F.col("_vd")
-    scale = 1.0 / math.sqrt(d_out)
-    comps = [
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(
-                        *[F.lit(float(rp_sign(j, i))) for i in range(d_in)]
-                    ),
-                    lambda x, s: x * s,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    sums = _jl_project_sums(
+        spread_for_kernel(
+            embeddings.select(
+                "vec_id", _to_double(F.col(vec_col)).alias("v")
             )
-            * F.lit(scale)
-            * 1000000.0
-        )
-        .cast("long")
-        .alias(f"c{j}")
-        for j in range(d_out)
-    ]
-    return embeddings.select(
-        "vec_id", F.posexplode(F.array(*comps)).alias("dim", "comp_micro")
+        ),
+        d_in,
+        d_out,
+        normalize=False,
+    )
+    scale = 1.0 / math.sqrt(d_out)
+    comp = F.transform(
+        F.col("s"),
+        lambda x: F.round(x * F.lit(scale) * 1000000.0).cast("long"),
+    )
+    return sums.select(
+        "vec_id", F.posexplode(comp).alias("dim", "comp_micro")
     ).select("vec_id", F.col("dim").cast("int").alias("dim"), "comp_micro")
 
 
@@ -766,52 +820,29 @@ def rp_topk(
     import math
 
     scale = 1.0 / math.sqrt(d_out)
-    # Materialize the norm and the normalized vector as REAL columns
-    # before fanning out into d_out projection components: inlining the
-    # `transform(v, x/l2_norm(v))` expression into every component made
-    # each row recompute the norm-aggregate d_out×d_in times (no CSE
-    # across higher-order functions — the same blowup the single-pass
-    # minhash fix removed), which dominated the whole bench at sf0.1.
-    normed = base.select(
-        "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
-    ).select(
-        "vec_id",
-        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
-    )
 
-    def proj(col):
-        # NOTE(perf): unrolling these into ±getItem add-chains (signs
-        # are exactly ±1) was tried and is 5× SLOWER — the d_out·d_in
-        # flat expression blows janino's 64 KB method limit, codegen
-        # falls back to interpreted eval, and interpreted per-term
-        # expression trees lose to the zip_with/aggregate loop below.
-        return F.array(
-            *[
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            col,
-                            F.array(
-                                *[
-                                    F.lit(float(rp_sign(j, i)))
-                                    for i in range(d_in)
-                                ]
-                            ),
-                            lambda x, s: x * s,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    * F.lit(scale)
-                    * 1000000.0
-                )
-                .cast("long")
-                for j in range(d_out)
-            ]
+    # Normalization + the d_out×d_in projection fan-out run as ONE
+    # numpy Arrow stage (r16, guide §4.2) — the zip_with/aggregate
+    # version was interpreted per row (HOFs don't codegen) and
+    # dominated this query. _jl_project_sums replays the exact
+    # left-fold adds and the l2_norm fold, and the scale/round/cast
+    # below stay in the JVM, so every comp_micro is bit-unchanged.
+    def proj(df):
+        comp = F.transform(
+            F.col("s"),
+            lambda x: F.round(x * F.lit(scale) * 1000000.0).cast("long"),
+        )
+        return _jl_project_sums(df, d_in, d_out, normalize=True).select(
+            "vec_id", comp.alias("p")
         )
 
-    projected = normed.select("vec_id", proj(F.col("vn")).alias("p"))
-    qp = projected.where(F.col("vec_id") == query_vec_id).select(
+    proj_in = base.select("vec_id", "v")
+    projected = proj(proj_in)
+    # the query row's projection comes from a FILTERED branch — a
+    # predicate on vec_id cannot push below the opaque Python stage,
+    # and re-running the kernel over the whole corpus for one row would
+    # double the stage (guide §4.1/§6: keep pushdown reaching the scan)
+    qp = proj(proj_in.where(F.col("vec_id") == query_vec_id)).select(
         F.col("p").alias("qp")
     )
     d2 = F.aggregate(

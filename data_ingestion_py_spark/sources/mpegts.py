@@ -18,7 +18,6 @@ pipeline runs before any decode.
 
 from __future__ import annotations
 
-from data_ingestion_py_spark.sources.spread import spread_for_kernel
 
 _SYNC = 0x47
 _PKT = 188
@@ -222,6 +221,9 @@ def ts_h264_plan(media, max_nals: int = 256):
                     cols["height"].append(idx["height"])
             yield pd.DataFrame(cols)
 
-    return spread_for_kernel(
-        media.select("media_id", "payload")
-    ).mapInPandas(_go, schema)
+    # NOTE(r16): a spread_for_kernel rebalance here was interleaved-A/B
+    # measured and REVERTED — multimodal_mpegts_h264_index 0.66 s
+    # without vs 0.70/0.93 s with at sf0.1: the TS demux is a light
+    # header walk, so the round-robin exchange of fat payloads costs
+    # more than the parallelism it buys (guide §8).
+    return media.select("media_id", "payload").mapInPandas(_go, schema)

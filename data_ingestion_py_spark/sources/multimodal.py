@@ -4555,8 +4555,13 @@ def pixel_checksums(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return spread_for_kernel(
-        media.select("media_id", "payload")
-    ).mapInPandas(
+    # NOTE(r16): a spread_for_kernel rebalance here was driver-measured
+    # as a REGRESSION on the avi path (multimodal_avi_frames 0.88 →
+    # 1.29 s, BENCH_r15) — the exchange moves fat frame payloads to
+    # checksum 4×4 rasters (guide §8). Chained callers that DO need a
+    # spread get it from the upstream decode wrapper (resize_images
+    # spreads before its own kernel and its output stays spread).
+    # Reverted per VERDICT r15 #1.
+    return media.select("media_id", "payload").mapInPandas(
         _go, PIXEL_CHECKSUM_SCHEMA
     )

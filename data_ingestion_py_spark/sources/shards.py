@@ -46,7 +46,6 @@ zstd-bomb an executor.
 
 from __future__ import annotations
 
-from data_ingestion_py_spark.sources.spread import spread_for_kernel
 
 import struct
 from collections.abc import Iterator
@@ -868,7 +867,12 @@ def jsonl_shard_manifest(
                     cols["n_text_chars"].append(n_text)
             yield pd.DataFrame(cols)
 
-    return spread_for_kernel(media).mapInPandas(_go, schema=JSONL_RECORD_SCHEMA)
+    # NOTE(r16): a spread_for_kernel rebalance here was driver-measured
+    # as a REGRESSION (corpus_jsonl_zst_lines 0.46 → 1.13 s, BENCH_r15)
+    # — the round-robin exchange moves the fat shard payloads for a
+    # light frame-walk kernel, guide §8's "don't move heavy bytes for
+    # light decisions". Reverted per VERDICT r15 #1.
+    return media.mapInPandas(_go, schema=JSONL_RECORD_SCHEMA)
 
 
 def compressed_tar_members(
@@ -925,7 +929,12 @@ def compressed_tar_manifest(
                     cols["byte_offset"].append(off)
             yield pd.DataFrame(cols)
 
-    return spread_for_kernel(media).mapInPandas(_go, schema=CTAR_MEMBER_SCHEMA)
+    # NOTE(r16): a spread_for_kernel rebalance here was interleaved-A/B
+    # measured and REVERTED — corpus_tar_zst_members 0.50 s without vs
+    # 0.69 s with at sf0.1: decompress+walk is light next to the
+    # payload exchange (guide §8), the same result as the sibling
+    # jsonl_shard_manifest revert above.
+    return media.mapInPandas(_go, schema=CTAR_MEMBER_SCHEMA)
 
 
 def zstd_frame_manifest(

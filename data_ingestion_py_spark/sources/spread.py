@@ -31,9 +31,30 @@ def spread_for_kernel(df: DataFrame) -> DataFrame:
     all, carries only the columns the kernel needs (guide §2.3).
     Streaming DataFrames pass through untouched (no ``.rdd`` on a
     streaming plan; foreachBatch hands the walkers plain batch
-    DataFrames, which do get spread)."""
+    DataFrames, which do get spread).
+
+    The width probe must not run jobs at plan-BUILD time: under AQE,
+    ``df.rdd`` on a plan that already contains an Exchange eagerly
+    materializes every upstream shuffle stage as a real job (advisor,
+    r15 — chained wrapped kernels paid the inner spread's payload
+    shuffle once for the probe and again at action time, and even
+    ``.explain()`` triggered jobs). So when the physical plan already
+    carries an Exchange the helper skips entirely — a shuffle already
+    (re)distributes this input across the cluster, so a second
+    round-robin would be a gratuitous extra pass over the payload
+    anyway. Exchange-free plans (scan → project → optional Python
+    stage) build their RDD lazily, so the probe is job-free there."""
     if df.isStreaming:
         return df
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # BroadcastExchange does NOT redistribute the stream side (and
+        # its probe cost is only the small build), so only a real
+        # shuffle exchange skips the spread.
+        if "Exchange" in plan.replace("BroadcastExchange", ""):
+            return df
+    except Exception:  # noqa: BLE001 — probe guard is advisory
+        pass
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -33,10 +33,14 @@ def main() -> None:
     spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
     spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
 
-    out_dir = Path(_REPO) / "plans" / "r15"
+    out_dir = Path(_REPO) / "plans" / os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR", "r16"
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     for name, q in QUERIES.items():
-        if not q.bench or (only and name not in only):
+        # an explicit name list wins over the bench flag, so a plan for
+        # a named NON-bench query can be captured too (advisor, r15)
+        if (name not in only) if only else (not q.bench):
             continue
         try:
             plan = formatted_plan(q.spark(spark, sf_dir))

@@ -33,6 +33,8 @@ def main() -> None:
         nm for nm, q in QUERIES.items()
         if (q.bench if not only else nm in only)
     ]
+    if not names:
+        sys.exit(f"no matching queries: {sorted(only)}")
     # warmup
     try:
         QUERIES[names[0]].spark(spark, sf_dir).count()

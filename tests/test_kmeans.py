@@ -172,3 +172,91 @@ def test_non_finite_seed_components_build_valid_plans(spark):
     seeds = _farthest_first_seeds(vq, k=3)
     assert len(seeds) == 3
     assert seeds[0][0] != seeds[0][0]  # NaN survived into seed 0
+
+
+def test_assign_numpy_matches_catalyst_argmin(spark):
+    """r16: `_assign`'s argmin moved from a k×dim interpreted HOF
+    cascade to a numpy Arrow stage. Pin BIT-exact parity against the
+    original array_min-over-struct expression (the one the DuckDB
+    oracle's correlated argmin replays), including exact-tie rows
+    (lower cid wins) and degenerate vectors (lowest cid, the
+    nulls-first struct ordering)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_py_spark.io import load_table
+    from data_ingestion_py_spark.operators.kmeans import (
+        SCALE,
+        _assign,
+        _centroid_array,
+    )
+    from data_ingestion_py_spark.operators.similarity import dot
+    from tests.conftest import SF_SMOKE
+
+    vq = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * SCALE)
+            .cast("long")
+            .cast("double"),
+        ).alias("v"),
+    )
+    # centroids: four corpus rows (so some distances tie exactly at 0
+    # for the rows themselves) — cid order deliberately non-trivial
+    cents = spark.createDataFrame(
+        [
+            (i, list(r.v))
+            for i, r in enumerate(vq.orderBy("vec_id").limit(4).collect())
+        ],
+        "cid int, cvec array<double>",
+    )
+    cent_row = _centroid_array(cents)
+
+    def catalyst_assign(vq, cent_row):
+        vv = dot(F.col("v"), F.col("v"))
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    (vv - 2 * dot(F.col("v"), c["cvec"]) + c["cc"]).alias(
+                        "d"
+                    ),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        return vq.crossJoin(F.broadcast(cent_row)).select(
+            "vec_id", "v", best["cid"].alias("cid")
+        )
+
+    want = {
+        r.vec_id: r.cid for r in catalyst_assign(vq, cent_row).collect()
+    }
+    got = {r.vec_id: r.cid for r in _assign(vq, cent_row).collect()}
+    assert got == want
+
+    # an exact duplicate centroid forces a tie on EVERY row: both
+    # implementations must break it to the lower cid
+    first = cents.orderBy("cid").limit(1).collect()[0]
+    dup = cents.unionByName(
+        spark.createDataFrame(
+            [(9, list(first.cvec))], "cid int, cvec array<double>"
+        )
+    )
+    dup_row = _centroid_array(dup)
+    want_d = {
+        r.vec_id: r.cid for r in catalyst_assign(vq, dup_row).collect()
+    }
+    got_d = {r.vec_id: r.cid for r in _assign(vq, dup_row).collect()}
+    assert got_d == want_d
+
+    # degenerate vectors resolve to the lowest cid in both
+    weird = spark.createDataFrame(
+        [(100, None), (101, [1.0, 2.0])],
+        "vec_id bigint, v array<double>",
+    )
+    got_w = {r.vec_id: r.cid for r in _assign(weird, cent_row).collect()}
+    want_w = {
+        r.vec_id: r.cid for r in catalyst_assign(weird, cent_row).collect()
+    }
+    assert got_w == want_w

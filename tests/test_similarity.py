@@ -238,3 +238,98 @@ def test_semantic_dedup_no_cross_cluster_pairs(spark):
         ).collect()
     }
     assert got == {(1, 3)}
+
+
+def test_jl_project_sums_bit_exact_vs_catalyst(spark):
+    """r16: the numpy Arrow stage `_jl_project_sums` replaced the
+    interpreted zip_with/aggregate JL fan-out. Pin BIT-exact parity of
+    every rounded component against the original Catalyst expressions
+    (the ones the DuckDB oracle replays), for both the raw
+    (random_projection) and the L2-normalized (rp_topk) variants, plus
+    zip_with's null-padding semantics for degenerate rows."""
+    import math
+
+    from data_ingestion_py_spark.operators.similarity import (
+        _jl_project_sums,
+        _to_double,
+        l2_norm,
+        rp_sign,
+    )
+
+    d_in, d_out = 64, 16
+    scale = 1.0 / math.sqrt(d_out)
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("v")
+    )
+
+    def catalyst_comps(col):
+        return F.array(
+            *[
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            col,
+                            F.array(
+                                *[
+                                    F.lit(float(rp_sign(j, i)))
+                                    for i in range(d_in)
+                                ]
+                            ),
+                            lambda x, s: x * s,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(scale)
+                    * 1000000.0
+                ).cast("long")
+                for j in range(d_out)
+            ]
+        )
+
+    def numpy_comps(df, normalize):
+        comp = F.transform(
+            F.col("s"),
+            lambda x: F.round(x * F.lit(scale) * 1000000.0).cast("long"),
+        )
+        return _jl_project_sums(df, d_in, d_out, normalize).select(
+            "vec_id", comp.alias("p")
+        )
+
+    # raw variant
+    want = {
+        r.vec_id: list(r.p)
+        for r in emb.select(
+            "vec_id", catalyst_comps(F.col("v")).alias("p")
+        ).collect()
+    }
+    got = {r.vec_id: list(r.p) for r in numpy_comps(emb, False).collect()}
+    assert got == want
+
+    # normalized variant (rp_topk's): norm bound as a real column first,
+    # exactly as the pre-r16 implementation did
+    normed = emb.select(
+        "vec_id", "v", l2_norm(F.col("v")).alias("nrm")
+    ).select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("nrm")).alias("vn"),
+    )
+    want_n = {
+        r.vec_id: list(r.p)
+        for r in normed.select(
+            "vec_id", catalyst_comps(F.col("vn")).alias("p")
+        ).collect()
+    }
+    got_n = {r.vec_id: list(r.p) for r in numpy_comps(emb, True).collect()}
+    assert got_n == want_n
+
+    # degenerate rows: NULL vector / wrong length → all-NULL components
+    # (zip_with's null padding nulls every fold)
+    weird = spark.createDataFrame(
+        [(1, None), (2, [1.0] * (d_in - 3)), (3, [0.5] * d_in)],
+        "vec_id bigint, v array<double>",
+    )
+    rows = {r.vec_id: r.p for r in numpy_comps(weird, False).collect()}
+    assert list(rows[1]) == [None] * d_out
+    assert list(rows[2]) == [None] * d_out
+    assert all(x is not None for x in rows[3])
