@@ -212,6 +212,40 @@ def generic_region_arith(
     rows: list = bitmap.tolist()
     ltp = 0
     pseudo = _TPGDON_CTX[template]
+    # r16 fast path (guide §1.2 per-task work): template 0 with the
+    # NOMINAL ATs — the overwhelming majority encoding of real scanner
+    # output — has a fully CONTIGUOUS context window in exactly the
+    # sorted (row, column) label order the generic walk produces:
+    # row −2: dx −2..2 (5 bits), row −1: dx −3..3 (7 bits), row 0:
+    # dx −4..−1 (4 bits). The 16-bit label therefore updates with
+    # three shifts per pixel instead of a 16-entry template walk —
+    # bit-identical labels by construction, pinned against the generic
+    # walk on arbitrary MQ streams in tests/test_ccitt.py. Every other
+    # template/AT combination takes the generic walk below.
+    if template == 0 and ats == _AT_DEFAULTS[0]:
+        pad = [0, 0, 0, 0]
+        zero_row = [0] * (w + 4)
+        for y in range(h):
+            if tpgdon:
+                ltp ^= dec.decode(cx, pseudo)
+                if ltp:
+                    if y > 0:
+                        rows[y] = list(rows[y - 1])
+                    continue
+            row = rows[y]
+            rm1 = (rows[y - 1] + pad) if y >= 1 else zero_row
+            rm2 = (rows[y - 2] + pad) if y >= 2 else zero_row
+            r2 = (rm2[0] << 2) | (rm2[1] << 1) | rm2[2]
+            r1 = (rm1[0] << 3) | (rm1[1] << 2) | (rm1[2] << 1) | rm1[3]
+            r0 = 0
+            decode = dec.decode
+            for x in range(w):
+                v = decode(cx, (r2 << 11) | (r1 << 4) | r0)
+                row[x] = v
+                r2 = ((r2 << 1) & 31) | rm2[x + 3]
+                r1 = ((r1 << 1) & 127) | rm1[x + 4]
+                r0 = ((r0 << 1) & 15) | v
+        return np.array(rows, dtype=np.uint8)
     for y in range(h):
         if tpgdon:
             ltp ^= dec.decode(cx, pseudo)

@@ -98,25 +98,41 @@ class _BlockCoder:
         self.mag = [[0] * w for _ in range(h)]   # magnitude bits
         self.visited = [[0] * w for _ in range(h)]
         self.refined = [[0] * w for _ in range(h)]
+        # incremental neighbor-significance counters (r16, guide §1.2
+        # per-task work): nh/nv/nd[y][x] always equal the number of
+        # significant horizontal / vertical / diagonal neighbors of
+        # (y,x) — updated in _become_sig the moment a coefficient turns
+        # significant, so reads are O(1) instead of an 8-cell rescan.
+        # _neigh was ~40% of the whole JPX decode under cProfile.
+        self.nh = [[0] * w for _ in range(h)]
+        self.nv = [[0] * w for _ in range(h)]
+        self.nd = [[0] * w for _ in range(h)]
 
     def _neigh(self, y: int, x: int) -> tuple[int, int, int]:
-        sig = self.sig
+        return self.nh[y][x], self.nv[y][x], self.nd[y][x]
+
+    def mark_significant(self, y: int, x: int) -> None:
+        """Set ``sig[y][x]`` and update the neighbor counters — the
+        ONLY way significance may be written (a direct ``sig[y][x] =
+        1`` would silently stale the counters; the test encoder goes
+        through here too)."""
+        self.sig[y][x] = 1
         w, h = self.w, self.h
-        hh = vv = dd = 0
-        for dx in (-1, 1):
-            xx = x + dx
-            if 0 <= xx < w and sig[y][xx]:
-                hh += 1
-        for dy in (-1, 1):
-            yy = y + dy
-            if 0 <= yy < h and sig[yy][x]:
-                vv += 1
-        for dy in (-1, 1):
-            for dx in (-1, 1):
-                yy, xx = y + dy, x + dx
-                if 0 <= yy < h and 0 <= xx < w and sig[yy][xx]:
-                    dd += 1
-        return hh, vv, dd
+        nh, nv, nd = self.nh, self.nv, self.nd
+        if x > 0:
+            nh[y][x - 1] += 1
+        if x + 1 < w:
+            nh[y][x + 1] += 1
+        if y > 0:
+            nv[y - 1][x] += 1
+        if y + 1 < h:
+            nv[y + 1][x] += 1
+        for yy in (y - 1, y + 1):
+            if 0 <= yy < h:
+                if x > 0:
+                    nd[yy][x - 1] += 1
+                if x + 1 < w:
+                    nd[yy][x + 1] += 1
 
     def _sign_ctx(self, y: int, x: int) -> tuple[int, int]:
         sig, sign = self.sig, self.sign
@@ -134,52 +150,93 @@ class _BlockCoder:
     def _become_sig(self, dec, cx, y, x):
         ctx, xor = self._sign_ctx(y, x)
         s = dec.decode(cx, ctx) ^ xor
-        self.sig[y][x] = 1
+        self.mark_significant(y, x)
         self.sign[y][x] = s
         self.mag[y][x] = 1
 
+    # The three coding passes below hoist row references and unroll the
+    # 4-row strip checks (r16, guide §1.2 per-task work): the per-cell
+    # any()/min() generator churn was the top profile line after the
+    # neighbor counters landed. Decode decisions and their order are
+    # untouched — byte-identical output, pinned by the T.88/conformance
+    # suites and a HEAD-vs-new digit comparison.
+
     def sig_prop_pass(self, dec, cx):
-        for y0 in range(0, self.h, 4):
-            for x in range(self.w):
-                for y in range(y0, min(y0 + 4, self.h)):
-                    if self.sig[y][x]:
+        h, w, band = self.h, self.w, self.band
+        sig, visited = self.sig, self.visited
+        nh, nv, nd = self.nh, self.nv, self.nd
+        for y0 in range(0, h, 4):
+            yend = y0 + 4 if y0 + 4 <= h else h
+            for x in range(w):
+                for y in range(y0, yend):
+                    if sig[y][x]:
                         continue
-                    hh, vv, dd = self._neigh(y, x)
+                    hh, vv, dd = nh[y][x], nv[y][x], nd[y][x]
                     if hh + vv + dd == 0:
                         continue
-                    self.visited[y][x] = 1
-                    if dec.decode(cx, _zc_context(hh, vv, dd, self.band)):
+                    visited[y][x] = 1
+                    if dec.decode(cx, _zc_context(hh, vv, dd, band)):
                         self._become_sig(dec, cx, y, x)
 
     def mag_ref_pass(self, dec, cx):
-        for y0 in range(0, self.h, 4):
-            for x in range(self.w):
-                for y in range(y0, min(y0 + 4, self.h)):
-                    if not self.sig[y][x] or self.visited[y][x]:
+        h, w = self.h, self.w
+        sig, visited, refined, mag = (
+            self.sig,
+            self.visited,
+            self.refined,
+            self.mag,
+        )
+        nh, nv, nd = self.nh, self.nv, self.nd
+        for y0 in range(0, h, 4):
+            yend = y0 + 4 if y0 + 4 <= h else h
+            for x in range(w):
+                for y in range(y0, yend):
+                    if not sig[y][x] or visited[y][x]:
                         continue
-                    if self.refined[y][x]:
+                    if refined[y][x]:
                         ctx = 16
                     else:
-                        hh, vv, dd = self._neigh(y, x)
-                        ctx = 15 if hh + vv + dd else 14
-                        self.refined[y][x] = 1
+                        ctx = (
+                            15
+                            if nh[y][x] + nv[y][x] + nd[y][x]
+                            else 14
+                        )
+                        refined[y][x] = 1
                     bit = dec.decode(cx, ctx)
-                    self.mag[y][x] = (self.mag[y][x] << 1) | bit
-                    self.visited[y][x] = 1
+                    mag[y][x] = (mag[y][x] << 1) | bit
+                    visited[y][x] = 1
 
     def cleanup_pass(self, dec, cx):
-        for y0 in range(0, self.h, 4):
-            for x in range(self.w):
+        h, w, band = self.h, self.w, self.band
+        sig, visited = self.sig, self.visited
+        nh, nv, nd = self.nh, self.nv, self.nd
+        for y0 in range(0, h, 4):
+            full = y0 + 4 <= h
+            yend = y0 + 4 if full else h
+            if full:
+                s0, s1, s2, s3 = sig[y0], sig[y0 + 1], sig[y0 + 2], sig[y0 + 3]
+                v0, v1, v2, v3 = (
+                    visited[y0],
+                    visited[y0 + 1],
+                    visited[y0 + 2],
+                    visited[y0 + 3],
+                )
+                a0, a1, a2, a3 = nh[y0], nh[y0 + 1], nh[y0 + 2], nh[y0 + 3]
+                b0, b1, b2, b3 = nv[y0], nv[y0 + 1], nv[y0 + 2], nv[y0 + 3]
+                c0, c1, c2, c3 = nd[y0], nd[y0 + 1], nd[y0 + 2], nd[y0 + 3]
+            for x in range(w):
                 y = y0
                 if (
-                    y0 + 4 <= self.h
-                    and not any(
-                        self.visited[y0 + k][x] or self.sig[y0 + k][x]
-                        for k in range(4)
+                    full
+                    and not (
+                        v0[x] or s0[x] or v1[x] or s1[x]
+                        or v2[x] or s2[x] or v3[x] or s3[x]
                     )
-                    and not any(
-                        self._neigh(y0 + k, x) != (0, 0, 0)
-                        for k in range(4)
+                    and not (
+                        a0[x] or b0[x] or c0[x]
+                        or a1[x] or b1[x] or c1[x]
+                        or a2[x] or b2[x] or c2[x]
+                        or a3[x] or b3[x] or c3[x]
                     )
                 ):
                     # run-length mode: one RLC bit covers the column
@@ -189,17 +246,17 @@ class _BlockCoder:
                     y = y0 + r
                     self._become_sig(dec, cx, y, x)
                     y += 1
-                while y < min(y0 + 4, self.h):
-                    if not self.visited[y][x] and not self.sig[y][x]:
-                        hh, vv, dd = self._neigh(y, x)
+                while y < yend:
+                    if not visited[y][x] and not sig[y][x]:
+                        hh, vv, dd = nh[y][x], nv[y][x], nd[y][x]
                         if dec.decode(
-                            cx, _zc_context(hh, vv, dd, self.band)
+                            cx, _zc_context(hh, vv, dd, band)
                         ):
                             self._become_sig(dec, cx, y, x)
                     y += 1
-        for y in range(self.h):
-            row = self.visited[y]
-            for x in range(self.w):
+        for y in range(h):
+            row = visited[y]
+            for x in range(w):
                 row[x] = 0
 
 

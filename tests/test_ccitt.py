@@ -919,3 +919,28 @@ def test_g3_2d_tiff_compression3_and_pdf_k1():
     imgs = extract_page_images(pdf)
     assert imgs and imgs[0][6] == "raw"
     assert ocr_pdf_pages(pdf) == ["8051"]
+
+
+def test_jbig2_template0_fast_path_matches_generic(monkeypatch):
+    """r16: the template-0 nominal-AT context now updates by
+    incremental shifts instead of a 16-entry template walk. Pin the
+    fast path bit-for-bit against the generic walk on ARBITRARY MQ
+    streams (random bytes are a valid MQ decoder input) across
+    geometries, with and without TPGDON."""
+    from data_ingestion_py_spark.sources import jbig2
+
+    rng = random.Random(42)
+    nominal = jbig2._AT_DEFAULTS[0]
+    for _ in range(8):
+        w = rng.randint(1, 40)
+        h = rng.randint(1, 30)
+        data = bytes(rng.randrange(256) for _ in range(rng.randint(4, 300)))
+        tp = rng.random() < 0.5
+        fast = jbig2.generic_region_arith(data, w, h, 0, None, tp)
+        with monkeypatch.context() as m:
+            # disable the fast-path equality so the SAME nominal ATs
+            # route through the generic template walk
+            m.setitem(jbig2._AT_DEFAULTS, 0, ((99, -9),) * 4)
+            slow = jbig2.generic_region_arith(data, w, h, 0, nominal, tp)
+        assert fast is not None and slow is not None
+        assert np.array_equal(fast, slow), (w, h, tp)

@@ -114,7 +114,9 @@ def encode_codeblock(coeffs, band: str) -> tuple[bytes, int]:
     def become_sig(y, x):
         ctx, xor = bc._sign_ctx(y, x)
         enc.encode(cx, ctx, neg[y][x] ^ xor)
-        bc.sig[y][x] = 1
+        # through the class mutator so the r16 incremental neighbor
+        # counters stay in sync (a bare sig[y][x]=1 stales them)
+        bc.mark_significant(y, x)
         bc.sign[y][x] = neg[y][x]
 
     for p in range(planes - 1, -1, -1):

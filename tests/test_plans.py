@@ -91,6 +91,10 @@ def test_dedup_exact_single_shuffle(spark):
     assert not E.uses_python_eval(df)
 
 
+@pytest.mark.slow  # registry-wide plan sweep (~1-3 min; r16: the
+# five whole-registry lints were 37% of suite wall time and pushed
+# the driver's pytest past its window — run explicitly with
+# `pytest -m slow` or `-m ''`; the builder's close sweep does)
 def test_no_python_udfs_anywhere_in_registry(spark):
     """Every registered query stays JVM-side, except the multimodal
     entries whose decode stage is BY DESIGN an Arrow-batched
@@ -313,6 +317,10 @@ _TINY_BROADCAST_OK = {
 }
 
 
+@pytest.mark.slow  # registry-wide plan sweep (~1-3 min; r16: the
+# five whole-registry lints were 37% of suite wall time and pushed
+# the driver's pytest past its window — run explicitly with
+# `pytest -m slow` or `-m ''`; the builder's close sweep does)
 def test_no_accidental_cartesian_anywhere(spark):
     """No registry query may contain a CartesianProduct, and
     BroadcastNestedLoopJoin only where a deliberate 1-row/tiny
@@ -330,6 +338,10 @@ def test_no_accidental_cartesian_anywhere(spark):
     assert not failures, "\n".join(failures)
 
 
+@pytest.mark.slow  # registry-wide plan sweep (~1-3 min; r16: the
+# five whole-registry lints were 37% of suite wall time and pushed
+# the driver's pytest past its window — run explicitly with
+# `pytest -m slow` or `-m ''`; the builder's close sweep does)
 def test_tiny_broadcast_allowlist_is_actually_tiny(spark):
     """The BNLJ allowlist is a CHECKED contract, not a trust-forever
     list: execute every allowlisted query and measure the actual
@@ -499,6 +511,10 @@ _BOUNDED_GLOBAL_WINDOW_OK = {
 }
 
 
+@pytest.mark.slow  # registry-wide plan sweep (~1-3 min; r16: the
+# five whole-registry lints were 37% of suite wall time and pushed
+# the driver's pytest past its window — run explicitly with
+# `pytest -m slow` or `-m ''`; the builder's close sweep does)
 def test_single_partition_window_inputs_measured_bounded(spark):
     """The bounded-window allowlist as a MEASURED contract (the
     bnlj-broadcast-lint pattern applied to windows): execute EVERY
@@ -543,6 +559,10 @@ def test_single_partition_window_inputs_measured_bounded(spark):
     assert not failures, "\n".join(failures)
 
 
+@pytest.mark.slow  # registry-wide plan sweep (~1-3 min; r16: the
+# five whole-registry lints were 37% of suite wall time and pushed
+# the driver's pytest past its window — run explicitly with
+# `pytest -m slow` or `-m ''`; the builder's close sweep does)
 def test_no_unbounded_single_partition_windows(spark):
     """No registry query may single-partition a row-proportional input
     through a partition-less Window. The allowlist above enumerates the

@@ -9,6 +9,8 @@ asserts the analyzed-plan size reaches a fixed point instead of growing.
 
 from __future__ import annotations
 
+import pytest
+
 from data_ingestion_py_spark.catalog.actions import (
     apply_actions,
     commands_from_rows,
@@ -49,6 +51,7 @@ def _batch(spark, i: int):
     )
 
 
+@pytest.mark.slow  # ~1.5 min 50-batch soak (see test_plans note)
 def test_50_batch_soak_bounded_plan(spark, tmp_path):
     state = empty_state(spark).with_(categories=seed_categories(spark))
     sizes = []
