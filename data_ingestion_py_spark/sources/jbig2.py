@@ -109,36 +109,46 @@ class _MQDecoder:
             self.ct = 8
 
     def decode(self, cx: list, label: int) -> int:
+        # State fully localized and written back once (r16, guide §1.2
+        # per-task work — this is the shared inner loop of the JPX
+        # EBCOT and JBIG2 generic-region kernels): the common
+        # MPS-no-renorm path is two attribute writes. Decision logic
+        # is the unchanged T.88 E.16/E.18 flow, pinned by the Annex H
+        # conformance vector test.
         idx, mps = cx[label]
         qe, nmps, nlps, switch = _QE[idx]
-        self.a -= qe
-        if ((self.c >> 16) & 0xFFFF) < qe:
+        a = self.a - qe
+        c = self.c
+        if ((c >> 16) & 0xFFFF) < qe:
             # LPS exchange (Figure E.18)
-            if self.a < qe:
+            if a < qe:
                 d = mps
                 cx[label] = (nmps, mps)
             else:
                 d = 1 - mps
                 cx[label] = (nlps, 1 - mps if switch else mps)
-            self.a = qe
+            a = qe
         else:
-            self.c -= qe << 16
-            if self.a & 0x8000:
+            c -= qe << 16
+            if a & 0x8000:
+                self.a = a
+                self.c = c
                 return mps
             # MPS exchange (Figure E.16)
-            if self.a < qe:
+            if a < qe:
                 d = 1 - mps
                 cx[label] = (nlps, 1 - mps if switch else mps)
             else:
                 d = mps
                 cx[label] = (nmps, mps)
         # RENORMD
-        a, c, ct = self.a, self.c, self.ct
+        ct = self.ct
         while True:
             if ct == 0:
-                self.c, self.ct = c, ct
+                self.c = c
                 self._bytein()
-                c, ct = self.c, self.ct
+                c = self.c
+                ct = self.ct
             a = (a << 1) & 0xFFFF
             c = (c << 1) & 0xFFFFFFFF
             ct -= 1
